@@ -1,0 +1,101 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source layer: named-table access over the test corpus plus the schema
+  * registry for both table families the engine serves.
+  *
+  * The reference's source layer is a parametrized SQL scan per named table
+  * (`/root/reference/src/from-ground-up.js:84-90`, executed at `:149-163`);
+  * here a "scan" is `spark.read.parquet` (columnar, vectorized, with
+  * predicate/projection pushdown handled by the parquet DataSource), and the
+  * declared per-query column lists of the reference
+  * (`src/from-ground-up.js:303-357`) become plain `.select`s that Catalyst
+  * prunes down to the file footer level.
+  *
+  * At 100 TB the same entry point serves partitioned/bucketed parquet or any
+  * DataSource V2 table; nothing below assumes file sizes.
+  */
+object Tables {
+
+  /** TPC-H-ish driver corpus table names (TESTDATA.md). */
+  val corpus: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one corpus table from a scale-factor directory. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register all corpus tables as temp views (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    corpus.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  // ---------------------------------------------------------------------------
+  // Geometry model (SURVEY §1.4): GeoJSON-shaped tagged struct. Rank-3
+  // coordinates covers Point (coordinates[0][0] = [x,y]), LineString
+  // (coordinates[0] = [[x,y],...]) and Polygon (outer ring + inner rings),
+  // with `kind` selecting the interpretation — a single Spark-friendly
+  // physical layout for an ADT the reference dispatches on by key presence
+  // (/root/reference/src/from-ground-up.js:442-446).
+  // ---------------------------------------------------------------------------
+  val geometryType: StructType = StructType(Seq(
+    StructField("kind", StringType),                      // Point|LineString|Polygon|MultiPolygon
+    StructField("coordinates",
+      ArrayType(ArrayType(ArrayType(DoubleType))))
+  ))
+
+  /** ATES relational schemas inferred from the reference's query column lists
+    * (/root/reference/src/from-ground-up.js:303-357, :865-922). */
+  val atesSchemas: Map[String, StructType] = Map(
+    "areas_vw" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("geom", geometryType))),
+    "points_of_interest" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("area_id", LongType),
+      StructField("name", StringType),
+      StructField("type", StringType),
+      StructField("comments", StringType),
+      StructField("geom", geometryType))),
+    "access_roads" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("area_id", LongType),
+      StructField("description", StringType),
+      StructField("geom", geometryType))),
+    "avalanche_paths" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("area_id", LongType),
+      StructField("name", StringType),
+      StructField("geom", geometryType))),
+    "decision_points" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("area_id", LongType),
+      StructField("name", StringType),
+      StructField("comments", StringType),
+      StructField("geom", geometryType))),
+    "decision_points_warnings" -> StructType(Seq(
+      StructField("decision_point_id", LongType, nullable = false),
+      StructField("warning", StringType),
+      StructField("type", StringType))),
+    "zones" -> StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("area_id", LongType),
+      StructField("class_code", IntegerType),
+      StructField("comments", StringType),
+      StructField("geom", geometryType)))
+  )
+
+  /** Bilingual presentation-name dimension, the engine form of the name maps
+    * duplicated at /root/reference/src/from-ground-up.js:40-57 and
+    * src/mapboxing.js:18-35. Tiny: always broadcast when joined. */
+  val tableDisplayNames: Seq[(String, String, String)] = Seq(
+    ("areas_vw", "Area", "Régions"),
+    ("points_of_interest", "Points of Interest", "Points d'intérêt"),
+    ("access_roads", "Access Roads", "Routes d'accès"),
+    ("avalanche_paths", "Avalanche Paths", "Couloirs d'avalanche"),
+    ("decision_points", "Decision Points", "point de décision"),
+    ("zones", "Zones", "Zones"))
+}
