@@ -1,23 +1,35 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query against
+  * `SPARK_GRAFT_SF_DIR`, prints one JSON line with per-query seconds.
+  *
+  * A warmup action runs first so the timings measure query execution, not
+  * JVM/session initialization (~5-7s on first action otherwise).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
+    val cpus = GraftSession.defaultCpus
+    val spark = GraftSession
+      .builder(master = s"local[$cpus]", appName = "graft-bench",
+        shufflePartitions = cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warmup: touch every table once (schema read + codegen warm paths).
+    graft.sources.Tables.corpus.foreach { t =>
+      try graft.sources.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -34,6 +34,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS), which vanilla Spark rejects;
+      // read as long and convert in Tables.load (integer ns→µs division —
+      // ns-since-epoch exceeds double's 2^53 mantissa, so no float paths).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
 
   def defaultCpus: Int =

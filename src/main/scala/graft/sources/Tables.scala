@@ -24,9 +24,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one corpus table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Read one corpus table from a scale-factor directory.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the files; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long nanoseconds
+    * and is converted here to a proper TimestampType (µs) via integer
+    * division — never a double path, since ns-since-epoch > 2^53. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
 
   /** Register all corpus tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
