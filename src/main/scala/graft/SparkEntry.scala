@@ -15,7 +15,8 @@ object SparkEntry {
     Relational,
     Analytic,
     Functions,
-    JoinsExtra
+    JoinsExtra,
+    Geo
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -43,19 +43,11 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     corpus.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  // ---------------------------------------------------------------------------
-  // Geometry model (SURVEY §1.4): GeoJSON-shaped tagged struct. Rank-3
-  // coordinates covers Point (coordinates[0][0] = [x,y]), LineString
-  // (coordinates[0] = [[x,y],...]) and Polygon (outer ring + inner rings),
-  // with `kind` selecting the interpretation — a single Spark-friendly
-  // physical layout for an ADT the reference dispatches on by key presence
-  // (/root/reference/src/from-ground-up.js:442-446).
-  // ---------------------------------------------------------------------------
-  val geometryType: StructType = StructType(Seq(
-    StructField("kind", StringType),                      // Point|LineString|Polygon|MultiPolygon
-    StructField("coordinates",
-      ArrayType(ArrayType(ArrayType(DoubleType))))
-  ))
+  /** Geometry model (SURVEY §1.4): one GeoJSON-shaped tagged struct for the
+    * whole ADT the reference dispatches on by key presence
+    * (/root/reference/src/from-ground-up.js:442-446) — see
+    * [[graft.functions.GeoFunctions]] for the layout contract. */
+  val geometryType: StructType = graft.functions.GeoFunctions.geometryType
 
   /** ATES relational schemas inferred from the reference's query column lists
     * (/root/reference/src/from-ground-up.js:303-357, :865-922). */
