@@ -16,7 +16,9 @@ object SparkEntry {
     Analytic,
     Functions,
     JoinsExtra,
-    Geo
+    Geo,
+    TextOps,
+    SimOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

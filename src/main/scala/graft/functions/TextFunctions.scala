@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for the LLM-data-pipeline surface (SURVEY §2.11):
+  * tokenization, normalization, shingling, fingerprinting, quality metrics,
+  * language ID, and the portable 32-bit hash family used by MinHash/SimHash.
+  *
+  * Every function exists in two forms from one definition: a Spark `Column`
+  * (codegen'd built-ins, no UDFs) and, where a query needs a DuckDB oracle,
+  * a SQL-text generator producing the *same arithmetic* — the hash family is
+  * md5-based precisely so both engines agree bit-for-bit (native `hash()`
+  * functions are engine-specific).
+  *
+  * Scale posture: all per-row expressions (narrow, no shuffle); the arrays
+  * they produce (tokens, shingles) stay inside one projection and are
+  * consumed by aggregations downstream — nothing here materializes
+  * token-level rows unless an operator explicitly explodes.
+  */
+object TextFunctions {
+
+  // -- tokenization / normalization ------------------------------------------
+
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation: splits on whitespace AND digit/letter
+    * boundaries, the regex-only approximation of byte-pair pretokenizers. */
+  def subwordTokens(c: Column): Column =
+    filter(
+      split(c, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9 ])"),
+      t => length(t) > 0)
+
+  /** Character k-shingles of the normalized text. */
+  def charShingles(c: Column, k: Int): Column = {
+    val n = normalizeText(c)
+    transform(
+      sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
+      i => n.substr(i, lit(k)))
+  }
+
+  def sqlCharShingles(expr: String, k: Int): String = {
+    val n = s"lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))"
+    s"list_transform(generate_series(1, greatest(length($n) - ${k - 1}, 1)), " +
+      s"i -> substr($n, i, $k))"
+  }
+
+  /** Word n-grams over the token array. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val ts = tokens(normalizeText(c))
+    transform(
+      sequence(lit(1), greatest(size(ts) - (n - 1), lit(1))),
+      i => array_join(slice(ts, i, lit(n)), " "))
+  }
+
+  def sqlWordNgrams(expr: String, n: Int): String = {
+    val ts = s"string_split_regex(trim(lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))), '\\s+')"
+    s"list_transform(generate_series(1, greatest(len($ts) - ${n - 1}, 1)), " +
+      s"i -> array_to_string(list_slice($ts, i, i + ${n - 1}), ' '))"
+  }
+
+  // -- fingerprinting / hashing ----------------------------------------------
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text —
+    * the content-identity key for exact dedup. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  def sqlFingerprint(expr: String): String =
+    s"md5(lower(regexp_replace(trim($expr), '\\s+', ' ', 'g')))"
+
+  /** Portable 32-bit hash: first 8 hex digits of md5, as a long in [0, 2^32).
+    * Identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def sqlHash32(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
+
+  /** MinHash signature (SURVEY §2.11): k universal hashes
+    * h_i(s) = (a_i * hash32(s) + b_i) mod p over the shingle set, min per i.
+    * Deterministic (a_i, b_i) from the index; p = 2^31-1 keeps every product
+    * within 63 bits (a_i ≤ 2^31, hash32 < 2^32 → salt the hash down first). */
+  val MinhashPrime = 2147483647L // 2^31 - 1
+
+  def minhashParams(i: Int): (Long, Long) = (2L * i + 1, 7919L * i + 13)
+
+  /** One md5 per shingle; reuse via [[minhashFromHashes]] — computing the
+    * k permutations over pre-hashed longs instead of re-hashing text k
+    * times is a 16× md5 reduction on the hot path. */
+  def hashedShingles(shingles: Column): Column =
+    transform(shingles, s => hash32(s) % MinhashPrime)
+
+  /** Signature from pre-hashed shingles (cheap arithmetic only). */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val cols = (0 until k).map { i =>
+      val (a, b) = minhashParams(i)
+      array_min(transform(hashes, h => (h * a + b) % MinhashPrime))
+    }
+    array(cols: _*)
+  }
+
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromHashes(hashedShingles(shingles), k)
+
+  def sqlMinhashSignature(shinglesExpr: String, k: Int): String = {
+    val parts = (0 until k).map { i =>
+      val (a, b) = minhashParams(i)
+      s"list_min(list_transform($shinglesExpr, " +
+        s"s -> ((('0x' || substr(md5(s), 1, 8))::BIGINT % $MinhashPrime) * $a + $b) % $MinhashPrime))"
+    }
+    s"[${parts.mkString(", ")}]"
+  }
+
+  /** 32-bit SimHash over the token multiset: bit b set iff the majority of
+    * tokens have bit b set in hash32(token). */
+  def simhash32(toks: Column): Column = {
+    // 2^b as an exact long (pow is exact for b ≤ 31; DuckDB's 1<<b agrees)
+    def bit(b: Column): Column = pow(lit(2.0), b).cast("long")
+    aggregate(
+      sequence(lit(0), lit(31)),
+      lit(0L),
+      (acc, b) => acc +
+        when(
+          size(filter(toks, t => hash32(t).bitwiseAND(bit(b)) =!= 0)) * 2
+            > size(toks),
+          bit(b)).otherwise(lit(0L)))
+  }
+
+  def sqlSimhash32(toksExpr: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+       |  CASE WHEN len(list_filter($toksExpr,
+       |    t -> (('0x' || substr(md5(t), 1, 8))::BIGINT & (1::BIGINT << b)) != 0)) * 2
+       |    > len($toksExpr)
+       |  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  // -- quality metrics -------------------------------------------------------
+
+  def punctCount(c: Column): Column = size(regexp_extract_all(c, lit("[\\p{Punct}]"), lit(0)))
+
+  def sqlPunctCount(expr: String): String =
+    s"len(regexp_extract_all($expr, '[[:punct:]]'))"
+
+  /** Stopword hit count: token occurrences found in the given list. */
+  def stopwordCount(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+
+  def sqlStopwordCount(toksExpr: String, stopwords: Seq[String]): String =
+    s"len(list_filter($toksExpr, t -> t IN (${stopwords.map(s => s"'$s'").mkString(", ")})))"
+
+  // -- language ID -----------------------------------------------------------
+
+  /** Stopword profiles per language — the n-gram-heuristic language ID's
+    * model. Tiny on purpose: language ID here is a scoring harness, not a
+    * trained model; profiles broadcast as literals. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  /** Predicted language: CJK charset check first (zh), then argmax stopword
+    * score with 'en' fallback on ties/zero — deterministic by profile order. */
+  def langId(text: Column): Column = {
+    val toks = tokens(normalizeText(text))
+    val scored = langProfiles.map { case (lang, words) =>
+      (lang, stopwordCount(toks, words))
+    }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("score"), lit(scored.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .otherwise(best.getField("lang"))
+  }
+
+  def sqlLangId(textExpr: String): String = {
+    val toks = s"string_split_regex(trim(lower(regexp_replace(trim($textExpr), '\\s+', ' ', 'g'))), '\\s+')"
+    val cases = langProfiles.tail.foldLeft(
+      s"struct_pack(score := ${sqlStopwordCount(toks, langProfiles.head._2)}, lang := '${langProfiles.head._1}')") {
+      case (acc, (lang, words)) =>
+        s"(CASE WHEN ${sqlStopwordCount(toks, words)} > ($acc).score " +
+          s"THEN struct_pack(score := ${sqlStopwordCount(toks, words)}, lang := '$lang') ELSE $acc END)"
+    }
+    s"(CASE WHEN regexp_matches($textExpr, '[\\x{4e00}-\\x{9fff}]') THEN 'zh' ELSE ($cases).lang END)"
+  }
+}

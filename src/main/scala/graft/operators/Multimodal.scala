@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY §2.11 / north star): media payloads as
+  * opaque `binary` columns with typed metadata, plus decode / feature /
+  * frame-sample stages.
+  *
+  * The Spark-side structure — schema, partitioning, batch-iterator transform
+  * shape — is real and tested; the *codec* is a deterministic stub (this
+  * container ships no image/audio libraries). Swapping [[FakeCodec]] for a
+  * real decoder changes no plan shape: the `mapPartitions` stage is already
+  * the batch boundary a JNI/FFI decoder needs (one codec init per partition,
+  * streamed rows, no per-row setup — the Scala analogue of a Pandas-batch
+  * UDF).
+  *
+  * Scale posture: media bytes never shuffle — decode/feature stages are
+  * narrow maps; only extracted metadata (small structs) flows into joins and
+  * aggregations. Frame sampling explodes rows but carries offsets, not
+  * frames.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),     // image | audio | video
+    StructField("data", BinaryType),
+    StructField("source", StringType)))
+
+  case class MediaMeta(
+      media_id: Long, kind: String, n_bytes: Long, checksum: String,
+      width: Int, height: Int, n_frames: Int)
+
+  case class MediaRow(media_id: Long, kind: String, data: Array[Byte],
+      source: String)
+
+  /** STUB — deterministic fake codec standing in for libjpeg/ffmpeg/etc.
+    * Derives plausible metadata purely from the bytes so every run (and the
+    * DuckDB oracle) agrees. A real implementation replaces these bodies;
+    * signatures and call sites stay. */
+  object FakeCodec {
+    def decodeDims(data: Array[Byte]): (Int, Int) =
+      (16 + (data.length % 640), 16 + ((data.length * 7) % 480))
+    def frameCount(kind: String, data: Array[Byte]): Int =
+      if (kind == "video") 1 + (data.length % 8) else 1
+  }
+
+  /** Build a media table from the documents corpus: text bytes stand in for
+    * the payload (`data = encode(text)`), kind assigned round-robin —
+    * deterministic plumbing over driver-provided inputs. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("data"),
+      col("source"))
+
+  /** Column-expression metadata extraction (pure, codegen'd): byte length +
+    * content checksum + stub dims. This is the cheap path when the "decode"
+    * is byte arithmetic; [[decodeMeta]] is the batch-iterator path real
+    * codecs need. */
+  def mediaMetaColumns(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("data")).cast("long").as("n_bytes"),
+      substring(md5(col("data")), 1, 8).as("checksum"),
+      (lit(16) + pmod(length(col("data")), lit(640))).as("width"),
+      (lit(16) + pmod(length(col("data")) * 7, lit(480))).as("height"))
+
+  /** Batch decode via mapPartitions — the real-codec integration point. */
+  def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("data"), col("source"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // one codec context per partition would be initialized here
+        rows.map { r =>
+          val (w, h) = FakeCodec.decodeDims(r.data)
+          MediaMeta(r.media_id, r.kind, r.data.length.toLong,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(r.data).take(4).map("%02x".format(_)).mkString,
+            w, h, FakeCodec.frameCount(r.kind, r.data))
+        }
+      }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame offset
+    * (every `stride`-th frame). Offsets only — the explode carries no
+    * payload bytes. */
+  def sampleFrames(media: DataFrame, stride: Int): DataFrame =
+    media
+      .filter(col("kind") === "video")
+      .withColumn("n_frames",
+        (lit(1) + pmod(length(col("data")), lit(8))).cast("int"))
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"))
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` and the multimodal column surface
+  * (SURVEY §2.11). The brute-force cosine queries carry exact DuckDB
+  * oracles (the fold order of the dot product is pinned left-to-right in
+  * both engines); the IVF variant is the scale path, checked rows-only here
+  * and recall-checked against brute force in the spec.
+  */
+object SimOps extends QueryPack {
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  /** Deterministic left-fold cosine in DuckDB, cast to double per element —
+    * mirrors [[Similarity.cosine]]. */
+  private def sqlCosine(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  override def defs: Map[String, Q] = Map(
+    // Exact top-3 neighbors for the first 10 vectors: broadcast the probes,
+    // stream the corpus, per-query top-k via row_number.
+    "q_sim_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding near-duplicate pairs (brute force on a bounded slice, the
+    // exact baseline the LSH/IVF variants are judged against).
+    "q_sim_neardup" -> ((s, dir) => {
+      val a = emb(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("score", round(Similarity.cosine(col("va"), col("vb")), 6))
+        .filter(col("score") >= 0.2)
+        .select(col("id_a"), col("id_b"), col("score"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // IVF approximate top-k — the 100 TB path (probe nprobe of nlist
+    // buckets). Approximation is engine-defined → rows-only check here;
+    // SimilaritySpec asserts recall against q_sim_topk.
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val assigned = Similarity.ivfAssign(e, nlist = 16)
+      Similarity.ivfTopK(e.filter(col("vec_id") < 10), assigned,
+          centroidsNlist = 16, nprobe = 4, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal metadata extraction: binary payload + checksum + stub dims
+    // (column path; the mapPartitions batch path is spec-tested).
+    "q_media_meta" -> ((s, dir) =>
+      Multimodal.mediaMetaColumns(
+          Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")))
+        .orderBy(col("media_id"))),
+
+    // Frame sampling: one row per sampled offset of each video payload.
+    "q_media_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")),
+          stride = 2)
+        .orderBy(col("media_id"), col("frame_idx")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_sim_topk" -> {
+      val cos = sqlCosine("q.embedding", "c.embedding")
+      s"""SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round($cos, 6) AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($cos, 6) DESC, c.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 10)
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_sim_neardup" -> {
+      val cos = sqlCosine("a.embedding", "b.embedding")
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cos, 6) AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE a.vec_id < 50 AND b.vec_id < 50 AND round($cos, 6) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  substr(md5(text), 1, 8) AS checksum,
+        |  CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT media_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Text-analysis + dedup surface over the `documents` table (SURVEY §2.11):
+  * token/char statistics, quality scoring, language ID, fingerprinting,
+  * exact dedup, MinHash signatures and the full LSH near-dup pipeline.
+  *
+  * The near-dup queries synthesize their duplicates (each doc unioned with a
+  * one-word-appended mutant at id+1000000): the corpus itself has no
+  * near-dups, and an LSH pipeline that finds nothing proves nothing — the
+  * mutants guarantee a known, deterministic duplicate set in both engines.
+  */
+object TextOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ mutated copy (id+1000000, text + " zzmutant"). */
+  private def withMutants(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text")))
+
+  private val sqlWithMutants =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+      | FROM documents)""".stripMargin
+
+  override def defs: Map[String, Q] = Map(
+    // Token counting + basic stats (whitespace tokenizer; the BPE-ish
+    // subword variant is q_subword below — its regex needs lookarounds
+    // DuckDB's RE2 lacks, so it is a rows-only check).
+    "q_text_stats" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(normalizeText(col("text"))).as("n_chars_norm"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+          tokenCount(col("text")).cast("double"), 6).as("avg_token_len"),
+        punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring: length band + punctuation density + stopword density
+    // — the standard heuristics pre-filter of a training-data pipeline.
+    "q_text_quality" -> ((s, dir) => {
+      val toks = tokens(normalizeText(col("text")))
+      val nTok = size(toks).cast("double")
+      val stopRatio = stopwordCount(toks, langProfiles.head._2).cast("double") / nTok
+      val punctRatio = punctCount(col("text")).cast("double") /
+        length(col("text")).cast("double")
+      val lenOk = col("n_chars").between(100, 2000)
+      docs(s, dir).select(
+        col("doc_id"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        lenOk.as("len_ok"),
+        round(
+          when(lenOk, lit(0.5)).otherwise(lit(0.0)) +
+            least(stopRatio * 2.0, lit(0.3)) +
+            when(punctRatio < 0.05, lit(0.2)).otherwise(lit(0.0)),
+          6).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language ID (stopword-profile argmax + CJK charset check). The corpus
+    // text carries no real language signal — the heuristic is the operator
+    // under test, and the oracle runs the identical scoring.
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        langId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    // Content fingerprint + exact-dedup groups over the mutant corpus
+    // (mutants differ → distinct fingerprints; the group-by is the operator).
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(
+          withMutants(docs(s, dir))
+            .unionByName(docs(s, dir).select(col("doc_id"), col("text"))), // originals twice
+          col("text"), col("doc_id"))
+        .orderBy(col("fingerprint"))),
+
+    // Per-doc MinHash signature (k=8 for output compactness; the pipeline
+    // below uses k=16).
+    "q_minhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        array_join(minhashSignature(wordNgrams(col("text"), 3), 8), ",")
+          .as("sig"))
+        .orderBy(col("doc_id"))),
+
+    // SimHash sketch per doc.
+    "q_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        simhash32(tokens(normalizeText(col("text")))).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // Full MinHash+LSH near-dup pipeline over the mutant corpus: shingle →
+    // sign → band → bucket-join → estimate → threshold. Every (doc, mutant)
+    // pair must surface.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(withMutants(docs(s, dir)),
+          col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Exact n-gram Jaccard verification on the known candidate pairs.
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = withMutants(docs(s, dir))
+      val pairs = docs(s, dir)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+      Dedup.ngramJaccard(pairs, d, "text", "doc_id", n = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"))
+    }),
+
+    // BPE-ish subword token count — rows-only (lookaround regex).
+    "q_subword" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        size(subwordTokens(col("text"))).as("n_subwords"))
+        .orderBy(col("doc_id")))
+  )
+
+  private def sqlToks(expr: String) =
+    s"string_split_regex(trim($expr), '\\s+')"
+  private def sqlNorm(expr: String) =
+    s"lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))"
+
+  override def oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(length(${sqlNorm("text")}) AS INT) AS n_chars_norm,
+         |  CAST(len(${sqlToks("text")}) AS INT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+         |    CAST(len(${sqlToks("text")}) AS DOUBLE), 6) AS avg_token_len,
+         |  CAST(${sqlPunctCount("text")} AS INT) AS n_punct
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" -> {
+      val toks = sqlToks(sqlNorm("text"))
+      val stopRatio = s"(CAST(${sqlStopwordCount(toks, langProfiles.head._2)} AS DOUBLE) / CAST(len($toks) AS DOUBLE))"
+      val punctRatio = s"(CAST(${sqlPunctCount("text")} AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+      s"""SELECT doc_id,
+         |  round($stopRatio, 6) AS stopword_ratio,
+         |  round($punctRatio, 6) AS punct_ratio,
+         |  n_chars BETWEEN 100 AND 2000 AS len_ok,
+         |  round(
+         |    (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END) +
+         |    least($stopRatio * 2.0, 0.3) +
+         |    (CASE WHEN $punctRatio < 0.05 THEN 0.2 ELSE 0.0 END), 6)
+         |    AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, lang AS labeled_lang,
+         |  ${sqlLangId("text")} AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""SELECT ${sqlFingerprint("text")} AS fingerprint,
+         |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+         |FROM (SELECT * FROM $sqlWithMutants
+         |      UNION ALL SELECT doc_id, text FROM documents)
+         |GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""SELECT doc_id,
+         |  array_to_string(${sqlMinhashSignature(sqlWordNgrams("text", 3), 8)}, ',') AS sig
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_simhash" ->
+      s"""SELECT doc_id, ${sqlSimhash32(sqlToks(sqlNorm("text")))} AS simhash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH sigs AS (
+         |  SELECT doc_id AS id, $sig AS sig FROM $sqlWithMutants),
+         |banded AS (
+         |  SELECT id, sig, b || '_' || md5(array_to_string(
+         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.id < b.id)
+         |SELECT id_a, id_b,
+         |  CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |    / 16 AS est_jaccard
+         |FROM pairs WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_ngram_jaccard" -> {
+      val grams = s"list_distinct(${sqlWordNgrams("text", 3)})"
+      s"""WITH g AS (SELECT doc_id, $grams AS grams FROM $sqlWithMutants)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+         |    CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6)
+         |    AS jaccard
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000
+         |ORDER BY id_a""".stripMargin
+    }
+  )
+}

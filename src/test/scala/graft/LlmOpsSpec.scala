@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sf, "documents")
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("minhash LSH finds every planted near-duplicate (recall on mutants)") {
+    val mutants = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    val pairs = Dedup.minhashPairs(mutants, col("text"), col("doc_id"),
+      shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val nDocs = docs.count()
+    val expected = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    val found = expected.intersect(pairs)
+    // banding is probabilistic per doc, but a one-word tail on 20+ word docs
+    // keeps true jaccard ~0.9 → expect near-total recall
+    assert(found.size >= (nDocs * 0.95).toInt,
+      s"LSH recall too low: ${found.size}/$nDocs")
+  }
+
+  test("exact dedup groups identical content only") {
+    val tripled = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
+      .unionByName(docs.select((col("doc_id") + 20000L).as("doc_id"), col("text")))
+    val groups = Dedup.exact(tripled, col("text"), col("doc_id"))
+    val counts = groups.select(col("n_copies")).as[Long].collect()
+    assert(counts.forall(_ == 3L))
+    assert(groups.count() == docs.count())
+    // canonical id is the minimum of each group
+    val canon = groups.select(col("canonical_id")).as[Long].collect()
+    assert(canon.forall(_ < 10000L))
+  }
+
+  test("simhash is identical for identical docs and differs across corpus") {
+    val g = Dedup.simhashGroups(
+      docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))),
+      col("text"), col("doc_id"))
+    // every group has exactly the pair (i, i+10000)
+    assert(g.filter(col("n") % 2 =!= 0).count() == 0)
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val assigned = Similarity.ivfAssign(emb, nlist = 16)
+    val ivf = Similarity.ivfTopK(queries, assigned, 16, nprobe = 8, k = 3)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall below floor")
+    // and IVF returns k rows per query
+    assert(ivf.size == brute.size)
+  }
+
+  test("IVF assignment covers the corpus exactly once") {
+    val assigned = Similarity.ivfAssign(emb, nlist = 16)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select(col("centroid_id")).distinct().count() <= 16)
+  }
+
+  test("multimodal batch decode (mapPartitions) agrees with the column path") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    val colPath = Multimodal.mediaMetaColumns(media)
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"))
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    val batchPath = Multimodal.decodeMeta(spark, media)
+      .select(col("media_id"), col("n_bytes"), col("width"), col("height"))
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    assert(colPath.sameElements(batchPath))
+  }
+
+  test("frame sampling emits stride-spaced offsets within bounds") {
+    val frames = Multimodal.sampleFrames(
+      Multimodal.mediaFromDocuments(docs), stride = 2)
+    val rows = frames.select(col("media_id"), col("n_frames"), col("frame_idx"))
+      .as[(Long, Int, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, idx) =>
+      assert(idx >= 0 && idx < n && idx % 2 == 0)
+    }
+  }
+}
