@@ -18,7 +18,8 @@ object SparkEntry {
     JoinsExtra,
     Geo,
     TextOps,
-    SimOps
+    SimOps,
+    StreamOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

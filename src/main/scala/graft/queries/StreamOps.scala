@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import Parity.sqlDsum
+
+/** Streaming queries in the driver gate: each runs a genuine Structured
+  * Streaming query over the events file source to completion (memory sink),
+  * and its oracle is the batch-SQL equivalent in DuckDB — stream/batch
+  * result equivalence is exactly what Structured Streaming promises for a
+  * drained bounded source in complete mode.
+  *
+  * Query names carry a per-call nonce: memory-sink table names are global
+  * to the session, and Verify/Bench invoke the same map entries repeatedly.
+  */
+object StreamOps extends QueryPack {
+
+  private val nonce = new java.util.concurrent.atomic.AtomicLong()
+  private def qn(base: String) = s"${base}_${nonce.incrementAndGet()}"
+
+  override def defs: Map[String, Q] = Map(
+    "q_stream_tumbling" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.tumblingCounts(EventStreams.readEvents(s, dir)),
+          qn("stream_tumbling"))
+        .orderBy(col("ws_epoch"), col("event_type"))),
+
+    "q_stream_sliding" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.slidingCounts(EventStreams.readEvents(s, dir)),
+          qn("stream_sliding"))
+        .orderBy(col("ws_epoch"), col("event_type"))),
+
+    "q_stream_session" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.sessionCounts(EventStreams.readEvents(s, dir)),
+          qn("stream_session"))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Streaming dedup: the doubled source must reduce back to the original
+    // cardinality. Emits per-type counts of the deduped stream.
+    "q_stream_dedup" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+      val doubled = ev.unionByName(ev)
+      val deduped = EventStreams.dedupEvents(doubled)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      EventStreams.runToResult(s, deduped, qn("stream_dedup"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    // Tumbling window = epoch-floor to 600s buckets. epoch_us (exact
+    // integer µs) — epoch() is a double and ::BIGINT *rounds*, which
+    // misplaces events within 0.5s of a boundary.
+    "q_stream_tumbling" ->
+      s"""SELECT (epoch_us(ts) // 600000000) * 600 AS ws_epoch, event_type,
+         |  COUNT(*) AS n, ${sqlDsum("value", 6)} AS total
+         |FROM events GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin,
+
+    // Sliding 10min/5min = each event lands in 2 windows (epoch-floor to
+    // each 300s slide boundary whose window covers the event).
+    "q_stream_sliding" ->
+      """SELECT ws_epoch, event_type, COUNT(*) AS n FROM (
+        |  SELECT unnest([
+        |      (epoch_us(ts) // 300000000) * 300,
+        |      (epoch_us(ts) // 300000000) * 300 - 300]) AS ws_epoch,
+        |    event_type
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY ws_epoch, event_type""".stripMargin,
+
+    // Session windows = gaps-and-islands per user with a 5-minute gap.
+    "q_stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 5 MINUTE OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT epoch_us(MIN(ts)) // 1000000 AS session_start, user_id,
+        |  COUNT(*) AS n_events
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

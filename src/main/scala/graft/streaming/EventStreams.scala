@@ -1,0 +1,128 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table (SURVEY §2.10).
+  *
+  * The reference has no record-level streaming — its streams are byte sinks
+  * (`/root/reference/src/from-ground-up.js:936-958`) and each HTTP request
+  * re-runs the full batch (`:991-1003`). This module declares the engine's
+  * streaming surface: file source → watermarked windowed aggregations
+  * (tumbling/sliding/session), stateful dedup, custom state via
+  * `flatMapGroupsWithState`, and `foreachBatch` bridging into the document
+  * sinks.
+  *
+  * Everything is expressed against an unbounded source; the harness drives
+  * it with the bounded events parquet (one file ⇒ one micro-batch), and the
+  * same plans run against a Kafka-style source at scale — watermark state
+  * and shuffle partitioning are identical.
+  */
+object EventStreams {
+
+  /** Raw parquet schema: ts is TIMESTAMP(NANOS) on disk, declared long here
+    * (nanosAsLong) and converted via integer division like the batch source
+    * ([[graft.sources.Tables.load]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream of the events table (the file source wants a
+    * directory; the glob filter selects the events file from the corpus). */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling-window aggregate per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
+      .select(col("window.start").cast("long").as("ws_epoch"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Sliding-window aggregate (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws_epoch"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user with the given inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").cast("long").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact-once dedup on event_id within the watermark horizon. */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserStat(user_id: Long, n: Long, total: Double)
+
+  /** Custom state: per-user running totals via flatMapGroupsWithState. */
+  def userTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserStat, UserStat](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserStat]) =>
+          val prev = state.getOption.getOrElse(UserStat(user, 0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { r => n += 1; total += r._2 }
+          val next = UserStat(user, n, total)
+          state.update(next)
+          Iterator(next)
+      }.toDF()
+  }
+
+  /** Run a (bounded) streaming DataFrame to completion into an in-memory
+    * table and return the result — the harness form of "start the query,
+    * let the source drain, read the sink". */
+  def runToResult(spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** foreachBatch bridge into an arbitrary batch sink (S4/S5 documents,
+    * parquet, ...) — the reference's "write the finished document" step
+    * attached to a stream. */
+  def runForeachBatch(df: DataFrame, mode: String)(
+      f: (DataFrame, Long) => Unit): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_feb").toString)
+      .foreachBatch(f)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

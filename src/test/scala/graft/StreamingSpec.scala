@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling streaming aggregation equals the batch plan (complete mode)") {
+    val streamed = EventStreams.runToResult(spark,
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+      "spec_tumbling")
+    val batch = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws_epoch"),
+        col("event_type"), col("n"))
+    val a = streamed.select("ws_epoch", "event_type", "n")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val b = batch.as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b))
+  }
+
+  test("watermark drops late data in append mode") {
+    // Feed events in two files: batch 1 advances the watermark far past
+    // batch 2's late-arriving rows → the late window never emits.
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ck").toString
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("event_id", "ts").coalesce(1).write.mode("append").parquet(dir)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    write("b1", Seq((1L, ts("2024-06-01 10:00:00")), (2L, ts("2024-06-01 12:00:00"))))
+
+    val stream = spark.readStream
+      .schema("event_id long, ts timestamp").parquet(dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = stream.writeStream.format("memory").queryName("spec_late")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    // late row: 10:01, hours behind the 12:00 watermark
+    write("b2", Seq((3L, ts("2024-06-01 10:01:00"))))
+    q.processAllAvailable()
+    // close the open window so everything emittable emits
+    write("b3", Seq((4L, ts("2024-06-01 14:00:00"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("spec_late").as[(Long, Long)].collect().toMap
+    val w1000 = java.sql.Timestamp.valueOf("2024-06-01 10:00:00").getTime / 1000
+    assert(rows.get(w1000).contains(1L), s"late event must be dropped: $rows")
+  }
+
+  test("flatMapGroupsWithState accumulates per-user totals") {
+    val out = EventStreams.runToResult(spark,
+      EventStreams.userTotals(spark, EventStreams.readEvents(spark, sf)),
+      "spec_fmgws", mode = "append")
+    val batch = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    // single bounded file ⇒ single micro-batch ⇒ one emission per user
+    val a = out.select(col("user_id"), col("n")).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    val b = batch.as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("foreachBatch bridges a stream into a batch sink") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
+    EventStreams.runForeachBatch(
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+      mode = "complete") { (df, batchId) =>
+      df.write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    }
+    val written = spark.read.parquet(s"$outDir/b0")
+    assert(written.count() ==
+      EventStreams.runToResult(spark,
+        EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+        "spec_feb_check").count())
+  }
+}
