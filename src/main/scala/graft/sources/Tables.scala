@@ -43,6 +43,44 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     corpus.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** S1 — live-database scan, the engine form of the reference's pg
+    * prepared-statement source (`/root/reference/src/from-ground-up.js:
+    * 149-163`). Filters and projections on the returned frame push down
+    * over JDBC (Catalyst emits them into the remote query); `partitionCol`
+    * + bounds split the scan into `numPartitions` parallel range reads —
+    * the knob that matters on a large table. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties(),
+      partitionCol: Option[String] = None,
+      lowerBound: Long = 0, upperBound: Long = 0,
+      numPartitions: Int = 1): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val withPart = partitionCol.fold(r)(c =>
+      r.option("partitionColumn", c)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions))
+    props.forEach((k, v) => withPart.option(k.toString, v.toString))
+    withPart.load()
+  }
+
+  /** S3 — JSON source (the reference's fixture-file generator,
+    * `/root/reference/test/testy_stuff.js:3-16`): JSON-lines by default,
+    * `multiLine` for whole-array documents. */
+  def readJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None, multiLine: Boolean = false): DataFrame = {
+    val r = spark.read.option("multiLine", multiLine)
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** CSV source with header/schema handling (declared source surface). */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None, header: Boolean = true,
+      delimiter: String = ","): DataFrame = {
+    val r = spark.read.option("header", header).option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", true))(r.schema).csv(path)
+  }
+
   /** Geometry model (SURVEY §1.4): one GeoJSON-shaped tagged struct for the
     * whole ADT the reference dispatches on by key presence
     * (/root/reference/src/from-ground-up.js:442-446) — see

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's classic Column↔Expression converters, which are
+  * `private[sql]` — the conventional extension-library technique (a
+  * same-package accessor) for exposing custom Catalyst expressions as
+  * `Column`s without going through the SQL parser.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

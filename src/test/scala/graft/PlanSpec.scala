@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audit (SURVEY §4): the scale properties are asserted, not
+  * eyeballed — pushdown reaching the parquet scan, column pruning, broadcast
+  * strategy on dimension joins, map-side partial aggregation, whole-stage
+  * codegen on the hot paths. A regression in any of these is a 100 TB
+  * performance bug that sf0.001 correctness tests would never catch.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_scan_project: filter pushed to parquet, schema pruned to 3 columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_orderkey,100)"),
+      s"missing pushed filter:\n$p")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity")
+      .forall(readSchema.contains))
+    assert(!readSchema.contains("l_extendedprice"),
+      "scan reads columns the query never uses")
+  }
+
+  test("q1_agg: partial (map-side) + final aggregation, codegen, pushdown") {
+    val p = plan("q1_agg")
+    assert(p.contains("HashAggregate"))
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate predicate not pushed to the scan")
+    // codegen markers live in codegen explain mode (AQE formatted hides them)
+    val cg = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(cg.contains("WholeStageCodegen subtrees"), "no whole-stage codegen")
+  }
+
+  test("q_join_inner_agg: dimension joins broadcast, no shuffle on small side") {
+    val p = plan("q_join_inner_agg")
+    assert(p.contains("BroadcastHashJoin"), s"dimension join not broadcast:\n$p")
+  }
+
+  test("q_join_range: tiny literal dim goes through broadcast nested loop") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join should broadcast the 5-row band dim:\n$p")
+  }
+
+  test("q_topk: global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
+  }
+
+  test("q_join_semi/anti plan semi/anti joins, not join+filter") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("warnify pipeline: single aggregation keyed by geometry, no stringify roundtrip") {
+    val tables = graft.ates.Fixtures.tables(spark)
+    val feats = graft.ates.AtesPipeline.geoJsonFeatures(tables, Some(357L))
+    val p = feats.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // exactly one aggregation pair (partial+final) for the warnify branch
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs <= 4, s"warnify should be one partial+final aggregation:\n$p")
+    assert(!p.contains("UDF"), "feature pipeline must stay UDF-free (codegen)")
+  }
+
+  test("dedup minhash: signatures flow through one exchange per stage") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val pairs = graft.operators.Dedup.minhashPairs(docs,
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("doc_id"))
+    val p = pairs.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // band-bucket grouping + distinct = 2 logical exchanges before AQE; a
+    // self-join formulation would add a third and recompute signatures
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 3, s"too many shuffles in LSH pipeline ($exchanges):\n$p")
+  }
+}
