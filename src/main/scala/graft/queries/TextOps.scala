@@ -126,7 +126,16 @@ object TextOps extends QueryPack {
     "q_subword" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         size(subwordTokens(col("text"))).as("n_subwords"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Native Catalyst expression (plans/Hash32Expr, doGenCode) through the
+    // SQL registration path — the §2.9 scalar surface under the oracle gate.
+    "q_native_hash" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      docs(s, dir).createOrReplaceTempView("nh_docs")
+      s.sql("""SELECT doc_id, graft_hash32(text) AS h32
+              |FROM nh_docs ORDER BY doc_id""".stripMargin)
+    })
   )
 
   private def sqlToks(expr: String) =
@@ -199,6 +208,10 @@ object TextOps extends QueryPack {
          |FROM pairs WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_native_hash" ->
+      s"""SELECT doc_id, ${sqlHash32("text")} AS h32
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" -> {
       val grams = s"list_distinct(${sqlWordNgrams("text", 3)})"
