@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GeoFunctions._
+
+/** Spatial join (point-in-polygon) — the "Spark with spatial extensions"
+  * operator of the north star, built composition-first (preference (a) of
+  * the custom-operator ladder) instead of a custom strategy:
+  *
+  *  1. **Blocking**: each polygon explodes to the grid cells its envelope
+  *     covers; each point maps to its single cell. The join is an
+  *     *equi-join on cell id* — shuffle on a short key, candidate pairs
+  *     bounded by cell occupancy, never |points|×|polygons|. This is the
+  *     same grid-partitioned design Sedona's range-join strategy implements
+  *     as a custom SparkStrategy; expressed with explode+join it inherits
+  *     AQE skew handling for free.
+  *  2. **Refinement**: exact even-odd ray casting over every ring
+  *     ([[st_contains]]) — holes and MultiPolygons fall out of ring parity
+  *     naturally. Pure higher-order-function expressions, fully codegen'd.
+  *
+  * A point lies in exactly one cell, so a (point, polygon) pair is tested
+  * at most once — no post-join dedup stage.
+  *
+  * Cell size trades shuffle width against refinement fan-in: ~the median
+  * polygon envelope size is right; at 100 TB make it a config and bucket
+  * both sides by cell for a shuffle-free co-located join.
+  */
+object SpatialJoin {
+
+  /** Even-odd point-in-geometry test: count ray crossings over every ring
+    * of the geometry (works for Polygon with holes and MultiPolygon). */
+  def st_contains(g: Column, x: Column, y: Column): Column = {
+    val rings = flatten(g.getField("coordinates")) // rank-4 → list of rings
+    val crossings = aggregate(
+      rings,
+      lit(0),
+      (acc, ring) => acc + size(filter(
+        sequence(lit(1), size(ring) - 1),
+        i => {
+          val xi = element_at(element_at(ring, i), 1)
+          val yi = element_at(element_at(ring, i), 2)
+          val xj = element_at(element_at(ring, i + 1), 1)
+          val yj = element_at(element_at(ring, i + 1), 2)
+          ((yi > y) =!= (yj > y)) &&
+            (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        })))
+    crossings % 2 === 1
+  }
+
+  private def cellId(cx: Column, cy: Column): Column =
+    concat_ws(":", cx.cast("long"), cy.cast("long"))
+
+  /** Join `points` (with x/y columns) to `polygons` (with a geometry
+    * column) on containment. Output: all point columns + `polygon_id`. */
+  def pointsInPolygons(
+      points: DataFrame, polygons: DataFrame,
+      x: Column, y: Column, polyGeom: Column, polyId: Column,
+      cellSize: Double): DataFrame = {
+
+    val e = st_envelope(polyGeom)
+    val cellsOfEnvelope = flatten(transform(
+      sequence(floor(e.getField("xmin") / cellSize),
+        floor(e.getField("xmax") / cellSize)),
+      cx => transform(
+        sequence(floor(e.getField("ymin") / cellSize),
+          floor(e.getField("ymax") / cellSize)),
+        cy => cellId(cx, cy))))
+
+    val polyCells = polygons.select(
+        polyId.as("polygon_id"), polyGeom.as("__geom"),
+        explode(cellsOfEnvelope).as("__cell"))
+
+    val ptCells = points.withColumn("__x", x).withColumn("__y", y)
+      .withColumn("__cell",
+        cellId(floor(col("__x") / cellSize), floor(col("__y") / cellSize)))
+
+    ptCells
+      .join(polyCells, "__cell")
+      .filter(st_contains(col("__geom"), col("__x"), col("__y")))
+      .drop("__cell", "__geom", "__x", "__y")
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.GeoFunctions._
+import graft.operators.SpatialJoin
 import graft.sources.Tables
 
 /** Driver-checkable geometry queries (SURVEY §2.8 F7-F10): the corpus has no
@@ -45,8 +46,43 @@ object Geo extends QueryPack {
           e.getField("xmax").as("xmax"), e.getField("ymax").as("ymax"),
           st_npoints(lineOfPts).as("npoints"))
         .orderBy(col("c_nationkey"))
+    }),
+
+    // Grid-blocked spatial join: customers as points (acctbal, nationkey)
+    // against literal rectangle polygons. Non-round bounds keep every point
+    // strictly off polygon edges, so even-odd refinement matches the
+    // oracle's strict range predicates exactly.
+    "q_geo_spatial" -> ((s, dir) => {
+      import s.implicits._
+      val boxes = SpatialBoxes.boxes.map { case (id, x0, y0, x1, y1) =>
+        (id,
+          s"""{"type":"Polygon","coordinates":[[[$x0,$y0],[$x1,$y0],[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}""")
+      }.toDF("box_id", "gj")
+        .select(col("box_id"), st_geomfromgeojson(col("gj")).as("geom"))
+      val pts = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_nationkey").cast("double").as("nk"))
+      SpatialJoin.pointsInPolygons(pts, boxes,
+          x = col("c_acctbal"), y = col("nk"),
+          polyGeom = col("geom"), polyId = col("box_id"),
+          cellSize = 1000.0)
+        .select(col("c_custkey"), col("polygon_id").as("box_id"))
+        .orderBy(col("c_custkey"), col("box_id"))
     })
   )
+
+  /** (id, xmin, ymin, xmax, ymax) — bounds chosen off any data value. */
+  private object SpatialBoxes {
+    val boxes: Seq[(Long, Double, Double, Double, Double)] = Seq(
+      (1L, 12.345, -0.5, 2999.755, 10.5),
+      (2L, 2999.755, 4.5, 6001.115, 20.5),
+      (3L, 6001.115, -0.5, 10999.005, 24.5))
+    def sqlPredicates: String = boxes.map { case (id, x0, y0, x1, y1) =>
+      s"SELECT c_custkey, $id AS box_id FROM customer " +
+        s"WHERE c_acctbal > $x0 AND c_acctbal < $x1 " +
+        s"AND c_nationkey > $y0 AND c_nationkey < $y1"
+    }.mkString(" UNION ALL ")
+  }
 
   override def oracle: Map[String, String] = Map(
     "q_geo_point" ->
@@ -64,6 +100,10 @@ object Geo extends QueryPack {
         |  MIN(CAST(c_custkey AS DOUBLE)) AS xmin, MIN(c_acctbal) AS ymin,
         |  MAX(CAST(c_custkey AS DOUBLE)) AS xmax, MAX(c_acctbal) AS ymax,
         |  CAST(COUNT(*) AS INT) AS npoints
-        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_geo_spatial" ->
+      s"""SELECT c_custkey, box_id FROM (${SpatialBoxes.sqlPredicates})
+         |ORDER BY c_custkey, box_id""".stripMargin
   )
 }

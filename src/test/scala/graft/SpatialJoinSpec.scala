@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ates.Fixtures
+import graft.functions.GeoFunctions._
+import graft.operators.SpatialJoin
+
+class SpatialJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val tables = Fixtures.tables(spark)
+
+  test("st_contains: even-odd ray casting incl. holes and multipolygons") {
+    val donut =
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],
+        |[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}""".stripMargin
+    val mp =
+      """{"type":"MultiPolygon","coordinates":[
+        |[[[20.0,20.0],[22.0,20.0],[22.0,22.0],[20.0,22.0],[20.0,20.0]]],
+        |[[[30.0,30.0],[32.0,30.0],[32.0,32.0],[30.0,32.0],[30.0,30.0]]]]}""".stripMargin
+    val df = Seq(
+      (donut, 2.0, 2.0, true),   // in outer ring, outside hole
+      (donut, 5.0, 5.0, false),  // inside the hole
+      (donut, 11.0, 5.0, false), // outside
+      (mp, 21.0, 21.0, true),    // first polygon
+      (mp, 31.0, 31.0, true),    // second polygon
+      (mp, 25.0, 25.0, false))   // between polygons
+      .toDF("gj", "x", "y", "expected")
+      .select(st_geomfromgeojson(col("gj")).as("g"), col("x"), col("y"),
+        col("expected"))
+    val wrong = df.filter(
+      SpatialJoin.st_contains(col("g"), col("x"), col("y")) =!= col("expected"))
+    assert(wrong.count() == 0)
+  }
+
+  test("pointsInPolygons joins ATES decision points/POIs into their zones") {
+    val pts = tables("decision_points")
+      .unionByName(tables("points_of_interest")
+        .select(col("id"), col("area_id"), col("name"),
+          col("comments"), col("geom")), allowMissingColumns = true)
+      .select(col("id"), col("name"), st_x(col("geom")).as("x"),
+        st_y(col("geom")).as("y"))
+    val joined = SpatialJoin.pointsInPolygons(
+        pts, tables("zones"),
+        x = col("x"), y = col("y"),
+        polyGeom = col("geom"), polyId = col("id"),
+        cellSize = 0.01)
+      .select(col("id"), col("polygon_id")).as[(Long, Long)].collect().toSet
+
+    // zone 41 spans x ∈ [-118.76,-118.74], y ∈ [50.69,50.71]:
+    //   dp 31 (-118.762, 50.712) is just outside; POI 1 (-118.756, 50.70)
+    //   sits on the boundary band — compute expectations directly:
+    val expected = Set(
+      30L -> 41L, // dp alpha (-118.758, 50.702) inside zone 41
+      1L -> 41L   // parking (-118.756, 50.700) on edge y=50.70? strictly inside x, y>50.69 → inside
+    ).filter { case (p, _) =>
+      // guard: recompute with plain math to keep the fixture honest
+      val coords = Map(30L -> (-118.758, 50.702), 1L -> (-118.756, 50.700))
+      val (x, y) = coords(p)
+      x > -118.76 && x < -118.74 && y > 50.69 && y < 50.71
+    }
+    assert(expected.subsetOf(joined),
+      s"missing containments: ${expected.diff(joined)} in $joined")
+    // and nothing outside all zones is matched
+    val allZoneMatches = joined.map(_._1)
+    assert(!allZoneMatches.contains(31L) || {
+      // dp 31 at (-118.762, 50.712): x < -118.76 → outside zone 41;
+      // check it is not inside any other zone either
+      false
+    })
+  }
+
+  test("rectangular zones: st_contains agrees with envelope containment") {
+    // zones 40/41 are axis-aligned rectangles → containment ≡ bbox test
+    val zones = tables("zones").filter(col("id").isin(40L, 41L))
+      .select(col("id").as("zid"), col("geom"),
+        st_envelope(col("geom")).as("e"))
+    val pts = tables("points_of_interest")
+      .select(col("id"), st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+    val both = pts.crossJoin(zones)
+      .select(col("id"), col("zid"),
+        SpatialJoin.st_contains(col("geom"), col("x"), col("y")).as("exact"),
+        (col("x") > col("e.xmin") && col("x") < col("e.xmax") &&
+          col("y") > col("e.ymin") && col("y") < col("e.ymax")).as("bbox"))
+    assert(both.filter(col("exact") =!= col("bbox")).count() == 0)
+  }
+}
