@@ -22,10 +22,24 @@ object TextFunctions {
 
   // -- tokenization / normalization ------------------------------------------
 
-  def normalizeText(c: Column): Column =
-    lower(regexp_replace(trim(c), "\\s+", " "))
+  /** Strip leading/trailing whitespace of every kind — `trim` removes
+    * spaces only, which leaves tab/newline artifacts in fingerprints
+    * (caught by the normalization-invariance property test). */
+  def wsTrim(c: Column): Column = regexp_replace(c, "^\\s+|\\s+$", "")
 
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def sqlWsTrim(expr: String): String =
+    s"regexp_replace($expr, '^\\s+|\\s+$$', '', 'g')"
+
+  def normalizeText(c: Column): Column =
+    lower(regexp_replace(wsTrim(c), "\\s+", " "))
+
+  def sqlNormalizeText(expr: String): String =
+    s"lower(regexp_replace(${sqlWsTrim(expr)}, '\\s+', ' ', 'g'))"
+
+  def tokens(c: Column): Column = split(wsTrim(c), "\\s+")
+
+  def sqlTokens(expr: String): String =
+    s"string_split_regex(${sqlWsTrim(expr)}, '\\s+')"
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -45,7 +59,7 @@ object TextFunctions {
   }
 
   def sqlCharShingles(expr: String, k: Int): String = {
-    val n = s"lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))"
+    val n = sqlNormalizeText(expr)
     s"list_transform(generate_series(1, greatest(length($n) - ${k - 1}, 1)), " +
       s"i -> substr($n, i, $k))"
   }
@@ -59,7 +73,7 @@ object TextFunctions {
   }
 
   def sqlWordNgrams(expr: String, n: Int): String = {
-    val ts = s"string_split_regex(trim(lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))), '\\s+')"
+    val ts = sqlTokens(sqlNormalizeText(expr))
     s"list_transform(generate_series(1, greatest(len($ts) - ${n - 1}, 1)), " +
       s"i -> array_to_string(list_slice($ts, i, i + ${n - 1}), ' '))"
   }
@@ -71,7 +85,7 @@ object TextFunctions {
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
   def sqlFingerprint(expr: String): String =
-    s"md5(lower(regexp_replace(trim($expr), '\\s+', ' ', 'g')))"
+    s"md5(${sqlNormalizeText(expr)})"
 
   /** Portable 32-bit hash: first 8 hex digits of md5, as a long in [0, 2^32).
     * Identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT. */
@@ -181,7 +195,7 @@ object TextFunctions {
   }
 
   def sqlLangId(textExpr: String): String = {
-    val toks = s"string_split_regex(trim(lower(regexp_replace(trim($textExpr), '\\s+', ' ', 'g'))), '\\s+')"
+    val toks = sqlTokens(sqlNormalizeText(textExpr))
     val cases = langProfiles.tail.foldLeft(
       s"struct_pack(score := ${sqlStopwordCount(toks, langProfiles.head._2)}, lang := '${langProfiles.head._1}')") {
       case (acc, (lang, words)) =>

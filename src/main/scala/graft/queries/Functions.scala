@@ -150,7 +150,55 @@ object Functions extends QueryPack {
           to_json(map(
             lit("status"), col("o_orderstatus"),
             lit("priority"), col("o_orderpriority"))).as("props_json"))
-        .orderBy(col("o_orderkey")))
+        .orderBy(col("o_orderkey"))),
+
+    // Map-typed column ops (map_keys/map_values/map_concat/element access) —
+    // the F13 property-bag surface on a real MapType column.
+    "q_map_ops" -> ((s, dir) => {
+      val m = map_concat(
+        map(lit("status"), col("o_orderstatus")),
+        map(lit("priority"), col("o_orderpriority")))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          array_join(sort_array(map_keys(m)), ",").as("keys"),
+          array_join(sort_array(map_values(m)), ",").as("vals"),
+          element_at(m, "priority").as("prio"),
+          size(m).as("n_entries"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Null-handling kernel: coalesce / nullif / nvl2-style / nan checks.
+    "q_null_funcs" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_or_open"),
+          when(nullif(col("o_orderpriority"), lit("1-URGENT")).isNull,
+            lit("hot")).otherwise(lit("cold")).as("urgency"),
+          isnan(col("o_totalprice") / col("o_totalprice")).as("self_ratio_nan"),
+          (col("o_totalprice") === 0.0).as("zero_price"))
+        .orderBy(col("o_orderkey"))),
+
+    // The warnify aggregation itself (SURVEY §2.4 A1) under the oracle gate,
+    // emulated on corpus columns: lineitem lines bucket into per-order
+    // warning lists by return flag, serialized as the JSON warnings map.
+    "q_warnify_shape" -> ((s, dir) => {
+      val mr = sort_array(collect_list(
+        when(col("l_returnflag") === "R", col("l_partkey").cast("string"))))
+      val cn = sort_array(collect_list(
+        when(col("l_returnflag") === "A", col("l_partkey").cast("string"))))
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(mr.as("__mr"), cn.as("__cn"))
+        .select(col("l_orderkey"),
+          to_json(map(
+            lit("managing-risk"), col("__mr"),
+            lit("concern"), col("__cn"))).as("warnings"))
+        .orderBy(col("l_orderkey"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -240,6 +288,35 @@ object Functions extends QueryPack {
       """SELECT o_orderkey,
         |  to_json(struct_pack(status := o_orderstatus,
         |    priority := o_orderpriority))::VARCHAR AS props_json
-        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q_map_ops" ->
+      """SELECT o_orderkey,
+        |  array_to_string(list_sort(map_keys(
+        |    map(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS keys,
+        |  array_to_string(list_sort(map_values(
+        |    map(['status','priority'], [o_orderstatus, o_orderpriority]))), ',') AS vals,
+        |  o_orderpriority AS prio,
+        |  CAST(2 AS INT) AS n_entries
+        |FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT o_orderkey,
+        |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+        |  CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
+        |    THEN 'hot' ELSE 'cold' END AS urgency,
+        |  isnan(o_totalprice / o_totalprice) AS self_ratio_nan,
+        |  o_totalprice = 0.0 AS zero_price
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+
+    "q_warnify_shape" ->
+      """SELECT l_orderkey,
+        |  to_json(struct_pack(
+        |    "managing-risk" := COALESCE(list_sort(list(CAST(l_partkey AS VARCHAR))
+        |      FILTER (l_returnflag = 'R')), []),
+        |    concern := COALESCE(list_sort(list(CAST(l_partkey AS VARCHAR))
+        |      FILTER (l_returnflag = 'A')), [])))::VARCHAR AS warnings
+        |FROM lineitem WHERE l_orderkey < 2000
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
   )
 }

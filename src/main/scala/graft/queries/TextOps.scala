@@ -138,10 +138,8 @@ object TextOps extends QueryPack {
     })
   )
 
-  private def sqlToks(expr: String) =
-    s"string_split_regex(trim($expr), '\\s+')"
-  private def sqlNorm(expr: String) =
-    s"lower(regexp_replace(trim($expr), '\\s+', ' ', 'g'))"
+  private def sqlToks(expr: String) = sqlTokens(expr)
+  private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
   override def oracle: Map[String, String] = Map(
     "q_text_stats" ->

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.TextFunctions
+import graft.plans.Hash32Expr
+
+/** Property-based invariants (SURVEY §5 test plan) using scalacheck
+  * generators with a fixed seed (deterministic CI): driver-side properties
+  * loop pure samples; distributed properties batch all cases through one
+  * DataFrame pass.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("kml color byte-pair reversal is an involution on any 8-hex color") {
+    val hex = Gen.listOfN(8, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    samples(hex, 100).foreach { c =>
+      assert(graft.ates.Styles.kmlColor(graft.ates.Styles.kmlColor(c)) == c)
+    }
+  }
+
+  test("Hash32Expr.hash is within [0, 2^32) and equals the md5 prefix") {
+    samples(text, 100).foreach { s =>
+      val h = Hash32Expr.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(h >= 0L && h < (1L << 32))
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      assert(h == java.lang.Long.parseLong(md5hex, 16))
+    }
+  }
+
+  test("fingerprints are whitespace/case-normalization-invariant (batched)") {
+    val cases = samples(text, 40)
+    val df = cases.toDF("t")
+      .select(
+        TextFunctions.fingerprint(col("t")).as("f1"),
+        TextFunctions.fingerprint(upper(concat(lit("  "), col("t"), lit("\t "))))
+          .as("f2"),
+        TextFunctions.fingerprint(concat(col("t"), lit(" x"))).as("f3"))
+    assert(df.filter(col("f1") =!= col("f2")).count() == 0,
+      "normalization must collapse case and outer whitespace")
+    assert(df.filter(col("f1") === col("f3")).count() == 0,
+      "distinct content must not collide (md5)")
+  }
+
+  test("minhash estimated jaccard is 1.0 on identical docs, in [0,1] always (batched)") {
+    val docs = samples(text, 30).distinct
+    val df = docs.toDF("t").select(
+      TextFunctions.minhashSignature(TextFunctions.wordNgrams(col("t"), 2), 16)
+        .as("sig"))
+    val est = df.select(
+      (size(filter(zip_with(col("sig"), col("sig"),
+        (a, b) => when(a === b, 1).otherwise(null)), v => v.isNotNull))
+        .cast("double") / 16).as("self_j"))
+    assert(est.filter(col("self_j") =!= 1.0).count() == 0)
+    // signature entries in [0, p)
+    val bad = df.select(explode(col("sig")).as("h"))
+      .filter(col("h") < 0 || col("h") >= TextFunctions.MinhashPrime)
+    assert(bad.count() == 0)
+  }
+
+  test("st_envelope always bounds st_points (batched over random linestrings)") {
+    val coords = Gen.listOfN(6,
+      Gen.chooseNum(-179.0, 179.0).flatMap(x =>
+        Gen.chooseNum(-89.0, 89.0).map(y => (x, y))))
+    val lines = samples(coords, 25).map { pts =>
+      s"""{"type":"LineString","coordinates":[${
+        pts.map(p => s"[${p._1},${p._2}]").mkString(",")}]}"""
+    }
+    import graft.functions.GeoFunctions._
+    val df = lines.toDF("gj")
+      .select(st_geomfromgeojson(col("gj")).as("g"))
+      .select(st_envelope(col("g")).as("e"), st_points(col("g")).as("pts"))
+    val violated = df.filter(
+      exists(col("pts"), p =>
+        element_at(p, 1) < col("e.xmin") || element_at(p, 1) > col("e.xmax") ||
+          element_at(p, 2) < col("e.ymin") || element_at(p, 2) > col("e.ymax")))
+    assert(violated.count() == 0)
+  }
+}
