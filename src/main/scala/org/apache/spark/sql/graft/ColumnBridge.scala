@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a composed Column's node tree to a concrete Expression
+    * (ExpressionUtils.expression defers behind a ColumnNodeExpression
+    * placeholder, which FunctionRegistry builders can't resolve). */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import graft.plans.GraftExtensions
+
+/** The pure-SQL user surface: every registered engine function callable from
+  * `spark.sql`, sharing the exact expression trees of the Column API. */
+class SqlSurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("geometry functions compose in SQL") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  st_askml(g) AS kml,
+        |  st_asgeojson(g) AS gj,
+        |  st_x(g) AS x, st_y(g) AS y,
+        |  st_npoints(g) AS n,
+        |  st_envelope(g).xmin AS xmin
+        |FROM (SELECT st_geomfromgeojson(
+        |  '{"type":"Point","coordinates":[-118.756,50.7]}') AS g)""".stripMargin)
+      .head()
+    assert(row.getAs[String]("kml") ==
+      "<Point><coordinates>-118.756,50.7</coordinates></Point>")
+    assert(row.getAs[String]("gj") ==
+      """{"type":"Point","coordinates":[-118.756,50.7]}""")
+    assert(row.getAs[Double]("x") == -118.756 && row.getAs[Double]("y") == 50.7)
+    assert(row.getAs[Int]("n") == 1)
+    assert(row.getAs[Double]("xmin") == -118.756)
+  }
+
+  test("text functions callable from SQL match Column-API results") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.load(spark, sf, "documents")
+      .createOrReplaceTempView("sql_docs")
+    val mismatches = spark.sql(
+      """SELECT count(*) FROM sql_docs
+        |WHERE graft_fingerprint(text) != md5(graft_normalize(text))
+        |   OR size(graft_tokens(text)) < 1
+        |   OR graft_langid(text) NOT IN ('en','de','es','fr','zh')""".stripMargin)
+      .head().getLong(0)
+    assert(mismatches == 0)
+  }
+}
