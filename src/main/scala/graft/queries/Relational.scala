@@ -114,7 +114,24 @@ object Relational extends QueryPack {
       t(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-        .limit(10))
+        .limit(10)),
+
+    // Salted (two-stage) aggregation on a deliberately skewed key: the
+    // skew-handling pattern for hot groupBy keys, whose oracle is the plain
+    // single-stage GROUP BY — salting must be invisible in the result.
+    "q_salted_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("skew_key",
+          when(col("l_orderkey") % 10 < 7, lit(0L)) // ~70% of rows on key 0
+            .otherwise(col("l_orderkey") % 10))
+      graft.operators.Salted.aggregate(li, col("skew_key"), saltFactor = 16,
+          Seq(
+            (sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4))),
+              (c: String) => sum(col(c)).cast("double"), "total_qty"),
+            (count(lit(1)), (c: String) => sum(col(c)), "n")))
+        .withColumnRenamed("__key", "skew_key")
+        .orderBy(col("skew_key"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -174,6 +191,12 @@ object Relational extends QueryPack {
 
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 10 END
+         |    AS skew_key,
+         |  ${sqlDsum("l_quantity")} AS total_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY 1 ORDER BY skew_key""".stripMargin
   )
 }
