@@ -87,9 +87,17 @@ object TextFunctions {
   def sqlFingerprint(expr: String): String =
     s"md5(${sqlNormalizeText(expr)})"
 
-  /** Portable 32-bit hash: first 8 hex digits of md5, as a long in [0, 2^32).
-    * Identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT. */
+  /** Portable 32-bit hash: first 4 md5 bytes as a long in [0, 2^32).
+    * Identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT.
+    * Served by the native [[graft.plans.Hash32Expr]] (codegen'd, no
+    * hex-string round-trip — byte-identical to the built-in composition
+    * `conv(substring(md5(c),1,8),16,10)`, asserted in CustomExprSpec). */
   def hash32(c: Column): Column =
+    graft.plans.GraftExtensions.graft_hash32(c)
+
+  /** The built-ins-only form of [[hash32]] (same value, ~2× the work):
+    * kept for environments that exclude the native expression. */
+  def hash32Composed(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
   def sqlHash32(expr: String): String =

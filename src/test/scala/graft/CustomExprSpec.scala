@@ -13,7 +13,7 @@ class CustomExprSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val df = graft.sources.Tables.load(spark, sf, "documents")
       .select(col("text"),
-        TextFunctions.hash32(col("text")).as("composed"),
+        TextFunctions.hash32Composed(col("text")).as("composed"),
         GraftExtensions.graft_hash32(col("text")).as("native"))
     assert(df.filter(col("composed") =!= col("native")).count() == 0)
     // SQL registration path
