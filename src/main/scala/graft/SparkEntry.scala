@@ -19,7 +19,8 @@ object SparkEntry {
     Geo,
     TextOps,
     SimOps,
-    StreamOps
+    StreamOps,
+    Completeness
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
