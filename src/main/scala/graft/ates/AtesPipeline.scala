@@ -184,10 +184,16 @@ object AtesPipeline {
   }
 
   /** Map a type/class column to its style id with table-default fallback —
-    * the literal-dimension lookup join of SURVEY §2.3 J4. */
+    * the literal-dimension lookup join of SURVEY §2.3 J4. Tables with only
+    * per-type/per-class ids get a defined catalog default (the reference's
+    * fallback would emit an unresolvable styleUrl for an unknown type). */
   private def styleFor(table: String, typ: Option[Column],
       classCode: Option[Column]): Column = {
-    val default = lit(Styles.tableStyle.getOrElse(table, table))
+    val default = lit(Styles.tableStyle.getOrElse(table, table match {
+      case "points_of_interest" => "point_of_interest_other_styles"
+      case "zones" => "area_styles"
+      case other => other
+    }))
     (typ, classCode) match {
       case (Some(t), _) =>
         val m = Styles.poiStyleByType
@@ -238,10 +244,11 @@ object AtesPipeline {
     val warnified = Warnify.kml(joined,
       geom = col("dp.geom"),
       typeCol = col("dpw.type"),
-      warning = col("dpw.warning"))
+      warning = col("dpw.warning"),
+      idCol = col("dp.id"))
     val dpPm = warnified
       .withColumnRenamed("geometry", "geom")
-      .select(monotonically_increasing_id().as("id"),
+      .select(col("id"),
         placemark("decision_points", styleFor("decision_points", None, None),
           name = col("name"), description = col("description")).as("pm"))
 
@@ -265,10 +272,9 @@ object AtesPipeline {
       iconDir: String = "files"): String = {
 
     val branches = kmlPlacemarks(tables, areaId)
-    val docName = branches.head._2.orderBy(col("id")).limit(1)
-      .collect().headOption
-      .flatMap(_ => tables("areas_vw").filter(col("id") === areaId)
-        .select(col("name")).collect().headOption.map(_.getString(0)))
+    // doc name = the area's name (FGU:610-612), one small lookup job
+    val docName = tables("areas_vw").filter(col("id") === areaId)
+      .select(col("name")).collect().headOption.map(_.getString(0))
       .getOrElse("")
 
     val folders = branches.map { case (table, df) =>

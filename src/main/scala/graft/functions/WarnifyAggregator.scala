@@ -28,8 +28,12 @@ class WarnifyAggregator
     Buf(a.managingRisk ++ b.managingRisk, a.concern ++ b.concern)
 
   override def finish(b: Buf): String = {
+    // UTF-8 byte order, matching Spark's sort_array (binary collation) —
+    // JVM String ordering compares UTF-16 code units, which diverges for
+    // supplementary-plane characters
     def arr(xs: List[String]) =
-      xs.sorted.map(s => "\"" + escape(s) + "\"").mkString("[", ",", "]")
+      xs.sortWith(WarnifyAggregator.utf8LessThan)
+        .map(s => "\"" + escape(s) + "\"").mkString("[", ",", "]")
     s"""{"managing-risk":${arr(b.managingRisk)},"concern":${arr(b.concern)}}"""
   }
 
@@ -40,6 +44,19 @@ class WarnifyAggregator
 object WarnifyAggregator {
   case class In(warn_type: String, warning: String)
   case class Buf(managingRisk: List[String], concern: List[String])
+
+  /** UTF-8 lexicographic comparison (sort_array-compatible). */
+  private[functions] def utf8LessThan(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   /** Jackson-compatible JSON string escaping (matches to_json output). */
   private[functions] def escape(s: String): String = s.flatMap {

@@ -42,14 +42,17 @@ object AsOfJoin {
 
     val payload = struct(rightPayload.map(right(_)): _*)
     val payloadType = right.select(payload).schema.head.dataType
+    // keep the tie-break's own (orderable) type — a cast to long would
+    // silently null out string keys and reintroduce nondeterminism
+    val tieBreakType = right.select(rightTieBreak).schema.head.dataType
 
     val leftCols = left.columns
     val rTagged = right.select(
       rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
-      rightTieBreak.cast("long").as("_tb"), payload.as("_payload"))
+      rightTieBreak.as("_tb"), payload.as("_payload"))
     val lTagged = left.select(
       (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
-        lit(null).cast("long").as("_tb"),
+        lit(null).cast(tieBreakType).as("_tb"),
         lit(null).cast(payloadType).as("_payload")) ++
         leftCols.map(left(_))): _*)
 

@@ -88,10 +88,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Per-doc SimHash sketch table (token hashes materialized once). */
+  def simhashSketches(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(idCol.as("id"), hashedTokens(textCol).as("__th"))
+      .select(col("id"), simhash32FromHashes(col("__th")).as("simhash"))
+
   /** SimHash sketch per doc + exact-sketch duplicate groups. */
   def simhashGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("id"),
-        simhash32(tokens(normalizeText(textCol))).as("simhash"))
+    simhashSketches(df, textCol, idCol)
       .groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"),
         count(lit(1)).as("n"))

@@ -69,7 +69,7 @@ object Similarity {
   /** IVF top-k: probe the `nprobe` nearest centroids per query, scan only
     * those buckets. Recall < 1.0 by design; the spec checks containment
     * against brute force on the high-score band. */
-  def ivfTopK(queries: DataFrame, assigned: DataFrame, centroidsNlist: Int,
+  def ivfTopK(queries: DataFrame, assigned: DataFrame,
       nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = assigned

@@ -63,15 +63,20 @@ object Warnify {
       df: DataFrame,
       geom: Column,
       typeCol: Column,
-      warning: Column): DataFrame = {
+      warning: Column,
+      idCol: Column): DataFrame = {
 
     val concerns = sort_array(collect_list(when(typeCol === "Concern", warning)))
     val risks = sort_array(collect_list(when(typeCol === "Managing risk", warning)))
 
     df.groupBy(geom.as("geometry"))
-      .agg(concerns.as("__concern"), risks.as("__risk"))
+      .agg(min(idCol).as("id"), concerns.as("__concern"), risks.as("__risk"))
       .select(
         col("geometry"),
+        // stable content id (min source id per geometry) so downstream
+        // document assembly orders deterministically — a synthetic id like
+        // monotonically_increasing_id() would vary with partitioning
+        col("id"),
         lit("Decision Point").as("name"),
         warningsPopup(warningsTable(col("__concern"), col("__risk")))
           .as("description"),

@@ -177,7 +177,11 @@ object Functions extends QueryPack {
             .as("status_or_open"),
           when(nullif(col("o_orderpriority"), lit("1-URGENT")).isNull,
             lit("hot")).otherwise(lit("cold")).as("urgency"),
-          isnan(col("o_totalprice") / col("o_totalprice")).as("self_ratio_nan"),
+          // NaN propagation through arithmetic (Spark's 0/0 yields NULL in
+          // non-ANSI mode, so a division can never produce NaN — a literal
+          // NaN source exercises isnan portably)
+          isnan(lit(Double.NaN) + col("o_totalprice")).as("nan_plus_price"),
+          isnan(col("o_totalprice")).as("price_is_nan"),
           (col("o_totalprice") === 0.0).as("zero_price"))
         .orderBy(col("o_orderkey"))),
 
@@ -305,7 +309,8 @@ object Functions extends QueryPack {
         |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
         |  CASE WHEN NULLIF(o_orderpriority, '1-URGENT') IS NULL
         |    THEN 'hot' ELSE 'cold' END AS urgency,
-        |  isnan(o_totalprice / o_totalprice) AS self_ratio_nan,
+        |  isnan('NaN'::DOUBLE + o_totalprice) AS nan_plus_price,
+        |  isnan(o_totalprice) AS price_is_nan,
         |  o_totalprice = 0.0 AS zero_price
         |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
 

@@ -54,7 +54,7 @@ object SimOps extends QueryPack {
       val e = emb(s, dir)
       val assigned = Similarity.ivfAssign(e, nlist = 16)
       Similarity.ivfTopK(e.filter(col("vec_id") < 10), assigned,
-          centroidsNlist = 16, nprobe = 4, k = 3)
+          nprobe = 4, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 

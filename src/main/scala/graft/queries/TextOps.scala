@@ -71,11 +71,18 @@ object TextOps extends QueryPack {
 
     // Language ID (stopword-profile argmax + CJK charset check). The corpus
     // text carries no real language signal — the heuristic is the operator
-    // under test, and the oracle runs the identical scoring.
+    // under test, and the oracle runs the identical scoring. Staged
+    // projections: tokens → score array → argmax (a one-projection fold
+    // re-inlines the token pipeline per profile per comparison).
     "q_lang_id" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"), col("lang").as("labeled_lang"),
-        langId(col("text")).as("predicted_lang"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          tokens(normalizeText(col("text"))).as("__toks"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          langScores(col("__toks")).as("__scores"))
+        .select(
+          col("doc_id"), col("lang").as("labeled_lang"),
+          langFromScores(col("__scores"), col("text")).as("predicted_lang"))
         .orderBy(col("doc_id"))),
 
     // Content fingerprint + exact-dedup groups over the mutant corpus
@@ -88,18 +95,18 @@ object TextOps extends QueryPack {
         .orderBy(col("fingerprint"))),
 
     // Per-doc MinHash signature (k=8 for output compactness; the pipeline
-    // below uses k=16).
+    // below uses k=16). Via the two-projection signature builder — a
+    // single-projection form would inline the md5 shingle array k times.
     "q_minhash_sig" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        array_join(minhashSignature(wordNgrams(col("text"), 3), 8), ",")
-          .as("sig"))
+      Dedup.minhashSignatures(docs(s, dir), col("text"), col("doc_id"),
+          shingleSize = 3, k = 8)
+        .select(col("id").as("doc_id"), array_join(col("sig"), ",").as("sig"))
         .orderBy(col("doc_id"))),
 
-    // SimHash sketch per doc.
+    // SimHash sketch per doc (token hashes materialized once, not 32×).
     "q_simhash" -> ((s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        simhash32(tokens(normalizeText(col("text")))).as("simhash"))
+      Dedup.simhashSketches(docs(s, dir), col("text"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
     // Full MinHash+LSH near-dup pipeline over the mutant corpus: shingle →

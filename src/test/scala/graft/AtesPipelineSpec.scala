@@ -88,20 +88,19 @@ class AtesPipelineSpec extends SparkSpec {
       out.getAbsolutePath)
     val dirs = out.listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs == Set("areas_vw", "points_of_interest", "access_roads",
-      "avalanche_paths", "decision_points", "zones"))
+      "avalanche_paths", "decision_points", "zones").map(t => s"table=$t"))
     // every line parses as a Feature
-    val lines = Files.list(new java.io.File(out, "zones").toPath)
-      .toArray.map(_.toString).filter(_.endsWith(".txt"))
-      .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    def linesOf(table: String) =
+      Files.list(new java.io.File(out, s"table=$table").toPath)
+        .toArray.map(_.toString).filter(_.endsWith(".txt"))
+        .flatMap(p => scala.io.Source.fromFile(p).getLines())
+    val lines = linesOf("zones")
     assert(lines.length == 3)
     lines.foreach { l =>
       assert(mapper.readTree(l).get("type").asText() == "Feature")
     }
     // full scan: area 358's decision point included (MBX full-scan variant)
-    val dpLines = Files.list(new java.io.File(out, "decision_points").toPath)
-      .toArray.map(_.toString).filter(_.endsWith(".txt"))
-      .flatMap(p => scala.io.Source.fromFile(p).getLines())
-    assert(dpLines.length == 3)
+    assert(linesOf("decision_points").length == 3)
   }
 
   test("S8: recipe JSON matches make-recipe.js shape (MR:12-55)") {

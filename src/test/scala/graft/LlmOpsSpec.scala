@@ -53,7 +53,7 @@ class LlmOpsSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
       .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
     val assigned = Similarity.ivfAssign(emb, nlist = 16)
-    val ivf = Similarity.ivfTopK(queries, assigned, 16, nprobe = 8, k = 3)
+    val ivf = Similarity.ivfTopK(queries, assigned, nprobe = 8, k = 3)
       .select(col("query_id"), col("neighbor_id")).as[(Long, Long)].collect().toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall $recall below floor")

@@ -54,7 +54,8 @@ class WarnifySpec extends SparkSpec {
     val out = Warnify.kml(joined,
       geom = col("dp.geom"),
       typeCol = col("dpw.type"),
-      warning = col("dpw.warning"))
+      warning = col("dpw.warning"),
+      idCol = col("dp.id"))
     val rows = out.collect()
     assert(rows.length == 2)
     rows.foreach { r =>
