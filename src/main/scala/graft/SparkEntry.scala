@@ -20,7 +20,8 @@ object SparkEntry {
     TextOps,
     SimOps,
     StreamOps,
-    Completeness
+    Completeness,
+    Analytic2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -37,6 +37,15 @@ object StreamOps extends QueryPack {
           qn("stream_session"))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Stream-stream funnel join (view → purchase within 10 min, same user),
+    // append mode — the drained bounded source emits exactly the batch-join
+    // matches.
+    "q_stream_join" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.viewPurchaseJoin(EventStreams.readEvents(s, dir)),
+          qn("stream_join"), mode = "append")
+        .orderBy(col("view_id"), col("purchase_id"))),
+
     // Streaming dedup: the doubled source must reduce back to the original
     // cardinality. Emits per-type counts of the deduped stream.
     "q_stream_dedup" -> ((s, dir) => {
@@ -90,6 +99,15 @@ object StreamOps extends QueryPack {
 
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000 AS lag_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND p.ts > v.ts
+        |  AND p.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY view_id, purchase_id""".stripMargin
   )
 }

@@ -73,6 +73,28 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases matched to the same user's views
+    * in the preceding `window`. Both sides carry watermarks so the join
+    * state is bounded — Spark retains view-side state only until
+    * `watermark + window` passes, the canonical funnel-join shape. */
+  def viewPurchaseJoin(events: DataFrame, joinWindow: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_seconds"))
+  }
+
   case class UserStat(user_id: Long, n: Long, total: Double)
 
   /** Custom state: per-user running totals via flatMapGroupsWithState. */
