@@ -51,6 +51,36 @@ object SpatialJoin {
   private def cellId(cx: Column, cy: Column): Column =
     concat_ws(":", cx.cast("long"), cy.cast("long"))
 
+  /** Distance (ε) self-join on a point set: each point joins the 3×3 block
+    * of grid cells around it (cellSize ≥ radius guarantees no missed
+    * pairs), exact Euclidean filter refines. Same blocking economics as
+    * [[pointsInPolygons]]: Σ|cell-block|² candidate pairs, never n². */
+  def pointsWithinDistance(
+      points: DataFrame, x: Column, y: Column, idCol: Column,
+      radius: Double, cellSize: Double): DataFrame = {
+    require(cellSize >= radius, "cellSize must be >= radius (3x3 block coverage)")
+    val base = points.select(idCol.as("__id"), x.as("__x"), y.as("__y"))
+    val cx = floor(col("__x") / cellSize)
+    val cy = floor(col("__y") / cellSize)
+
+    // left side explodes to its neighborhood; right side sits in its own cell
+    val offsets = Seq(-1, 0, 1)
+    val probe = base.select(col("__id").as("id_a"), col("__x").as("xa"),
+      col("__y").as("ya"),
+      explode(array(offsets.flatMap(dx => offsets.map(dy =>
+        cellId(cx + dx, cy + dy))): _*)).as("__cell"))
+    val build = base.select(col("__id").as("id_b"), col("__x").as("xb"),
+      col("__y").as("yb"), cellId(cx, cy).as("__cell"))
+
+    probe.join(build, "__cell")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        sqrt(pow(col("xa") - col("xb"), 2) + pow(col("ya") - col("yb"), 2)))
+      .filter(col("dist") <= radius)
+      .select(col("id_a"), col("id_b"), round(col("dist"), 6).as("dist"))
+      .distinct()
+  }
+
   /** Join `points` (with x/y columns) to `polygons` (with a geometry
     * column) on containment. Output: all point columns + `polygon_id`. */
   def pointsInPolygons(

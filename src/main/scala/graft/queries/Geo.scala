@@ -68,7 +68,18 @@ object Geo extends QueryPack {
           cellSize = 1000.0)
         .select(col("c_custkey"), col("polygon_id").as("box_id"))
         .orderBy(col("c_custkey"), col("box_id"))
-    })
+    }),
+
+    // Grid-blocked ε-distance self-join on supplier points — the spatial
+    // "within distance" operator; oracle is the all-pairs filter (supplier
+    // is small enough for an exact n² oracle).
+    "q_geo_distance" -> ((s, dir) =>
+      graft.operators.SpatialJoin.pointsWithinDistance(
+          t(s, dir, "supplier"),
+          x = col("s_acctbal"), y = col("s_nationkey").cast("double") * 100.0,
+          idCol = col("s_suppkey"),
+          radius = 500.0, cellSize = 500.0)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   /** (id, xmin, ymin, xmax, ymax) — bounds chosen off any data value. */
@@ -104,6 +115,15 @@ object Geo extends QueryPack {
 
     "q_geo_spatial" ->
       s"""SELECT c_custkey, box_id FROM (${SpatialBoxes.sqlPredicates})
-         |ORDER BY c_custkey, box_id""".stripMargin
+         |ORDER BY c_custkey, box_id""".stripMargin,
+
+    "q_geo_distance" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  round(sqrt(power(a.s_acctbal - b.s_acctbal, 2) +
+        |    power(a.s_nationkey * 100.0 - b.s_nationkey * 100.0, 2)), 6) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE sqrt(power(a.s_acctbal - b.s_acctbal, 2) +
+        |  power(a.s_nationkey * 100.0 - b.s_nationkey * 100.0, 2)) <= 500.0
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
