@@ -56,6 +56,34 @@ object Analytic2 extends QueryPack {
           shiftright(col("o_orderkey"), 3).as("shr3"))
         .orderBy(col("o_orderkey"))),
 
+    // Multiset set-ops: EXCEPT ALL / INTERSECT ALL preserve duplicate
+    // counts (the bag semantics the DISTINCT variants in q_except/
+    // q_intersect collapse).
+    "q_setops_all" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_except"))
+        .join(
+          a.intersectAll(b).groupBy(col("k")).agg(count(lit(1)).as("n_intersect")),
+          Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"),
+          coalesce(col("n_intersect"), lit(0L)).as("n_intersect"))
+        .orderBy(col("k"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist.
+    "q_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // Conditional aggregates: count_if / bool_or / bool_and / sum distinct.
     "q_cond_agg" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -95,6 +123,27 @@ object Analytic2 extends QueryPack {
         |  o_orderkey << 2 AS shl2,
         |  o_orderkey >> 3 AS shr3
         |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_setops_all" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |ex AS (SELECT k, COUNT(*) AS n_except FROM
+        |  (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k),
+        |ia AS (SELECT k, COUNT(*) AS n_intersect FROM
+        |  (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY k)
+        |SELECT COALESCE(ex.k, ia.k) AS k,
+        |  COALESCE(n_except, 0) AS n_except,
+        |  COALESCE(n_intersect, 0) AS n_intersect
+        |FROM ex FULL JOIN ia ON ex.k = ia.k
+        |ORDER BY k""".stripMargin,
+
+    "q_window_dist" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q_cond_agg" ->
       """SELECT o_orderpriority,
