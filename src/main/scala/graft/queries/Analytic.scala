@@ -195,7 +195,11 @@ object Analytic extends QueryPack {
           countDistinct(col("o_custkey")).as("n_custs"),
           min(col("o_totalprice")).as("min_price"),
           max(col("o_totalprice")).as("max_price"),
-          round(sqrt((s2 - s1 * s1 / n) / (n - lit(1.0))), 4).as("stddev_price"))
+          // greatest(_,0): a zero-variance group computes a few ulp below 0
+          // in double arithmetic — Spark's sqrt would yield NaN and DuckDB's
+          // hard-errors, so both sides clamp
+          round(sqrt(greatest((s2 - s1 * s1 / n) / (n - lit(1.0)), lit(0.0))), 4)
+            .as("stddev_price"))
         .orderBy(col("o_orderstatus"))
     }),
 
@@ -336,12 +340,12 @@ object Analytic extends QueryPack {
       """SELECT o_orderstatus, COUNT(*) AS n,
         |  COUNT(DISTINCT o_custkey) AS n_custs,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
-        |  ROUND(SQRT(
-        |    (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |  ROUND(SQRT(GREATEST(
+        |    ((CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |     - CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
         |       * CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
         |       / CAST(COUNT(*) AS DOUBLE))
-        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 4) AS stddev_price
+        |    / (CAST(COUNT(*) AS DOUBLE) - 1.0)), 0.0)), 4) AS stddev_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_minmax_by" ->

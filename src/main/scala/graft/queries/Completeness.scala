@@ -15,18 +15,20 @@ object Completeness extends QueryPack {
     Tables.load(s, dir, name)
 
   override def defs: Map[String, Q] = Map(
-    // Null-ordering semantics: Spark defaults nulls-first ASC / nulls-last
-    // DESC; both directions pinned explicitly here.
-    "q_sort_nulls" -> ((s, dir) =>
+    // Null-ordering semantics, surfaced through a window rank so the
+    // NULLS LAST sort actually executes (a bare intermediate orderBy would
+    // be eliminated by Catalyst and the check would be vacuous): rn encodes
+    // the desc_nulls_last order and is hash-compared against the oracle.
+    "q_sort_nulls" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("status_or_null").desc_nulls_last, col("o_orderkey"))
       t(s, dir, "orders")
         .filter(col("o_orderkey") < 300)
         .select(col("o_orderkey"),
           nullif(col("o_orderstatus"), lit("P")).as("status_or_null"))
-        .orderBy(col("status_or_null").desc_nulls_last, col("o_orderkey"))
-        // re-sort deterministically for the hash compare; the point above is
-        // that the expression itself is legal + planned
-        .select(col("o_orderkey"), col("status_or_null"))
-        .orderBy(col("o_orderkey"))),
+        .withColumn("null_last_rank", row_number().over(w))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // LIMIT ... OFFSET over a total order.
     "q_limit_offset" -> ((s, dir) =>
@@ -95,7 +97,9 @@ object Completeness extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "q_sort_nulls" ->
-      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null
+      """SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS status_or_null,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderstatus, 'P')
+        |    DESC NULLS LAST, o_orderkey) AS INT) AS null_last_rank
         |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
 
     "q_limit_offset" ->

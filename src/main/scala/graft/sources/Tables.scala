@@ -31,13 +31,17 @@ object Tables {
     * and is converted here to a proper TimestampType (µs) via integer
     * division — never a double path, since ns-since-epoch > 2^53. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = loadRaw(spark, sfDir, name)
     if (name == "events" &&
         df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
       df.withColumn("ts", org.apache.spark.sql.functions
         .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
     else df
   }
+
+  /** The uncorrected read (streaming uses it to probe the on-disk schema). */
+  def loadRaw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register all corpus tables as temp views (for spark.sql entry points). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -33,35 +33,54 @@ object EventStreams {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** File-source stream of the events table (the file source wants a
-    * directory; the glob filter selects the events file from the corpus). */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
+    * directory; the glob filter selects the events file from the corpus).
+    * The ts declaration follows the batch reader's observed schema —
+    * [[graft.sources.Tables.load]] guards on LongType, and hardcoding ns
+    * here would silently mis-scale if the corpus moved to µs storage. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchTs = graft.sources.Tables
+      .loadRaw(spark, sfDir, "events").schema("ts").dataType
+    val stream = spark.readStream
+      .schema(StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = batchTs) else f)))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (batchTs == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
 
-  /** Tumbling-window aggregate per event type. */
-  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+  /** Tumbling-window aggregate per event type. The watermark bounds state
+    * eviction in append/update mode (the unbounded-source posture); the
+    * harness runs these in complete mode, where the drained bounded source
+    * emits every window regardless. */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame =
     events
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
       .select(col("window.start").cast("long").as("ws_epoch"),
         col("event_type"), col("n"), col("total"))
 
-  /** Sliding-window aggregate (width, slide). */
+  /** Sliding-window aggregate (width, slide), watermarked like
+    * [[tumblingCounts]]. */
   def slidingCounts(events: DataFrame, width: String = "10 minutes",
-      slide: String = "5 minutes"): DataFrame =
+      slide: String = "5 minutes", watermark: String = "1 hour"): DataFrame =
     events
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), width, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("ws_epoch"),
         col("event_type"), col("n"))
 
-  /** Session windows per user with the given inactivity gap. */
-  def sessionCounts(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+  /** Session windows per user with the given inactivity gap, watermarked
+    * (session state without a watermark never closes on a real stream). */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame =
     events
+      .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").cast("long").as("session_start"),
@@ -117,20 +136,37 @@ object EventStreams {
   }
 
   /** Run a (bounded) streaming DataFrame to completion into an in-memory
-    * table and return the result — the harness form of "start the query,
-    * let the source drain, read the sink". */
+    * table and return the materialized result — the harness form of "start
+    * the query, let the source drain, read the sink". The memory-sink view
+    * and the checkpoint dir are cleaned up before returning (repeated
+    * invocations must not accumulate pinned results or temp dirs), and the
+    * query stops even when the source fails mid-drain. */
   def runToResult(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .option("checkpointLocation", ckpt.toString)
       .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    val result = spark.table(name)
+    val materialized = spark.createDataFrame(
+      spark.sparkContext.parallelize(result.collect().toIndexedSeq),
+      result.schema)
+    spark.catalog.dropTempView(name)
+    deleteRecursively(ckpt.toFile)
+    materialized
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
   }
 
   /** foreachBatch bridge into an arbitrary batch sink (S4/S5 documents,
