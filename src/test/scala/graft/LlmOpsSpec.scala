@@ -67,6 +67,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(assigned.select(col("centroid_id")).distinct().count() <= 16)
   }
 
+  test("IVF-blocked embedding near-dup pairs are a high-score subset of brute force") {
+    val blocked = Similarity.embeddingNearDupPairs(emb, nlist = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(blocked.nonEmpty, "blocking found no pairs at threshold 0.2")
+    // exact all-pairs reference on the same threshold
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= 0.2)
+      .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(brute),
+      s"blocked pairs not in brute set: ${blocked.diff(brute).take(3)}")
+  }
+
+  test("subword tokens and char shingles produce sane segmentations") {
+    val df = Seq("abc123def", "hello world42", "x").toDF("t")
+    val rows = df.select(
+      graft.functions.TextFunctions.subwordTokens(col("t")).as("sw"),
+      graft.functions.TextFunctions.charShingles(col("t"), 3).as("sh"))
+      .collect()
+    // "abc123def" → abc|123|def (digit/letter boundaries)
+    assert(rows(0).getSeq[String](0) == Seq("abc", "123", "def"))
+    // shingle count = len - k + 1 on normalized text
+    assert(rows(0).getSeq[String](1).length == "abc123def".length - 2)
+    assert(rows(1).getSeq[String](0) == Seq("hello", "world", "42"))
+    // shorter than k → single truncated shingle
+    assert(rows(2).getSeq[String](1) == Seq("x"))
+  }
+
   test("multimodal batch decode (mapPartitions) agrees with the column path") {
     val media = Multimodal.mediaFromDocuments(docs)
     val colPath = Multimodal.mediaMetaColumns(media)
