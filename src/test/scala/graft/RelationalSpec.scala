@@ -4,6 +4,10 @@ import org.apache.spark.sql.Row
 
 class RelationalSpec extends SparkSpec {
 
+  test("driver smoke contract: entry(spark) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every declared query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
