@@ -22,10 +22,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
+    // Optional args = query-name substrings to run (local A/B iteration);
+    // the driver passes none and gets the full set.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.exists(n.contains) }
+
     // Full materialization via foreach: count() would let Catalyst prune
     // the projected expressions (the thing under benchmark) out of
     // projection-only queries. Failures report as -1, never as a timing.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val dur =
         try { fn(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
@@ -35,12 +41,17 @@ object Bench {
         }
       name -> dur
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal precision keeps the whole line ~2 KB for 80+ queries: the
+    // driver captures only the tail of the run output, and a full-precision
+    // line (~3.5 KB) gets truncated mid-JSON and fails to parse.
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
   }
 }

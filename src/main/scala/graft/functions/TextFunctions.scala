@@ -132,6 +132,31 @@ object TextFunctions {
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashFromHashes(hashedShingles(shingles), k)
 
+  // -- native one-pass kernels (plans/TextKernels) ---------------------------
+  // Byte-identical to the composed forms above (TextKernelsSpec asserts it on
+  // the corpus + edge strings), but run inside WholeStageCodegen in a single
+  // pass — the composed HOF pipelines are CodegenFallback and re-materialize
+  // every intermediate array per row. Hot paths (Dedup, SimOps) use these;
+  // the composed forms remain the executable spec and the oracle-SQL source.
+
+  /** Native ≡ [[wordNgrams]]. */
+  def wordNgramsNative(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.WordNgramsExpr(ColumnBridge.expression(c), n))
+  }
+
+  /** Native ≡ `minhashFromHashes(hashedShingles(wordNgrams(c, n)), k)`. */
+  def minhashSigNative(c: Column, n: Int, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.MinhashSigExpr(ColumnBridge.expression(c), n, k))
+  }
+
+  /** Native ≡ `simhash32FromHashes(hashedTokens(c))`. */
+  def simhash32Native(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.Simhash32Expr(ColumnBridge.expression(c)))
+  }
+
   def sqlMinhashSignature(shinglesExpr: String, k: Int): String = {
     val parts = (0 until k).map { i =>
       val (a, b) = minhashParams(i)

@@ -30,15 +30,13 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signature table: (id, sig ARRAY<BIGINT>[k]).
-    * Two projection steps on purpose: the hashed-shingle array materializes
-    * once per row (Catalyst keeps non-cheap exprs referenced k times in
-    * their own Project), so each shingle is md5'd exactly once. */
+  /** Per-document MinHash signature table: (id, sig ARRAY<BIGINT>[k]) via
+    * the native one-pass kernel (plans/MinhashSigExpr — codegen'd, no
+    * intermediate arrays; ≡ the staged composed form, TextKernelsSpec). */
   def minhashSignatures(df: DataFrame, textCol: Column, idCol: Column,
       shingleSize: Int = 3, k: Int = 16): DataFrame =
     df.select(idCol.as("id"),
-        hashedShingles(wordNgrams(textCol, shingleSize)).as("__h"))
-      .select(col("id"), minhashFromHashes(col("__h"), k).as("sig"))
+      minhashSigNative(textCol, shingleSize, k).as("sig"))
 
   /** LSH banding → candidate pairs (id_a < id_b) whose estimated Jaccard
     * (signature agreement rate) ≥ `threshold`.
@@ -88,10 +86,9 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** Per-doc SimHash sketch table (token hashes materialized once). */
+  /** Per-doc SimHash sketch table (native one-pass kernel). */
   def simhashSketches(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("id"), hashedTokens(textCol).as("__th"))
-      .select(col("id"), simhash32FromHashes(col("__th")).as("simhash"))
+    df.select(idCol.as("id"), simhash32Native(textCol).as("simhash"))
 
   /** SimHash sketch per doc + exact-sketch duplicate groups. */
   def simhashGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
@@ -105,7 +102,7 @@ object Dedup {
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
     val grams = docs.select(col(idCol).as("__id"),
-      array_distinct(wordNgrams(col(textCol), n)).as("__grams"))
+      array_distinct(wordNgramsNative(col(textCol), n)).as("__grams"))
     pairs
       .join(grams.select(col("__id").as("id_a"), col("__grams").as("grams_a")), "id_a")
       .join(grams.select(col("__id").as("id_b"), col("__grams").as("grams_b")), "id_b")

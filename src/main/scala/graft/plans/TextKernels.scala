@@ -1,0 +1,201 @@
+package graft.plans
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass native kernels for the text-hashing hot paths (SURVEY §2.11).
+  *
+  * The compositional forms in [[graft.functions.TextFunctions]] build these
+  * pipelines from higher-order functions (`transform`/`aggregate`/`filter`),
+  * which are `CodegenFallback` in Spark — every row walks an interpreted
+  * expression tree and materializes intermediate arrays (token array →
+  * index sequence → shingle strings → hash array → k permuted arrays).
+  * These expressions compute the same values in a single pass over the
+  * text with zero intermediate allocation beyond the token split, inside
+  * WholeStageCodegen (preference level (b) of the §2.9 ladder, like
+  * [[Hash32Expr]]).
+  *
+  * Byte-identical semantics to the composed forms is asserted per-kernel in
+  * `TextKernelsSpec` (same md5-based hash family, same normalize → tokenize
+  * → shingle steps), so every DuckDB oracle built against the composed SQL
+  * remains valid.
+  *
+  * Reference behavior generalized: content hashing of document text for
+  * dedup has no direct reference instance; the hash family matches
+  * `TextFunctions.hash32` (first 4 md5 bytes), portable across engines.
+  */
+object TextKernels {
+
+  /** Same (a_i, b_i) family as `TextFunctions.minhashParams`. */
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+
+  private val TrimP = Pattern.compile("^\\s+|\\s+$")
+  private val WsP = Pattern.compile("\\s+")
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Tokens of `tokens(normalizeText(s))`: trim → collapse whitespace →
+    * lower (via UTF8String.toLowerCase, exactly Spark's `lower`) → split.
+    * Returns UTF-8 byte arrays so shingle md5 feeds straight from bytes.
+    * Mirrors Java-regex semantics of the composed form (split limit -1;
+    * empty input yields one empty token, never a 0-length array). */
+  private def tokenBytes(s: UTF8String): Array[Array[Byte]] = {
+    val trimmed = TrimP.matcher(s.toString).replaceAll("")
+    val collapsed = WsP.matcher(trimmed).replaceAll(" ")
+    val lowered = UTF8String.fromString(collapsed).toLowerCase.toString
+    val toks = WsP.split(lowered, -1)
+    val out = new Array[Array[Byte]](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    out
+  }
+
+  private def first4Md5(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** ≡ `wordNgrams(c, n)`: word n-grams of the normalized token array,
+    * indices 1..max(len-n+1, 1), each `array_join(slice(ts,i,n), " ")`. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokenBytes(s)
+    val nSh = math.max(toks.length - (n - 1), 1)
+    val out = new Array[AnyRef](nSh)
+    var i = 0
+    while (i < nSh) {
+      val end = math.min(i + n, toks.length)
+      var len = 0
+      var j = i
+      while (j < end) { len += toks(j).length + 1; j += 1 }
+      val buf = new Array[Byte](math.max(len - 1, 0))
+      var pos = 0
+      j = i
+      while (j < end) {
+        if (j > i) { buf(pos) = ' '; pos += 1 }
+        System.arraycopy(toks(j), 0, buf, pos, toks(j).length)
+        pos += toks(j).length
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(buf)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ≡ `minhashFromHashes(hashedShingles(wordNgrams(c, n)), k)`: the full
+    * k-long MinHash signature in one pass — md5 each shingle straight from
+    * token bytes (no shingle string materialized), fold the k affine
+    * permutations' minima as shingles stream by. */
+  def minhashSig(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = tokenBytes(s)
+    val md = digest.get()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val nSh = math.max(toks.length - (n - 1), 1)
+    var i = 0
+    while (i < nSh) {
+      md.reset()
+      val end = math.min(i + n, toks.length)
+      var j = i
+      while (j < end) {
+        if (j > i) md.update(' '.toByte)
+        md.update(toks(j))
+        j += 1
+      }
+      val h = first4Md5(md) % MinhashPrime
+      var p = 0
+      while (p < k) {
+        val v = (h * (2L * p + 1) + (7919L * p + 13)) % MinhashPrime
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** ≡ `simhash32FromHashes(hashedTokens(c))`: 32-bit SimHash — per-token
+    * hash32, majority vote per bit, one pass. */
+  def simhash32(s: UTF8String): Long = {
+    val toks = tokenBytes(s)
+    val md = digest.get()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      md.update(toks(i))
+      val h = first4Md5(md)
+      var b = 0
+      while (b < 32) {
+        if (((h >> b) & 1L) != 0L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) * 2 > toks.length) acc += 1L << b
+      b += 1
+    }
+    acc
+  }
+}
+
+/** Native word-n-gram shingling (array<string>); ≡ `wordNgrams(c, n)`. */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgramsExpr =
+    copy(child = newChild)
+}
+
+/** Native MinHash signature (array<long>[k]); ≡ the staged composed form
+  * `minhashFromHashes(hashedShingles(wordNgrams(c, n)), k)`. */
+case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSig(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.minhashSig($c, $n, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** Native 32-bit SimHash (long); ≡ `simhash32FromHashes(hashedTokens(c))`. */
+case class Simhash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+    copy(child = newChild)
+}

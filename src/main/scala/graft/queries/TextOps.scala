@@ -37,34 +37,47 @@ object TextOps extends QueryPack {
     // Token counting + basic stats (whitespace tokenizer; the BPE-ish
     // subword variant is q_subword below — its regex needs lookarounds
     // DuckDB's RE2 lacks, so it is a rows-only check).
+    // Staged: n_tokens computed once in its own projection — the HOF token
+    // pipeline is CodegenFallback, and inlining it per reference re-runs
+    // normalize+split per output column (the round-1 staging lesson).
     "q_text_stats" -> ((s, dir) =>
-      docs(s, dir).select(
-        col("doc_id"),
-        length(normalizeText(col("text"))).as("n_chars_norm"),
-        tokenCount(col("text")).as("n_tokens"),
-        round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
-          tokenCount(col("text")).cast("double"), 6).as("avg_token_len"),
-        punctCount(col("text")).as("n_punct"))
+      docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          length(normalizeText(col("text"))).as("n_chars_norm"),
+          tokenCount(col("text")).as("n_tokens"))
+        .select(
+          col("doc_id"),
+          col("n_chars_norm"),
+          col("n_tokens"),
+          round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") /
+            col("n_tokens").cast("double"), 6).as("avg_token_len"),
+          punctCount(col("text")).as("n_punct"))
         .orderBy(col("doc_id"))),
 
     // Quality scoring: length band + punctuation density + stopword density
     // — the standard heuristics pre-filter of a training-data pipeline.
+    // Staged: every multiply-referenced ratio is materialized once — the
+    // one-projection form re-inlined the token pipeline per reference
+    // (~6× per row through stopword_ratio + quality_score).
     "q_text_quality" -> ((s, dir) => {
-      val toks = tokens(normalizeText(col("text")))
-      val nTok = size(toks).cast("double")
-      val stopRatio = stopwordCount(toks, langProfiles.head._2).cast("double") / nTok
-      val punctRatio = punctCount(col("text")).cast("double") /
-        length(col("text")).cast("double")
+      val staged = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          tokens(normalizeText(col("text"))).as("__toks"),
+          (punctCount(col("text")).cast("double") /
+            length(col("text")).cast("double")).as("__punct_ratio"))
+        .select(col("doc_id"), col("n_chars"), col("__punct_ratio"),
+          (stopwordCount(col("__toks"), langProfiles.head._2).cast("double") /
+            size(col("__toks")).cast("double")).as("__stop_ratio"))
       val lenOk = col("n_chars").between(100, 2000)
-      docs(s, dir).select(
+      staged.select(
         col("doc_id"),
-        round(stopRatio, 6).as("stopword_ratio"),
-        round(punctRatio, 6).as("punct_ratio"),
+        round(col("__stop_ratio"), 6).as("stopword_ratio"),
+        round(col("__punct_ratio"), 6).as("punct_ratio"),
         lenOk.as("len_ok"),
         round(
           when(lenOk, lit(0.5)).otherwise(lit(0.0)) +
-            least(stopRatio * 2.0, lit(0.3)) +
-            when(punctRatio < 0.05, lit(0.2)).otherwise(lit(0.0)),
+            least(col("__stop_ratio") * 2.0, lit(0.3)) +
+            when(col("__punct_ratio") < 0.05, lit(0.2)).otherwise(lit(0.0)),
           6).as("quality_score"))
         .orderBy(col("doc_id"))
     }),

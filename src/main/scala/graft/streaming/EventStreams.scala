@@ -143,17 +143,33 @@ object EventStreams {
     * query stops even when the source fails mid-drain. */
   def runToResult(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
-    val ckpt = Files.createTempDirectory(s"graft_ckpt_$name")
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .start()
+    val ckpt = newCheckpointDir(name)
+    // State partitions are pinned at first-batch planning from
+    // spark.sql.shuffle.partitions; size them to streaming key cardinality
+    // (event_type/user buckets), not the batch shuffle width — every extra
+    // partition is another state-store instance + per-batch commit file.
+    // On a long-running production stream this is set once at launch; the
+    // restore below exists because the harness shares one session with the
+    // batch queries.
+    val sess = df.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
+    val q =
+      try df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      catch {
+        case e: Throwable =>
+          sess.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
+      }
     try {
       q.processAllAvailable()
     } finally {
       q.stop()
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     val result = spark.table(name)
     val materialized = spark.createDataFrame(
@@ -162,6 +178,23 @@ object EventStreams {
     spark.catalog.dropTempView(name)
     deleteRecursively(ckpt.toFile)
     materialized
+  }
+
+  /** State-partition count for the streaming surface: sized to the streamed
+    * key cardinality (a handful of event types / user hash buckets here),
+    * independent of the batch shuffle width. At scale this is the per-query
+    * `spark.sql.shuffle.partitions` a stream launches with. */
+  val streamStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8)
+
+  /** Harness checkpoints are throwaway (each invocation drains a bounded
+    * source once and deletes the dir) — put them on tmpfs when the box has
+    * one; a production stream points this at durable shared storage. */
+  private def newCheckpointDir(name: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, s"graft_ckpt_$name")
+    else Files.createTempDirectory(s"graft_ckpt_$name")
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -174,13 +207,16 @@ object EventStreams {
     * attached to a stream. */
   def runForeachBatch(df: DataFrame, mode: String)(
       f: (DataFrame, Long) => Unit): Unit = {
+    val ckpt = newCheckpointDir("feb")
     val q = df.writeStream
       .outputMode(mode)
-      .option("checkpointLocation",
-        Files.createTempDirectory("graft_ckpt_feb").toString)
+      .option("checkpointLocation", ckpt.toString)
       .foreachBatch(f)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      deleteRecursively(ckpt.toFile)
+    }
   }
 }
