@@ -21,7 +21,8 @@ object SparkEntry {
     SimOps,
     StreamOps,
     Completeness,
-    Analytic2
+    Analytic2,
+    Analytic3
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

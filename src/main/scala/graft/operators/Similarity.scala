@@ -19,8 +19,19 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Cosine similarity of two ARRAY<FLOAT> columns, computed in double with
-    * a deterministic left-to-right fold (portable across engines). */
+    * a deterministic left-to-right fold (portable across engines). Served by
+    * the native fused kernel (plans/CosineSimExpr — the composed HOF fold is
+    * CodegenFallback and allocates a zipped array per dot product);
+    * bit-identical to [[cosineComposed]], asserted in VectorKernelsSpec. */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSimExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The built-ins-only form of [[cosine]] — the executable spec the native
+    * kernel is asserted against, and the source of the oracle SQL shape. */
+  def cosineComposed(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
@@ -45,49 +56,90 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
-  /** Deterministic IVF index: centroids are the vectors whose id ≡ 0
-    * (mod corpusSize/nlist) — a data-independent, reproducible coarse
-    * quantizer (k-means would be the trained variant; the *structure* —
-    * assign/probe/prune — is identical). Returns the corpus with a
-    * `centroid_id` assignment column. */
-  def ivfAssign(corpus: DataFrame, nlist: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Deterministic IVF coarse quantizer: centroids are the vectors whose
+    * id ≡ 0 (mod corpusSize/nlist) — data-independent and reproducible
+    * (k-means would be the trained variant; the *structure* —
+    * train/assign/probe/prune — is identical). The quantizer is a tiny
+    * model artifact (nlist vectors), so like any real IVF it is collected
+    * to the driver once and broadcast into the assignment pass. */
+  def ivfTrain(corpus: DataFrame, nlist: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Long, Array[Float])] = {
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
-    val centroids = corpus
-      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
-    val w = Window.partitionBy(col(idCol)).orderBy(
-      round(cosine(col(vecCol), col("centroid_vec")), 6).desc,
-      col("centroid_id"))
-    corpus.join(broadcast(centroids), lit(true))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .drop("__r", "centroid_vec")
+    corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
   }
+
+  /** Top-`howMany` nearest centroid ids for a vector column, via the native
+    * kernel (plans/NearestCentroidsExpr): one fused call per row, centroid
+    * matrix passed as a codegen reference object — generated source stays
+    * O(1) in nlist (inlining nlist literal vectors made Janino compilation
+    * the dominant cost of the whole IVF query at bench scale). */
+  private def nearestCentroids(vec: Column,
+      centroids: Seq[(Long, Array[Float])], howMany: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.NearestCentroidsExpr(
+      ColumnBridge.expression(vec), centroids.map(_._1),
+      centroids.map(_._2.toSeq), howMany))
+  }
+
+  /** Corpus with a `centroid_id` assignment column. One narrow projection,
+    * no join, no shuffle (the earlier cross-join + window form shuffled
+    * |corpus|×nlist rows to rank them). Argmax by (round6(score) desc,
+    * centroid_id asc), exactly the previous window ordering. */
+  def ivfAssignWith(corpus: DataFrame, centroids: Seq[(Long, Array[Float])],
+      vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("centroid_id",
+      element_at(nearestCentroids(col(vecCol), centroids, 1), 1))
+
+  /** Train + assign in one call (the [[ivfTrain]] stride quantizer). */
+  def ivfAssign(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignWith(corpus, ivfTrain(corpus, nlist, idCol, vecCol), vecCol)
 
   /** IVF top-k: probe the `nprobe` nearest centroids per query, scan only
     * those buckets. Recall < 1.0 by design; the spec checks containment
-    * against brute force on the high-score band. */
+    * against brute force on the high-score band.
+    *
+    * Centroid vectors are recovered from `assigned` by the self-assignment
+    * invariant (a centroid's nearest centroid is itself, cosine 1) — a
+    * narrow filter, not a distinct+join. The probe set (|Q|·nprobe rows) is
+    * broadcast at the bucket join, so the corpus never shuffles; at scale,
+    * partitioning `assigned` by `centroid_id` turns that join into a
+    * partition-pruned scan of nprobe/nlist of the data. */
   def ivfTopK(queries: DataFrame, assigned: DataFrame,
       nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = assigned
-      .select(col("centroid_id")).distinct()
-      .join(assigned.select(col(idCol).as("centroid_id"),
-        col(vecCol).as("centroid_vec")), "centroid_id")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(
-      round(cosine(col("qv"), col("centroid_vec")), 6).desc, col("centroid_id"))
-    val probes = q.join(broadcast(centroids), lit(true))
-      .withColumn("__r", row_number().over(wProbe))
-      .filter(col("__r") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
+    // recover the quantizer from the self-assignment invariant (a
+    // centroid's nearest centroid is itself): nlist rows, one collect
+    val centroids = assigned.filter(col(idCol) === col("centroid_id"))
+      .select(col("centroid_id").cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    ivfTopKWith(queries, assigned, centroids, nprobe, k, idCol, vecCol)
+  }
+
+  /** IVF top-k against an explicit quantizer: per-query probe selection is
+    * one narrow projection (score the nlist literal centroids, sort the
+    * struct array, slice nprobe, explode) — no centroid join, no window.
+    * The only wide operations are the broadcast of the |Q|·nprobe probe set
+    * into the bucket join and the final per-query top-k. */
+  def ivfTopKWith(queries: DataFrame, assigned: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("centroid_id",
+        explode(nearestCentroids(col("qv"), centroids, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
-    probes.join(assigned.select(col("centroid_id"),
-        col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
-        Seq("centroid_id"))
+    assigned.select(col("centroid_id"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rank", row_number().over(w))

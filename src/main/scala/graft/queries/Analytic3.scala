@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Third analytics tier (SURVEY §2 long tail): bivariate statistics
+  * (covariance / regression / correlation), ordered string aggregation,
+  * RANGE window frames, correlated EXISTS subqueries, and ANSI
+  * try-arithmetic.
+  *
+  * The bivariate stats are computed from decimal-routed co-moments
+  * (Σx, Σy, Σxy, Σx², Σy² — exact, order-independent sums per the Parity
+  * posture) with the closing double arithmetic written identically in both
+  * engines, so results are bit-identical regardless of partitioning —
+  * native `corr`/`covar_samp` accumulate in shuffle order and drift in the
+  * last ulps between engines AND between partition counts, which is not
+  * reproducible at 100 TB.
+  */
+object Analytic3 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  override def defs: Map[String, Q] = Map(
+    // Bivariate stats per return flag: quantity vs extended price.
+    "q_corr_regr" -> ((s, dir) => {
+      val d38 = DecimalType(38, 8)
+      val sums = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(d38)).cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(d38)).cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38)).cast("double").as("syy"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      sums.select(
+        col("l_returnflag"),
+        col("n"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1), 6)
+          .as("covar_samp"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Ordered string aggregation: nation names per region, sorted — the
+    // deterministic form of LISTAGG/STRING_AGG (collect order is
+    // partition-dependent, so the sort is the portability requirement).
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey"))),
+
+    // RANGE window frame on a numeric ordering key: all orders whose
+    // custkey is within 100 below the current row's share one frame
+    // (value-range semantics, not row counts — the frame is deterministic
+    // because the decimal sum is order-independent within it).
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_custkey"))
+        .rangeBetween(-100, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double").as("range_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Correlated EXISTS / NOT EXISTS through the SQL subquery machinery
+    // (Catalyst rewrites to semi/anti joins — asserted in PlanSpec; the
+    // q_subquery sibling covers scalar + IN subqueries).
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("ex_customer")
+      t(s, dir, "orders").createOrReplaceTempView("ex_orders")
+      s.sql("""SELECT c_custkey, c_name FROM ex_customer c
+              |WHERE EXISTS (SELECT 1 FROM ex_orders o
+              |              WHERE o.o_custkey = c.c_custkey
+              |                AND o.o_orderpriority = '1-URGENT')
+              |  AND NOT EXISTS (SELECT 1 FROM ex_orders o
+              |                  WHERE o.o_custkey = c.c_custkey
+              |                    AND o.o_orderstatus = 'F')
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ANSI try-arithmetic: errors become nulls instead of killing the job
+    // (division by zero, bigint overflow) — the posture a 100 TB pass needs
+    // for isolated bad rows.
+    "q_try_arith" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          try_divide(col("l_partkey"), col("l_linenumber") - 1).as("div_maybe"),
+          try_add(col("l_partkey"), lit(9223372036854775800L)).as("add_maybe"),
+          try_multiply(col("l_suppkey"), lit(4611686018427387904L)).as("mul_maybe"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")))
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_corr_regr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round((sxy - sx*sy/n) / (n-1), 6) AS covar_samp,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+        |  round((n*sxy - sx*sy) /
+        |    (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_orderkey, o_orderstatus, o_custkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_orderstatus ORDER BY o_custkey
+        |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS range_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CASE WHEN l_linenumber - 1 = 0 THEN NULL
+        |       ELSE l_partkey / (l_linenumber - 1) END AS div_maybe,
+        |  CASE WHEN l_partkey > 7 THEN NULL
+        |       ELSE l_partkey + 9223372036854775800 END AS add_maybe,
+        |  CASE WHEN l_suppkey >= 2 THEN NULL
+        |       ELSE l_suppkey * 4611686018427387904 END AS mul_maybe
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
+}

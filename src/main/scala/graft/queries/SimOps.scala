@@ -52,8 +52,9 @@ object SimOps extends QueryPack {
     // SimilaritySpec asserts recall against q_sim_topk.
     "q_sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val assigned = Similarity.ivfAssign(e, nlist = 16)
-      Similarity.ivfTopK(e.filter(col("vec_id") < 10), assigned,
+      val model = Similarity.ivfTrain(e, nlist = 16)
+      val assigned = Similarity.ivfAssignWith(e, model)
+      Similarity.ivfTopKWith(e.filter(col("vec_id") < 10), assigned, model,
           nprobe = 4, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),

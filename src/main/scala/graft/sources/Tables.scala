@@ -85,6 +85,12 @@ object Tables {
     schema.fold(r.option("inferSchema", true))(r.schema).csv(path)
   }
 
+  /** ORC source (declared source surface) — columnar like parquet, with the
+    * same vectorized reader + pushdown path; interchange format for
+    * Hive-era lakes. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Geometry model (SURVEY §1.4): one GeoJSON-shaped tagged struct for the
     * whole ADT the reference dispatches on by key presence
     * (/root/reference/src/from-ground-up.js:442-446) — see

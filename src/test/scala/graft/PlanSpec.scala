@@ -60,6 +60,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("q_exists_subquery: correlated EXISTS/NOT EXISTS rewrite to semi+anti") {
+    val p = plan("q_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan an anti join:\n$p")
+  }
+
+  test("q_corr_regr: co-moment sums aggregate map-side (partial before shuffle)") {
+    val p = plan("q_corr_regr")
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
   test("warnify pipeline: single aggregation keyed by geometry, no stringify roundtrip") {
     val tables = graft.ates.Fixtures.tables(spark)
     val feats = graft.ates.AtesPipeline.geoJsonFeatures(tables, Some(357L))

@@ -39,6 +39,21 @@ class SourcesSpec extends SparkSpec {
     assert(got.sameElements(Array((1L, "alpha"), (2L, "beta"))))
   }
 
+  test("orc source round-trips a corpus table with pushdown intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val nation = Tables.load(spark, sf, "nation")
+    nation.write.mode("overwrite").orc(s"$dir/nation_orc")
+    val back = Tables.readOrc(spark, s"$dir/nation_orc")
+    assert(back.count() == nation.count())
+    assert(back.schema == nation.schema)
+    // filter + projection reach the ORC scan like the parquet path
+    val plan = back.filter(org.apache.spark.sql.functions.col("n_regionkey") === 1)
+      .select("n_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_regionkey), EqualTo(n_regionkey,1)]"),
+      s"expected ORC pushdown in:\n$plan")
+  }
+
   test("parquet corpus loader serves every declared table") {
     Tables.corpus.foreach { t =>
       val df = Tables.load(spark, sf, t)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Native fused cosine (plans/CosineSimExpr) ≡ the composed HOF fold —
+  * bit-identical doubles (same left-to-right accumulation order), including
+  * edge cases: zero vectors (IEEE NaN), length mismatch and null elements
+  * (both null, matching zip_with's null-padding semantics).
+  */
+class VectorKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimExpr ≡ composed fold on the embeddings corpus (bit-exact)") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val pairs = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+      .join(e.select(col("vec_id").as("idb"), col("embedding").as("vb")),
+        col("idb") === col("ida") + 1)
+    val diff = pairs
+      .select(Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineComposed(col("va"), col("vb")).as("composed"))
+      .filter(not(col("native") <=> col("composed")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("CosineSimExpr edge cases: floats, zero vector, length mismatch, null") {
+    // comparable rows (composed form agrees; ANSI Divide would throw on the
+    // zero-norm row, so that one is native-only below)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)), // identical → 1.0
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),             // orthogonal → 0.0
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))        // mismatch → null
+    ).toDF("a", "b")
+    val rows = df
+      .select(Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getDouble(0).asInstanceOf[Any]
+      val c = if (r.isNullAt(1)) null else r.getDouble(1).asInstanceOf[Any]
+      assert(n == c, s"native=$n composed=$c")
+    }
+    assert(rows(0).getDouble(0) == 1.0)
+    assert(rows(1).getDouble(0) == 0.0)
+    assert(rows(2).isNullAt(0))
+
+    // zero-norm: native is total (IEEE NaN, like DuckDB); the ANSI composed
+    // form raises DIVIDE_BY_ZERO — a degenerate vector must not kill a
+    // corpus-wide scoring pass.
+    val zn = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("native"))
+      .head()
+    assert(zn.getDouble(0).isNaN)
+
+    // double arrays go through the non-float path
+    val dd = Seq((Array(1.0, 2.0), Array(2.0, 4.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("n"),
+        Similarity.cosineComposed(col("a"), col("b")).as("c"))
+      .head()
+    assert(dd.getDouble(0) == dd.getDouble(1))
+  }
+
+  test("CosineSimExpr participates in whole-stage codegen") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+    val cg = e.select(
+        Similarity.cosine(col("embedding"), col("embedding")).as("s"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("VectorKernels.cosine"), "expected inlined static call")
+  }
+}
