@@ -147,6 +147,23 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  // -- int8 quantization (embedding storage compression) ---------------------
+  // Symmetric per-vector quantization: scale = max|x|/127, q = round(x/scale)
+  // as tinyint — 4× smaller vectors for ANN shortlists, with dequantized
+  // rescoring on the shortlist only. All-zero vectors quantize to zeros
+  // (scale 0 guard) instead of erroring the pass.
+
+  def int8Scale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / 127d
+
+  def int8Quantize(vec: Column, scale: Column): Column =
+    transform(vec, x =>
+      when(scale === 0d, lit(0d))
+        .otherwise(round(x.cast("double") / scale, 0)).cast("byte"))
+
+  def int8Dequantize(q: Column, scale: Column): Column =
+    transform(q, v => v.cast("double") * scale)
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket-mates
     * (IVF buckets as the blocking key — same LSH-style pruning as MinHash
     * banding, but in embedding space). */

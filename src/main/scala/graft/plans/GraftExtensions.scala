@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and Column callers share plans (and codegen) exactly.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hash32Descriptor)
+    GraftExtensions.nativeDescriptors.foreach(ext.injectFunction)
+  }
 }
 
 object GraftExtensions {
@@ -34,6 +36,46 @@ object GraftExtensions {
     (FunctionIdentifier("graft_hash32"),
       new ExpressionInfo(classOf[Hash32Expr].getName, "graft_hash32"),
       (args: Seq[Expression]) => hash32Builder(args))
+
+  /** Foldable-int extraction for SQL-side kernel parameters (shingle size,
+    * signature width): the kernels bind them at plan time, so only literal
+    * ints are accepted. */
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn expects a literal integer parameter, got $other")
+  }
+
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    require(args.length == n, s"$fn takes exactly $n arguments")
+
+  /** Native-kernel SQL builders (§2.9 surface for the round-2 kernels). */
+  private[plans] val nativeBuilders: Map[String, Seq[Expression] => Expression] = Map(
+    "graft_word_ngrams" -> { args =>
+      arity(args, 2, "graft_word_ngrams")
+      WordNgramsExpr(args.head, intArg(args(1), "graft_word_ngrams"))
+    },
+    "graft_minhash_sig" -> { args =>
+      arity(args, 3, "graft_minhash_sig")
+      MinhashSigExpr(args.head, intArg(args(1), "graft_minhash_sig"),
+        intArg(args(2), "graft_minhash_sig"))
+    },
+    "graft_simhash32" -> { args =>
+      arity(args, 1, "graft_simhash32")
+      Simhash32Expr(args.head)
+    },
+    "graft_cosine" -> { args =>
+      arity(args, 2, "graft_cosine")
+      CosineSimExpr(args.head, args(1))
+    })
+
+  private[plans] val nativeDescriptors = nativeBuilders.toSeq.map {
+    case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder)
+  }
 
   /** Column-composition functions exposed to SQL (1-arg each). */
   private val columnFns: Map[String, Column => Column] = Map(
@@ -55,6 +97,10 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash32", hash32Builder, "built-in")
+    nativeBuilders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
     columnFns.foreach { case (name, fn) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name,

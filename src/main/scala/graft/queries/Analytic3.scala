@@ -95,6 +95,17 @@ object Analytic3 extends QueryPack {
               |ORDER BY c_custkey""".stripMargin)
     }),
 
+    // Per-group top-k through the bounded-buffer Aggregator (map-side
+    // prune to k before the shuffle — the scale form; the window
+    // row_number form is q_topk_per_group, and both share this oracle
+    // shape).
+    "q_topk_agg" -> ((s, dir) =>
+      graft.operators.TopK.perGroup(
+          t(s, dir, "lineitem").withColumn("rid",
+            col("l_orderkey") * 10 + col("l_linenumber")),
+          Seq("l_returnflag"), col("l_extendedprice"), col("rid"), k = 5)
+        .orderBy(col("l_returnflag"), col("rank"))),
+
     // ANSI try-arithmetic: errors become nulls instead of killing the job
     // (division by zero, bigint overflow) — the posture a 100 TB pass needs
     // for isolated bad rows.
@@ -151,6 +162,17 @@ object Analytic3 extends QueryPack {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_topk_agg" ->
+      """SELECT l_returnflag, id, score, rank FROM (
+        |  SELECT l_returnflag,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    l_extendedprice AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC,
+        |               l_orderkey * 10 + l_linenumber ASC) AS INT) AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin,
 
     "q_try_arith" ->
       """SELECT l_orderkey, l_linenumber, l_partkey,

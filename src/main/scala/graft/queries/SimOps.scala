@@ -59,6 +59,25 @@ object SimOps extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Symmetric int8 quantization of the embedding column: per-vector
+    // scale, exact sum of the quantized ints, and the max reconstruction
+    // error — the storage-compression op of a 100 TB vector corpus.
+    // Staged: scale is multiply-referenced, so it materializes once.
+    "q_embed_quant" -> ((s, dir) => {
+      val staged = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.int8Scale(col("embedding")).as("__scale"))
+      val q = Similarity.int8Quantize(col("embedding"), col("__scale"))
+      val err = array_max(zip_with(col("embedding"), q,
+        (x, v) => abs(x.cast("double") - v.cast("double") * col("__scale"))))
+      staged.select(
+        col("vec_id"),
+        round(col("__scale"), 6).as("scale"),
+        aggregate(q, lit(0L), (acc, v) => acc + v.cast("long")).as("qsum"),
+        round(err, 6).as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Multimodal metadata extraction: binary payload + checksum + stub dims
     // (column path; the mapPartitions batch path is spec-tested).
     "q_media_meta" -> ((s, dir) =>
@@ -94,6 +113,24 @@ object SimOps extends QueryPack {
          |WHERE a.vec_id < 50 AND b.vec_id < 50 AND round($cos, 6) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q_embed_quant" ->
+      """WITH staged AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+        |      AS s
+        |  FROM embeddings),
+        |quant AS (
+        |  SELECT vec_id, s, embedding,
+        |    list_transform(embedding, x -> CASE WHEN s = 0 THEN CAST(0 AS TINYINT)
+        |      ELSE CAST(round(CAST(x AS DOUBLE) / s) AS TINYINT) END) AS q
+        |  FROM staged)
+        |SELECT vec_id,
+        |  round(s, 6) AS scale,
+        |  CAST(list_sum(list_transform(q, v -> CAST(v AS BIGINT))) AS BIGINT) AS qsum,
+        |  round(list_max(list_transform(list_zip(embedding, q),
+        |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * s))), 6) AS max_err
+        |FROM quant ORDER BY vec_id""".stripMargin,
 
     "q_media_meta" ->
       """SELECT doc_id AS media_id,

@@ -46,6 +46,23 @@ object StreamOps extends QueryPack {
           qn("stream_join"), mode = "append")
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // Stream-static broadcast join: enrich the stream against a literal
+    // funnel-stage dimension (no state store; the static side re-reads per
+    // micro-batch), then aggregate per stage.
+    "q_stream_static" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("view", "awareness"), ("click", "engagement"),
+        ("purchase", "conversion"), ("signup", "acquisition"),
+        ("error", "ops")).toDF("event_type", "stage")
+      val enriched = EventStreams
+        .enrichWithDim(EventStreams.readEvents(s, dir), dim, "event_type")
+        .groupBy(col("stage"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("total"))
+      EventStreams.runToResult(s, enriched, qn("stream_static"))
+        .orderBy(col("stage"))
+    }),
+
     // Streaming dedup: the doubled source must reduce back to the original
     // cardinality. Emits per-type counts of the deduped stream.
     "q_stream_dedup" -> ((s, dir) => {
@@ -100,6 +117,15 @@ object StreamOps extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_static" ->
+      s"""SELECT d.stage, COUNT(*) AS n, ${Parity.sqlDsum("e.value")} AS total
+         |FROM events e
+         |JOIN (VALUES ('view','awareness'), ('click','engagement'),
+         |             ('purchase','conversion'), ('signup','acquisition'),
+         |             ('error','ops')) AS d(event_type, stage)
+         |  ON e.event_type = d.event_type
+         |GROUP BY d.stage ORDER BY stage""".stripMargin,
 
     "q_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

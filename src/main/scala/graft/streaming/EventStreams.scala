@@ -114,6 +114,15 @@ object EventStreams {
         (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_seconds"))
   }
 
+  /** Stream-static join: enrich the stream against a batch dimension.
+    * The static side broadcasts (it is re-read per micro-batch, so keep it
+    * dimension-sized); no state store is involved — this is the streaming
+    * form of the reference's literal style-dimension lookup (J4,
+    * /root/reference/src/from-ground-up.js:846-858). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   case class UserStat(user_id: Long, n: Long, total: Double)
 
   /** Custom state: per-user running totals via flatMapGroupsWithState. */

@@ -71,6 +71,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
   }
 
+  test("q_topk_agg: bounded-buffer aggregator prunes map-side (ObjectHashAggregate partial)") {
+    val p = plan("q_topk_agg")
+    assert(p.contains("ObjectHashAggregate"), s"expected object hash agg:\n$p")
+    assert(p.contains("partial_"),
+      s"top-k must aggregate partially before the exchange:\n$p")
+  }
+
   test("warnify pipeline: single aggregation keyed by geometry, no stringify roundtrip") {
     val tables = graft.ates.Fixtures.tables(spark)
     val feats = graft.ates.AtesPipeline.geoJsonFeatures(tables, Some(357L))

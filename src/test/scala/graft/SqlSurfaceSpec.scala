@@ -28,6 +28,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(row.getAs[Double]("xmin") == -118.756)
   }
 
+  test("native kernels callable from SQL match the Column-API forms") {
+    GraftExtensions.register(spark)
+    graft.sources.Tables.load(spark, sf, "documents")
+      .limit(50).createOrReplaceTempView("sql_kernel_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  graft_minhash_sig(text, 3, 8) AS sig,
+        |  graft_simhash32(text) AS sh,
+        |  graft_word_ngrams(text, 2) AS grams
+        |FROM sql_kernel_docs""".stripMargin)
+    val viaApi = spark.table("sql_kernel_docs").select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.functions.TextFunctions.minhashSigNative(
+        org.apache.spark.sql.functions.col("text"), 3, 8).as("sig"),
+      graft.functions.TextFunctions.simhash32Native(
+        org.apache.spark.sql.functions.col("text")).as("sh"),
+      graft.functions.TextFunctions.wordNgramsNative(
+        org.apache.spark.sql.functions.col("text"), 2).as("grams"))
+    assert(viaSql.exceptAll(viaApi).isEmpty && viaApi.exceptAll(viaSql).isEmpty)
+
+    val cos = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D)) AS c""")
+      .head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+  }
+
   test("text functions callable from SQL match Column-API results") {
     GraftExtensions.register(spark)
     graft.sources.Tables.load(spark, sf, "documents")
