@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.Decimal
+
+/** Whole-operator custom plan — level (c) of the custom-operator ladder
+  * (SURVEY §2.9/§4): a broadcast **band join** `left.value BETWEEN right.lo
+  * AND right.hi`, the interval generalization of the reference's literal
+  * band/style dimension lookups (`/root/reference/src/from-ground-up.js:
+  * 846-858` selects a style by class_code band).
+  *
+  * Vanilla Spark plans a non-equi theta join as BroadcastNestedLoopJoin —
+  * every probe row scans the ENTIRE dimension. This operator sorts the
+  * broadcast side by `lo` once per partition and binary-searches the probe
+  * value, so each row touches only the `lo ≤ value` prefix (for banded /
+  * mostly-disjoint dimensions: O(log m + matches) instead of O(m)). Same
+  * inner-join null semantics as the BETWEEN condition: a null value or a
+  * null bound never matches.
+  *
+  * Three pieces: [[BandJoin]] (logical node embedding analyzed children),
+  * [[BandJoinStrategy]] (logical → physical, injected via
+  * `GraftExtensions`), [[BandJoinExec]] (physical operator declaring a
+  * `BroadcastDistribution` on the dimension side — EnsureRequirements
+  * inserts the BroadcastExchange, so AQE/reuse work as for built-in joins).
+  */
+case class BandJoin(left: LogicalPlan, right: LogicalPlan,
+    value: Expression, lo: Expression, hi: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): BandJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object BandJoin {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+
+  /** DataFrame API over the custom node: `value BETWEEN lo AND hi` inner
+    * join with `right` broadcast. Pass resolved columns (`left("v")`,
+    * `right("lo")`, ...). Registers the planner strategy on the session. */
+  def frame(left: DataFrame, right: DataFrame, value: Column,
+      lo: Column, hi: Column): DataFrame = {
+    val spark = left.sparkSession
+    GraftExtensions.registerStrategy(spark)
+    DatasetBridge.ofRows(spark, BandJoin(
+      DatasetBridge.plan(left), DatasetBridge.plan(right),
+      ColumnBridge.resolvedExpression(value),
+      ColumnBridge.resolvedExpression(lo),
+      ColumnBridge.resolvedExpression(hi)))
+  }
+}
+
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BandJoin(l, r, v, lo, hi) =>
+      BandJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+case class BandJoinExec(left: SparkPlan, right: SparkPlan,
+    value: Expression, lo: Expression, hi: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  private def toD(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case l: Long => l.toDouble
+    case i: Int => i.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case d: Decimal => d.toDouble
+    case other =>
+      throw new IllegalArgumentException(s"non-numeric band join key: $other")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val boundV = BindReferences.bindReference(value, left.output)
+    val boundLo = BindReferences.bindReference(lo, right.output)
+    val boundHi = BindReferences.bindReference(hi, right.output)
+    val outAttrs = output
+    left.execute().mapPartitions { iter =>
+      // sort the (small, broadcast) dimension once per partition
+      val entries = bcast.value.flatMap { r =>
+        val l = boundLo.eval(r)
+        val h = boundHi.eval(r)
+        if (l == null || h == null) None else Some((toD(l), toD(h), r))
+      }.sortBy(_._1)
+      val los = entries.map(_._1)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, outAttrs)
+      iter.flatMap { lrow =>
+        val v = boundV.eval(lrow)
+        if (v == null) Iterator.empty
+        else {
+          val vd = toD(v)
+          // first index with lo > vd — candidates live strictly below it
+          var a = 0
+          var b = los.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (los(m) <= vd) a = m + 1 else b = m
+          }
+          val ub = a
+          (0 until ub).iterator
+            .filter(i => entries(i)._2 >= vd)
+            .map(i => project(joined(lrow, entries(i)._3)))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
+    copy(left = newLeft, right = newRight)
+}

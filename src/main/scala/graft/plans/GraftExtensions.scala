@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.hash32Descriptor)
     GraftExtensions.nativeDescriptors.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => BandJoinStrategy)
   }
 }
 
@@ -110,6 +111,14 @@ object GraftExtensions {
         },
         "built-in")
     }
+  }
+
+  /** Idempotent planner-strategy registration on a live session (the
+    * `withExtensions` path injects it at session build instead). */
+  def registerStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(BandJoinStrategy))
+      spark.experimental.extraStrategies = BandJoinStrategy +: cur
   }
 
   /** Column-API form of the native expression (Spark 4 classic-converter

@@ -77,6 +77,21 @@ object JoinsExtra extends QueryPack {
         .orderBy(col("band"))
     }),
 
+    // Same banding through the custom whole-operator path (plans/BandJoin:
+    // logical node + strategy + sorted-broadcast binary-search exec) —
+    // level (c) of the custom-operator ladder, sharing q_join_range's
+    // oracle shape. BETWEEN is inclusive, so bands here are disjoint.
+    "q_join_band" -> ((s, dir) => {
+      import s.implicits._
+      val b = Seq(("low", 0.0, 99999.99), ("mid", 100000.0, 299999.99),
+        ("high", 300000.0, 999999999.0)).toDF("band", "lo", "hi")
+      val o = t(s, dir, "orders")
+      graft.plans.BandJoin.frame(o, b, o("o_totalprice"), b("lo"), b("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("band"))
+    }),
+
     // As-of join: latest order at-or-before each event's timestamp for the
     // same user, via the sort-based union+window operator (no explosion).
     "q_join_asof" -> ((s, dir) => {
@@ -120,6 +135,14 @@ object JoinsExtra extends QueryPack {
          |FROM orders
          |JOIN (VALUES $bandsSqlValues) AS bands(band, lo, hi)
          |  ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_join_band" ->
+      s"""SELECT band, COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS total
+         |FROM orders
+         |JOIN (VALUES ('low', 0.0, 99999.99), ('mid', 100000.0, 299999.99),
+         |             ('high', 300000.0, 999999999.0)) AS bands(band, lo, hi)
+         |  ON o_totalprice BETWEEN lo AND hi
          |GROUP BY band ORDER BY band""".stripMargin,
 
     "q_join_asof" ->

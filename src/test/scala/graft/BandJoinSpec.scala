@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.BandJoin
+
+/** Custom band-join operator (plans/BandJoin — logical node + strategy +
+  * physical exec): results must equal the generic BETWEEN theta join for
+  * every edge the sort+binary-search path could get wrong — inclusive
+  * bounds, overlapping bands, duplicate lo values, null probe values, null
+  * bounds, and an empty dimension. Plan shape: BandJoinExec with a
+  * broadcast exchange on the dimension side.
+  */
+class BandJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vals: like every Spark join API, frame() wants columns resolved from
+  // the same DataFrame *instance* (a def would mint fresh exprIds per call)
+  private lazy val facts = Seq[(Long, java.lang.Double)](
+    (1L, 0.0), (2L, 5.0), (3L, 10.0), (4L, 10.5), (5L, 25.0),
+    (6L, 39.9), (7L, 40.0), (8L, 100.0), (9L, -3.0), (10L, null))
+    .toDF("id", "v")
+
+  private lazy val dim = Seq[(java.lang.Double, java.lang.Double, String)](
+    (0.0, 10.0, "a"),          // inclusive both ends
+    (5.0, 25.0, "b"),          // overlaps a
+    (5.0, 8.0, "c"),           // duplicate lo
+    (25.0, 40.0, "d"),
+    (60.0, 50.0, "e"),         // inverted: matches nothing
+    (null, 99.0, "f"),         // null lo: matches nothing
+    (90.0, null, "g"))         // null hi: matches nothing
+    .toDF("lo", "hi", "band")
+
+  test("band join ≡ generic BETWEEN join on every bound/null/overlap edge") {
+    val custom = BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      .select(col("id"), col("band"))
+    val generic = facts.join(dim,
+        facts("v") >= dim("lo") && facts("v") <= dim("hi"))
+      .select(col("id"), col("band"))
+    val a = custom.as[(Long, String)].collect().sorted
+    val b = generic.as[(Long, String)].collect().sorted
+    assert(a.nonEmpty && a.sameElements(b),
+      s"custom=${a.mkString(",")} generic=${b.mkString(",")}")
+  }
+
+  test("band join against the corpus matches the generic join") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val bands = Seq((0.0, 10.0, "small"), (10.5, 25.0, "mid"),
+      (25.5, 40.0, "large"), (40.5, 100.0, "huge")).toDF("lo", "hi", "band")
+    val custom = BandJoin
+      .frame(li, bands, li("l_quantity"), bands("lo"), bands("hi"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val generic = li.join(bands,
+        li("l_quantity") >= bands("lo") && li("l_quantity") <= bands("hi"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n"))
+    val a = custom.as[(String, Long)].collect().sortBy(_._1)
+    val b = generic.as[(String, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("empty dimension joins to an empty result") {
+    val empty = dim.filter(lit(false))
+    val out = BandJoin.frame(facts, empty, facts("v"),
+      empty("lo"), empty("hi"))
+    assert(out.count() == 0)
+  }
+
+  test("plan: BandJoinExec over a broadcast exchange on the dimension side") {
+    val p = BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      .queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix: the physical node prints as "BandJoin"
+    assert(p.contains("BandJoin"), s"custom exec missing:\n$p")
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"),
+      s"dimension must broadcast:\n$p")
+  }
+}

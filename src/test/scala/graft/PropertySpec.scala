@@ -67,6 +67,55 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("native kernels ≡ composed forms on random unicode text (batched)") {
+    // beyond the fixed edge list in TextKernelsSpec: arbitrary unicode,
+    // arbitrary whitespace runs, empty-ish strings
+    val uniChar = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(" \t\n\r".toSeq),
+      1 -> Gen.oneOf("äöüßéèñ漢字汉مرحبаб✓€".toSeq),
+      1 -> Gen.oneOf(".,;:!?-_'\"()".toSeq))
+    val uniText = Gen.listOf(uniChar).map(_.mkString)
+    val cases = samples(uniText, 120) :+ "" :+ " " :+ "\t\n"
+    val df = cases.toDF("t").select(
+      TextFunctions.wordNgrams(col("t"), 3).as("g_c"),
+      TextFunctions.wordNgramsNative(col("t"), 3).as("g_n"),
+      TextFunctions.minhashFromHashes(
+        TextFunctions.hashedShingles(TextFunctions.wordNgrams(col("t"), 2)), 8)
+        .as("m_c"),
+      TextFunctions.minhashSigNative(col("t"), 2, 8).as("m_n"),
+      TextFunctions.simhash32FromHashes(TextFunctions.hashedTokens(col("t")))
+        .as("s_c"),
+      TextFunctions.simhash32Native(col("t")).as("s_n"))
+    assert(df.filter(not(col("g_c") <=> col("g_n"))).count() == 0, "wordNgrams")
+    assert(df.filter(not(col("m_c") <=> col("m_n"))).count() == 0, "minhashSig")
+    assert(df.filter(not(col("s_c") <=> col("s_n"))).count() == 0, "simhash32")
+  }
+
+  test("band join ≡ BETWEEN join on random facts and bands (batched)") {
+    val vals = Gen.chooseNum(-50.0, 150.0)
+    val facts = samples(vals, 200).zipWithIndex
+      .map { case (v, i) => (i.toLong, math.rint(v * 4) / 4) }
+      .toDF("id", "v")
+    val bandGen = for {
+      lo <- Gen.chooseNum(-60.0, 140.0)
+      w <- Gen.chooseNum(0.0, 40.0)
+    } yield (math.rint(lo), math.rint(lo + w))
+    val bands = samples(bandGen, 25).zipWithIndex
+      .map { case ((lo, hi), i) => (lo, hi, s"b$i") }
+      .toDF("lo", "hi", "band")
+    val custom = graft.plans.BandJoin
+      .frame(facts, bands, facts("v"), bands("lo"), bands("hi"))
+      .select(col("id"), col("band"))
+    val generic = facts.join(bands,
+        facts("v") >= bands("lo") && facts("v") <= bands("hi"))
+      .select(col("id"), col("band"))
+    val a = custom.as[(Long, String)].collect().sorted
+    val b = generic.as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty, "degenerate property: no matches generated")
+  }
+
   test("st_envelope always bounds st_points (batched over random linestrings)") {
     val coords = Gen.listOfN(6,
       Gen.chooseNum(-179.0, 179.0).flatMap(x =>
