@@ -66,11 +66,21 @@ object Similarity {
       vecCol: String = "embedding"): Seq[(Long, Array[Float])] = {
     val n = corpus.count()
     val stride = math.max(n / nlist, 1L)
-    corpus.filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 && col(idCol) < stride * nlist)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    // the stride pick assumes dense ids from 0; on sparse/offset id spaces
+    // it can come up empty — fall back to the first nlist rows by id
+    // (still deterministic, still data-independent)
+    val picked =
+      if (strided.nonEmpty) strided
+      else corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    picked.sortBy(_._1).toSeq
   }
 
   /** Top-`howMany` nearest centroid ids for a vector column, via the native
@@ -91,9 +101,14 @@ object Similarity {
     * |corpus|×nlist rows to rank them). Argmax by (round6(score) desc,
     * centroid_id asc), exactly the previous window ordering. */
   def ivfAssignWith(corpus: DataFrame, centroids: Seq[(Long, Array[Float])],
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    // element_at on the empty nearest-array would be an ANSI error on the
+    // first row — fail at plan time with an actionable message instead
+    require(centroids.nonEmpty,
+      "ivfAssignWith needs a non-empty quantizer (did ivfTrain see an empty corpus?)")
     corpus.withColumn("centroid_id",
       element_at(nearestCentroids(col(vecCol), centroids, 1), 1))
+  }
 
   /** Train + assign in one call (the [[ivfTrain]] stride quantizer). */
   def ivfAssign(corpus: DataFrame, nlist: Int,
@@ -113,10 +128,16 @@ object Similarity {
   def ivfTopK(queries: DataFrame, assigned: DataFrame,
       nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // recover the quantizer from the self-assignment invariant (a
-    // centroid's nearest centroid is itself): nlist rows, one collect
-    val centroids = assigned.filter(col(idCol) === col("centroid_id"))
-      .select(col("centroid_id").cast("long"), col(vecCol))
+    // recover the quantizer: the distinct centroid ids, joined back to
+    // their corpus vectors. (NOT the self-assignment shortcut
+    // `idCol === centroid_id` — two near-parallel centroids can round-tie,
+    // assigning one to the other; its bucket would then silently vanish
+    // from every probe.)
+    val ids = assigned.select(col("centroid_id").cast("long")).distinct()
+      .collect().map(_.getLong(0))
+    val centroids = assigned
+      .filter(col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+      .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1).toSeq

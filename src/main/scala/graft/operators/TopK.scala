@@ -52,11 +52,15 @@ object TopKAggregator {
 object TopK {
 
   /** groupBy(groupCols).top-k rows by `scoreCol` (desc, `idCol` asc ties):
-    * returns (groupCols..., id, score, rank). */
+    * returns (groupCols..., id, score, rank). Rows with a null score or id
+    * are excluded up front (the typed buffer is primitive-valued) — this
+    * matches the window form whenever k does not reach into its NULLS LAST
+    * tail. */
   def perGroup(df: DataFrame, groupCols: Seq[String], scoreCol: Column,
       idCol: Column, k: Int): DataFrame = {
     val agg = udaf(new TopKAggregator(k))
     val grouped = df
+      .filter(scoreCol.isNotNull && idCol.isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(agg(scoreCol.cast("double"), idCol.cast("long")).as("__topk"))
     grouped

@@ -90,13 +90,26 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     val boundHi = BindReferences.bindReference(hi, right.output)
     val outAttrs = output
     left.execute().mapPartitions { iter =>
-      // sort the (small, broadcast) dimension once per partition
+      // sort the (small, broadcast) dimension once per partition and
+      // precompute the running max of hi: scanning backwards from the
+      // binary-searched upper bound, the first index whose prefix-max-hi
+      // drops below the probe value proves no earlier entry can match —
+      // for disjoint/banded dimensions each probe touches O(log m + matches)
+      // entries instead of the whole lo ≤ v prefix
       val entries = bcast.value.flatMap { r =>
         val l = boundLo.eval(r)
         val h = boundHi.eval(r)
         if (l == null || h == null) None else Some((toD(l), toD(h), r))
       }.sortBy(_._1)
       val los = entries.map(_._1)
+      val maxHiUpTo = new Array[Double](entries.length)
+      var mi = 0
+      var running = Double.NegativeInfinity
+      while (mi < entries.length) {
+        running = math.max(running, entries(mi)._2)
+        maxHiUpTo(mi) = running
+        mi += 1
+      }
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outAttrs, outAttrs)
       iter.flatMap { lrow =>
@@ -112,9 +125,21 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
             if (los(m) <= vd) a = m + 1 else b = m
           }
           val ub = a
-          (0 until ub).iterator
-            .filter(i => entries(i)._2 >= vd)
-            .map(i => project(joined(lrow, entries(i)._3)))
+          new Iterator[InternalRow] {
+            private var i = ub - 1
+            private def seek(): Unit = {
+              while (i >= 0 && maxHiUpTo(i) >= vd && entries(i)._2 < vd) i -= 1
+              if (i >= 0 && maxHiUpTo(i) < vd) i = -1 // nothing earlier can match
+            }
+            seek()
+            override def hasNext: Boolean = i >= 0
+            override def next(): InternalRow = {
+              val out = project(joined(lrow, entries(i)._3))
+              i -= 1
+              seek()
+              out
+            }
+          }
         }
       }
     }

@@ -1,8 +1,9 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's portable 32-bit hash
@@ -17,7 +18,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * serialization. Byte-identical semantics to the composed form (the spec
   * asserts it), so DuckDB oracles remain valid wherever either form is used.
   */
-case class Hash32Expr(child: Expression) extends UnaryExpression {
+case class Hash32Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hash32"
 

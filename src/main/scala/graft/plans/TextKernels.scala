@@ -2,6 +2,7 @@ package graft.plans
 
 import java.util.regex.Pattern
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -155,7 +156,13 @@ object TextKernels {
 }
 
 /** Native word-n-gram shingling (array<string>); ≡ `wordNgrams(c, n)`. */
-case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
 
@@ -171,7 +178,13 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
 
 /** Native MinHash signature (array<long>[k]); ≡ the staged composed form
   * `minhashFromHashes(hashedShingles(wordNgrams(c, n)), k)`. */
-case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpression {
+case class MinhashSigExpr(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
@@ -186,7 +199,13 @@ case class MinhashSigExpr(child: Expression, n: Int, k: Int) extends UnaryExpres
 }
 
 /** Native 32-bit SimHash (long); ≡ `simhash32FromHashes(hashedTokens(c))`. */
-case class Simhash32Expr(child: Expression) extends UnaryExpression {
+case class Simhash32Expr(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash32"
 

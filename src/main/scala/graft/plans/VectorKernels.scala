@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -25,8 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 object VectorKernels {
 
-  /** Boxed so `null` can signal the composed form's null cases. */
-  def cosine(a: ArrayData, b: ArrayData, isFloat: Boolean): java.lang.Double = {
+  /** Boxed so `null` can signal the composed form's null cases. Element
+    * width is tracked per side — mixed float/double arguments are legal
+    * through the SQL surface, and reading 8 bytes from 4-byte-packed data
+    * would be silent garbage. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean,
+      bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var dot = 0.0
@@ -35,8 +40,8 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (isFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -112,22 +117,35 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_cosine"
 
+  private def vecType(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecType(left.dataType) && vecType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT>/ARRAY<DOUBLE> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
   // lazy: children may be unresolved attributes at construction time
-  private lazy val isFloat: Boolean = left.dataType match {
+  private def floatSide(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+  private lazy val leftFloat: Boolean = floatSide(left)
+  private lazy val rightFloat: Boolean = floatSide(right)
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      isFloat)
+      leftFloat, rightFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val tmp = ctx.freshName("cos")
       s"""
          |java.lang.Double $tmp =
-         |  graft.plans.VectorKernels.cosine($a, $b, $isFloat);
+         |  graft.plans.VectorKernels.cosine($a, $b, $leftFloat, $rightFloat);
          |if ($tmp == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $tmp.doubleValue(); }
        """.stripMargin
@@ -149,6 +167,13 @@ case class NearestCentroidsExpr(child: Expression, ids: Seq[Long],
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(ids.length == vecs.length, "ids and vecs must align")
 
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects an ARRAY<FLOAT>/ARRAY<DOUBLE> argument, got " +
+        other.catalogString)
+  }
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
   override def prettyName: String = "graft_nearest_centroids"

@@ -177,8 +177,12 @@ object EventStreams {
     try {
       q.processAllAvailable()
     } finally {
-      q.stop()
-      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // restore even when stop() itself throws (e.g. the stream already
+      // died and stop rethrows the wrapped failure) — otherwise the shared
+      // session would keep the 8-partition streaming width for every
+      // subsequent batch query
+      try q.stop()
+      finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
     val result = spark.table(name)
     val materialized = spark.createDataFrame(

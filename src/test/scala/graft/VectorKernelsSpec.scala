@@ -59,6 +59,22 @@ class VectorKernelsSpec extends SparkSpec {
         Similarity.cosineComposed(col("a"), col("b")).as("c"))
       .head()
     assert(dd.getDouble(0) == dd.getDouble(1))
+
+    // mixed float/double sides: element width tracked per side (a single
+    // width flag would read 8 bytes from 4-byte-packed float data)
+    val mixed = Seq((Array(1.0f, 2.0f), Array(2.0, 4.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("n"),
+        Similarity.cosineComposed(col("a"), col("b")).as("c"))
+      .head()
+    assert(mixed.getDouble(0) == mixed.getDouble(1))
+    assert(math.abs(mixed.getDouble(0) - 1.0) < 1e-12)
+
+    // wrong-typed input fails analysis, not execution
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array("x"), Array("y"))).toDF("a", "b")
+        .select(Similarity.cosine(col("a"), col("b")))
+        .collect()
+    }
   }
 
   test("CosineSimExpr participates in whole-stage codegen") {
