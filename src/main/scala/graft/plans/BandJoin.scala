@@ -55,10 +55,66 @@ object BandJoin {
   }
 }
 
-object BandJoinStrategy extends SparkStrategy {
+/** Plans the explicit [[BandJoin]] node AND transparently claims plain
+  * inner joins whose condition is an inclusive numeric band
+  * (`v >= lo && v <= hi` in any conjunct order/orientation, value from the
+  * left, bounds from the right) when the right side fits the broadcast
+  * threshold — users writing the generic BETWEEN theta join get the
+  * sorted-broadcast operator instead of BroadcastNestedLoopJoin, the
+  * "declare the plan, let the planner pick the strategy" posture. Strict
+  * bounds, extra conjuncts, non-numeric keys, outer joins, or a large
+  * right side all fall through to the built-in strategies untouched. */
+object BandJoinStrategy extends SparkStrategy
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.Join
+
+  private def numeric(e: Expression): Boolean =
+    e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** (value, lo, hi) when the join condition is exactly an inclusive band. */
+  private def matchBand(j: Join): Option[(Expression, Expression, Expression)] = {
+    if (j.joinType != Inner) return None
+    val cs = splitConjunctivePredicates(j.condition.getOrElse(return None))
+    if (cs.length != 2) return None
+    def fromL(e: Expression) = e.references.subsetOf(j.left.outputSet)
+    def fromR(e: Expression) = e.references.subsetOf(j.right.outputSet)
+    // normalize a conjunct to (value, bound, boundIsLower)
+    def norm(e: Expression): Option[(Expression, Expression, Boolean)] = e match {
+      case GreaterThanOrEqual(a, b) if fromL(a) && fromR(b) => Some((a, b, true))
+      case LessThanOrEqual(b, a) if fromL(a) && fromR(b) => Some((a, b, true))
+      case LessThanOrEqual(a, b) if fromL(a) && fromR(b) => Some((a, b, false))
+      case GreaterThanOrEqual(b, a) if fromL(a) && fromR(b) => Some((a, b, false))
+      case _ => None
+    }
+    (norm(cs.head), norm(cs(1))) match {
+      case (Some((v1, lo, true)), Some((v2, hi, false)))
+          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(numeric) =>
+        Some((v1, lo, hi))
+      case (Some((v1, hi, false)), Some((v2, lo, true)))
+          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(numeric) =>
+        Some((v1, lo, hi))
+      case _ => None
+    }
+  }
+
+  private def broadcastable(p: LogicalPlan): Boolean = {
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    threshold > 0 && p.stats.sizeInBytes >= 0 &&
+      p.stats.sizeInBytes <= threshold
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case BandJoin(l, r, v, lo, hi) =>
       BandJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case j: Join if broadcastable(j.right) =>
+      matchBand(j) match {
+        case Some((v, lo, hi)) =>
+          BandJoinExec(planLater(j.left), planLater(j.right), v, lo, hi) :: Nil
+        case None => Nil
+      }
     case _ => Nil
   }
 }

@@ -64,6 +64,45 @@ class BandJoinSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("strategy transparently claims a plain inclusive BETWEEN inner join") {
+    graft.plans.GraftExtensions.registerStrategy(spark)
+    val generic = facts.join(dim,
+      facts("v") >= dim("lo") && facts("v") <= dim("hi"))
+    val p = generic.queryExecution.executedPlan.toString
+    assert(p.contains("BandJoin"),
+      s"inclusive band join should be claimed by the strategy:\n$p")
+    // and still computes the join faithfully
+    val viaBnl = facts.crossJoin(dim)
+      .filter(facts("v") >= dim("lo") && facts("v") <= dim("hi"))
+      .select(col("id"), col("band"))
+    val a = generic.select(col("id"), col("band"))
+      .as[(Long, String)].collect().sorted
+    val b = viaBnl.as[(Long, String)].collect().sorted
+    assert(a.sameElements(b))
+  }
+
+  test("strategy falls through on strict bounds and extra conjuncts") {
+    graft.plans.GraftExtensions.registerStrategy(spark)
+    val strict = facts.join(dim,
+      facts("v") >= dim("lo") && facts("v") < dim("hi"))
+    assert(!strict.queryExecution.executedPlan.toString.contains("BandJoin"),
+      "strict upper bound must use the built-in join")
+    // a single-side extra conjunct is NOT a fall-through case: Catalyst
+    // pushes it below the join, leaving a clean band condition the
+    // strategy rightly claims — so the unclaimable shape needs an extra
+    // conjunct referencing both sides
+    val pushed = facts.join(dim,
+      facts("v") >= dim("lo") && facts("v") <= dim("hi") &&
+        dim("band") =!= "a")
+    assert(pushed.queryExecution.executedPlan.toString.contains("BandJoin"),
+      "single-side conjunct pushes down; band core should still be claimed")
+    val extra = facts.join(dim,
+      facts("v") >= dim("lo") && facts("v") <= dim("hi") &&
+        facts("id") > dim("lo"))
+    assert(!extra.queryExecution.executedPlan.toString.contains("BandJoin"),
+      "a cross-side extra conjunct must use the built-in join")
+  }
+
   test("plan: BandJoinExec over a broadcast exchange on the dimension side") {
     val p = BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
       .queryExecution.executedPlan.toString
