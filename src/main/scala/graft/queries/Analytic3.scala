@@ -106,6 +106,34 @@ object Analytic3 extends QueryPack {
           Seq("l_returnflag"), col("l_extendedprice"), col("rid"), k = 5)
         .orderBy(col("l_returnflag"), col("rank"))),
 
+    // Correlated LATERAL subquery: per-nation top-2 customers — the
+    // "for each row, run this parameterized subquery" shape the reference
+    // executes as one SQL round-trip per area_id (FGU:149-163), here a
+    // single lateral join Catalyst rewrites into a window-style plan.
+    "q_lateral" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "customer").createOrReplaceTempView("lat_customer")
+      s.sql("""SELECT n.n_name, c.c_name, c.c_acctbal
+              |FROM lat_nation n,
+              |LATERAL (SELECT c_name, c_acctbal FROM lat_customer
+              |         WHERE c_nationkey = n.n_nationkey
+              |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+              |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+    }),
+
+    // UNPIVOT (wide → long melt): four measure columns to (measure, value)
+    // rows, the standard metrics-table normalization.
+    "q_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("up_lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber, measure, value FROM (
+              |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              |         l_discount, l_tax
+              |  FROM up_lineitem WHERE l_orderkey < 1000)
+              |UNPIVOT (value FOR measure IN
+              |  (l_quantity, l_extendedprice, l_discount, l_tax))
+              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+    }),
+
     // ANSI try-arithmetic: errors become nulls instead of killing the job
     // (division by zero, bigint overflow) — the posture a 100 TB pass needs
     // for isolated bad rows.
@@ -162,6 +190,23 @@ object Analytic3 extends QueryPack {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q_lateral" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value
+        |FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |                      l_extendedprice, l_discount, l_tax
+        |               FROM lineitem WHERE l_orderkey < 1000)
+        |      ON l_quantity, l_extendedprice, l_discount, l_tax
+        |      INTO NAME measure VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "q_topk_agg" ->
       """SELECT l_returnflag, id, score, rank FROM (

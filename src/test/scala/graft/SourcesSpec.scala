@@ -54,6 +54,20 @@ class SourcesSpec extends SparkSpec {
       s"expected ORC pushdown in:\n$plan")
   }
 
+  test("partitioned write + partition-pruned read (the 100 TB layout key)") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_part").toString
+    val o = Tables.load(spark, sf, "orders")
+    o.write.partitionBy("o_orderstatus").parquet(s"$dir/orders_part")
+    val back = spark.read.parquet(s"$dir/orders_part")
+      .filter(col("o_orderstatus") === "F")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("= F)"),
+      s"status filter must prune partitions at the scan:\n$plan")
+    assert(back.count() ==
+      o.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("parquet corpus loader serves every declared table") {
     Tables.corpus.foreach { t =>
       val df = Tables.load(spark, sf, t)
