@@ -21,6 +21,33 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("state store backend swaps to RocksDB (large-state scale path)") {
+    // HDFS-backed state holds the working map on-heap — fine for bounded
+    // keys; RocksDB is the backend a 100 TB stream's state runs on. The
+    // engine's plans are backend-agnostic; this pins the swap actually
+    // working (provider class, commit path, same results).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventStreams.runToResult(spark,
+        EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+        "rocksdb_tumbling")
+      val batch = graft.sources.Tables.load(spark, sf, "events")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.agg(sum(col("n"))).head().getLong(0) ==
+        batch.agg(sum(col("n"))).head().getLong(0))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermark drops late data in append mode") {
     // Feed events in two files: batch 1 advances the watermark far past
     // batch 2's late-arriving rows → the late window never emits.
