@@ -119,12 +119,12 @@ object Similarity {
     * those buckets. Recall < 1.0 by design; the spec checks containment
     * against brute force on the high-score band.
     *
-    * Centroid vectors are recovered from `assigned` by the self-assignment
-    * invariant (a centroid's nearest centroid is itself, cosine 1) — a
-    * narrow filter, not a distinct+join. The probe set (|Q|·nprobe rows) is
-    * broadcast at the bucket join, so the corpus never shuffles; at scale,
-    * partitioning `assigned` by `centroid_id` turns that join into a
-    * partition-pruned scan of nprobe/nlist of the data. */
+    * Centroid vectors are recovered from `assigned` as the distinct
+    * centroid ids joined back to their corpus vectors (see the inline note
+    * on why self-assignment recovery is wrong). The probe set (|Q|·nprobe
+    * rows) is broadcast at the bucket join, so the corpus never shuffles;
+    * at scale, partitioning `assigned` by `centroid_id` turns that join
+    * into a partition-pruned scan of nprobe/nlist of the data. */
   def ivfTopK(queries: DataFrame, assigned: DataFrame,
       nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Exp
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.Decimal
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Whole-operator custom plan — level (c) of the custom-operator ladder
   * (SURVEY §2.9/§4): a broadcast **band join** `left.value BETWEEN right.lo
@@ -16,15 +16,24 @@ import org.apache.spark.sql.types.Decimal
   *
   * Vanilla Spark plans a non-equi theta join as BroadcastNestedLoopJoin —
   * every probe row scans the ENTIRE dimension. This operator sorts the
-  * broadcast side by `lo` once per partition and binary-searches the probe
-  * value, so each row touches only the `lo ≤ value` prefix (for banded /
-  * mostly-disjoint dimensions: O(log m + matches) instead of O(m)). Same
-  * inner-join null semantics as the BETWEEN condition: a null value or a
-  * null bound never matches.
+  * broadcast side by `lo` (once per executor, cached by broadcast id) and
+  * binary-searches the probe value under a prefix-max-of-hi bound — for
+  * banded/mostly-disjoint dimensions O(log m + matches) per row instead of
+  * O(m).
+  *
+  * Semantics match the BETWEEN condition exactly, including Spark's total
+  * order on doubles (NaN greater than everything — all comparisons go
+  * through `java.lang.Double.compare`): a null value or bound never
+  * matches; a NaN `hi` matches any value; a NaN probe matches only NaN
+  * bounds. Join keys are restricted to types exactly representable in
+  * double (float/double/int/short/byte) — long/decimal keys above 2^53
+  * would compare differently than the built-in exact join, so they fall
+  * through to it.
   *
   * Three pieces: [[BandJoin]] (logical node embedding analyzed children),
-  * [[BandJoinStrategy]] (logical → physical, injected via
-  * `GraftExtensions`), [[BandJoinExec]] (physical operator declaring a
+  * [[BandJoinStrategy]] (explicit node → physical) +
+  * [[BandJoinAutoStrategy]] (opt-in transparent claiming of plain BETWEEN
+  * joins), [[BandJoinExec]] (physical operator declaring a
   * `BroadcastDistribution` on the dimension side — EnsureRequirements
   * inserts the BroadcastExchange, so AQE/reuse work as for built-in joins).
   */
@@ -40,38 +49,63 @@ object BandJoin {
   import org.apache.spark.sql.{Column, DataFrame}
   import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
 
+  /** Exactly representable in double — the supported band-key domain. */
+  private[plans] def exactInDouble(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
   /** DataFrame API over the custom node: `value BETWEEN lo AND hi` inner
     * join with `right` broadcast. Pass resolved columns (`left("v")`,
-    * `right("lo")`, ...). Registers the planner strategy on the session. */
+    * `right("lo")`, ...). Registers only the explicit-node strategy on the
+    * session — transparent claiming of plain joins stays opt-in
+    * ([[GraftExtensions.registerAutoBandJoin]]). */
   def frame(left: DataFrame, right: DataFrame, value: Column,
       lo: Column, hi: Column): DataFrame = {
     val spark = left.sparkSession
     GraftExtensions.registerStrategy(spark)
-    DatasetBridge.ofRows(spark, BandJoin(
-      DatasetBridge.plan(left), DatasetBridge.plan(right),
-      ColumnBridge.resolvedExpression(value),
-      ColumnBridge.resolvedExpression(lo),
-      ColumnBridge.resolvedExpression(hi)))
+    val (v, l, h) = (ColumnBridge.resolvedExpression(value),
+      ColumnBridge.resolvedExpression(lo), ColumnBridge.resolvedExpression(hi))
+    Seq(v, l, h).foreach { e =>
+      require(exactInDouble(e.dataType),
+        s"band join keys must be float/double/int/short/byte " +
+          s"(exact in double); got ${e.dataType.catalogString}")
+    }
+    DatasetBridge.ofRows(spark,
+      BandJoin(DatasetBridge.plan(left), DatasetBridge.plan(right), v, l, h))
   }
 }
 
-/** Plans the explicit [[BandJoin]] node AND transparently claims plain
-  * inner joins whose condition is an inclusive numeric band
-  * (`v >= lo && v <= hi` in any conjunct order/orientation, value from the
-  * left, bounds from the right) when the right side fits the broadcast
-  * threshold — users writing the generic BETWEEN theta join get the
-  * sorted-broadcast operator instead of BroadcastNestedLoopJoin, the
-  * "declare the plan, let the planner pick the strategy" posture. Strict
-  * bounds, extra conjuncts, non-numeric keys, outer joins, or a large
-  * right side all fall through to the built-in strategies untouched. */
-object BandJoinStrategy extends SparkStrategy
+/** Plans the explicit [[BandJoin]] node (registered automatically by
+  * [[BandJoin.frame]]). */
+object BandJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case BandJoin(l, r, v, lo, hi) =>
+      BandJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Opt-in transparent claiming: matches plain inner joins whose condition
+  * is an inclusive numeric band (`v >= lo && v <= hi` in any conjunct
+  * order/orientation, value from the left, bounds from the right, all keys
+  * exact-in-double) with a broadcast-sized right side — users writing the
+  * generic BETWEEN theta join get the sorted-broadcast operator instead of
+  * BroadcastNestedLoopJoin. Strict bounds, cross-side extra conjuncts,
+  * long/decimal keys, outer joins, or a large right side fall through to
+  * the built-in strategies untouched.
+  *
+  * Deliberately NOT registered by [[BandJoin.frame]]: claiming built-in
+  * shapes changes how *unrelated* queries in the session plan, so it is an
+  * explicit session-level opt-in ([[GraftExtensions.registerAutoBandJoin]]
+  * or `withExtensions(new GraftExtensions)`). */
+object BandJoinAutoStrategy extends SparkStrategy
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual}
   import org.apache.spark.sql.catalyst.plans.Inner
   import org.apache.spark.sql.catalyst.plans.logical.Join
 
-  private def numeric(e: Expression): Boolean =
-    e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+  private def exact(e: Expression): Boolean = BandJoin.exactInDouble(e.dataType)
 
   /** (value, lo, hi) when the join condition is exactly an inclusive band. */
   private def matchBand(j: Join): Option[(Expression, Expression, Expression)] = {
@@ -90,10 +124,10 @@ object BandJoinStrategy extends SparkStrategy
     }
     (norm(cs.head), norm(cs(1))) match {
       case (Some((v1, lo, true)), Some((v2, hi, false)))
-          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(numeric) =>
+          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(exact) =>
         Some((v1, lo, hi))
       case (Some((v1, hi, false)), Some((v2, lo, true)))
-          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(numeric) =>
+          if v1.semanticEquals(v2) && Seq(v1, lo, hi).forall(exact) =>
         Some((v1, lo, hi))
       case _ => None
     }
@@ -107,8 +141,6 @@ object BandJoinStrategy extends SparkStrategy
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandJoin(l, r, v, lo, hi) =>
-      BandJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
     case j: Join if broadcastable(j.right) =>
       matchBand(j) match {
         case Some((v, lo, hi)) =>
@@ -121,6 +153,7 @@ object BandJoinStrategy extends SparkStrategy
 
 case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     value: Expression, lo: Expression, hi: Expression) extends BinaryExecNode {
+  import BandJoinExec.{cmp, SortedDim}
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -130,13 +163,11 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
   private def toD(v: Any): Double = v match {
     case d: Double => d
     case f: Float => f.toDouble
-    case l: Long => l.toDouble
     case i: Int => i.toDouble
     case s: Short => s.toDouble
     case b: Byte => b.toDouble
-    case d: Decimal => d.toDouble
-    case other =>
-      throw new IllegalArgumentException(s"non-numeric band join key: $other")
+    case other => throw new IllegalArgumentException(
+      s"band join key not exactly representable in double: $other")
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -146,26 +177,31 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     val boundHi = BindReferences.bindReference(hi, right.output)
     val outAttrs = output
     left.execute().mapPartitions { iter =>
-      // sort the (small, broadcast) dimension once per partition and
-      // precompute the running max of hi: scanning backwards from the
-      // binary-searched upper bound, the first index whose prefix-max-hi
-      // drops below the probe value proves no earlier entry can match —
-      // for disjoint/banded dimensions each probe touches O(log m + matches)
-      // entries instead of the whole lo ≤ v prefix
-      val entries = bcast.value.flatMap { r =>
-        val l = boundLo.eval(r)
-        val h = boundHi.eval(r)
-        if (l == null || h == null) None else Some((toD(l), toD(h), r))
-      }.sortBy(_._1)
-      val los = entries.map(_._1)
-      val maxHiUpTo = new Array[Double](entries.length)
-      var mi = 0
-      var running = Double.NegativeInfinity
-      while (mi < entries.length) {
-        running = math.max(running, entries(mi)._2)
-        maxHiUpTo(mi) = running
-        mi += 1
-      }
+      // evaluate + sort the dimension once per executor (cached on the
+      // broadcast id — re-sorting a 64 MB dimension per task would repeat
+      // O(m log m) work and duplicate the tuple array per task). Prefix
+      // max of hi: scanning backwards from the binary-searched upper
+      // bound, the first index whose prefix-max-hi drops below the probe
+      // value proves no earlier entry can match.
+      val dim = BandJoinExec.sortedDim(bcast.id, {
+        val entries = bcast.value.flatMap { r =>
+          val l = boundLo.eval(r)
+          val h = boundHi.eval(r)
+          if (l == null || h == null) None else Some((toD(l), toD(h), r))
+        }.sortBy(_._1) // 2.13 TotalOrdering: NaN sorts greatest, like Spark
+        val maxHiUpTo = new Array[Double](entries.length)
+        var mi = 0
+        var running = Double.NegativeInfinity
+        while (mi < entries.length) {
+          if (cmp(entries(mi)._2, running) > 0) running = entries(mi)._2
+          maxHiUpTo(mi) = running
+          mi += 1
+        }
+        SortedDim(entries, entries.map(_._1), maxHiUpTo)
+      })
+      val entries = dim.entries
+      val los = dim.los
+      val maxHiUpTo = dim.maxHiUpTo
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outAttrs, outAttrs)
       iter.flatMap { lrow =>
@@ -173,19 +209,20 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
         if (v == null) Iterator.empty
         else {
           val vd = toD(v)
-          // first index with lo > vd — candidates live strictly below it
+          // first index with lo > vd (total order) — candidates below it
           var a = 0
           var b = los.length
           while (a < b) {
             val m = (a + b) >>> 1
-            if (los(m) <= vd) a = m + 1 else b = m
+            if (cmp(los(m), vd) <= 0) a = m + 1 else b = m
           }
           val ub = a
           new Iterator[InternalRow] {
             private var i = ub - 1
             private def seek(): Unit = {
-              while (i >= 0 && maxHiUpTo(i) >= vd && entries(i)._2 < vd) i -= 1
-              if (i >= 0 && maxHiUpTo(i) < vd) i = -1 // nothing earlier can match
+              while (i >= 0 && cmp(maxHiUpTo(i), vd) >= 0 &&
+                cmp(entries(i)._2, vd) < 0) i -= 1
+              if (i >= 0 && cmp(maxHiUpTo(i), vd) < 0) i = -1 // nothing earlier
             }
             seek()
             override def hasNext: Boolean = i >= 0
@@ -204,4 +241,35 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BandJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BandJoinExec {
+  /** Spark's total order on doubles (NaN greatest, -0 < 0) — the semantics
+    * of the BETWEEN condition this operator replaces. */
+  private def cmp(a: Double, b: Double): Int = java.lang.Double.compare(a, b)
+
+  case class SortedDim(entries: Array[(Double, Double, InternalRow)],
+      los: Array[Double], maxHiUpTo: Array[Double])
+
+  /** Small per-JVM LRU of sorted dimensions keyed by broadcast id — one
+    * sort per executor per broadcast, bounded so a long-lived session
+    * re-running band joins does not accumulate dead entries. */
+  private val MaxCached = 8
+  private val cache =
+    new java.util.LinkedHashMap[Long, SortedDim](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Long, SortedDim]): Boolean =
+        size() > MaxCached
+    }
+
+  private def sortedDim(id: Long, build: => SortedDim): SortedDim =
+    cache.synchronized {
+      val hit = cache.get(id)
+      if (hit != null) hit
+      else {
+        val built = build
+        cache.put(id, built)
+        built
+      }
+    }
 }

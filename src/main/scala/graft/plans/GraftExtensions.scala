@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hash32Descriptor)
     GraftExtensions.nativeDescriptors.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => BandJoinStrategy)
+    // building a session with the extensions is the explicit opt-in that
+    // also enables transparent claiming of plain BETWEEN joins
+    ext.injectPlannerStrategy(_ => BandJoinAutoStrategy)
   }
 }
 
@@ -113,12 +116,23 @@ object GraftExtensions {
     }
   }
 
-  /** Idempotent planner-strategy registration on a live session (the
-    * `withExtensions` path injects it at session build instead). */
+  /** Idempotent registration of the explicit-node strategy on a live
+    * session (the `withExtensions` path injects it at session build
+    * instead). Does NOT enable transparent claiming of plain joins —
+    * that changes how unrelated queries plan, so it stays a separate
+    * opt-in ([[registerAutoBandJoin]]). */
   def registerStrategy(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(BandJoinStrategy))
       spark.experimental.extraStrategies = BandJoinStrategy +: cur
+  }
+
+  /** Session-level opt-in: plain inclusive BETWEEN inner joins with a
+    * broadcast-sized right side are claimed by [[BandJoinExec]]. */
+  def registerAutoBandJoin(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(BandJoinAutoStrategy))
+      spark.experimental.extraStrategies = BandJoinAutoStrategy +: cur
   }
 
   /** Column-API form of the native expression (Spark 4 classic-converter

@@ -161,7 +161,7 @@ case class WordNgramsExpr(child: Expression, n: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+      s"$prettyName expects a STRING argument, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_ngrams"
@@ -183,7 +183,7 @@ case class MinhashSigExpr(child: Expression, n: Int, k: Int)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+      s"$prettyName expects a STRING argument, got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
@@ -204,7 +204,7 @@ case class Simhash32Expr(child: Expression)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$$prettyName expects a STRING argument, got $${other.catalogString}")
+      s"$prettyName expects a STRING argument, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash32"

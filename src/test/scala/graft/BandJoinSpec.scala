@@ -65,7 +65,7 @@ class BandJoinSpec extends SparkSpec {
   }
 
   test("strategy transparently claims a plain inclusive BETWEEN inner join") {
-    graft.plans.GraftExtensions.registerStrategy(spark)
+    graft.plans.GraftExtensions.registerAutoBandJoin(spark)
     val generic = facts.join(dim,
       facts("v") >= dim("lo") && facts("v") <= dim("hi"))
     val p = generic.queryExecution.executedPlan.toString
@@ -82,7 +82,7 @@ class BandJoinSpec extends SparkSpec {
   }
 
   test("strategy falls through on strict bounds and extra conjuncts") {
-    graft.plans.GraftExtensions.registerStrategy(spark)
+    graft.plans.GraftExtensions.registerAutoBandJoin(spark)
     val strict = facts.join(dim,
       facts("v") >= dim("lo") && facts("v") < dim("hi"))
     assert(!strict.queryExecution.executedPlan.toString.contains("BandJoin"),
@@ -101,6 +101,32 @@ class BandJoinSpec extends SparkSpec {
         facts("id") > dim("lo"))
     assert(!extra.queryExecution.executedPlan.toString.contains("BandJoin"),
       "a cross-side extra conjunct must use the built-in join")
+    // long keys are not exact in double: falls through to the exact join
+    val longFacts = Seq((1L, 9007199254740993L)).toDF("id", "v")
+    val longDim = Seq((0L, 9223372036854775807L, "x")).toDF("lo", "hi", "band")
+    val longJoin = longFacts.join(longDim,
+      longFacts("v") >= longDim("lo") && longFacts("v") <= longDim("hi"))
+    assert(!longJoin.queryExecution.executedPlan.toString.contains("BandJoin"),
+      "bigint band keys must use the built-in exact comparison")
+  }
+
+  test("NaN bounds and probes follow Spark's total order (NaN greatest)") {
+    val nanFacts = Seq((1L, 5.0), (2L, Double.NaN)).toDF("id", "v")
+    val nanDim = Seq(
+      (0.0, Double.NaN, "nanHi"),   // hi = NaN: matches any v (v <= NaN)
+      (1.0, 2.0, "tight"),          // must NOT match v=5
+      (Double.NaN, Double.NaN, "nanLo") // lo = NaN: only v = NaN reaches it
+    ).toDF("lo", "hi", "band")
+    val custom = BandJoin
+      .frame(nanFacts, nanDim, nanFacts("v"), nanDim("lo"), nanDim("hi"))
+      .select(col("id"), col("band"))
+    val generic = nanFacts.join(nanDim,
+        nanFacts("v") >= nanDim("lo") && nanFacts("v") <= nanDim("hi"))
+      .select(col("id"), col("band"))
+    val a = custom.as[(Long, String)].collect().sorted
+    val b = generic.as[(Long, String)].collect().sorted
+    assert(a.sameElements(b), s"custom=${a.mkString(",")} generic=${b.mkString(",")}")
+    assert(a.contains((1L, "nanHi")) && !a.contains((1L, "tight")))
   }
 
   test("plan: BandJoinExec over a broadcast exchange on the dimension side") {
