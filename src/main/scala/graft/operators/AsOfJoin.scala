@@ -29,7 +29,11 @@ object AsOfJoin {
 
   /** @param rightPayload columns of `right` to carry onto matches (others dropped)
     * @param rightTieBreak unique right column ordering ties at equal time —
-    *        the max wins, keeping the result deterministic. */
+    *        backward takes the max, forward the min; deterministic either way
+    * @param forward false (default): latest right row with time ≤ left time
+    *        (lookup "as of"); true: earliest right row with time ≥ left time
+    *        (the "next event" join) — same single shuffle + sort, with the
+    *        window frame and the side ordering at equal time mirrored. */
   def apply(
       left: DataFrame,
       right: DataFrame,
@@ -38,7 +42,8 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column,
       rightPayload: Seq[String],
-      rightTieBreak: Column): DataFrame = {
+      rightTieBreak: Column,
+      forward: Boolean = false): DataFrame = {
 
     val payload = struct(rightPayload.map(right(_)): _*)
     val payloadType = right.select(payload).schema.head.dataType
@@ -46,12 +51,16 @@ object AsOfJoin {
     // silently null out string keys and reintroduce nondeterminism
     val tieBreakType = right.select(rightTieBreak).schema.head.dataType
 
+    // the boundary is inclusive in both directions: right rows at equal
+    // time sort before left rows when looking backward, after when forward
+    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
+
     val leftCols = left.columns
     val rTagged = right.select(
-      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+      rightKey.as("_k"), rightTime.as("_t"), lit(rightSide).as("_side"),
       rightTieBreak.as("_tb"), payload.as("_payload"))
     val lTagged = left.select(
-      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
+      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(leftSide).as("_side"),
         lit(null).cast(tieBreakType).as("_tb"),
         lit(null).cast(payloadType).as("_payload")) ++
         leftCols.map(left(_))): _*)
@@ -61,13 +70,19 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(lTagged)
 
-    val w = Window.partitionBy(col("_k"))
+    val ordered = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"), col("_tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (framed, pick) =
+      if (forward)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_payload"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_payload"), ignoreNulls = true))
 
     unioned
-      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn("_match", pick.over(framed))
+      .filter(col("_side") === leftSide)
       .select(leftCols.map(col) :+ col("_match"): _*)
   }
 }

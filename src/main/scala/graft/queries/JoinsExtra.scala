@@ -107,6 +107,23 @@ object JoinsExtra extends QueryPack {
           col("_match.o_orderkey").as("last_orderkey"),
           col("_match.o_orderdate").cast("date").as("last_orderdate"))
         .orderBy(col("event_id"))
+    }),
+
+    // Forward as-of: the NEXT order at-or-after each event (same one-shuffle
+    // union+window operator, frame and equal-time side ordering mirrored).
+    "q_join_asof_fwd" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      AsOfJoin(e, o,
+          leftKey = e("user_id"), rightKey = o("o_custkey"),
+          leftTime = e("ts"), rightTime = o("o_orderdate"),
+          rightPayload = Seq("o_orderkey", "o_orderdate"),
+          rightTieBreak = o("o_orderkey"), forward = true)
+        .select(col("event_id"), col("user_id"),
+          col("_match.o_orderkey").as("next_orderkey"),
+          col("_match.o_orderdate").cast("date").as("next_orderdate"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -153,6 +170,16 @@ object JoinsExtra extends QueryPack {
         |  FROM orders
         |  WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON true
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_join_asof_fwd" ->
+      """SELECT e.event_id, e.user_id, o.next_orderkey, o.next_orderdate
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey AS next_orderkey,
+        |         CAST(o_orderdate AS DATE) AS next_orderdate
+        |  FROM orders
+        |  WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) o ON true
         |ORDER BY e.event_id""".stripMargin
   )
 }
