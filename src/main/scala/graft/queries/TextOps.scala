@@ -142,6 +142,42 @@ object TextOps extends QueryPack {
         .orderBy(col("id_a"))
     }),
 
+    // Vocabulary building: corpus-wide token frequencies, top-100 — the
+    // explode → count → top-k pass every tokenizer-training pipeline runs.
+    "q_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .select(explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)),
+
+    // TF-IDF top-3 terms per document: per-doc term counts × corpus
+    // document frequencies (distinct-token explode), idf = ln((N+1)/(df+1)),
+    // per-doc top-k by (score desc, token asc). Staged so the token
+    // pipeline runs once; every fractional value rounds at 6.
+    "q_tfidf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val tok = d.select(col("doc_id"),
+        explode(tokens(normalizeText(col("text")))).as("token"))
+      val tf = tok.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("score",
+          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("token"), col("score"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // BPE-ish subword token count — rows-only (lookaround regex).
     "q_subword" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -230,6 +266,32 @@ object TextOps extends QueryPack {
     "q_native_hash" ->
       s"""SELECT doc_id, ${sqlHash32("text")} AS h32
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_vocab" ->
+      s"""SELECT t AS token, COUNT(*) AS freq
+         |FROM (SELECT unnest(${sqlToks(sqlNorm("text"))}) AS t FROM documents)
+         |GROUP BY 1 ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(${sqlToks(sqlNorm("text"))}) AS token
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |df AS (
+         |  SELECT token, COUNT(*) AS df
+         |  FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+         |  FROM tf JOIN df USING (token), n)
+         |SELECT doc_id, token, score, rank FROM (
+         |  SELECT doc_id, token, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, token) AS INT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_ngram_jaccard" -> {
       val grams = s"list_distinct(${sqlWordNgrams("text", 3)})"
