@@ -120,6 +120,35 @@ object Functions extends QueryPack {
         .orderBy(col("p_partkey"))
     }),
 
+    // HOF tier 2: exists / forall / array_position / sequence / zip_with.
+    "q_array_funcs2" -> ((s, dir) => {
+      val words = split(col("p_name"), " ")
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          exists(words, w => w.startsWith("a")).as("any_a"),
+          forall(words, w => length(w) >= 3).as("all_ge3"),
+          array_position(words, "red").as("red_pos"),
+          array_join(transform(sequence(lit(1), lit(3)), i => i * 2), ",")
+            .as("evens"),
+          array_join(zip_with(words, reverse(words),
+            (a, b) => concat_ws("-", a, b)), "|").as("zipped"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date_trunc tiers (week/quarter/hour) + day-of-week over event
+    // timestamps — the time-bucketing family windowed aggregation sits on.
+    "q_date_trunc" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          date_trunc("week", col("ts")).cast("date").as("wk"),
+          date_trunc("quarter", col("ts")).cast("date").as("qt"),
+          date_trunc("hour", col("ts")).cast("long").as("hr_epoch"),
+          dayofweek(col("ts")).as("dow"))
+        .orderBy(col("event_id"))),
+
     // UDTF surface: explode → word frequency (SURVEY §2.9 table-generating).
     "q_explode" -> ((s, dir) =>
       t(s, dir, "part")
@@ -253,6 +282,30 @@ object Functions extends QueryPack {
         |    AS days_to_1999,
         |  CAST(o_orderdate AS DATE) + 30 AS due_date
         |FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs2" ->
+      """SELECT p_partkey,
+        |  len(list_filter(string_split(p_name, ' '), w -> w LIKE 'a%')) > 0
+        |    AS any_a,
+        |  len(list_filter(string_split(p_name, ' '), w -> length(w) >= 3))
+        |    = len(string_split(p_name, ' ')) AS all_ge3,
+        |  CAST(list_position(string_split(p_name, ' '), 'red') AS BIGINT)
+        |    AS red_pos,
+        |  array_to_string(list_transform(generate_series(1, 3), i -> i * 2), ',')
+        |    AS evens,
+        |  array_to_string(list_transform(
+        |    list_zip(string_split(p_name, ' '),
+        |             list_reverse(string_split(p_name, ' '))),
+        |    s -> s[1] || '-' || s[2]), '|') AS zipped
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_date_trunc" ->
+      """SELECT event_id,
+        |  CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |  CAST(date_trunc('quarter', ts) AS DATE) AS qt,
+        |  epoch_us(date_trunc('hour', ts)) // 1000000 AS hr_epoch,
+        |  CAST(dayofweek(ts) + 1 AS INT) AS dow
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin,
 
     "q_case_when" ->
       """SELECT c_custkey,
