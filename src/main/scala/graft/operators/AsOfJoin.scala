@@ -51,16 +51,12 @@ object AsOfJoin {
     // silently null out string keys and reintroduce nondeterminism
     val tieBreakType = right.select(rightTieBreak).schema.head.dataType
 
-    // the boundary is inclusive in both directions: right rows at equal
-    // time sort before left rows when looking backward, after when forward
-    val (rightSide, leftSide) = if (forward) (1, 0) else (0, 1)
-
     val leftCols = left.columns
     val rTagged = right.select(
-      rightKey.as("_k"), rightTime.as("_t"), lit(rightSide).as("_side"),
+      rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
       rightTieBreak.as("_tb"), payload.as("_payload"))
     val lTagged = left.select(
-      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(leftSide).as("_side"),
+      (Seq(leftKey.as("_k"), leftTime.as("_t"), lit(1).as("_side"),
         lit(null).cast(tieBreakType).as("_tb"),
         lit(null).cast(payloadType).as("_payload")) ++
         leftCols.map(left(_))): _*)
@@ -70,19 +66,26 @@ object AsOfJoin {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(lTagged)
 
-    val ordered = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_side"), col("_tb"))
-    val (framed, pick) =
-      if (forward)
-        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
-          first(col("_payload"), ignoreNulls = true))
-      else
-        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
-          last(col("_payload"), ignoreNulls = true))
+    // Both directions run the O(n) incremental [unboundedPreceding,
+    // currentRow] frame + last(): forward simply reverses the time and
+    // tie-break sort, so "earliest right at-or-after" becomes "nearest
+    // preceding right row" of the reversed ordering. (A literal
+    // (currentRow, unboundedFollowing) + first() frame has the same
+    // semantics but Spark re-evaluates shrinking frames from scratch per
+    // row — O(rows-per-key²) on hot keys.) Right rows sort before left
+    // rows at equal time either way, keeping the boundary inclusive; the
+    // reversed _tb makes last() pick the min right key forward (max
+    // backward), deterministic in both directions.
+    val ordered = Window.partitionBy(col("_k")).orderBy(
+      (if (forward) col("_t").desc else col("_t").asc),
+      col("_side"),
+      (if (forward) col("_tb").desc else col("_tb").asc))
+    val framed = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn("_match", pick.over(framed))
-      .filter(col("_side") === leftSide)
+      .withColumn("_match",
+        last(col("_payload"), ignoreNulls = true).over(framed))
+      .filter(col("_side") === 1)
       .select(leftCols.map(col) :+ col("_match"): _*)
   }
 }

@@ -158,19 +158,23 @@ object TextOps extends QueryPack {
     // pipeline runs once; every fractional value rounds at 6.
     "q_tfidf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val n = d.count()
-      val tok = d.select(col("doc_id"),
-        explode(tokens(normalizeText(col("text")))).as("token"))
-      val tf = tok.groupBy(col("doc_id"), col("token"))
+      // N as a lazy broadcast aggregate (no driver-side count job), and df
+      // derived FROM tf (tf already has one row per (doc, token), so its
+      // per-token row count IS the document frequency) — the token
+      // pipeline and explode run exactly once.
+      val nDf = d.agg(count(lit(1)).as("__n"))
+      val tf = d.select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val df = tok.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
       tf.join(df, "token")
+        .crossJoin(broadcast(nDf))
         .withColumn("score",
-          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+          round(col("tf") * log((col("__n") + 1.0) / (col("df") + 1.0)), 6))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("token"), col("score"),
