@@ -38,8 +38,11 @@ import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, In
   * inserts the BroadcastExchange, so AQE/reuse work as for built-in joins).
   */
 case class BandJoin(left: LogicalPlan, right: LogicalPlan,
-    value: Expression, lo: Expression, hi: Expression) extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+    value: Expression, lo: Expression, hi: Expression,
+    leftOuter: Boolean = false) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): BandJoin =
     copy(left = newLeft, right = newRight)
@@ -61,7 +64,13 @@ object BandJoin {
     * session — transparent claiming of plain joins stays opt-in
     * ([[GraftExtensions.registerAutoBandJoin]]). */
   def frame(left: DataFrame, right: DataFrame, value: Column,
-      lo: Column, hi: Column): DataFrame = {
+      lo: Column, hi: Column, joinType: String = "inner"): DataFrame = {
+    val leftOuter = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true
+      case other => throw new IllegalArgumentException(
+        s"band join supports inner and left_outer, got $other")
+    }
     val spark = left.sparkSession
     GraftExtensions.registerStrategy(spark)
     val (v, l, h) = (ColumnBridge.resolvedExpression(value),
@@ -72,7 +81,8 @@ object BandJoin {
           s"(exact in double); got ${e.dataType.catalogString}")
     }
     DatasetBridge.ofRows(spark,
-      BandJoin(DatasetBridge.plan(left), DatasetBridge.plan(right), v, l, h))
+      BandJoin(DatasetBridge.plan(left), DatasetBridge.plan(right), v, l, h,
+        leftOuter))
   }
 }
 
@@ -80,8 +90,8 @@ object BandJoin {
   * [[BandJoin.frame]]). */
 object BandJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case BandJoin(l, r, v, lo, hi) =>
-      BandJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case BandJoin(l, r, v, lo, hi, outer) =>
+      BandJoinExec(planLater(l), planLater(r), v, lo, hi, outer) :: Nil
     case _ => Nil
   }
 }
@@ -144,7 +154,8 @@ object BandJoinAutoStrategy extends SparkStrategy
     case j: Join if broadcastable(j.right) =>
       matchBand(j) match {
         case Some((v, lo, hi)) =>
-          BandJoinExec(planLater(j.left), planLater(j.right), v, lo, hi) :: Nil
+          BandJoinExec(planLater(j.left), planLater(j.right), v, lo, hi,
+            leftOuter = false) :: Nil
         case None => Nil
       }
     case _ => Nil
@@ -152,10 +163,13 @@ object BandJoinAutoStrategy extends SparkStrategy
 }
 
 case class BandJoinExec(left: SparkPlan, right: SparkPlan,
-    value: Expression, lo: Expression, hi: Expression) extends BinaryExecNode {
+    value: Expression, lo: Expression, hi: Expression,
+    leftOuter: Boolean = false) extends BinaryExecNode {
   import BandJoinExec.{cmp, SortedDim}
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (leftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
@@ -204,10 +218,15 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
       val maxHiUpTo = dim.maxHiUpTo
       val joined = new JoinedRow
       val project = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = org.apache.spark.sql.catalyst.InternalRow
+        .fromSeq(Seq.fill(right.output.length)(null))
+      val outer = leftOuter
       iter.flatMap { lrow =>
         val v = boundV.eval(lrow)
-        if (v == null) Iterator.empty
-        else {
+        if (v == null) {
+          if (outer) Iterator.single(project(joined(lrow, nullRight)))
+          else Iterator.empty
+        } else {
           val vd = toD(v)
           // first index with lo > vd (total order) — candidates below it
           var a = 0
@@ -217,7 +236,7 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
             if (cmp(los(m), vd) <= 0) a = m + 1 else b = m
           }
           val ub = a
-          new Iterator[InternalRow] {
+          val matches = new Iterator[InternalRow] {
             private var i = ub - 1
             private def seek(): Unit = {
               while (i >= 0 && cmp(maxHiUpTo(i), vd) >= 0 &&
@@ -233,6 +252,9 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
               out
             }
           }
+          if (outer && !matches.hasNext)
+            Iterator.single(project(joined(lrow, nullRight)))
+          else matches
         }
       }
     }

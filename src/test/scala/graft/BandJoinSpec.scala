@@ -57,6 +57,20 @@ class BandJoinSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("left-outer band join keeps unmatched and null-value probes") {
+    val custom = BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"),
+        joinType = "left_outer")
+      .select(col("id"), col("band"))
+    val generic = facts.join(dim,
+        facts("v") >= dim("lo") && facts("v") <= dim("hi"), "left_outer")
+      .select(col("id"), col("band"))
+    val a = custom.as[(Long, Option[String])].collect().sortBy(r => (r._1, r._2))
+    val b = generic.as[(Long, Option[String])].collect().sortBy(r => (r._1, r._2))
+    assert(a.sameElements(b), s"custom=${a.mkString(",")} generic=${b.mkString(",")}")
+    // the null-v probe and the out-of-band probe survive with null bands
+    assert(a.contains((10L, None)) && a.contains((8L, None)))
+  }
+
   test("empty dimension joins to an empty result") {
     val empty = dim.filter(lit(false))
     val out = BandJoin.frame(facts, empty, facts("v"),
