@@ -22,6 +22,11 @@ class RelationalSpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
+    // a typo'd oracle key silently downgrades the query to a rows-only
+    // check — pin the rows-only set to exactly the documented three
+    val rowsOnly = qs.diff(SparkEntry.oracleSql.keySet)
+    assert(rowsOnly == Set("q_approx_distinct", "q_subword", "q_sim_ivf"),
+      s"unexpected rows-only queries (oracle missing?): $rowsOnly")
   }
 
   test("q1_agg aggregates are stable across repartitioning") {
