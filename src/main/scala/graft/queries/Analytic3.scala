@@ -53,6 +53,28 @@ object Analytic3 extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Exact interpolated percentiles (PERCENTILE_CONT semantics) via the
+    // built-in percentile aggregate — complements q_percentile's
+    // window-rank lower-median with the standard linear-interpolation form.
+    "q_percentile_cont" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+        .orderBy(col("l_returnflag"))),
+
+    // Approximate percentile sketch (rows-only: sketch internals are
+    // engine-specific; the error bound vs the exact form is spec-asserted).
+    "q_approx_quantile" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
     // Ordered string aggregation: nation names per region, sorted — the
     // deterministic form of LISTAGG/STRING_AGG (collect order is
     // partition-dependent, so the sort is the portability requirement).
@@ -166,6 +188,13 @@ object Analytic3 extends QueryPack {
         |  round((n*sxy - sx*sy) /
         |    (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6) AS corr
         |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_string_agg" ->
       """SELECT n_regionkey,

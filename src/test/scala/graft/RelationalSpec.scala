@@ -25,8 +25,22 @@ class RelationalSpec extends SparkSpec {
     // a typo'd oracle key silently downgrades the query to a rows-only
     // check — pin the rows-only set to exactly the documented three
     val rowsOnly = qs.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly == Set("q_approx_distinct", "q_subword", "q_sim_ivf"),
+    assert(rowsOnly ==
+      Set("q_approx_distinct", "q_subword", "q_sim_ivf", "q_approx_quantile"),
       s"unexpected rows-only queries (oracle missing?): $rowsOnly")
+  }
+
+  test("approx_percentile tracks the exact interpolated percentile") {
+    // the sketch is engine-specific (rows-only in the gate); its accuracy
+    // contract vs the exact form is asserted here instead
+    val approx = SparkEntry.queries("q_approx_quantile")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = SparkEntry.queries("q_percentile_cont")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    exact.foreach { case (flag, p50) =>
+      val rel = math.abs(approx(flag) - p50) / p50
+      assert(rel < 0.05, s"$flag: approx ${approx(flag)} vs exact $p50")
+    }
   }
 
   test("q1_agg aggregates are stable across repartitioning") {
