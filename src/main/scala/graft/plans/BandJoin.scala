@@ -80,6 +80,25 @@ object BandJoin {
         s"band join keys must be float/double/int/short/byte " +
           s"(exact in double); got ${e.dataType.catalogString}")
     }
+    // Size-guard the explicit API: the auto strategy only claims joins whose
+    // right side fits autoBroadcastJoinThreshold, but `frame` broadcasts
+    // whatever it is given — an oversized dimension would OOM the driver
+    // and every executor instead of failing with a plan-time error.
+    val conf = spark.sessionState.conf
+    val guard = spark.conf.getOption("spark.graft.bandJoin.maxBroadcastBytes")
+      .map(_.toLong)
+      .getOrElse {
+        val t = conf.autoBroadcastJoinThreshold
+        if (t > 0) math.max(t * 8, 256L << 20) else 1L << 30
+      }
+    val estimated = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (guard >= 0 && estimated > guard)
+      throw new IllegalArgumentException(
+        s"band join dimension estimated at $estimated bytes exceeds the " +
+          s"broadcast guard ($guard). The dimension side is always broadcast " +
+          s"whole to every executor; shrink/aggregate it first, raise " +
+          s"spark.graft.bandJoin.maxBroadcastBytes (-1 disables), or use a " +
+          s"plain BETWEEN join (BroadcastNestedLoopJoin / shuffled).")
     DatasetBridge.ofRows(spark,
       BandJoin(DatasetBridge.plan(left), DatasetBridge.plan(right), v, l, h,
         leftOuter))
@@ -151,7 +170,12 @@ object BandJoinAutoStrategy extends SparkStrategy
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j: Join if broadcastable(j.right) =>
+    // j.hint non-empty bails out: a user-supplied BROADCAST/NO_BROADCAST
+    // hint must keep built-in hint-aware planning — this strategy would
+    // otherwise claim the join before those strategies ever see it.
+    case j: Join
+        if j.hint == org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE &&
+          broadcastable(j.right) =>
       matchBand(j) match {
         case Some((v, lo, hi)) =>
           BandJoinExec(planLater(j.left), planLater(j.right), v, lo, hi,
@@ -189,6 +213,15 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
     val boundV = BindReferences.bindReference(value, left.output)
     val boundLo = BindReferences.bindReference(lo, right.output)
     val boundHi = BindReferences.bindReference(hi, right.output)
+    // Cache key must carry the bound lo/hi shapes, not just the broadcast
+    // id: with exchange reuse (spark.sql.exchange.reuse=true) two band
+    // joins over the same dimension child share ONE BroadcastExchange and
+    // thus one id — keyed by id alone, the second join would silently
+    // reuse the first join's sorted bounds. Bound references are
+    // position-based, so their canonicalized form distinguishes bound
+    // column pairs without depending on exprIds.
+    val cacheKey = BandJoinExec.CacheKey(bcast.id,
+      boundLo.canonicalized.toString, boundHi.canonicalized.toString)
     val outAttrs = output
     left.execute().mapPartitions { iter =>
       // evaluate + sort the dimension once per executor (cached on the
@@ -197,7 +230,7 @@ case class BandJoinExec(left: SparkPlan, right: SparkPlan,
       // max of hi: scanning backwards from the binary-searched upper
       // bound, the first index whose prefix-max-hi drops below the probe
       // value proves no earlier entry can match.
-      val dim = BandJoinExec.sortedDim(bcast.id, {
+      val dim = BandJoinExec.sortedDim(cacheKey, {
         val entries = bcast.value.flatMap { r =>
           val l = boundLo.eval(r)
           val h = boundHi.eval(r)
@@ -273,24 +306,29 @@ object BandJoinExec {
   case class SortedDim(entries: Array[(Double, Double, InternalRow)],
       los: Array[Double], maxHiUpTo: Array[Double])
 
-  /** Small per-JVM LRU of sorted dimensions keyed by broadcast id — one
-    * sort per executor per broadcast, bounded so a long-lived session
-    * re-running band joins does not accumulate dead entries. */
+  /** (broadcast id, canonicalized bound lo, canonicalized bound hi) — the
+    * id alone is NOT unique under exchange reuse (see doExecute). */
+  case class CacheKey(broadcastId: Long, lo: String, hi: String)
+
+  /** Small per-JVM LRU of sorted dimensions keyed by [[CacheKey]] — one
+    * sort per executor per (broadcast, bound pair), bounded so a
+    * long-lived session re-running band joins does not accumulate dead
+    * entries. */
   private val MaxCached = 8
   private val cache =
-    new java.util.LinkedHashMap[Long, SortedDim](16, 0.75f, true) {
+    new java.util.LinkedHashMap[CacheKey, SortedDim](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[Long, SortedDim]): Boolean =
+          e: java.util.Map.Entry[CacheKey, SortedDim]): Boolean =
         size() > MaxCached
     }
 
-  private def sortedDim(id: Long, build: => SortedDim): SortedDim =
+  private def sortedDim(key: CacheKey, build: => SortedDim): SortedDim =
     cache.synchronized {
-      val hit = cache.get(id)
+      val hit = cache.get(key)
       if (hit != null) hit
       else {
         val built = build
-        cache.put(id, built)
+        cache.put(key, built)
         built
       }
     }

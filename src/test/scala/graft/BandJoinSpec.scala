@@ -143,6 +143,59 @@ class BandJoinSpec extends SparkSpec {
     assert(a.contains((1L, "nanHi")) && !a.contains((1L, "tight")))
   }
 
+  test("two band joins sharing one broadcast dimension use their own bounds") {
+    // exchange reuse (spark.sql.exchange.reuse=true, the default) gives
+    // both BandJoinExec nodes ONE BroadcastExchange and thus one broadcast
+    // id — the executor-side sorted-dim cache must key on the bound lo/hi
+    // shapes too, or the second join silently reuses the first join's
+    // sorted bounds. Bands are arranged so that bug is visible: (lo1,hi1)
+    // and (lo2,hi2) are swapped between the two dimension rows.
+    // both joins must reference the same dimension columns or column
+    // pruning gives them different scans and no reuse — so join 2 uses the
+    // SAME (lo, hi) pair in swapped roles: band [hi, lo] is inverted
+    // (matches nothing) except the point band where lo == hi.
+    val swapDim = Seq((0.0, 10.0, "a"), (7.0, 7.0, "p"))
+      .toDF("lo", "hi", "band")
+    val f = Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v")
+    val r1 = BandJoin.frame(f, swapDim, f("v"), swapDim("lo"), swapDim("hi"))
+      .select(col("id"), col("v"), col("band").as("band1"))
+    val r2 = BandJoin.frame(r1, swapDim, r1("v"), swapDim("hi"), swapDim("lo"))
+      .select(col("id"), col("band1"), col("band").as("band2"))
+    // v=7 reaches the [7,7] point band in both orientations; v=5 matches
+    // only in join 1 — a stale sorted-dim reuse would resurrect it.
+    val ds = r2.as[(Long, String, String)]
+    val got = ds.collect().sortBy(r => (r._1, r._2))
+    assert(got.sameElements(Array((2L, "a", "p"), (2L, "p", "p"))),
+      s"got=${got.mkString(",")}")
+    // AQE materializes exchange reuse at runtime — check the final plan of
+    // the dataset that actually executed
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"test must exercise the shared-broadcast path:\n$plan")
+  }
+
+  test("explicit frame refuses a dimension above the broadcast size guard") {
+    spark.conf.set("spark.graft.bandJoin.maxBroadcastBytes", "1")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      }
+      assert(e.getMessage.contains("broadcast guard"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.bandJoin.maxBroadcastBytes")
+    // and the default guard admits the small dim unchanged
+    assert(BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      .count() > 0)
+  }
+
+  test("auto strategy leaves hinted joins to built-in planning") {
+    graft.plans.GraftExtensions.registerAutoBandJoin(spark)
+    val hinted = facts.join(dim.hint("broadcast"),
+      facts("v") >= dim("lo") && facts("v") <= dim("hi"))
+    val p = hinted.queryExecution.executedPlan.toString
+    assert(!p.contains("BandJoin"),
+      s"hinted join must keep built-in hint-aware planning:\n$p")
+  }
+
   test("plan: BandJoinExec over a broadcast exchange on the dimension side") {
     val p = BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
       .queryExecution.executedPlan.toString
