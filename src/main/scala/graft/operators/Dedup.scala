@@ -42,15 +42,31 @@ object Dedup {
     * (signature agreement rate) ≥ `threshold`.
     *
     * Plan shape: signatures (narrow, one md5 per shingle) → explode k/bands
-    * band-keys per doc → ONE shuffle on band-key → per-bucket pair
-    * expansion from the collected bucket (no self-join: signatures are
-    * computed once, and the only join-like work is Σ|bucket|² inside each
-    * group) → distinct pairs → agreement filter. At 100 TB the band-key
-    * shuffle carries (16-byte key, id, k longs) per doc — never text. */
+    * band-keys per doc → ONE shuffle on band-key (the window sort; the
+    * following group-by reuses its hash partitioning, no second exchange) →
+    * per-bucket pair expansion → distinct pairs → agreement filter. At
+    * 100 TB the band-key shuffle carries (16-byte key, id, k longs) per doc
+    * — never text.
+    *
+    * Skew safety — real web corpora concentrate boilerplate into a few
+    * degenerate buckets, so every per-bucket quantity is bounded:
+    *  - the aggregation buffer holds at most `maxBucket` + 1 members
+    *    (row_number caps membership BEFORE collect_list, and the window
+    *    sort spills rather than buffers);
+    *  - buckets that exceed `maxBucket` are dropped whole — an oversized
+    *    LSH bucket means near-identical boilerplate, which exact dedup
+    *    ([[exact]]) already catches more cheaply than |bucket|² pairs ever
+    *    could. Pass `drops` to observe the dropped-bucket count in-flight
+    *    (`Observation.get` after the action);
+    *  - pair expansion is a two-stage explode, so no row ever materializes
+    *    the |bucket|² pair array — peak per-row state is one ≤ `maxBucket`
+    *    member array, and one task emits at most `maxBucket`²/2 pairs. */
   def minhashPairs(df: DataFrame, textCol: Column, idCol: Column,
       shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 4096,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(k % bands == 0, "bands must divide k")
+    require(maxBucket > 1, "maxBucket must admit at least one pair")
     val rowsPerBand = k / bands
     val sigs = minhashSignatures(df, textCol, idCol, shingleSize, k)
 
@@ -61,20 +77,31 @@ object Dedup {
             md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
         .as("band_key"))
 
-    // bucket → sorted members → all i<j pairs within the bucket
-    val buckets = banded.groupBy(col("band_key"))
+    // Cap membership before collecting: rank members per bucket and keep
+    // maxBucket + 1 — the sentinel row proves overflow without ever
+    // buffering the full degenerate bucket in an aggregation row.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_key")).orderBy(col("id"))
+    val capped = banded
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket + 1)
+    val collected = capped.groupBy(col("band_key"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
       .filter(size(col("members")) > 1)
+    val observed = drops.fold(collected)(o => collected.observe(o,
+      sum(when(size(col("members")) === maxBucket + 1, 1L).otherwise(0L))
+        .as("dropped_buckets")))
+    val buckets = observed.filter(size(col("members")) <= maxBucket)
 
-    val pairs = buckets.select(
-        explode(flatten(transform(col("members"), (x, i) =>
-          transform(
-            slice(col("members"), i + lit(2), size(col("members"))),
-            y => struct(
-              x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-              x.getField("sig").as("sig_a"), y.getField("sig").as("sig_b"))))))
-          .as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.sig_a"), col("p.sig_b"))
+    // two-stage pair expansion: explode members, then explode each
+    // member's strictly-later slice — i<j pairs without a |bucket|² array
+    val pairs = buckets
+      .select(posexplode(col("members")).as(Seq("__pos", "m")), col("members"))
+      .select(col("m"),
+        explode(slice(col("members"), col("__pos") + 2, size(col("members"))))
+          .as("m2"))
+      .select(col("m.id").as("id_a"), col("m2.id").as("id_b"),
+        col("m.sig").as("sig_a"), col("m2.sig").as("sig_b"))
       .distinct()
 
     pairs

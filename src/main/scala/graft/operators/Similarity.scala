@@ -18,6 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Cosine similarity of two ARRAY<FLOAT> columns, computed in double with
     * a deterministic left-to-right fold (portable across engines). Served by
     * the native fused kernel (plans/CosineSimExpr — the composed HOF fold is
@@ -187,13 +189,34 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket-mates
     * (IVF buckets as the blocking key — same LSH-style pruning as MinHash
-    * banding, but in embedding space). */
+    * banding, but in embedding space).
+    *
+    * Skew safety: a hot bucket (one centroid attracting a boilerplate
+    * cluster) makes the self-join emit |bucket|² rows from one task, so
+    * buckets above `maxBucket` are excluded whole and the loss is logged.
+    * Bucket cardinality is per-centroid — at most `nlist` counts, a model-
+    * size artifact — so the census is a cheap aggregate and the exclusion
+    * list is a tiny IN filter, not another join. */
   def embeddingNearDupPairs(corpus: DataFrame, nlist: Int, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 10000): DataFrame = {
     val assigned = ivfAssign(corpus, nlist, idCol, vecCol)
-    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+    val oversized = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kept =
+      if (oversized.isEmpty) assigned
+      else {
+        log.warn(s"embeddingNearDupPairs: dropping ${oversized.length} " +
+          s"bucket(s) over $maxBucket members " +
+          s"(${oversized.map { case (c, n) => s"centroid $c: $n" }.mkString(", ")}) " +
+          s"— raise maxBucket or increase nlist to split hot buckets")
+        assigned.filter(!col("centroid_id")
+          .isin(oversized.map(o => java.lang.Long.valueOf(o._1)).toSeq: _*))
+      }
+    val a = kept.select(col("centroid_id"), col(idCol).as("id_a"),
       col(vecCol).as("va"))
-    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+    val b = kept.select(col("centroid_id"), col(idCol).as("id_b"),
       col(vecCol).as("vb"))
     a.join(b, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))

@@ -26,6 +26,38 @@ class LlmOpsSpec extends SparkSpec {
       s"LSH recall too low: ${found.size}/$nDocs")
   }
 
+  test("LSH dedup survives a planted degenerate bucket (skew cap + drop count)") {
+    // 5k identical boilerplate docs: one signature, so ONE bucket per band
+    // holds all 5k members — uncapped this is 12.5M pairs from 4 tasks
+    val boiler = spark.range(5000).select(col("id").as("doc_id"),
+      lit("the same boilerplate sentence repeated on every page of the site")
+        .as("text"))
+    // normal corpus, offset ids, plus one planted true near-dup pair that
+    // must survive the cap
+    val normal = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") === 0)
+      .select(lit(200001L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") === 0)
+        .select(lit(200002L).as("doc_id"), col("text")))
+    val corpus = boiler.unionByName(normal).unionByName(planted)
+    val obs = org.apache.spark.sql.Observation("lsh_drops")
+    val pairs = Dedup.minhashPairs(corpus, col("text"), col("doc_id"),
+      shingleSize = 3, k = 16, bands = 4, threshold = 0.5,
+      maxBucket = 64, drops = Some(obs))
+    val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)]
+      .collect()
+    // nothing from the degenerate cluster leaks into the pair output,
+    // and per-task output stayed bounded (no 12.5M-pair explosion)
+    assert(got.forall { case (a, b) => a >= 100000L && b >= 100000L },
+      s"boilerplate pair leaked: ${got.find(_._1 < 100000L)}")
+    assert(got.length < 1000, s"unexpected pair volume: ${got.length}")
+    // the planted in-cap near-dup is still found
+    assert(got.contains((200001L, 200002L)), "planted pair lost to the cap")
+    // the drop is observable in-flight: the cluster's 4 band buckets
+    val dropped = obs.get("dropped_buckets").asInstanceOf[Long]
+    assert(dropped == 4L, s"dropped_buckets=$dropped")
+  }
+
   test("exact dedup groups identical content only") {
     val tripled = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.select((col("doc_id") + 10000L).as("doc_id"), col("text")))
@@ -79,6 +111,21 @@ class LlmOpsSpec extends SparkSpec {
       .select(col("ia"), col("ib")).as[(Long, Long)].collect().toSet
     assert(blocked.subsetOf(brute),
       s"blocked pairs not in brute set: ${blocked.diff(brute).take(3)}")
+  }
+
+  test("embedding near-dup bucket cap excludes oversized buckets whole") {
+    // maxBucket=1: every bucket with 2+ members is dropped, so the blocked
+    // self-join must emit nothing — the cap path, end to end
+    val capped = Similarity.embeddingNearDupPairs(emb, nlist = 8,
+      threshold = 0.2, maxBucket = 1)
+    assert(capped.count() == 0)
+    // and a cap above the biggest bucket changes nothing
+    val n = emb.count().toInt
+    val uncapped = Similarity.embeddingNearDupPairs(emb, nlist = 8,
+      threshold = 0.2, maxBucket = n)
+    val default = Similarity.embeddingNearDupPairs(emb, nlist = 8,
+      threshold = 0.2)
+    assert(uncapped.count() == default.count())
   }
 
   test("subword tokens and char shingles produce sane segmentations") {
