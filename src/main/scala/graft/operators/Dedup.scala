@@ -77,32 +77,7 @@ object Dedup {
             md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
         .as("band_key"))
 
-    // Cap membership before collecting: rank members per bucket and keep
-    // maxBucket + 1 — the sentinel row proves overflow without ever
-    // buffering the full degenerate bucket in an aggregation row.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_key")).orderBy(col("id"))
-    val capped = banded
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= maxBucket + 1)
-    val collected = capped.groupBy(col("band_key"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
-      .filter(size(col("members")) > 1)
-    val observed = drops.fold(collected)(o => collected.observe(o,
-      sum(when(size(col("members")) === maxBucket + 1, 1L).otherwise(0L))
-        .as("dropped_buckets")))
-    val buckets = observed.filter(size(col("members")) <= maxBucket)
-
-    // two-stage pair expansion: explode members, then explode each
-    // member's strictly-later slice — i<j pairs without a |bucket|² array
-    val pairs = buckets
-      .select(posexplode(col("members")).as(Seq("__pos", "m")), col("members"))
-      .select(col("m"),
-        explode(slice(col("members"), col("__pos") + 2, size(col("members"))))
-          .as("m2"))
-      .select(col("m.id").as("id_a"), col("m2.id").as("id_b"),
-        col("m.sig").as("sig_a"), col("m2.sig").as("sig_b"))
-      .distinct()
+    val pairs = cappedBucketPairs(banded, "sig", maxBucket, drops)
 
     pairs
       .withColumn("est_jaccard",
@@ -111,6 +86,45 @@ object Dedup {
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Shared skew-safe bucket → candidate-pair stage: rows (id, band_key,
+    * `payload`) → all i<j same-bucket pairs
+    * (id_a, id_b, payload_a, payload_b), with every per-bucket quantity
+    * bounded:
+    *  - membership is capped BEFORE the collect (row_number over the
+    *    band_key window; the window sort spills, an aggregation buffer
+    *    would not) — at most `maxBucket` + 1 members ever reach one
+    *    aggregation row, the +1 being the overflow sentinel;
+    *  - buckets over `maxBucket` are dropped whole, observable via `drops`
+    *    (metric `dropped_buckets`, readable after the action);
+    *  - pair expansion is a two-stage explode — no row materializes the
+    *    |bucket|² pair array, and one task emits ≤ `maxBucket`²/2 pairs.
+    * The group-by reuses the window's hash partitioning, so the whole
+    * stage costs ONE shuffle of (band_key, id, payload). */
+  private def cappedBucketPairs(banded: DataFrame, payload: String,
+      maxBucket: Int, drops: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    require(maxBucket > 1, "maxBucket must admit at least one pair")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_key")).orderBy(col("id"))
+    val capped = banded
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxBucket + 1)
+    val collected = capped.groupBy(col("band_key"))
+      .agg(sort_array(collect_list(struct(col("id"), col(payload)))).as("members"))
+      .filter(size(col("members")) > 1)
+    val observed = drops.fold(collected)(o => collected.observe(o,
+      sum(when(size(col("members")) === maxBucket + 1, 1L).otherwise(0L))
+        .as("dropped_buckets")))
+    observed.filter(size(col("members")) <= maxBucket)
+      .select(posexplode(col("members")).as(Seq("__pos", "m")), col("members"))
+      .select(col("m"),
+        explode(slice(col("members"), col("__pos") + 2, size(col("members"))))
+          .as("m2"))
+      .select(col("m.id").as("id_a"), col("m2.id").as("id_b"),
+        col(s"m.$payload").as(s"${payload}_a"),
+        col(s"m2.$payload").as(s"${payload}_b"))
+      .distinct()
   }
 
   /** Per-doc SimHash sketch table (native one-pass kernel). */
@@ -123,6 +137,40 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(sort_array(collect_list(col("id"))).as("ids"),
         count(lit(1)).as("n"))
+
+  /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
+    * found WITHOUT an all-pairs comparison: the 32-bit sketch is split
+    * into `maxHamming` + 1 bit-bands, and by pigeonhole two sketches
+    * differing in ≤ `maxHamming` bits agree exactly on at least one band —
+    * so banding is an EXACT candidate generator (recall 1.0, unlike
+    * MinHash banding's probabilistic S-curve), and the popcount filter
+    * removes the false positives. One shuffle on an 8-byte band key; the
+    * same skew cap as [[minhashPairs]] bounds degenerate buckets.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def simhashNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
+      maxHamming: Int = 3, maxBucket: Int = 4096,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32), got $maxHamming")
+    val nBands = maxHamming + 1
+    val sk = simhashSketches(df, textCol, idCol)
+    // band b covers bits [32b/n, 32(b+1)/n) — key = (band | bits), one long
+    val bandKeys = (0 until nBands).map { b =>
+      val lo = 32 * b / nBands
+      val width = 32 * (b + 1) / nBands - lo
+      lit(b.toLong << 32).bitwiseOR(
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit((1L << width) - 1)))
+    }
+    val banded = sk.select(col("id"), col("simhash"),
+      explode(array(bandKeys: _*)).as("band_key"))
+    cappedBucketPairs(banded, "simhash", maxBucket, drops)
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 
   /** Exact n-gram Jaccard for given candidate pairs: a DataFrame with
     * (id_a, id_b) joined back to the texts. */

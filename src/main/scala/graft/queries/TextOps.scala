@@ -131,6 +131,14 @@ object TextOps extends QueryPack {
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SimHash near-dup within Hamming ≤ 4 over the mutant corpus —
+    // pigeonhole banding is an exact candidate generator, so the banded
+    // result must equal the oracle's all-pairs popcount join row for row.
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(withMutants(docs(s, dir)),
+          col("text"), col("doc_id"), maxHamming = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // Exact n-gram Jaccard verification on the known candidate pairs.
     "q_ngram_jaccard" -> ((s, dir) => {
       val d = withMutants(docs(s, dir))
@@ -264,6 +272,20 @@ object TextOps extends QueryPack {
          |  CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
          |    / 16 AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // the oracle is the O(n²) definition the banded pipeline must equal
+    // exactly (pigeonhole recall is 1.0); DuckDB xor() because its ^ is
+    // exponentiation
+    "q_simhash_neardup" -> {
+      val sh = sqlSimhash32(sqlToks(sqlNorm("text")))
+      s"""WITH s AS (
+         |  SELECT doc_id AS id, $sh AS sh FROM $sqlWithMutants)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.id < b.id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 4
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -80,6 +80,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(g.filter(col("n") % 2 =!= 0).count() == 0)
   }
 
+  test("simhash Hamming-band near-dup equals the all-pairs popcount join") {
+    // pigeonhole banding must be EXACT: every pair within Hamming ≤ k
+    // shares at least one of the k+1 bit-bands
+    val mutants = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" tail")).as("text")))
+    for (k <- Seq(0, 3, 7)) {
+      val banded = Dedup.simhashNearDupPairs(mutants, col("text"),
+          col("doc_id"), maxHamming = k)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .as[(Long, Long, Int)].collect().toSet
+      val sk = Dedup.simhashSketches(mutants, col("text"), col("doc_id"))
+      val a = sk.select(col("id").as("ia"), col("simhash").as("sa"))
+      val b = sk.select(col("id").as("ib"), col("simhash").as("sb"))
+      val brute = a.join(b, col("ia") < col("ib"))
+        .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int"))
+        .filter(col("h") <= k)
+        .select(col("ia"), col("ib"), col("h"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(banded == brute,
+        s"k=$k: banded ${banded.size} vs brute ${brute.size}; " +
+          s"missing=${brute.diff(banded).take(3)} extra=${banded.diff(brute).take(3)}")
+    }
+    // and the generator actually finds the planted near-dups at a loose k
+    val loose = Dedup.simhashNearDupPairs(mutants, col("text"),
+        col("doc_id"), maxHamming = 7)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val planted = loose.count { case (x, y) => y == x + 1000000L }
+    assert(planted >= (docs.count() * 0.6).toInt,
+      s"only $planted mutant pairs within Hamming 7")
+  }
+
   test("IVF top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(queries, emb, k = 3)

@@ -23,7 +23,7 @@ class RelationalSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
     // a typo'd oracle key silently downgrades the query to a rows-only
-    // check — pin the rows-only set to exactly the documented three
+    // check — pin the rows-only set to exactly the documented four
     val rowsOnly = qs.diff(SparkEntry.oracleSql.keySet)
     assert(rowsOnly ==
       Set("q_approx_distinct", "q_subword", "q_sim_ivf", "q_approx_quantile"),
