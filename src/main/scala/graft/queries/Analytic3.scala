@@ -90,16 +90,21 @@ object Analytic3 extends QueryPack {
     // custkey is within 100 below the current row's share one frame
     // (value-range semantics, not row counts — the frame is deterministic
     // because the decimal sum is order-independent within it).
-    "q_window_range" -> ((s, dir) => {
-      val w = Window.partitionBy(col("o_orderstatus"))
-        .orderBy(col("o_custkey"))
-        .rangeBetween(-100, Window.currentRow)
-      t(s, dir, "orders")
+    // Partitioning only by o_orderstatus would run the whole table in 3
+    // tasks at any cluster size — ParallelRange buckets the ordering key
+    // and replicates the 100-wide fringe, same frames, ~45 tasks.
+    "q_window_range" -> ((s, dir) =>
+      graft.operators.ParallelRange.trailing(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+              col("o_totalprice")),
+          Seq(col("o_orderstatus")), col("o_custkey"),
+          lookback = 100, bucketWidth = 1000)(
+          w => sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast("double"), "range_sum")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
-          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
-            .cast("double").as("range_sum"))
-        .orderBy(col("o_orderkey"))
-    }),
+          col("range_sum"))
+        .orderBy(col("o_orderkey"))),
 
     // Correlated EXISTS / NOT EXISTS through the SQL subquery machinery
     // (Catalyst rewrites to semi/anti joins — asserted in PlanSpec; the

@@ -88,6 +88,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), "feature pipeline must stay UDF-free (codegen)")
   }
 
+  test("q_window_range: bucketed RANGE frame equals the single-window form " +
+      "and partitions beyond the 3 status values") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_custkey"))
+      .rangeBetween(-100, Window.currentRow)
+    val naive = orders
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast("double").as("range_sum"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val df = SparkEntry.queries("q_window_range")(spark, sf)
+    val fast = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(fast.size == naive.size)
+    val bad = naive.collectFirst {
+      case (k, v) if fast(k) != v => (k, v, fast(k)) }
+    assert(bad.isEmpty, s"frame mismatch (key, naive, bucketed): $bad")
+    // the window exchange must hash on (status, bucket), not status alone
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val windowPart = p.linesIterator
+      .filter(_.contains("hashpartitioning"))
+      .exists(l => l.contains("o_orderstatus") && l.contains("__bucket"))
+    assert(windowPart, s"window not bucket-partitioned:\n$p")
+  }
+
   test("dedup minhash: signatures flow through one exchange per stage") {
     val docs = graft.sources.Tables.load(spark, sf, "documents")
     val pairs = graft.operators.Dedup.minhashPairs(docs,
