@@ -85,6 +85,68 @@ object Similarity {
     picked.sortBy(_._1).toSeq
   }
 
+  /** Trained IVF coarse quantizer: spherical k-means (cosine assignment,
+    * the same metric the probe uses) over a deterministic sample.
+    *
+    * Deterministic end to end — the sample is the `sampleSize` corpus rows
+    * with the smallest portable 32-bit id-hash (spread, reproducible, no
+    * RNG), init is an even stride over the id-sorted sample, and Lloyd
+    * iterations are driver-side float-free double arithmetic — so every
+    * run (and both engines' fixtures) trains the identical model. Like any
+    * real IVF quantizer the model is a tiny artifact (nlist × dim), which
+    * is why collecting the sample to the driver is legitimate; the corpus
+    * itself never moves. Centroid ids are 0..nlist−1. */
+  def ivfTrainKMeans(corpus: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleSize: Int = 4096, iters: Int = 5): Seq[(Long, Array[Float])] = {
+    import graft.functions.TextFunctions.hash32
+    val sample = corpus
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .orderBy(hash32(col("id").cast("string")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "ivfTrainKMeans: empty corpus")
+    val dim = sample.head.length
+    val k = math.min(nlist, sample.length)
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dot / d
+    }
+    def nearest(cs: Array[Array[Double]], v: Array[Double]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity; var c = 0
+      while (c < cs.length) {
+        val s = cos(cs(c), v)
+        if (s > bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    var centroids = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) // empty cluster keeps its centroid
+        else sums(c).map(_ / counts(c)) // magnitude is irrelevant to cosine
+      }
+      it += 1
+    }
+    centroids.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }.toSeq
+  }
+
   /** Top-`howMany` nearest centroid ids for a vector column, via the native
     * kernel (plans/NearestCentroidsExpr): one fused call per row, centroid
     * matrix passed as a codegen reference object — generated source stays

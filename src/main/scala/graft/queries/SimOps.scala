@@ -48,11 +48,13 @@ object SimOps extends QueryPack {
     }),
 
     // IVF approximate top-k — the 100 TB path (probe nprobe of nlist
-    // buckets). Approximation is engine-defined → rows-only check here;
-    // SimilaritySpec asserts recall against q_sim_topk.
+    // buckets), on the TRAINED quantizer (deterministic sampled k-means).
+    // Approximation is engine-defined → rows-only check here; LlmOpsSpec
+    // asserts recall against brute force meets-or-beats the strided
+    // quantizer's.
     "q_sim_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
-      val model = Similarity.ivfTrain(e, nlist = 16)
+      val model = Similarity.ivfTrainKMeans(e, nlist = 16)
       val assigned = Similarity.ivfAssignWith(e, model)
       Similarity.ivfTopKWith(e.filter(col("vec_id") < 10), assigned, model,
           nprobe = 4, k = 3)
