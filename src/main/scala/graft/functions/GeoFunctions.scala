@@ -156,6 +156,49 @@ object GeoFunctions {
           lit("</MultiGeometry>")))
       .otherwise(lit(null).cast("string"))
 
+  /** Parse a KML geometry fragment back into the engine struct — the KML
+    * *source* mirroring [[st_askml]] (F6: the reference xml-parses
+    * `ST_AsKML` output into a geometry object, `src/from-ground-up.js:
+    * 451-455` via fast-xml-parser). Accepts the canonical `ST_AsKML`
+    * dialect this engine and PostGIS emit — Point/LineString/Polygon
+    * (outerBoundaryIs + any innerBoundaryIs holes)/MultiGeometry-of-
+    * Polygons; a `x,y,z` altitude term is dropped. Pure regex + HOF
+    * composition of built-ins (no UDF, no XML library), inverse of
+    * [[st_askml]] by the GeoFunctionsSpec round-trip property. */
+  def st_geomfromkml(s: Column): Column = {
+    // "x1,y1[,z1] x2,y2[,z2] ..." → ARRAY<ARRAY<DOUBLE>> of [x, y]
+    def parsePts(cs: Column): Column =
+      transform(split(trim(cs), "\\s+"),
+        p => slice(transform(split(p, ","), c => c.cast("double")), 1, 2))
+    def polygonRings(body: Column): Column = {
+      val outer = regexp_extract(body,
+        "<outerBoundaryIs><LinearRing><coordinates>(.*?)</coordinates>", 1)
+      val inners = regexp_extract_all(body,
+        lit("<innerBoundaryIs><LinearRing><coordinates>(.*?)</coordinates>"),
+        lit(1))
+      concat(array(parsePts(outer)), transform(inners, parsePts _))
+    }
+    val pointCs = regexp_extract(s,
+      "<Point><coordinates>(.*?)</coordinates>", 1)
+    val lineCs = regexp_extract(s,
+      "<LineString><coordinates>(.*?)</coordinates>", 1)
+    val polys = regexp_extract_all(s, lit("<Polygon>(.*?)</Polygon>"), lit(1))
+    when(s.startsWith("<Point>"),
+        struct(lit("Point").as("kind"),
+          array(array(array(element_at(parsePts(pointCs), 1))))
+            .as("coordinates")))
+      .when(s.startsWith("<LineString>"),
+        struct(lit("LineString").as("kind"),
+          array(array(parsePts(lineCs))).as("coordinates")))
+      .when(s.startsWith("<Polygon>"),
+        struct(lit("Polygon").as("kind"),
+          array(polygonRings(s)).as("coordinates")))
+      .when(s.startsWith("<MultiGeometry>"),
+        struct(lit("MultiPolygon").as("kind"),
+          transform(polys, polygonRings _).as("coordinates")))
+      .otherwise(lit(null).cast(geometryType))
+  }
+
   /** Parse a GeoJSON geometry string into the engine struct — the engine
     * form of the reference's `JSON.parse(geometry)`
     * (`src/from-ground-up.js:188`). Accepts Point/LineString/Polygon/

@@ -30,6 +30,20 @@ object Geo extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // KML ingest (F6): render → parse → re-render. The oracle computes the
+    // same output WITHOUT any KML, so a hash match proves the Spark-side
+    // parse is the exact inverse of the render.
+    "q_geo_kml_ingest" -> ((s, dir) => {
+      val g = st_point(col("c_acctbal"), col("c_custkey").cast("double"))
+      val parsed = st_geomfromkml(st_askml(g))
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          st_asgeojson(parsed).as("geojson"),
+          st_x(parsed).as("x"), st_y(parsed).as("y"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Per-group LineString from sorted points → envelope → bbox fields.
     // The aggregation shape mirrors warnify (group → collect → one geometry
     // per group); envelope is pure per-row compute after the shuffle.
@@ -103,6 +117,13 @@ object Geo extends QueryPack {
         |  '<Point><coordinates>' || CAST(c_acctbal AS VARCHAR) || ',' ||
         |    CAST(CAST(c_custkey AS DOUBLE) AS VARCHAR) ||
         |    '</coordinates></Point>' AS kml,
+        |  c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y
+        |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
+
+    "q_geo_kml_ingest" ->
+      """SELECT c_custkey,
+        |  '{"type":"Point","coordinates":[' || to_json(c_acctbal) || ',' ||
+        |    to_json(CAST(c_custkey AS DOUBLE)) || ']}' AS geojson,
         |  c_acctbal AS x, CAST(c_custkey AS DOUBLE) AS y
         |FROM customer WHERE c_custkey < 100 ORDER BY c_custkey""".stripMargin,
 

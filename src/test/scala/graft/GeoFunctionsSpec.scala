@@ -72,6 +72,46 @@ class GeoFunctionsSpec extends SparkSpec {
       mp.endsWith("</Polygon></MultiGeometry>"))
   }
 
+  test("st_geomfromkml inverts st_askml on every geometry kind (round-trip)") {
+    val shapes = Seq(
+      """{"type":"Point","coordinates":[-118.756,50.7]}""",
+      """{"type":"LineString","coordinates":[[-118.8,50.65],[-118.78,50.67],[0.001,-42.25]]}""",
+      """{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]],[[1.0,1.0],[2.0,1.0],[1.0,2.0],[1.0,1.0]],[[3.0,3.0],[3.5,3.0],[3.0,3.5],[3.0,3.0]]]}""",
+      """{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[1.0,0.0],[1.0,1.0],[0.0,0.0]],[[0.2,0.2],[0.4,0.2],[0.2,0.4],[0.2,0.2]]],[[[5.0,5.0],[6.0,5.0],[6.0,6.0],[5.0,5.0]]]]}""")
+    shapes.foreach { in =>
+      val rows = geomOf(in)
+        .select(col("g"), st_geomfromkml(st_askml(col("g"))).as("rt"))
+        .filter(col("g") === col("rt"))
+      assert(rows.count() == 1, s"KML round-trip changed the geometry for $in")
+    }
+  }
+
+  test("st_geomfromkml inverts st_askml over every fixture geometry (property)") {
+    // the ATES golden fixtures carry every kind the reference stores,
+    // including multi-ring polygons and MultiGeometry
+    graft.ates.Fixtures.tables(spark).foreach { case (name, df) =>
+      if (df.columns.contains("geom")) {
+        val g = df.select(col("geom")).filter(col("geom").isNotNull)
+        val n = g.count()
+        val intact = g
+          .select(col("geom"), st_geomfromkml(st_askml(col("geom"))).as("rt"))
+          .filter(col("geom") === col("rt"))
+          .count()
+        assert(intact == n, s"$name: ${n - intact} geometries broke the KML round-trip")
+      }
+    }
+  }
+
+  test("st_geomfromkml tolerates altitude terms and rejects junk") {
+    val rt = Seq("<Point><coordinates>1.5,2.5,99.0</coordinates></Point>")
+      .toDF("k").select(st_geomfromkml(col("k")).as("g"))
+      .select(st_x(col("g")), st_y(col("g"))).as[(Double, Double)].head()
+    assert(rt == ((1.5, 2.5)), "altitude term must be dropped")
+    val junk = Seq("<Banana>7</Banana>").toDF("k")
+      .select(st_geomfromkml(col("k"))).head()
+    assert(junk.isNullAt(0), "non-geometry markup must parse to null")
+  }
+
   test("kml color conversion is byte-pair reversal and an involution") {
     assert(graft.ates.Styles.kmlColor("ffc107ff") == "ff07c1ff")
     assert(graft.ates.Styles.kmlColor("rrggbbaa".replace("r", "1")
