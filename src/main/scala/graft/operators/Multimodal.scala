@@ -36,15 +36,43 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, data: Array[Byte],
       source: String)
 
-  /** STUB — deterministic fake codec standing in for libjpeg/ffmpeg/etc.
+  /** STUB — deterministic fake codec standing in for libavcodec etc.
     * Derives plausible metadata purely from the bytes so every run (and the
     * DuckDB oracle) agrees. A real implementation replaces these bodies;
-    * signatures and call sites stay. */
+    * signatures and call sites stay. Audio/video only — images decode for
+    * real through [[ImageCodec]] (the JDK ships one). */
   object FakeCodec {
     def decodeDims(data: Array[Byte]): (Int, Int) =
       (16 + (data.length % 640), 16 + ((data.length * 7) % 480))
     def frameCount(kind: String, data: Array[Byte]): Int =
       if (kind == "video") 1 + (data.length % 8) else 1
+  }
+
+  /** Real image decode via `javax.imageio` (in the JDK, no external libs):
+    * header-only dimension read for PNG/JPEG/GIF/BMP payloads — the reader
+    * parses the header, never the full raster, so this is cheap enough for
+    * a 100 TB metadata pass. Returns None for undecodable bytes (the
+    * corpus fixtures are text payloads), which fall back to [[FakeCodec]]
+    * so fixture-driven tests stay deterministic. */
+  object ImageCodec {
+    def decodeDims(data: Array[Byte]): Option[(Int, Int)] = {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      if (in == null) return None
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(in)
+            Some((r.getWidth(0), r.getHeight(0)))
+          } catch {
+            case _: java.io.IOException => None
+          } finally r.dispose()
+        }
+      } finally in.close()
+    }
   }
 
   /** Build a media table from the documents corpus: text bytes stand in for
@@ -70,7 +98,10 @@ object Multimodal {
       (lit(16) + pmod(length(col("data")), lit(640))).as("width"),
       (lit(16) + pmod(length(col("data")) * 7, lit(480))).as("height"))
 
-  /** Batch decode via mapPartitions — the real-codec integration point. */
+  /** Batch decode via mapPartitions — the real-codec integration point.
+    * Image payloads decode for real ([[ImageCodec]], JDK imageio) with the
+    * deterministic stub as the undecodable-bytes fallback; audio/video
+    * remain stubbed (no codec in the JDK). */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("data"), col("source"))
@@ -78,7 +109,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // one codec context per partition would be initialized here
         rows.map { r =>
-          val (w, h) = FakeCodec.decodeDims(r.data)
+          val (w, h) =
+            (if (r.kind == "image") ImageCodec.decodeDims(r.data) else None)
+              .getOrElse(FakeCodec.decodeDims(r.data))
           MediaMeta(r.media_id, r.kind, r.data.length.toLong,
             java.security.MessageDigest.getInstance("MD5")
               .digest(r.data).take(4).map("%02x".format(_)).mkString,

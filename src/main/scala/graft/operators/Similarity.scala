@@ -41,21 +41,22 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query vector. `queries` should be small
-    * (it is broadcast); corpus streams through unshuffled until the final
-    * per-query top-k (TakeOrdered-style via row_number). Self-matches are
-    * excluded. */
+    * (it is broadcast); corpus streams through unshuffled and the per-query
+    * top-k runs through the bounded-buffer aggregator — each map task
+    * prunes to k candidates per query BEFORE the exchange, so the shuffle
+    * carries ≤ k·|Q|·|tasks| entries instead of all |Q|·|C| scored rows
+    * (the window form sorted the full scored set). Ordering contract is
+    * identical (score desc, neighbor_id asc), so results are unchanged.
+    * Self-matches are excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"),
+        col("rank"))
   }
 
   /** Deterministic IVF coarse quantizer: centroids are the vectors whose

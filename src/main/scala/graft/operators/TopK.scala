@@ -22,8 +22,13 @@ class TopKAggregator(k: Int)
     extends Aggregator[TopKAggregator.In, List[TopKAggregator.In], Seq[TopKAggregator.In]] {
   import TopKAggregator.In
 
-  private def better(a: In, b: In): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not >/==: the window form sorts DESC under
+  // Spark's total order (NaN first, -0.0 below 0.0), and raw double ops
+  // would displace a NaN score and tie -0.0 with 0.0
+  private def better(a: In, b: In): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   /** Insert into a descending-sorted bounded list (k is small; the O(k)
     * insertion beats re-sorting per row). */

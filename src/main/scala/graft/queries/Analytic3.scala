@@ -56,6 +56,11 @@ object Analytic3 extends QueryPack {
     // Exact interpolated percentiles (PERCENTILE_CONT semantics) via the
     // built-in percentile aggregate — complements q_percentile's
     // window-rank lower-median with the standard linear-interpolation form.
+    // SCALE DISPATCH: exact percentile buffers every value of a group in
+    // its aggregation buffer, so this form is for small-cardinality groups
+    // (dimension rollups, QA summaries) only — a 100 TB pass routes to the
+    // approx_percentile sketch (q_approx_quantile; bounded memory, its
+    // error vs this exact form is contract-tested in RelationalSpec).
     "q_percentile_cont" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))

@@ -149,7 +149,14 @@ object EventStreams {
     * the query, let the source drain, read the sink". The memory-sink view
     * and the checkpoint dir are cleaned up before returning (repeated
     * invocations must not accumulate pinned results or temp dirs), and the
-    * query stops even when the source fails mid-drain. */
+    * query stops even when the source fails mid-drain.
+    *
+    * NOT concurrency-safe with batch planning on the same session: the
+    * shuffle-partition override below is session-global while the drain
+    * runs, so a batch query planned concurrently would pick up the
+    * streaming width. The harness (Verify/Bench/specs) runs queries
+    * sequentially; a caller needing isolation should build the stream on
+    * `spark.newSession()` with the streaming width set there instead. */
   def runToResult(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val ckpt = newCheckpointDir(name)

@@ -231,6 +231,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(colPath.sameElements(batchPath))
   }
 
+  test("image payloads decode for real through javax.imageio (batch path)") {
+    // a genuine 37x23 PNG rendered in-memory: dims must come from the
+    // actual decode, not the byte-arithmetic stub
+    val img = new java.awt.image.BufferedImage(37, 23,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq((1L, "image", png, "synthetic"),
+        (2L, "image", "not an image".getBytes("UTF-8"), "synthetic"),
+        (3L, "audio", png, "synthetic"))
+      .toDF("media_id", "kind", "data", "source")
+    val metas = Multimodal.decodeMeta(spark, media)
+      .select(col("media_id"), col("width"), col("height"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    assert(metas(0) == ((1L, 37, 23)), s"real decode missed: ${metas(0)}")
+    // undecodable image bytes fall back to the deterministic stub
+    val stub = Multimodal.FakeCodec.decodeDims("not an image".getBytes("UTF-8"))
+    assert(metas(1) == ((2L, stub._1, stub._2)))
+    // non-image kinds never enter the image decoder (png bytes, audio kind)
+    val stubPng = Multimodal.FakeCodec.decodeDims(png)
+    assert(metas(2) == ((3L, stubPng._1, stubPng._2)))
+  }
+
   test("frame sampling emits stride-spaced offsets within bounds") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs), stride = 2)

@@ -88,6 +88,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("UDF"), "feature pipeline must stay UDF-free (codegen)")
   }
 
+  test("q_sim_topk: bounded-buffer aggregator prunes map-side, no full-window sort") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k should run through the typed aggregator:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial top-k prune:\n$p")
+    assert(!p.contains("Window"),
+      s"scored rows must not flow through a full window sort:\n$p")
+  }
+
   test("q_window_range: bucketed RANGE frame equals the single-window form " +
       "and partitions beyond the 3 status values") {
     import org.apache.spark.sql.expressions.Window
