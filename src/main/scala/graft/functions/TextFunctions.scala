@@ -50,13 +50,19 @@ object TextFunctions {
       split(c, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9 ])"),
       t => length(t) > 0)
 
-  /** Character k-shingles of the normalized text. */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normalizeText(c)
+  /** Character k-shingles of a PRE-STAGED normalized text column: the
+    * lambda re-evaluates its free references per element, so passing
+    * `normalizeText(c)` inline costs one normalize PER SHINGLE — stage the
+    * normalized text in its own projection for corpus-scale use. */
+  def charShinglesOfNormalized(n: Column, k: Int): Column =
     transform(
       sequence(lit(1), greatest(length(n) - (k - 1), lit(1))),
       i => n.substr(i, lit(k)))
-  }
+
+  /** Character k-shingles of the normalized text (inline convenience —
+    * see [[charShinglesOfNormalized]] for the staging caveat). */
+  def charShingles(c: Column, k: Int): Column =
+    charShinglesOfNormalized(normalizeText(c), k)
 
   def sqlCharShingles(expr: String, k: Int): String = {
     val n = sqlNormalizeText(expr)
@@ -89,6 +95,51 @@ object TextFunctions {
 
   def sqlFingerprint(expr: String): String =
     s"md5(${sqlNormalizeText(expr)})"
+
+  /** Winnowing document fingerprint (Schleimer, Wilkerson & Aiken 2003):
+    * hash every char k-shingle of the normalized text, keep the minimum
+    * hash of each w-wide shingle window, output the distinct selected
+    * hashes sorted. Any shared substring of length ≥ k + w − 1 between two
+    * documents is guaranteed to surface a common fingerprint hash — the
+    * partial-overlap detector (copied paragraphs) that whole-document
+    * [[fingerprint]] and near-global MinHash both miss. Narrow, no
+    * shuffle; served by the native one-pass kernel
+    * ([[graft.plans.WinnowFingerprintExpr]], ≡ [[winnowFingerprintComposed]]
+    * in TextKernelsSpec). */
+  def winnowFingerprint(c: Column, k: Int = 5, w: Int = 4): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.WinnowFingerprintExpr(
+      ColumnBridge.expression(c), k, w))
+  }
+
+  /** The built-ins-only pieces of [[winnowFingerprint]] — the executable
+    * spec of the native kernel and the source of the oracle SQL shape.
+    * Two stages on purpose: the hash array MUST materialize in its own
+    * projection before [[winnowFromHashes]] — inlined, every window's
+    * lambda would recompute the whole shingle-hash pipeline (O(n²) md5s
+    * per document; the round-1 staging lesson). */
+  def hashedCharShinglesOfNormalized(n: Column, k: Int): Column =
+    transform(charShinglesOfNormalized(n, k), sh => hash32Composed(sh))
+
+  /** Window-min winnowing over a PRE-STAGED hash array column. */
+  def winnowFromHashes(hs: Column, w: Int): Column =
+    array_sort(array_distinct(transform(
+      sequence(lit(1), greatest(size(hs) - (w - 1), lit(1))),
+      j => array_min(slice(hs, j, lit(w))))))
+
+  /** `normExpr` must name a materialized normalized-text column — inlined,
+    * DuckDB re-evaluates the normalize per shingle exactly like Spark. */
+  def sqlHashedCharShinglesOfNormalized(normExpr: String, k: Int): String =
+    s"list_transform(" +
+      s"list_transform(generate_series(1, greatest(length($normExpr) - ${k - 1}, 1)), " +
+      s"i -> substr($normExpr, i, $k)), s -> ${sqlHash32("s")})"
+
+  /** `hsExpr` must name a materialized column (CTE-staged), mirroring the
+    * staging requirement of [[winnowFromHashes]]. */
+  def sqlWinnowFromHashes(hsExpr: String, w: Int): String =
+    s"list_sort(list_distinct(list_transform(" +
+      s"generate_series(1, greatest(len($hsExpr) - ${w - 1}, 1)), " +
+      s"j -> list_min(list_slice($hsExpr, j, j + ${w - 1})))))"
 
   /** Portable 32-bit hash: first 4 md5 bytes as a long in [0, 2^32).
     * Identical in DuckDB via ('0x' || substr(md5(x),1,8))::BIGINT.

@@ -69,6 +69,12 @@ object GraftExtensions {
       arity(args, 1, "graft_simhash32")
       Simhash32Expr(args.head)
     },
+    "graft_winnow_fingerprint" -> { args =>
+      arity(args, 3, "graft_winnow_fingerprint")
+      WinnowFingerprintExpr(args.head,
+        intArg(args(1), "graft_winnow_fingerprint"),
+        intArg(args(2), "graft_winnow_fingerprint"))
+    },
     "graft_cosine" -> { args =>
       arity(args, 2, "graft_cosine")
       CosineSimExpr(args.head, args(1))
@@ -88,6 +94,7 @@ object GraftExtensions {
     "st_envelope" -> GeoFunctions.st_envelope,
     "st_envelope_polygon" -> GeoFunctions.st_envelope_polygon,
     "st_geomfromgeojson" -> GeoFunctions.st_geomfromgeojson,
+    "st_geomfromkml" -> GeoFunctions.st_geomfromkml,
     "st_points" -> GeoFunctions.st_points,
     "st_npoints" -> GeoFunctions.st_npoints,
     "st_x" -> GeoFunctions.st_x,

@@ -127,6 +127,46 @@ object TextKernels {
     new GenericArrayData(mins)
   }
 
+  /** ≡ the composed winnowing form (`TextFunctions.winnowFingerprintComposed`):
+    * hash32 of every char k-shingle of the normalized text, minimum hash
+    * per w-wide window, distinct selected hashes sorted ascending — one
+    * pass, no shingle/hash arrays materialized beyond the O(n) hash
+    * buffer. Code-point shingling matches `substr`'s character semantics. */
+  def winnowFingerprint(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val trimmed = TrimP.matcher(s.toString).replaceAll("")
+    val collapsed = WsP.matcher(trimmed).replaceAll(" ")
+    val norm = UTF8String.fromString(collapsed).toLowerCase.toString
+    val cps = norm.codePoints().toArray
+    val md = digest.get()
+    val nSh = math.max(cps.length - (k - 1), 1)
+    val hashes = new Array[Long](nSh)
+    var i = 0
+    while (i < nSh) {
+      val end = math.min(i + k, cps.length)
+      md.reset()
+      md.update(new String(cps, i, end - i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) = first4Md5(md)
+      i += 1
+    }
+    val nW = math.max(nSh - (w - 1), 1)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var j = 0
+    while (j < nW) {
+      var m = Long.MaxValue
+      var t = j
+      val end = math.min(j + w, nSh)
+      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+      sel.add(m)
+      j += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ≡ `simhash32FromHashes(hashedTokens(c))`: 32-bit SimHash — per-token
     * hash32, majority vote per bit, one pass. */
   def simhash32(s: UTF8String): Long = {
@@ -195,6 +235,29 @@ case class MinhashSigExpr(child: Expression, n: Int, k: Int)
     defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.minhashSig($c, $n, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSigExpr =
+    copy(child = newChild)
+}
+
+/** Native winnowing fingerprint (array<long>, sorted distinct); ≡
+  * `TextFunctions.winnowFingerprintComposed(c, k, w)`. */
+case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a STRING argument, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_fingerprint"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.winnowFingerprint(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.TextKernels.winnowFingerprint($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprintExpr =
     copy(child = newChild)
 }
 

@@ -150,6 +150,19 @@ object TextOps extends QueryPack {
         .orderBy(col("id_a"))
     }),
 
+    // Winnowing fingerprint (rolling local fingerprints, Schleimer et al.):
+    // sorted distinct window-min shingle hashes per doc — the
+    // partial-overlap detector between exact dedup and MinHash. Staged:
+    // the fingerprint array materializes once for both output columns.
+    "q_fingerprint_winnow" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          winnowFingerprint(col("text"), k = 5, w = 4).as("__fp"))
+        .select(col("doc_id"),
+          array_join(col("__fp"), ",").as("fp"),
+          size(col("__fp")).as("n_fp"))
+        .orderBy(col("doc_id"))),
+
     // Vocabulary building: corpus-wide token frequencies, top-100 — the
     // explode → count → top-k pass every tokenizer-training pipeline runs.
     "q_vocab" -> ((s, dir) =>
@@ -292,6 +305,21 @@ object TextOps extends QueryPack {
     "q_native_hash" ->
       s"""SELECT doc_id, ${sqlHash32("text")} AS h32
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint_winnow" -> {
+      // normalized text AND hash array staged in their own CTEs — inlined,
+      // DuckDB re-evaluates the normalize per shingle and the whole
+      // shingle-hash pipeline per window (O(n²) per doc)
+      s"""WITH n AS MATERIALIZED (
+         |  SELECT doc_id, ${sqlNormalizeText("text")} AS norm FROM documents),
+         |h AS MATERIALIZED (
+         |  SELECT doc_id, ${sqlHashedCharShinglesOfNormalized("norm", 5)} AS hs
+         |  FROM n),
+         |f AS (SELECT doc_id, ${sqlWinnowFromHashes("hs", 4)} AS fparr FROM h)
+         |SELECT doc_id, array_to_string(fparr, ',') AS fp,
+         |  CAST(len(fparr) AS INT) AS n_fp
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "q_vocab" ->
       s"""SELECT t AS token, COUNT(*) AS freq

@@ -68,6 +68,70 @@ class TextKernelsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("WinnowFingerprintExpr ≡ staged composed winnowing (k,w grid)") {
+    // every intermediate staged in its own projection — inlined, the
+    // interpreted HOF lambdas recompute normalize per shingle and the
+    // shingle pipeline per window (O(n²) per doc; measured in minutes)
+    // mismatches counted via an AGGREGATE, not a filter: a filter here is
+    // pushed below the staging projections with every alias substituted,
+    // rebuilding the O(n²) inlined expression the staging exists to avoid
+    def composedVsNative(df: org.apache.spark.sql.DataFrame,
+        k: Int, w: Int): Long =
+      df.repartition(8) // the corpus is one parquet split; spread the HOF cost
+        .select(col("text"), normalizeText(col("text")).as("__norm"))
+        .select(col("text"),
+          hashedCharShinglesOfNormalized(col("__norm"), k).as("__hs"))
+        .select(winnowFromHashes(col("__hs"), w).as("composed"),
+          winnowFingerprint(col("text"), k, w).as("native"))
+        .select((col("composed") <=> col("native")).as("ok"))
+        .agg(sum(when(col("ok"), 0L).otherwise(1L)))
+        .head().getLong(0)
+    // full corpus at the production parameters
+    assert(composedVsNative(corpusPlus, 5, 4) == 0, "mismatch at k=5 w=4")
+    // parameter grid (incl. w=1 all-hashes and w > shingle-count edges)
+    // on the edge strings + a corpus sample (edges first — limit on the
+    // union would drop them)
+    val sample = edges.toDF("text").unionByName(
+      Tables.load(spark, sf, "documents").select(col("text")).limit(50))
+    for ((k, w) <- Seq((3, 2), (7, 1), (4, 9))) {
+      assert(composedVsNative(sample, k, w) == 0,
+        s"winnow fingerprint mismatch at k=$k w=$w")
+    }
+  }
+
+  test("winnowing surfaces shared substrings between partially-copied docs") {
+    // the winnowing guarantee: any shared run of ≥ k + w − 1 chars yields a
+    // common selected hash — a copied sentence must overlap fingerprints
+    val base = Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val partCopies = base.select((col("doc_id") + 1000L).as("doc_id"),
+      concat(lit("entirely new preamble text here. "), col("text")).as("text"))
+    val fps = base.unionByName(partCopies)
+      .select(col("doc_id"), winnowFingerprint(col("text")).as("fp"))
+    val a = fps.filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("fp"))
+    val b = fps.filter(col("doc_id") >= 1000L)
+      .select((col("doc_id") - 1000L).as("doc_id"), col("fp").as("fp2"))
+    val overlap = a.join(b, "doc_id")
+      .select(col("doc_id"),
+        (size(array_intersect(col("fp"), col("fp2"))).cast("double") /
+          size(col("fp")).cast("double")).as("shared"))
+      .collect().map(r => r.getDouble(1))
+    assert(overlap.nonEmpty && overlap.forall(_ > 0.5),
+      s"partial copies share too few fingerprints: min=${overlap.min}")
+    // while unrelated docs share almost nothing
+    val cross = a.filter(col("doc_id") === 1)
+      .crossJoin(b.filter(col("doc_id") === 2).drop("doc_id"))
+      .select((size(array_intersect(col("fp"), col("fp2"))).cast("double") /
+        size(col("fp")).cast("double")).as("shared"))
+      .head().getDouble(0)
+    // the synthetic corpus draws from one word pool, so some shingle
+    // overlap between unrelated docs is expected — the discriminating
+    // property is partial copies scoring far above the unrelated floor
+    assert(cross < 0.4 && cross < overlap.min,
+      s"unrelated docs share $cross of fingerprints (copies min=${overlap.min})")
+  }
+
   test("native kernels participate in whole-stage codegen") {
     val cg = corpusPlus
       .select(minhashSigNative(col("text"), 3, 8),
