@@ -35,12 +35,15 @@ object Geo extends QueryPack {
     // parse is the exact inverse of the render.
     "q_geo_kml_ingest" -> ((s, dir) => {
       val g = st_point(col("c_acctbal"), col("c_custkey").cast("double"))
-      val parsed = st_geomfromkml(st_askml(g))
+      // the parsed geometry is multiply-referenced — stage it once, or the
+      // whole render→parse tree inlines into every accessor (Janino bloat)
       t(s, dir, "customer")
         .filter(col("c_custkey") < 100)
         .select(col("c_custkey"),
-          st_asgeojson(parsed).as("geojson"),
-          st_x(parsed).as("x"), st_y(parsed).as("y"))
+          st_geomfromkml(st_askml(g)).as("__g"))
+        .select(col("c_custkey"),
+          st_asgeojson(col("__g")).as("geojson"),
+          st_x(col("__g")).as("x"), st_y(col("__g")).as("y"))
         .orderBy(col("c_custkey"))
     }),
 
