@@ -44,9 +44,10 @@ object Dedup {
     * Plan shape: signatures (narrow, one md5 per shingle) → explode k/bands
     * band-keys per doc → ONE shuffle on band-key (the window sort; the
     * following group-by reuses its hash partitioning, no second exchange) →
-    * per-bucket pair expansion → distinct pairs → agreement filter. At
-    * 100 TB the band-key shuffle carries (16-byte key, id, k longs) per doc
-    * — never text.
+    * per-bucket pair expansion → narrow first-agreeing-band exactly-once
+    * filter → agreement threshold. That single shuffle is the whole wide
+    * cost: at 100 TB it carries (16-byte key, id, k longs) per doc — never
+    * text — and candidate pairs are never re-shuffled for dedup.
     *
     * Skew safety — real web corpora concentrate boilerplate into a few
     * degenerate buckets, so every per-bucket quantity is bounded:
@@ -77,9 +78,18 @@ object Dedup {
             md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
         .as("band_key"))
 
-    val pairs = cappedBucketPairs(banded, "sig", maxBucket, drops)
+    // exactly-once emission: keep a pair only in the FIRST band whose
+    // signature slices agree (narrow filter, replaces a distinct() that
+    // would re-shuffle every candidate pair)
+    val bandOf = split(col("band_key"), "_").getItem(0).cast("int")
+    val firstAgreeingBand = (array_position(
+      array((0 until bands).map { b =>
+        slice(col("sig_a"), b * rowsPerBand + 1, rowsPerBand) ===
+          slice(col("sig_b"), b * rowsPerBand + 1, rowsPerBand)
+      }: _*), true) - 1).cast("int")
 
-    pairs
+    cappedBucketPairs(banded, "sig", maxBucket, drops)
+      .filter(bandOf === firstAgreeingBand)
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(null)), v => v.isNotNull))
@@ -90,8 +100,12 @@ object Dedup {
 
   /** Shared skew-safe bucket → candidate-pair stage: rows (id, band_key,
     * `payload`) → all i<j same-bucket pairs
-    * (id_a, id_b, payload_a, payload_b), with every per-bucket quantity
-    * bounded:
+    * (band_key, id_a, id_b, payload_a, payload_b), with every per-bucket
+    * quantity bounded. A pair surfaces once PER co-bucketed band — callers
+    * deduplicate with a narrow first-agreeing-band filter on the returned
+    * `band_key` (the payloads determine which bands agree), never with a
+    * `distinct()`, which would shuffle every candidate pair a second time.
+    * Bounds:
     *  - membership is capped BEFORE the collect (row_number over the
     *    band_key window; the window sort spills, an aggregation buffer
     *    would not) — at most `maxBucket` + 1 members ever reach one
@@ -117,14 +131,15 @@ object Dedup {
       sum(when(size(col("members")) === maxBucket + 1, 1L).otherwise(0L))
         .as("dropped_buckets")))
     observed.filter(size(col("members")) <= maxBucket)
-      .select(posexplode(col("members")).as(Seq("__pos", "m")), col("members"))
-      .select(col("m"),
+      .select(col("band_key"),
+        posexplode(col("members")).as(Seq("__pos", "m")), col("members"))
+      .select(col("band_key"), col("m"),
         explode(slice(col("members"), col("__pos") + 2, size(col("members"))))
           .as("m2"))
-      .select(col("m.id").as("id_a"), col("m2.id").as("id_b"),
+      .select(col("band_key"),
+        col("m.id").as("id_a"), col("m2.id").as("id_b"),
         col(s"m.$payload").as(s"${payload}_a"),
         col(s"m2.$payload").as(s"${payload}_b"))
-      .distinct()
   }
 
   /** Per-doc SimHash sketch table (native one-pass kernel). */
@@ -165,9 +180,19 @@ object Dedup {
     }
     val banded = sk.select(col("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("band_key"))
+    // exactly-once emission (see cappedBucketPairs): band index lives in
+    // the key's high bits; the first agreeing band falls out of the XOR
+    val bandOf = shiftrightunsigned(col("band_key"), 32).cast("int")
+    val xor = col("simhash_a").bitwiseXOR(col("simhash_b"))
+    val firstAgreeingBand = (array_position(
+      array((0 until nBands).map { b =>
+        val lo = 32 * b / nBands
+        val width = 32 * (b + 1) / nBands - lo
+        xor.bitwiseAND(lit(((1L << width) - 1) << lo)) === 0L
+      }: _*), true) - 1).cast("int")
     cappedBucketPairs(banded, "simhash", maxBucket, drops)
-      .withColumn("hamming",
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+      .filter(bandOf === firstAgreeingBand)
+      .withColumn("hamming", bit_count(xor).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
