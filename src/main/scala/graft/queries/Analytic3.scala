@@ -54,20 +54,22 @@ object Analytic3 extends QueryPack {
     }),
 
     // Exact interpolated percentiles (PERCENTILE_CONT semantics) via the
-    // built-in percentile aggregate — complements q_percentile's
-    // window-rank lower-median with the standard linear-interpolation form.
-    // SCALE DISPATCH: exact percentile buffers every value of a group in
-    // its aggregation buffer, so this form is for small-cardinality groups
-    // (dimension rollups, QA summaries) only — a 100 TB pass routes to the
-    // approx_percentile sketch (q_approx_quantile; bounded memory, its
-    // error vs this exact form is contract-tested in RelationalSpec).
+    // DISTRIBUTED sort-based operator (operators/Percentiles): the
+    // built-in exact `percentile` buffers every group value in ONE
+    // aggregation buffer — fine for QA summaries, a non-starter for
+    // billion-row groups. This plan range-partitions the sort instead
+    // (same values, same oracle). The approx_percentile sketch
+    // (q_approx_quantile) remains the cheapest path when an error bound
+    // is acceptable (contract-tested in RelationalSpec).
     "q_percentile_cont" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"))
+      graft.operators.Percentiles.exactInterpolated(
+          t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75), Seq("p25", "p50", "p75"))
+        .select(col("group").as("l_returnflag"),
+          round(col("p25"), 6).as("p25"),
+          round(col("p50"), 6).as("p50"),
+          round(col("p75"), 6).as("p75"))
         .orderBy(col("l_returnflag"))),
 
     // Approximate percentile sketch (rows-only: sketch internals are
