@@ -250,6 +250,42 @@ object Similarity {
   def int8Dequantize(q: Column, scale: Column): Column =
     transform(q, v => v.cast("double") * scale)
 
+  /** Two-stage ANN over int8-quantized storage — the operator the int8
+    * family exists for: stage 1 ranks every corpus vector by cosine
+    * against its DEQUANTIZED int8 form (the 4× smaller representation
+    * that is all a 100 TB corpus keeps hot), pruning map-side to a
+    * per-query `shortlist` via the bounded-buffer aggregator; stage 2
+    * joins ONLY the shortlist back to the full-precision vectors and
+    * rescores exactly. `score` in the output is the exact rescored
+    * cosine; recall vs full-precision brute force is governed by
+    * `shortlist` (spec-asserted: equals brute force when the shortlist
+    * covers the corpus). */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 100,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, "shortlist must cover k")
+    val qz = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        int8Scale(col(vecCol)).as("__s"))
+      .select(col("neighbor_id"),
+        int8Dequantize(int8Quantize(col("cv"), col("__s")), col("__s"))
+          .as("dq"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val approx = qz.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_score", round(cosine(col("qv"), col("dq")), 6))
+    val short = TopK.perGroup(approx, Seq("query_id"),
+        col("approx_score"), col("neighbor_id"), shortlist)
+      .select(col("query_id"), col("id").as("neighbor_id"))
+    val exact = short
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
+    TopK.perGroup(exact, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"),
+        col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among bucket-mates
     * (IVF buckets as the blocking key — same LSH-style pruning as MinHash
     * banding, but in embedding space).

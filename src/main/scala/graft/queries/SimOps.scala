@@ -61,6 +61,16 @@ object SimOps extends QueryPack {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Two-stage quantized ANN: int8-dequantized approximate ranking to a
+    // 32-deep shortlist (map-side pruned), exact rescoring of the
+    // shortlist only — the int8 storage flow end to end.
+    "q_sim_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 10), e,
+          k = 3, shortlist = 32)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // scale, exact sum of the quantized ints, and the max reconstruction
     // error — the storage-compression op of a 100 TB vector corpus.
@@ -114,6 +124,46 @@ object SimOps extends QueryPack {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE a.vec_id < 50 AND b.vec_id < 50 AND round($cos, 6) >= 0.2
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_sim_quantized" -> {
+      val cosDq = sqlCosine("p.qv", "z.dq")
+      val cosExact = sqlCosine("p.qv", "e.embedding")
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+         |      AS s
+         |  FROM embeddings),
+         |qz AS MATERIALIZED (
+         |  SELECT vec_id AS neighbor_id,
+         |    list_transform(
+         |      list_transform(embedding, x -> CASE WHEN s = 0 THEN CAST(0 AS TINYINT)
+         |        ELSE CAST(round(CAST(x AS DOUBLE) / s) AS TINYINT) END),
+         |      v -> CAST(v AS DOUBLE) * s) AS dq
+         |  FROM sc),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT p.query_id, z.neighbor_id, round($cosDq, 6) AS a
+         |  FROM qz z, probes p WHERE p.query_id != z.neighbor_id),
+         |short AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY a DESC, neighbor_id) AS rn
+         |    FROM approx) WHERE rn <= 32),
+         |exact AS (
+         |  SELECT s.query_id, s.neighbor_id, round($cosExact, 6) AS score
+         |  FROM short s
+         |  JOIN embeddings e ON e.vec_id = s.neighbor_id
+         |  JOIN probes p ON p.query_id = s.query_id)
+         |SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |  FROM exact) WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     "q_embed_quant" ->

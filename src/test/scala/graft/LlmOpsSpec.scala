@@ -170,6 +170,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("quantized two-stage ANN: exact at full shortlist, high recall at 32") {
+    val queries = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    // shortlist covering the corpus ⇒ rescoring everything ⇒ ≡ brute force
+    val full = Similarity.quantizedTopK(queries, emb, k = 3,
+        shortlist = emb.count().toInt)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full == brute,
+      s"full-shortlist rescore must equal brute force; diff=${full.diff(brute).take(3)}")
+    // a 32-deep shortlist keeps most of the true top-3
+    val short = Similarity.quantizedTopK(queries, emb, k = 3, shortlist = 32)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = bruteIds.intersect(short).size.toDouble / bruteIds.size
+    assert(recall >= 0.8, s"quantized shortlist recall $recall below 0.8")
+  }
+
   test("IVF assignment covers the corpus exactly once") {
     val assigned = Similarity.ivfAssign(emb, nlist = 16)
     assert(assigned.count() == emb.count())
