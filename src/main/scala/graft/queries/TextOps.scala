@@ -150,6 +150,26 @@ object TextOps extends QueryPack {
         .orderBy(col("id_a"))
     }),
 
+    // The capstone composition: a full training-data cleaning pass. Mutant
+    // corpus → MinHash+LSH near-dup pairs → drop the higher-id member of
+    // every pair → per-bucket corpus statistics of what survives. One
+    // oracle over the WHOLE pipeline: dedup, anti-join application, and
+    // token accounting agree end to end.
+    "q_pipeline_dedup" -> ((s, dir) => {
+      val d = withMutants(docs(s, dir))
+      val dupIds = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      d.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), tokenCount(col("text")).as("__nt"),
+          length(col("text")).as("__nc"))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          sum(col("__nc")).as("total_chars"))
+        .orderBy(col("bucket"))
+    }),
+
     // Winnowing fingerprint (rolling local fingerprints, Schleimer et al.):
     // sorted distinct window-min shingle hashes per doc — the
     // partial-overlap detector between exact dedup and MinHash. Staged:
@@ -286,6 +306,36 @@ object TextOps extends QueryPack {
          |    / 16 AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_pipeline_dedup" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM $sqlWithMutants),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |banded AS (
+         |  SELECT id, sig, b || '_' || md5(array_to_string(
+         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |dups AS (
+         |  SELECT DISTINCT id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM pairs) WHERE est_jaccard >= 0.5),
+         |kept AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE doc_id NOT IN (SELECT id_b FROM dups))
+         |SELECT doc_id % 10 AS bucket,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len(${sqlToks("text")})) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+         |FROM kept GROUP BY 1 ORDER BY bucket""".stripMargin
     },
 
     // the oracle is the O(n²) definition the banded pipeline must equal
