@@ -44,10 +44,10 @@ object Dedup {
     * Plan shape: signatures (narrow, one md5 per shingle) → explode k/bands
     * band-keys per doc → ONE shuffle on band-key (the window sort; the
     * following group-by reuses its hash partitioning, no second exchange) →
-    * per-bucket pair expansion → narrow first-agreeing-band exactly-once
-    * filter → agreement threshold. That single shuffle is the whole wide
-    * cost: at 100 TB it carries (16-byte key, id, k longs) per doc — never
-    * text — and candidate pairs are never re-shuffled for dedup.
+    * per-bucket pair expansion → (id_a, id_b) dedup (map-side partial; the
+    * second, far smaller shuffle — candidate pairs only, never the banded
+    * corpus) → agreement threshold. At 100 TB the band-key shuffle carries
+    * (16-byte key, id, k longs) per doc — never text.
     *
     * Skew safety — real web corpora concentrate boilerplate into a few
     * degenerate buckets, so every per-bucket quantity is bounded:
@@ -78,34 +78,33 @@ object Dedup {
             md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
         .as("band_key"))
 
-    // exactly-once emission: keep a pair only in the FIRST band whose
-    // signature slices agree (narrow filter, replaces a distinct() that
-    // would re-shuffle every candidate pair)
-    val bandOf = split(col("band_key"), "_").getItem(0).cast("int")
-    val firstAgreeingBand = (array_position(
-      array((0 until bands).map { b =>
-        slice(col("sig_a"), b * rowsPerBand + 1, rowsPerBand) ===
-          slice(col("sig_b"), b * rowsPerBand + 1, rowsPerBand)
-      }: _*), true) - 1).cast("int")
-
+    // Agreement filter BEFORE the dedup: the estimate is a narrow per-row
+    // function, so it prunes the (duplicated) pair stream pre-shuffle,
+    // and distinct() over pair-functional columns then deduplicates the
+    // survivors. Two deliberate non-choices: a first-agreeing-band filter
+    // instead of the distinct is WRONG under the skew cap (the pair's
+    // first agreeing bucket may be a dropped one — which band emitted is
+    // not locally computable), and dropDuplicates(id_a, id_b) turns the
+    // payloads into first() aggregates, which blocks this filter from
+    // staying below the dedup shuffle (measured 7× slower at sf0.1).
     cappedBucketPairs(banded, "sig", maxBucket, drops)
-      .filter(bandOf === firstAgreeingBand)
+      .drop("band_key")
       .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(null)), v => v.isNotNull))
           .cast("double") / k)
       .filter(col("est_jaccard") >= threshold)
+      .distinct() // (id_a, id_b, sigs, est): sigs/est are pair-functions
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Shared skew-safe bucket → candidate-pair stage: rows (id, band_key,
     * `payload`) → all i<j same-bucket pairs
     * (band_key, id_a, id_b, payload_a, payload_b), with every per-bucket
-    * quantity bounded. A pair surfaces once PER co-bucketed band — callers
-    * deduplicate with a narrow first-agreeing-band filter on the returned
-    * `band_key` (the payloads determine which bands agree), never with a
-    * `distinct()`, which would shuffle every candidate pair a second time.
-    * Bounds:
+    * quantity bounded. A pair surfaces once PER surviving co-bucketed band
+    * — callers deduplicate on (id_a, id_b). (A band-arithmetic filter
+    * cannot replace that dedup: under the skew cap, which band actually
+    * emitted a pair is not computable from the payloads alone.) Bounds:
     *  - membership is capped BEFORE the collect (row_number over the
     *    band_key window; the window sort spills, an aggregation buffer
     *    would not) — at most `maxBucket` + 1 members ever reach one
@@ -180,20 +179,14 @@ object Dedup {
     }
     val banded = sk.select(col("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("band_key"))
-    // exactly-once emission (see cappedBucketPairs): band index lives in
-    // the key's high bits; the first agreeing band falls out of the XOR
-    val bandOf = shiftrightunsigned(col("band_key"), 32).cast("int")
-    val xor = col("simhash_a").bitwiseXOR(col("simhash_b"))
-    val firstAgreeingBand = (array_position(
-      array((0 until nBands).map { b =>
-        val lo = 32 * b / nBands
-        val width = 32 * (b + 1) / nBands - lo
-        xor.bitwiseAND(lit(((1L << width) - 1) << lo)) === 0L
-      }: _*), true) - 1).cast("int")
+    // popcount filter BEFORE distinct() — see minhashPairs for why this
+    // ordering and dedup form (and not a band filter or dropDuplicates)
     cappedBucketPairs(banded, "simhash", maxBucket, drops)
-      .filter(bandOf === firstAgreeingBand)
-      .withColumn("hamming", bit_count(xor).cast("int"))
+      .drop("band_key")
+      .withColumn("hamming",
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // (id_a, id_b, sketches, hamming): pair-functions
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 

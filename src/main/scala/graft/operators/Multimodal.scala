@@ -68,7 +68,11 @@ object Multimodal {
             r.setInput(in)
             Some((r.getWidth(0), r.getHeight(0)))
           } catch {
-            case _: java.io.IOException => None
+            // imageio readers throw RuntimeExceptions (IllegalArgument,
+            // NegativeArraySize, IndexOutOfBounds...) on malformed headers
+            // — routine in a scraped corpus; one bad file must fall back,
+            // not kill the metadata pass
+            case scala.util.control.NonFatal(_) => None
           } finally r.dispose()
         }
       } finally in.close()

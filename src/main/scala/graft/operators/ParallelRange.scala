@@ -42,7 +42,13 @@ object ParallelRange {
     require(bucketWidth >= lookback,
       s"bucketWidth ($bucketWidth) must cover the lookback ($lookback) " +
         "so one previous-bucket fringe suffices")
-    val bucketOf = floor(orderCol / lit(bucketWidth.toDouble)).cast("long")
+    // exact integer floor division — a double division would round keys
+    // above 2^53 into the wrong bucket while the fringe pmod stays exact,
+    // silently dropping rows from neighboring frames. (v − v mod W) is
+    // divisible by W, so the decimal division is exact at any magnitude.
+    val bucketOf = ((orderCol - pmod(orderCol, lit(bucketWidth)))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0)) / bucketWidth)
+      .cast("long")
     // one scan: rows in the trailing fringe of a bucket explode into two
     // copies (own bucket + the next bucket, tagged) — a union of base and
     // fringe frames would read the source twice

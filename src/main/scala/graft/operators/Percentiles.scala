@@ -12,60 +12,78 @@ import org.apache.spark.sql.functions._
   * rows. This operator computes the same interpolated quantiles from a
   * DISTRIBUTED sort:
   *
-  *  1. range-repartition rows by (group, value) — each partition sorts
-  *     locally, so the sort parallelism is the partition count, not the
-  *     group count;
-  *  2. per-(group, partition) row counts → cumulative offsets (a
-  *     groups × partitions table: a tiny model artifact, broadcast back);
-  *  3. global rank = partition offset + local row_number (the local window
-  *     partitions by (partition id, group) — parallel, streaming, no
-  *     buffering);
+  *  1. bucket rows by VALUE RANGE, with boundaries taken once from an
+  *     approximate-quantile sketch of the value column (a driver-side
+  *     model artifact, like the IVF quantizer). Buckets are a pure
+  *     function of the data — deliberately NOT `spark_partition_id` over
+  *     a range exchange, whose census/rank branches would only agree if
+  *     the exchange is reused (sampled boundaries can differ per
+  *     materialization: silent rank misalignment);
+  *  2. per-(group, bucket) row counts → cumulative offsets (a tiny
+  *     broadcastable table);
+  *  3. global rank = bucket offset + local row_number (the local window
+  *     partitions by (group, bucket) — parallel, streaming, sort spills);
   *  4. one bounded aggregation picks the two bracketing ranks per quantile
   *     and interpolates.
   *
-  * Determinism: ranks among tied values are arbitrary, but interpolation
-  * only reads the VALUES at the bracketing ranks, and equal values give
-  * equal reads — so the result is deterministic for any tie order, and
-  * matches the built-in `percentile` / DuckDB `quantile_cont` exactly
-  * (asserted in PlanSpec; `q_percentile_cont`'s oracle is unchanged).
+  * Groups whose values are all null keep a row with null percentiles,
+  * exactly like the built-in aggregate. Determinism: ranks among tied
+  * values are arbitrary, but interpolation only reads the VALUES at the
+  * bracketing ranks, and equal values give equal reads — so the result is
+  * deterministic for any tie order and matches the built-in `percentile` /
+  * DuckDB `quantile_cont` exactly (asserted in PercentilesSpec;
+  * `q_percentile_cont`'s oracle is unchanged).
   *
-  * Scale shape: one range shuffle of (group, value) pairs, two broadcast
-  * joins of the tiny offset/count tables, one final map-side-partial
-  * aggregation. Nothing buffers more than a partition's sort (spillable).
+  * Scale shape: one sketch pass, one hash shuffle of (group, bucket), two
+  * broadcast joins of the tiny census tables, one final map-side-partial
+  * aggregation. Nothing buffers more than one (group, bucket)'s sort
+  * (spillable). Parallelism = |groups| × |buckets|, independent of group
+  * cardinality.
   */
 object Percentiles {
 
-  /** One row per group: `p_<i>` = the `ps(i)` interpolated percentile of
-    * `valueCol` (nulls ignored, PERCENTILE_CONT interpolation). */
+  /** One row per group: `outNames(i)` = the `ps(i)` interpolated percentile
+    * of `valueCol` (nulls ignored; all-null groups yield null columns). */
   def exactInterpolated(df: DataFrame, groupCol: Column, valueCol: Column,
       ps: Seq[Double], outNames: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0, 1]")
     require(outNames.length == ps.length, "one output name per percentile")
-    val base = df.select(groupCol.as("__g"), valueCol.as("__v"))
-      .filter(col("__v").isNotNull)
+    val all = df.select(groupCol.as("__g"), valueCol.as("__v"))
+    val base = all.filter(col("__v").isNotNull)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = base.repartitionByRange(parts, col("__g"), col("__v"))
-      .withColumn("__pid", spark_partition_id())
 
-    // per-(group, partition) census → cumulative offset of each partition
-    // inside its group; groups × partitions rows — broadcastable
-    val census = ranged.groupBy(col("__g"), col("__pid"))
-      .agg(count(lit(1)).as("__pn"))
+    // value-range boundaries from one approximate-quantile sketch — a tiny
+    // deterministic model artifact; accuracy only affects load balance
+    val probs = (1 until parts).map(_.toDouble / parts).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else base.select(col("__v").cast("double").as("__vd"))
+        .stat.approxQuantile("__vd", probs, 0.01)
+        .distinct.sorted
+    val vd = col("__v").cast("double")
+    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), rest) => when(vd <= b, i).otherwise(rest)
+    }
+    val bucketed = base.withColumn("__b", bucketExpr)
+
+    // per-(group, bucket) census → cumulative offset of each bucket inside
+    // its group; |groups| × |buckets| rows — broadcastable
+    val census = bucketed.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__bn"))
     val offsets = census
       .withColumn("__off",
-        sum(col("__pn")).over(
-          Window.partitionBy(col("__g")).orderBy(col("__pid"))) - col("__pn"))
+        sum(col("__bn")).over(
+          Window.partitionBy(col("__g")).orderBy(col("__b"))) - col("__bn"))
       .withColumn("__n",
-        sum(col("__pn")).over(Window.partitionBy(col("__g"))))
-      .select(col("__g"), col("__pid"), col("__off"), col("__n"))
+        sum(col("__bn")).over(Window.partitionBy(col("__g"))))
+      .select(col("__g"), col("__b"), col("__off"), col("__n"))
 
-    // local rank within (partition, group) is a streaming window over the
-    // range-partitioned data — each partition sorts only itself
-    val ranked = ranged
+    // local rank within (group, bucket) — each bucket sorts only itself
+    val ranked = bucketed
       .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__pid"), col("__g")).orderBy(col("__v"))))
-      .join(broadcast(offsets), Seq("__g", "__pid"))
+        Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))))
+      .join(broadcast(offsets), Seq("__g", "__b"))
       .withColumn("__rn", col("__off") + col("__lrn"))
 
     // pick the bracketing ranks per quantile and interpolate:
@@ -84,8 +102,14 @@ object Percentiles {
         col(s"__frac_$name") * (col(s"__hi_$name") - col(s"__lo_$name")))
         .as(name)
     }
-    ranked.groupBy(col("__g"))
+    val computed = ranked.groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("__g").as("group") +: out: _*)
+      .select(col("__g") +: out: _*)
+
+    // all-null groups fell out at the null filter — restore them with null
+    // percentiles, matching the built-in aggregate's output exactly
+    val groups = all.select(col("__g")).distinct()
+    groups.join(computed, Seq("__g"), "left")
+      .select(col("__g").as("group") +: outNames.map(col): _*)
   }
 }

@@ -18,8 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
-
   /** Cosine similarity of two ARRAY<FLOAT> columns, computed in double with
     * a deterministic left-to-right fold (portable across engines). Served by
     * the native fused kernel (plans/CosineSimExpr — the composed HOF fold is
@@ -91,7 +89,7 @@ object Similarity {
     *
     * Deterministic end to end — the sample is the `sampleSize` corpus rows
     * with the smallest portable 32-bit id-hash (spread, reproducible, no
-    * RNG), init is an even stride over the id-sorted sample, and Lloyd
+    * RNG), init is an even stride over that hash-ordered sample, and Lloyd
     * iterations are driver-side float-free double arithmetic — so every
     * run (and both engines' fixtures) trains the identical model. Like any
     * real IVF quantizer the model is a tiny artifact (nlist × dim), which
@@ -292,27 +290,29 @@ object Similarity {
     *
     * Skew safety: a hot bucket (one centroid attracting a boilerplate
     * cluster) makes the self-join emit |bucket|² rows from one task, so
-    * buckets above `maxBucket` are excluded whole and the loss is logged.
-    * Bucket cardinality is per-centroid — at most `nlist` counts, a model-
-    * size artifact — so the census is a cheap aggregate and the exclusion
-    * list is a tiny IN filter, not another join. */
+    * buckets above `maxBucket` are excluded whole. The census is a LAZY
+    * per-centroid aggregate (≤ nlist rows) broadcast-joined back — no
+    * driver action at construction time; pass `drops` to observe the
+    * dropped-bucket count in-flight, mirroring
+    * [[graft.operators.Dedup.minhashPairs]]. The assignment pass is
+    * shuffle-materialized on `centroid_id` so the census and both
+    * self-join sides reuse ONE exchange instead of recomputing the
+    * centroid scoring three times. */
   def embeddingNearDupPairs(corpus: DataFrame, nlist: Int, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val assigned = ivfAssign(corpus, nlist, idCol, vecCol)
-    val oversized = assigned.groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > maxBucket)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val kept =
-      if (oversized.isEmpty) assigned
-      else {
-        log.warn(s"embeddingNearDupPairs: dropping ${oversized.length} " +
-          s"bucket(s) over $maxBucket members " +
-          s"(${oversized.map { case (c, n) => s"centroid $c: $n" }.mkString(", ")}) " +
-          s"— raise maxBucket or increase nlist to split hot buckets")
-        assigned.filter(!col("centroid_id")
-          .isin(oversized.map(o => java.lang.Long.valueOf(o._1)).toSeq: _*))
-      }
+      .repartition(col("centroid_id"))
+    val census = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__bn"))
+    val observed = drops.fold(census)(o => census.observe(o,
+      sum(when(col("__bn") > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets")))
+    val kept = assigned
+      .join(broadcast(observed.filter(col("__bn") <= maxBucket)),
+        Seq("centroid_id"))
+      .drop("__bn")
     val a = kept.select(col("centroid_id"), col(idCol).as("id_a"),
       col(vecCol).as("va"))
     val b = kept.select(col("centroid_id"), col(idCol).as("id_b"),

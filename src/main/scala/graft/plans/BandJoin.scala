@@ -96,9 +96,12 @@ object BandJoin {
       throw new IllegalArgumentException(
         s"band join dimension estimated at $estimated bytes exceeds the " +
           s"broadcast guard ($guard). The dimension side is always broadcast " +
-          s"whole to every executor; shrink/aggregate it first, raise " +
-          s"spark.graft.bandJoin.maxBroadcastBytes (-1 disables), or use a " +
-          s"plain BETWEEN join (BroadcastNestedLoopJoin / shuffled).")
+          s"whole to every executor. If the dimension is genuinely small and " +
+          s"the estimate is inherited from a large parent (size-only stats " +
+          s"propagate through filters), materialize it first " +
+          s"(localCheckpoint/persist) or enable CBO; otherwise " +
+          s"shrink/aggregate it, raise spark.graft.bandJoin.maxBroadcastBytes " +
+          s"(-1 disables), or use a plain BETWEEN join.")
     DatasetBridge.ofRows(spark,
       BandJoin(DatasetBridge.plan(left), DatasetBridge.plan(right), v, l, h,
         leftOuter))

@@ -5,8 +5,9 @@ import graft.operators.Percentiles
 
 /** The distributed sort-based exact percentile must return the built-in
   * `percentile` aggregate's values exactly — same interpolation formula,
-  * different plan (range-partitioned sort + rank picks instead of one
-  * all-values aggregation buffer per group).
+  * same group set (including all-null groups), different plan
+  * (value-bucketed parallel sort + rank picks instead of one all-values
+  * aggregation buffer per group).
   */
 class PercentilesSpec extends SparkSpec {
   import spark.implicits._
@@ -14,20 +15,28 @@ class PercentilesSpec extends SparkSpec {
   private def builtinVsDistributed(df: org.apache.spark.sql.DataFrame,
       g: String, v: String, ps: Seq[Double]): Unit = {
     val names = ps.indices.map(i => s"p$i")
+    def read(r: org.apache.spark.sql.Row) = r.get(0) ->
+      names.indices.map(i =>
+        if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1))).toVector
     val fast = Percentiles.exactInterpolated(df, col(g), col(v), ps, names)
-      .collect().map(r => r.get(0) ->
-        names.indices.map(i => r.getDouble(i + 1)).toVector).toMap
+      .collect().map(read).toMap
     val aggExprs = ps.zip(names).map { case (p, n) =>
       expr(s"percentile($v, $p)").as(n) }
     val builtin = df.groupBy(col(g)).agg(aggExprs.head, aggExprs.tail: _*)
-      .collect().map(r => r.get(0) ->
-        names.indices.map(i => r.getDouble(i + 1)).toVector).toMap
-    assert(fast.keySet == builtin.keySet)
+      .collect().map(read).toMap
+    assert(fast.keySet == builtin.keySet,
+      s"group sets differ: ${fast.keySet} vs ${builtin.keySet}")
     builtin.foreach { case (key, exp) =>
       val got = fast(key)
       exp.indices.foreach { i =>
-        assert(math.abs(got(i) - exp(i)) < 1e-9,
-          s"group $key p=${ps(i)}: distributed ${got(i)} vs builtin ${exp(i)}")
+        (exp(i), got(i)) match {
+          case (None, None) =>
+          case (Some(e), Some(a)) =>
+            assert(math.abs(a - e) < 1e-9,
+              s"group $key p=${ps(i)}: distributed $a vs builtin $e")
+          case other =>
+            fail(s"group $key p=${ps(i)}: null mismatch $other")
+        }
       }
     }
   }
@@ -38,23 +47,30 @@ class PercentilesSpec extends SparkSpec {
       Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0))
   }
 
-  test("edges: single-value groups, all-tied values, nulls ignored") {
+  test("edges: single-value, all-tied, all-null groups, nulls ignored") {
     val df = Seq[(String, java.lang.Double)](
       ("one", 42.0),
       ("tied", 7.0), ("tied", 7.0), ("tied", 7.0),
       ("two", 1.0), ("two", 2.0),
-      ("withnull", 5.0), ("withnull", null), ("withnull", 15.0))
+      ("withnull", 5.0), ("withnull", null), ("withnull", 15.0),
+      ("allnull", null), ("allnull", null))
       .toDF("g", "v")
     builtinVsDistributed(df, "g", "v", Seq(0.0, 0.5, 1.0))
   }
 
-  test("the sort is range-partitioned, not one task per group") {
+  test("the sort is value-bucketed, not one task per group") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
     val p = Percentiles.exactInterpolated(li, col("l_returnflag"),
         col("l_extendedprice"), Seq(0.5), Seq("p50"))
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(p.contains("rangepartitioning"),
-      s"expected a range-partitioned sort:\n$p")
+    // the rank window partitions by (group, bucket) — buckets come from
+    // the data, never from spark_partition_id over a re-materializable
+    // exchange (census and ranks must agree without relying on reuse)
+    val windowed = p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("__g") && l.contains("__b"))
+    assert(windowed, s"expected a (group, bucket)-partitioned sort:\n$p")
+    assert(!p.contains("SPARK_PARTITION_ID"),
+      "bucketing must not depend on physical partition ids")
   }
 }
