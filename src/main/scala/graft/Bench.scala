@@ -31,14 +31,27 @@ object Bench {
     // Full materialization via foreach: count() would let Catalyst prune
     // the projected expressions (the thing under benchmark) out of
     // projection-only queries. Failures report as -1, never as a timing.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Each query runs REPS times and the MEDIAN is recorded: a single
+    // sample on a loaded box has caught 2-3× phantom regressions (r3's
+    // q_pivot read 2.56 s recorded vs 1.19 s re-measured). The first rep
+    // additionally absorbs that query's Janino compilation, so the median
+    // reflects steady-state execution.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
+      try { fn(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val samples = (1 to reps).map(_ => once(name, fn))
       val dur =
-        try { fn(spark, sfDir).foreach(_ => ()); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
-        }
+        if (samples.exists(_ < 0)) -1.0
+        else samples.sorted.apply(samples.length / 2)
       name -> dur
     }
     // 3-decimal precision keeps the whole line ~2 KB for 80+ queries: the

@@ -34,22 +34,39 @@ import org.apache.spark.sql.functions._
   * DuckDB `quantile_cont` exactly (asserted in PercentilesSpec;
   * `q_percentile_cont`'s oracle is unchanged).
   *
-  * Scale shape: one sketch pass, one hash shuffle of (group, bucket), two
+  * Scale shape: ONE scan of the source. The projected (group, value)
+  * pairs are `localCheckpoint`ed eagerly (executor block storage,
+  * released when the plan is garbage-collected), so the sketch, census
+  * and rank passes all read the checkpointed blocks instead of re-scanning
+  * the input three times. Then: one hash shuffle of (group, bucket), two
   * broadcast joins of the tiny census tables, one final map-side-partial
   * aggregation. Nothing buffers more than one (group, bucket)'s sort
   * (spillable). Parallelism = |groups| × |buckets|, independent of group
   * cardinality.
+  *
+  * NOTE this API is semi-eager: building the result DataFrame runs two
+  * Spark actions (the checkpoint materialization and the boundary
+  * sketch) — like `Similarity.ivfTrainKMeans`, the boundaries are a tiny
+  * driver-side model artifact and cannot be deferred. `localCheckpoint`
+  * trades lineage for speed: if an executor holding checkpoint blocks is
+  * lost, the job fails and must be resubmitted (acceptable for an
+  * interactive/batch analytic; use a reliable `checkpoint` directory
+  * upstream if that matters).
   */
 object Percentiles {
 
   /** One row per group: `outNames(i)` = the `ps(i)` interpolated percentile
-    * of `valueCol` (nulls ignored; all-null groups yield null columns). */
+    * of `valueCol` (nulls ignored; all-null groups yield null columns;
+    * a NULL group key is a group, exactly like the built-in aggregate). */
   def exactInterpolated(df: DataFrame, groupCol: Column, valueCol: Column,
       ps: Seq[Double], outNames: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0, 1]")
     require(outNames.length == ps.length, "one output name per percentile")
+    // Eager narrow materialization: every later pass (sketch, census,
+    // rank, group restore) reads these blocks — the source is scanned once.
     val all = df.select(groupCol.as("__g"), valueCol.as("__v"))
+      .localCheckpoint()
     val base = all.filter(col("__v").isNotNull)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
 
@@ -79,11 +96,18 @@ object Percentiles {
         sum(col("__bn")).over(Window.partitionBy(col("__g"))))
       .select(col("__g"), col("__b"), col("__off"), col("__n"))
 
-    // local rank within (group, bucket) — each bucket sorts only itself
+    // local rank within (group, bucket) — each bucket sorts only itself.
+    // The census join must be null-safe on the group key: a NULL group is
+    // a real group (same as the built-in aggregate), and plain EqualTo
+    // would silently drop every one of its rows here.
+    val offsetsR = offsets.select(col("__g").as("__og"), col("__b").as("__ob"),
+      col("__off"), col("__n"))
     val ranked = bucketed
       .withColumn("__lrn", row_number().over(
         Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))))
-      .join(broadcast(offsets), Seq("__g", "__b"))
+      .join(broadcast(offsetsR),
+        col("__g") <=> col("__og") && col("__b") === col("__ob"))
+      .drop("__og", "__ob")
       .withColumn("__rn", col("__off") + col("__lrn"))
 
     // pick the bracketing ranks per quantile and interpolate:
@@ -107,9 +131,11 @@ object Percentiles {
       .select(col("__g") +: out: _*)
 
     // all-null groups fell out at the null filter — restore them with null
-    // percentiles, matching the built-in aggregate's output exactly
+    // percentiles, matching the built-in aggregate's output exactly.
+    // Null-safe again: EqualTo would strip a NULL group's computed values.
     val groups = all.select(col("__g")).distinct()
-    groups.join(computed, Seq("__g"), "left")
+    groups.join(computed.withColumnRenamed("__g", "__cg"),
+        groups("__g") <=> col("__cg"), "left")
       .select(col("__g").as("group") +: outNames.map(col): _*)
   }
 }

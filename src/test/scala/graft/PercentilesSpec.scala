@@ -47,13 +47,17 @@ class PercentilesSpec extends SparkSpec {
       Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0))
   }
 
-  test("edges: single-value, all-tied, all-null groups, nulls ignored") {
+  test("edges: single-value, all-tied, all-null groups, nulls ignored, " +
+      "NULL group key") {
     val df = Seq[(String, java.lang.Double)](
       ("one", 42.0),
       ("tied", 7.0), ("tied", 7.0), ("tied", 7.0),
       ("two", 1.0), ("two", 2.0),
       ("withnull", 5.0), ("withnull", null), ("withnull", 15.0),
-      ("allnull", null), ("allnull", null))
+      ("allnull", null), ("allnull", null),
+      // a NULL group KEY is a group of its own (built-in semantics); both
+      // internal joins must be null-safe or its percentiles silently vanish
+      (null, 10.0), (null, 20.0), (null, null))
       .toDF("g", "v")
     builtinVsDistributed(df, "g", "v", Seq(0.0, 0.5, 1.0))
   }
