@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (SURVEY §2.11): brute-force
@@ -211,7 +210,13 @@ object Similarity {
     * one narrow projection (score the nlist literal centroids, sort the
     * struct array, slice nprobe, explode) — no centroid join, no window.
     * The only wide operations are the broadcast of the |Q|·nprobe probe set
-    * into the bucket join and the final per-query top-k. */
+    * into the bucket join and the final per-query top-k, which runs through
+    * the bounded-buffer aggregator exactly like [[bruteForceTopK]] /
+    * [[quantizedTopK]]: each map task prunes to k candidates per query
+    * BEFORE the exchange (the earlier window form shuffled and sorted every
+    * scored (bucket × probe) row). Ordering contract is unchanged
+    * (score desc, neighbor_id asc); a corpus row lives in exactly one
+    * bucket, so no (query, neighbor) pair is scored twice. */
   def ivfTopKWith(queries: DataFrame, assigned: DataFrame,
       centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -219,16 +224,14 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("centroid_id",
         explode(nearestCentroids(col("qv"), centroids, nprobe)))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    assigned.select(col("centroid_id"),
+    val scored = assigned.select(col("centroid_id"),
         col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"),
+        col("rank"))
   }
 
   // -- int8 quantization (embedding storage compression) ---------------------
@@ -297,12 +300,23 @@ object Similarity {
     * [[graft.operators.Dedup.minhashPairs]]. The assignment pass is
     * shuffle-materialized on `centroid_id` so the census and both
     * self-join sides reuse ONE exchange instead of recomputing the
-    * centroid scoring three times. */
+    * centroid scoring three times.
+    *
+    * The quantizer defaults to the TRAINED sampled k-means
+    * ([[ivfTrainKMeans]]), not the strided pick: bucket balance directly
+    * bounds the |bucket|² self-join cost, and a data-blind quantizer can
+    * collapse most of a clustered corpus into one hot bucket (spec-asserted:
+    * the planted-skew case shows a strictly smaller max bucket census under
+    * the trained model). Pass `ivfTrain(_, _, _, _)` to get the old
+    * data-independent behavior. */
   def embeddingNearDupPairs(corpus: DataFrame, nlist: Int, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 10000,
-      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val assigned = ivfAssign(corpus, nlist, idCol, vecCol)
+      drops: Option[org.apache.spark.sql.Observation] = None,
+      quantizer: (DataFrame, Int, String, String) => Seq[(Long, Array[Float])] =
+        ivfTrainKMeans(_, _, _, _)): DataFrame = {
+    val assigned =
+      ivfAssignWith(corpus, quantizer(corpus, nlist, idCol, vecCol), vecCol)
       .repartition(col("centroid_id"))
     val census = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("__bn"))

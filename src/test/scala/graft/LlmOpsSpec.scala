@@ -226,6 +226,47 @@ class LlmOpsSpec extends SparkSpec {
     assert(uncapped.count() == default.count())
   }
 
+  test("trained quantizer bounds the near-dup self-join tighter than strided " +
+      "(planted skew)") {
+    // adversarial id order: every strided pick (ids 0, 12, 24, … for n=96,
+    // nlist=8) is the SAME direction e0 (differing only in magnitude, which
+    // cosine ignores) — the data-blind quantizer's 8 centroids are parallel,
+    // so every row round-ties and argmax sends the whole corpus to bucket 0.
+    // The other 88 rows sit in 7 clean one-hot clusters that sampled k-means
+    // recovers, so the trained census stays near-balanced.
+    val dim = 8
+    val rows = (0 until 96).map { id =>
+      val v = new Array[Float](dim)
+      if (id % 12 == 0) v(0) = 1.0f + id * 0.001f
+      else {
+        v(1 + id % 7) = 1.0f
+        v(0) = 0.001f * (id % 11) // tiny spread keeps the sample distinct
+      }
+      (id.toLong, v.toSeq)
+    }
+    val adversarial = rows.toDF("vec_id", "embedding")
+    def maxCensus(
+        q: (org.apache.spark.sql.DataFrame, Int, String, String)
+          => Seq[(Long, Array[Float])]): Long =
+      Similarity.ivfAssignWith(adversarial,
+          q(adversarial, 8, "vec_id", "embedding"))
+        .groupBy(col("centroid_id")).count()
+        .agg(max(col("count"))).as[Long].head()
+    val strided = maxCensus(Similarity.ivfTrain(_, _, _, _))
+    val trained = maxCensus(Similarity.ivfTrainKMeans(_, _, _, _))
+    assert(strided >= 88, s"planted skew failed to skew the strided model: $strided")
+    // k-means init may merge adjacent clusters (empty-cluster rule), so the
+    // bound is relative: the trained hot bucket must stay well under half
+    // the strided one (measured: 32 vs 96 → a 9× cheaper |bucket|² join)
+    assert(trained < strided / 2,
+      s"trained census should be far tighter than strided: $trained vs $strided")
+    // and the default embeddingNearDupPairs path (trained) still finds the
+    // within-cluster pairs the strided hot bucket would have capped away
+    val pairs = Similarity.embeddingNearDupPairs(adversarial, nlist = 8,
+      threshold = 0.9, maxBucket = 30)
+    assert(pairs.count() > 0)
+  }
+
   test("subword tokens and char shingles produce sane segmentations") {
     val df = Seq("abc123def", "hello world42", "x").toDF("t")
     val rows = df.select(

@@ -97,6 +97,15 @@ class PlanSpec extends SparkSpec {
       s"scored rows must not flow through a full window sort:\n$p")
   }
 
+  test("q_sim_ivf: probe ranking through the bounded-buffer aggregator too") {
+    val p = plan("q_sim_ivf")
+    assert(p.contains("ObjectHashAggregate"),
+      s"IVF top-k should run through the typed aggregator:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial top-k prune:\n$p")
+    assert(!p.contains("Window"),
+      s"scored (bucket × probe) rows must not flow through a window sort:\n$p")
+  }
+
   test("q_window_range: bucketed RANGE frame equals the single-window form " +
       "and partitions beyond the 3 status values") {
     import org.apache.spark.sql.expressions.Window
