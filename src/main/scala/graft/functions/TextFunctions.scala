@@ -202,10 +202,10 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.MinhashSigExpr(ColumnBridge.expression(c), n, k))
   }
 
-  /** Native ≡ `simhash32FromHashes(hashedTokens(c))`. */
-  def simhash32Native(c: Column): Column = {
+  /** Native ≡ `simhash64FromHashes(hashedTokens(c), hashedTokensB(c))`. */
+  def simhash64Native(c: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(graft.plans.Simhash32Expr(ColumnBridge.expression(c)))
+    ColumnBridge.column(graft.plans.Simhash64Expr(ColumnBridge.expression(c)))
   }
 
   def sqlMinhashSignature(shinglesExpr: String, k: Int): String = {
@@ -224,8 +224,15 @@ object TextFunctions {
   def hashedTokens(c: Column): Column =
     transform(tokens(normalizeText(c)), t => hash32(t))
 
-  /** 32-bit SimHash from pre-hashed tokens: bit b set iff the majority of
-    * tokens have bit b set. */
+  /** The second 32 hash bits (md5 bytes 4-7) of the normalized token
+    * array — the low half of the 64-bit SimHash vote. Built-ins-only
+    * (spec/oracle path; the hot path is the fused native kernel). */
+  def hashedTokensB(c: Column): Column =
+    transform(tokens(normalizeText(c)),
+      t => conv(substring(md5(t), 9, 8), 16, 10).cast("long"))
+
+  /** 32-bit majority vote from pre-hashed tokens: bit b set iff the
+    * majority of tokens have bit b set — one half of the 64-bit sketch. */
   def simhash32FromHashes(hashes: Column): Column = {
     // 2^b as an exact long (pow is exact for b ≤ 31; DuckDB's 1<<b agrees)
     def bit(b: Column): Column = pow(lit(2.0), b).cast("long")
@@ -239,17 +246,40 @@ object TextFunctions {
           bit(b)).otherwise(lit(0L)))
   }
 
-  /** One-projection form — only for single-use contexts; hot paths go
-    * through [[hashedTokens]] + [[simhash32FromHashes]]. */
-  def simhash32(toks: Column): Column =
-    simhash32FromHashes(transform(toks, t => hash32(t)))
+  /** 64-bit SimHash from the two 32-bit half votes: bits 32..63 from
+    * `hiHashes` (hash32 = md5 bytes 0-3), bits 0..31 from `loHashes`
+    * (md5 bytes 4-7). The shift wraps into the sign bit exactly like the
+    * native kernel (Java shift semantics — no ANSI overflow, the sketch
+    * is a bit pattern, not a magnitude). */
+  def simhash64FromHashes(hiHashes: Column, loHashes: Column): Column =
+    shiftleft(simhash32FromHashes(hiHashes), 32)
+      .bitwiseOR(simhash32FromHashes(loHashes))
 
-  def sqlSimhash32(toksExpr: String): String =
+  /** One-projection composed form — only for single-use contexts; hot
+    * paths go through the fused native kernel ([[simhash64Native]]). */
+  def simhash64(c: Column): Column =
+    simhash64FromHashes(hashedTokens(c), hashedTokensB(c))
+
+  /** One 32-bit half vote in DuckDB: md5 hex chars [hexStart,
+    * hexStart+8) of each token. */
+  private def sqlSimhashHalf(toksExpr: String, hexStart: Int): String =
     s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
        |  CASE WHEN len(list_filter($toksExpr,
-       |    t -> (('0x' || substr(md5(t), 1, 8))::BIGINT & (1::BIGINT << b)) != 0)) * 2
+       |    t -> (('0x' || substr(md5(t), $hexStart, 8))::BIGINT & (1::BIGINT << b)) != 0)) * 2
        |    > len($toksExpr)
        |  THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** 64-bit SimHash in DuckDB, mirroring [[simhash64Native]]'s bit
+    * layout. DuckDB BIGINT shifts ERROR past bit 62 (no silent wrap), so
+    * the high half combines via signed two's-complement arithmetic
+    * (hi ≥ 2^31 sets the sketch's sign bit); the recentering-mod form
+    * references the expensive half-vote once, since DuckDB re-evaluates
+    * inlined subexpressions. */
+  def sqlSimhash64(toksExpr: String): String = {
+    val hi = sqlSimhashHalf(toksExpr, 1)
+    val lo = sqlSimhashHalf(toksExpr, 9)
+    s"((($hi + 2147483648) % 4294967296 - 2147483648) * 4294967296 + $lo)"
+  }
 
   // -- quality metrics -------------------------------------------------------
 

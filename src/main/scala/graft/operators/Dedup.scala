@@ -16,8 +16,8 @@ import graft.functions.TextFunctions._
   *    band keys → *bucket join*. The only join is |bucket|² within buckets,
   *    never corpus×corpus; recall/precision tuned by (k, bands) in the
   *    standard S-curve. The scale path for near-dup text dedup.
-  *  - [[simhashGroups]] — SimHash: one 32-bit sketch per doc, exact-match
-  *    grouping (Hamming-0). O(n) shuffle on a 8-byte key.
+  *  - [[simhashGroups]] — SimHash: one 64-bit sketch per doc, exact-match
+  *    grouping (Hamming-0). O(n) shuffle on an 8-byte key.
   *  - [[ngramJaccard]] — exact n-gram Jaccard on *candidate pairs only*;
   *    the verifier stage behind MinHash candidates, never run all-pairs.
   */
@@ -141,9 +141,9 @@ object Dedup {
         col(s"m2.$payload").as(s"${payload}_b"))
   }
 
-  /** Per-doc SimHash sketch table (native one-pass kernel). */
+  /** Per-doc 64-bit SimHash sketch table (native one-pass kernel). */
   def simhashSketches(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
-    df.select(idCol.as("id"), simhash32Native(textCol).as("simhash"))
+    df.select(idCol.as("id"), simhash64Native(textCol).as("simhash"))
 
   /** SimHash sketch per doc + exact-sketch duplicate groups. */
   def simhashGroups(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
@@ -153,30 +153,43 @@ object Dedup {
         count(lit(1)).as("n"))
 
   /** SimHash near-duplicate pairs within Hamming distance `maxHamming`,
-    * found WITHOUT an all-pairs comparison: the 32-bit sketch is split
+    * found WITHOUT an all-pairs comparison: the 64-bit sketch is split
     * into `maxHamming` + 1 bit-bands, and by pigeonhole two sketches
     * differing in ≤ `maxHamming` bits agree exactly on at least one band —
-    * so banding is an EXACT candidate generator (recall 1.0, unlike
-    * MinHash banding's probabilistic S-curve), and the popcount filter
-    * removes the false positives. One shuffle on an 8-byte band key; the
-    * same skew cap as [[minhashPairs]] bounds degenerate buckets.
+    * so banding is an EXACT candidate generator (unlike MinHash banding's
+    * probabilistic S-curve), and the popcount filter removes the false
+    * positives. One shuffle on an 8-byte band key; the same skew cap as
+    * [[minhashPairs]] bounds degenerate buckets.
+    *
+    * Recall is 1.0 ONLY while no band bucket exceeds `maxBucket`: an
+    * oversized bucket is dropped whole (boilerplate that [[exact]] dedup
+    * catches more cheaply), and its pairs are lost unless another band
+    * rediscovers them. Pass `drops` and check it is 0 after the action
+    * when exactness matters — `q_simhash_neardup` instead sizes the cap
+    * above the corpus so its parity vs the uncapped all-pairs oracle is
+    * exact by construction.
     *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def simhashNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
       maxHamming: Int = 3, maxBucket: Int = 4096,
       drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 32,
-      s"maxHamming must be in [0, 32), got $maxHamming")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 64), got $maxHamming")
     val nBands = maxHamming + 1
     val sk = simhashSketches(df, textCol, idCol)
-    // band b covers bits [32b/n, 32(b+1)/n) — key = (band | bits), one long
-    val bandKeys = (0 until nBands).map { b =>
-      val lo = 32 * b / nBands
-      val width = 32 * (b + 1) / nBands - lo
-      lit(b.toLong << 32).bitwiseOR(
-        shiftrightunsigned(col("simhash"), lo)
-          .bitwiseAND(lit((1L << width) - 1)))
-    }
+    // band b covers bits [64b/n, 64(b+1)/n) — key = (band | bits), one
+    // long: for n ≥ 2 every band is ≤ 32 bits so the tag at bit 32 is
+    // collision-free; n == 1 (Hamming 0) is whole-sketch equality, so the
+    // sketch itself is the key
+    val bandKeys =
+      if (nBands == 1) Seq(col("simhash"))
+      else (0 until nBands).map { b =>
+        val lo = 64 * b / nBands
+        val width = 64 * (b + 1) / nBands - lo
+        lit(b.toLong << 32).bitwiseOR(
+          shiftrightunsigned(col("simhash"), lo)
+            .bitwiseAND(lit((1L << width) - 1)))
+      }
     val banded = sk.select(col("id"), col("simhash"),
       explode(array(bandKeys: _*)).as("band_key"))
     // popcount filter BEFORE distinct() — see minhashPairs for why this

@@ -65,9 +65,9 @@ object GraftExtensions {
       MinhashSigExpr(args.head, intArg(args(1), "graft_minhash_sig"),
         intArg(args(2), "graft_minhash_sig"))
     },
-    "graft_simhash32" -> { args =>
-      arity(args, 1, "graft_simhash32")
-      Simhash32Expr(args.head)
+    "graft_simhash64" -> { args =>
+      arity(args, 1, "graft_simhash64")
+      Simhash64Expr(args.head)
     },
     "graft_winnow_fingerprint" -> { args =>
       arity(args, 3, "graft_winnow_fingerprint")

@@ -68,6 +68,17 @@ object TextKernels {
       ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 8 md5 bytes big-endian: bits 32..63 = [[first4Md5]], bits
+    * 0..31 = bytes 4-7 — the layout `sqlSimhash64`'s two-half DuckDB
+    * form reproduces exactly. */
+  private def first8Md5(md: java.security.MessageDigest): Long = {
+    val d = md.digest()
+    var acc = 0L
+    var i = 0
+    while (i < 8) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    acc
+  }
+
   /** ≡ `wordNgrams(c, n)`: word n-grams of the normalized token array,
     * indices 1..max(len-n+1, 1), each `array_join(slice(ts,i,n), " ")`. */
   def wordNgrams(s: UTF8String, n: Int): ArrayData = {
@@ -167,28 +178,33 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
-  /** ≡ `simhash32FromHashes(hashedTokens(c))`: 32-bit SimHash — per-token
-    * hash32, majority vote per bit, one pass. */
-  def simhash32(s: UTF8String): Long = {
+  /** ≡ `simhash64FromHashes(hashedTokens(c), hashedTokensB(c))`: 64-bit
+    * SimHash — per-token 64-bit hash (first 8 md5 bytes big-endian, so
+    * bits 32..63 are [[first4Md5]] and bits 0..31 are md5 bytes 4-7),
+    * majority vote per bit, one pass. 64 bits because 32-bit sketches
+    * birthday-saturate at corpus scale (10k synthetic docs already
+    * collapse to 7.9k distinct 32-bit sketches, inflating the Hamming
+    * candidate load quadratically). */
+  def simhash64(s: UTF8String): Long = {
     val toks = tokenBytes(s)
     val md = digest.get()
-    val counts = new Array[Int](32)
+    val counts = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
       md.reset()
       md.update(toks(i))
-      val h = first4Md5(md)
+      val h = first8Md5(md)
       var b = 0
-      while (b < 32) {
-        if (((h >> b) & 1L) != 0L) counts(b) += 1
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) counts(b) += 1
         b += 1
       }
       i += 1
     }
     var acc = 0L
     var b = 0
-    while (b < 32) {
-      if (counts(b) * 2 > toks.length) acc += 1L << b
+    while (b < 64) {
+      if (counts(b) * 2 > toks.length) acc |= 1L << b
       b += 1
     }
     acc
@@ -261,8 +277,9 @@ case class WinnowFingerprintExpr(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** Native 32-bit SimHash (long); ≡ `simhash32FromHashes(hashedTokens(c))`. */
-case class Simhash32Expr(child: Expression)
+/** Native 64-bit SimHash (long, sign bit = sketch bit 63);
+  * ≡ `simhash64FromHashes(hashedTokens(c), hashedTokensB(c))`. */
+case class Simhash64Expr(child: Expression)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -270,14 +287,14 @@ case class Simhash32Expr(child: Expression)
       s"$prettyName expects a STRING argument, got ${other.catalogString}")
   }
   override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash32"
+  override def prettyName: String = "graft_simhash64"
 
   override protected def nullSafeEval(input: Any): Any =
-    TextKernels.simhash32(input.asInstanceOf[UTF8String])
+    TextKernels.simhash64(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash32($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.TextKernels.simhash64($c)")
 
-  override protected def withNewChildInternal(newChild: Expression): Simhash32Expr =
+  override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
     copy(child = newChild)
 }

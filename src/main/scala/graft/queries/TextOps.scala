@@ -134,9 +134,12 @@ object TextOps extends QueryPack {
     // SimHash near-dup within Hamming ≤ 4 over the mutant corpus —
     // pigeonhole banding is an exact candidate generator, so the banded
     // result must equal the oracle's all-pairs popcount join row for row.
+    // The skew cap is sized above the corpus: the oracle is UNCAPPED, so
+    // a dropped bucket would read as an opaque parity failure (the cap
+    // path is spec-tested separately with `drops` observability).
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(withMutants(docs(s, dir)),
-          col("text"), col("doc_id"), maxHamming = 4)
+          col("text"), col("doc_id"), maxHamming = 4, maxBucket = 1 << 20)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Exact n-gram Jaccard verification on the known candidate pairs.
@@ -286,7 +289,7 @@ object TextOps extends QueryPack {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_simhash" ->
-      s"""SELECT doc_id, ${sqlSimhash32(sqlToks(sqlNorm("text")))} AS simhash
+      s"""SELECT doc_id, ${sqlSimhash64(sqlToks(sqlNorm("text")))} AS simhash
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" -> {
@@ -342,7 +345,7 @@ object TextOps extends QueryPack {
     // exactly (pigeonhole recall is 1.0); DuckDB xor() because its ^ is
     // exponentiation
     "q_simhash_neardup" -> {
-      val sh = sqlSimhash32(sqlToks(sqlNorm("text")))
+      val sh = sqlSimhash64(sqlToks(sqlNorm("text")))
       s"""WITH s AS (
          |  SELECT doc_id AS id, $sh AS sh FROM $sqlWithMutants)
          |SELECT a.id AS id_a, b.id AS id_b,

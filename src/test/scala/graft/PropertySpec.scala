@@ -84,12 +84,13 @@ class PropertySpec extends SparkSpec {
         TextFunctions.hashedShingles(TextFunctions.wordNgrams(col("t"), 2)), 8)
         .as("m_c"),
       TextFunctions.minhashSigNative(col("t"), 2, 8).as("m_n"),
-      TextFunctions.simhash32FromHashes(TextFunctions.hashedTokens(col("t")))
+      TextFunctions.simhash64FromHashes(TextFunctions.hashedTokens(col("t")),
+        TextFunctions.hashedTokensB(col("t")))
         .as("s_c"),
-      TextFunctions.simhash32Native(col("t")).as("s_n"))
+      TextFunctions.simhash64Native(col("t")).as("s_n"))
     assert(df.filter(not(col("g_c") <=> col("g_n"))).count() == 0, "wordNgrams")
     assert(df.filter(not(col("m_c") <=> col("m_n"))).count() == 0, "minhashSig")
-    assert(df.filter(not(col("s_c") <=> col("s_n"))).count() == 0, "simhash32")
+    assert(df.filter(not(col("s_c") <=> col("s_n"))).count() == 0, "simhash64")
   }
 
   test("band join ≡ BETWEEN join on random facts and bands (batched)") {

@@ -35,14 +35,14 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaSql = spark.sql(
       """SELECT doc_id,
         |  graft_minhash_sig(text, 3, 8) AS sig,
-        |  graft_simhash32(text) AS sh,
+        |  graft_simhash64(text) AS sh,
         |  graft_word_ngrams(text, 2) AS grams
         |FROM sql_kernel_docs""".stripMargin)
     val viaApi = spark.table("sql_kernel_docs").select(
       org.apache.spark.sql.functions.col("doc_id"),
       graft.functions.TextFunctions.minhashSigNative(
         org.apache.spark.sql.functions.col("text"), 3, 8).as("sig"),
-      graft.functions.TextFunctions.simhash32Native(
+      graft.functions.TextFunctions.simhash64Native(
         org.apache.spark.sql.functions.col("text")).as("sh"),
       graft.functions.TextFunctions.wordNgramsNative(
         org.apache.spark.sql.functions.col("text"), 2).as("grams"))

@@ -59,10 +59,11 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
-  test("Simhash32Expr ≡ composed simhash32FromHashes∘hashedTokens") {
+  test("Simhash64Expr ≡ composed simhash64FromHashes over both hash halves") {
     val diff = corpusPlus
-      .select(simhash32FromHashes(hashedTokens(col("text"))).as("composed"),
-        simhash32Native(col("text")).as("native"))
+      .select(simhash64FromHashes(hashedTokens(col("text")),
+          hashedTokensB(col("text"))).as("composed"),
+        simhash64Native(col("text")).as("native"))
       .filter(not(col("composed") <=> col("native")))
       .count()
     assert(diff == 0)
@@ -135,12 +136,12 @@ class TextKernelsSpec extends SparkSpec {
   test("native kernels participate in whole-stage codegen") {
     val cg = corpusPlus
       .select(minhashSigNative(col("text"), 3, 8),
-        simhash32Native(col("text")),
+        simhash64Native(col("text")),
         wordNgramsNative(col("text"), 3))
       .queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(cg.contains("TextKernels.minhashSig"), "expected inlined static call")
-    assert(cg.contains("TextKernels.simhash32"))
+    assert(cg.contains("TextKernels.simhash64"))
     assert(cg.contains("TextKernels.wordNgrams"))
   }
 }
