@@ -85,8 +85,23 @@ object BandJoin {
     // whatever it is given — an oversized dimension would OOM the driver
     // and every executor instead of failing with a plan-time error.
     val conf = spark.sessionState.conf
-    val guard = spark.conf.getOption("spark.graft.bandJoin.maxBroadcastBytes")
-      .map(_.toLong)
+    // any value < 0 disables the guard; 0 would reject every dimension, so
+    // it is refused here rather than silently breaking each frame() call
+    val guardKey = "spark.graft.bandJoin.maxBroadcastBytes"
+    val guard = spark.conf.getOption(guardKey)
+      .map { raw =>
+        val parsed =
+          try raw.trim.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$guardKey must be a byte count in long range " +
+                s"(or negative to disable the guard); got '$raw'")
+          }
+        require(parsed != 0,
+          s"$guardKey = 0 would reject every dimension; set a positive " +
+            s"byte budget, or a negative value to disable the guard")
+        parsed
+      }
       .getOrElse {
         val t = conf.autoBroadcastJoinThreshold
         if (t > 0) math.max(t * 8, 256L << 20) else 1L << 30

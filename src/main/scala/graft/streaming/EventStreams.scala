@@ -151,12 +151,11 @@ object EventStreams {
     * invocations must not accumulate pinned results or temp dirs), and the
     * query stops even when the source fails mid-drain.
     *
-    * NOT concurrency-safe with batch planning on the same session: the
-    * shuffle-partition override below is session-global while the drain
-    * runs, so a batch query planned concurrently would pick up the
-    * streaming width. The harness (Verify/Bench/specs) runs queries
-    * sequentially; a caller needing isolation should build the stream on
-    * `spark.newSession()` with the streaming width set there instead. */
+    * Concurrency-safe with batch planning: the stream executes on an
+    * ISOLATED `newSession()` (same SparkContext, own SQLConf) carrying the
+    * streaming shuffle width, so the caller's session conf is never
+    * touched — not even transiently — and a batch query planned mid-drain
+    * keeps the batch width (spec-asserted with a concurrent prober). */
   def runToResult(spark: SparkSession, df: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
     val ckpt = newCheckpointDir(name)
@@ -164,38 +163,37 @@ object EventStreams {
     // spark.sql.shuffle.partitions; size them to streaming key cardinality
     // (event_type/user buckets), not the batch shuffle width — every extra
     // partition is another state-store instance + per-batch commit file.
-    // On a long-running production stream this is set once at launch; the
-    // restore below exists because the harness shares one session with the
-    // batch queries.
-    val sess = df.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
-    val q =
-      try df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.toString)
-        .start()
-      catch {
-        case e: Throwable =>
-          sess.conf.set("spark.sql.shuffle.partitions", prevParts); throw e
-      }
-    try {
-      q.processAllAvailable()
-    } finally {
-      // restore even when stop() itself throws (e.g. the stream already
-      // died and stop rethrows the wrapped failure) — otherwise the shared
-      // session would keep the 8-partition streaming width for every
-      // subsequent batch query
-      try q.stop()
-      finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // On a long-running production stream this is set once at launch; here
+    // it lives on the throwaway isolated session only.
+    val parent = df.sparkSession
+    val sess = parent.newSession()
+    // carry the caller's runtime conf (state-store backend, timezone, …)
+    // onto the isolated session — newSession() only inherits the
+    // context-level SparkConf, not runtime overrides; static confs
+    // (warehouse dir, …) refuse modification and keep their values
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (k != "spark.sql.shuffle.partitions")
+        try sess.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
-    val result = spark.table(name)
+    sess.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
+    val bound = org.apache.spark.sql.graft.DatasetBridge.ofRows(sess,
+      org.apache.spark.sql.graft.DatasetBridge.plan(df))
+    val q = bound.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // the memory sink registers its view on the isolated session; hand the
+    // materialized rows back on the caller's session
+    val result = sess.table(name)
     val materialized = spark.createDataFrame(
       spark.sparkContext.parallelize(result.collect().toIndexedSeq),
       result.schema)
-    spark.catalog.dropTempView(name)
+    sess.catalog.dropTempView(name)
     deleteRecursively(ckpt.toFile)
     materialized
   }

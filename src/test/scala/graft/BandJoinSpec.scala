@@ -187,6 +187,31 @@ class BandJoinSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("broadcast guard conf: malformed and zero values fail with the key named") {
+    val key = "spark.graft.bandJoin.maxBroadcastBytes"
+    for (bad <- Seq("10MB", "")) {
+      spark.conf.set(key, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+        }
+        assert(e.getMessage.contains(key), s"'$bad': ${e.getMessage}")
+      } finally spark.conf.unset(key)
+    }
+    spark.conf.set(key, "0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      }
+      assert(e.getMessage.contains("reject every dimension"), e.getMessage)
+    } finally spark.conf.unset(key)
+    // any negative value disables the guard entirely
+    spark.conf.set(key, "-42")
+    try assert(BandJoin.frame(facts, dim, facts("v"), dim("lo"), dim("hi"))
+      .count() > 0)
+    finally spark.conf.unset(key)
+  }
+
   test("auto strategy leaves hinted joins to built-in planning") {
     graft.plans.GraftExtensions.registerAutoBandJoin(spark)
     val hinted = facts.join(dim.hint("broadcast"),

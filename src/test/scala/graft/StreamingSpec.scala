@@ -21,6 +21,38 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("stream drain never touches the caller's session conf (isolated session)") {
+    val key = "spark.sql.shuffle.partitions"
+    val sentinel = "13"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sentinel)
+    try {
+      // probe the parent conf concurrently while the drain runs: the old
+      // implementation set the streaming width on the SHARED session for
+      // the duration of the drain, so a mid-drain batch planner saw it
+      @volatile var worst: Option[String] = None
+      @volatile var probing = true
+      val prober = new Thread(() => {
+        while (probing) {
+          val seen = spark.conf.get(key)
+          if (seen != sentinel && worst.isEmpty) worst = Some(seen)
+          Thread.sleep(1)
+        }
+      })
+      prober.start()
+      val streamed =
+        try EventStreams.runToResult(spark,
+          EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+          "spec_isolated")
+        finally { probing = false; prober.join() }
+      assert(worst.isEmpty,
+        s"parent session conf mutated mid-drain: $key became " +
+          worst.getOrElse("<unset>"))
+      assert(spark.conf.get(key) == sentinel)
+      assert(streamed.count() > 0)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("state store backend swaps to RocksDB (large-state scale path)") {
     // HDFS-backed state holds the working map on-heap — fine for bounded
     // keys; RocksDB is the backend a 100 TB stream's state runs on. The
