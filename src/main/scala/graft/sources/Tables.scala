@@ -91,6 +91,93 @@ object Tables {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** KML file source — ingests the engine's (and the reference's) own KML
+    * *output* dialect back as feature rows, closing the EP1 loop: document →
+    * folders → placemarks, one row per placemark. `wholetext` scan (one
+    * task per document — KML is a per-area artifact, not a big-data file),
+    * then the whole parse is codegen'd regexp/HOF columns ending in
+    * [[graft.functions.GeoFunctions.st_geomfromkml]]; top-level placemarks
+    * outside a `<Folder>` are not part of this dialect and are ignored.
+    *
+    * Output: (doc_name, folder, name, descriptions ARRAY<STRING> in
+    * document order, style, warnings, class_code, geom). Optional fields
+    * are null when absent; XML entities are unescaped. */
+  def readKml(spark: SparkSession, path: String): DataFrame =
+    kmlFeatures(spark.read.option("wholetext", "true").text(path)
+      .select(org.apache.spark.sql.functions.col("value").as("kml")))
+
+  /** KMZ source: unzip `*.kml` from each archive (S7's inverse), then the
+    * [[readKml]] parse. Archives stream through `binaryFile` rows — the
+    * unzip is the only non-Column step (java.util.zip has no expression
+    * form), one call per archive, before the distributed parse. */
+  def readKmz(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.format("binaryFile").load(path)
+      .select(org.apache.spark.sql.functions.col("content"))
+      .as[Array[Byte]]
+      .map(unzipFirstKml)
+      .toDF("kml")
+    kmlFeatures(docs)
+  }
+
+  private def unzipFirstKml(bytes: Array[Byte]): String = {
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .collectFirst { case e if e.getName.endsWith(".kml") =>
+          new String(zin.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        }
+        .getOrElse(throw new IllegalArgumentException(
+          "KMZ archive contains no .kml entry"))
+    } finally zin.close()
+  }
+
+  /** The distributed KML parse behind [[readKml]]/[[readKmz]]: a `kml`
+    * string column of whole documents → placemark feature rows. */
+  def kmlFeatures(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def unescape(c: org.apache.spark.sql.Column) =
+      // inverse of the sink's escape — &amp; last, so escaped entities
+      // survive one round-trip unchanged
+      regexp_replace(regexp_replace(regexp_replace(c,
+        "&lt;", "<"), "&gt;", ">"), "&amp;", "&")
+    def optional(c: org.apache.spark.sql.Column) = nullif(c, lit(""))
+    val folder = explode(regexp_extract_all(col("kml"),
+      lit("(?s)<Folder>(.*?)</Folder>"), lit(1))).as("__folder")
+    val pm = explode(regexp_extract_all(col("__folder"),
+      lit("(?s)<Placemark>(.*?)</Placemark>"), lit(1))).as("__pm")
+    docs
+      .select(
+        regexp_extract(col("kml"),
+          "(?s)<Document[^>]*>\\s*<name>(.*?)</name>", 1).as("doc_name"),
+        folder)
+      .select(col("doc_name"),
+        regexp_extract(col("__folder"), "(?s)<name>(.*?)</name>", 1)
+          .as("folder"),
+        pm)
+      .select(
+        optional(unescape(col("doc_name"))).as("doc_name"),
+        optional(unescape(col("folder"))).as("folder"),
+        optional(unescape(regexp_extract(col("__pm"),
+          "(?s)<name>(.*?)</name>", 1))).as("name"),
+        transform(
+          regexp_extract_all(col("__pm"),
+            lit("(?s)<description>(.*?)</description>"), lit(1)),
+          unescape _).as("descriptions"),
+        optional(regexp_extract(col("__pm"),
+          "<styleUrl>#?(.*?)</styleUrl>", 1)).as("style"),
+        optional(unescape(regexp_extract(col("__pm"),
+          "(?s)<ExtendedData><warnings>(.*?)</warnings>", 1))).as("warnings"),
+        optional(regexp_extract(col("__pm"),
+          "<ExtendedData><class_code>(.*?)</class_code>", 1)).as("class_code"),
+        graft.functions.GeoFunctions.st_geomfromkml(
+          regexp_extract(col("__pm"),
+            "(?s)(<Point>.*?</Point>|<LineString>.*?</LineString>|" +
+              "<Polygon>.*?</Polygon>|<MultiGeometry>.*?</MultiGeometry>)", 1))
+          .as("geom"))
+  }
+
   /** Geometry model (SURVEY §1.4): one GeoJSON-shaped tagged struct for the
     * whole ADT the reference dispatches on by key presence
     * (/root/reference/src/from-ground-up.js:442-446) — see

@@ -82,6 +82,45 @@ class AtesPipelineSpec extends SparkSpec {
     } finally { zf.close(); tmp.delete() }
   }
 
+  test("KML/KMZ source closes the EP1 loop: writeKmz → readKmz recovers the features") {
+    val kml = AtesPipeline.kmlDocument(tables, 357L, "en")
+    val dir = Files.createTempDirectory("graft_kmz").toFile
+    val kmz = new java.io.File(dir, "area.kmz")
+    Sinks.writeKmzFile(kml, kmz.getAbsolutePath)
+
+    val feats = graft.sources.Tables.readKmz(spark, kmz.getAbsolutePath)
+    val rows = feats.collect()
+    // every placemark of every folder surfaces as one row
+    val expectedPms = "<Placemark>".r.findAllIn(kml).size
+    assert(rows.length == expectedPms && expectedPms > 0)
+    assert(rows.forall(_.getAs[String]("doc_name") == "Test Area"))
+    // folder provenance preserved, in the emitter's display names
+    val folders = rows.map(_.getAs[String]("folder")).toSet
+    assert(folders.contains("Points of Interest") && folders.contains("Zones"))
+    // xml escapes round-trip back to the source text
+    val allDescriptions = rows.flatMap(_.getSeq[String](
+      rows.head.fieldIndex("descriptions")))
+    assert(allDescriptions.exists(_.contains("Spur & branch")))
+    assert(allDescriptions.exists(_.contains("complex <steep>")))
+    // zone class_code + style id recovered
+    assert(rows.exists(r => r.getAs[String]("class_code") == "3" &&
+      r.getAs[String]("style") == "zone_black_style"))
+    // geometry parses for every placemark and matches the sink's own KML
+    // rendering when re-emitted
+    val reKml = feats
+      .select(graft.functions.GeoFunctions.st_askml(
+        org.apache.spark.sql.functions.col("geom")).as("k"))
+      .collect().map(_.getString(0))
+    assert(reKml.forall(s => s != null && s.nonEmpty))
+    reKml.foreach(s => assert(kml.contains(s), s"re-rendered geometry not in doc: $s"))
+
+    // and the plain-KML reader sees the identical rows
+    val kmlFile = new java.io.File(dir, "doc.kml")
+    Files.writeString(kmlFile.toPath, kml)
+    val viaKml = graft.sources.Tables.readKml(spark, kmlFile.getAbsolutePath)
+    assert(viaKml.exceptAll(feats).isEmpty && feats.exceptAll(viaKml).isEmpty)
+  }
+
   test("EP3: GeoJSON-LD sink writes one JSON-lines dir per table (MBX:312-333)") {
     val out = Files.createTempDirectory("graft_ld").toFile
     Sinks.writeGeoJsonLd(AtesPipeline.geoJsonLdFeatures(tables),
