@@ -37,7 +37,10 @@ object Bench {
     // q_pivot read 2.56 s recorded vs 1.19 s re-measured). The first rep
     // additionally absorbs that query's Janino compilation, so the median
     // reflects steady-state execution.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // Clamped to >=1: 0/negative would make the median index throw, and a
+    // non-numeric value should not abort the bench before any query runs.
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3))
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -54,16 +57,30 @@ object Bench {
         else samples.sorted.apply(samples.length / 2)
       name -> dur
     }
-    // 3-decimal precision keeps the whole line ~2 KB for 80+ queries: the
-    // driver captures only the tail of the run output, and a full-precision
-    // line (~3.5 KB) gets truncated mid-JSON and fails to parse.
+    // The driver captures only the LAST ~2000 chars of the run output and
+    // parses the JSON line out of that tail; sbt appends its own
+    // "[success] Total time…" line after us. A full 100+-query map is
+    // ~2.4 KB, so the recorded artifact has its head truncated and fails
+    // to parse (BENCH_r03/r04 both landed "parsed": null). Emit the full
+    // per-query map on its own line first (for humans / the judge), then a
+    // final line whose `queries` map keeps the SLOWEST entries that fit a
+    // conservative byte budget — slowest-first is the informative subset.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def jq(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    def line(qs: String, omitted: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"omitted":$omitted,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line(jq(results), 0)) // full map: head may truncate in the tail
+    val budget = 1700 // line bytes; tail window 2000 minus sbt suffix + slack
+    val bySlowest = results.sortBy(-_._2)
+    val keep = (0 to bySlowest.length).view.map(n => bySlowest.take(n))
+      .takeWhile(kvs => line(jq(kvs), 0).length <= budget)
+      .last // n=0 always fits, so `last` is total
+    println(line(jq(keep), results.length - keep.length))
     Console.out.flush()
     spark.stop()
   }

@@ -52,6 +52,14 @@ import org.apache.spark.sql.functions._
   * lost, the job fails and must be resubmitted (acceptable for an
   * interactive/batch analytic; use a reliable `checkpoint` directory
   * upstream if that matters).
+  *
+  * RETENTION: the checkpointed blocks are released by the ContextCleaner
+  * only when the returned plan (and the RDD it pins) is garbage-collected
+  * on the driver — there is no explicit unpersist path through this API.
+  * In a long-lived session calling this repeatedly, drop references to
+  * the returned DataFrame once consumed (and rely on GC), or materialize
+  * the result and discard the plan; each call retains one projected
+  * (group, value) copy of the input until then.
   */
 object Percentiles {
 

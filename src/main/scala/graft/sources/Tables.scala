@@ -112,7 +112,11 @@ object Tables {
     * form), one call per archive, before the distributed parse. */
   def readKmz(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val docs = spark.read.format("binaryFile").load(path)
+    // Only *.kmz: a stray non-zip file in the directory would otherwise
+    // fail the whole job from ZipInputStream mid-task rather than being
+    // excluded at plan time (readKml's text source is similarly scoped).
+    val docs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.kmz").load(path)
       .select(org.apache.spark.sql.functions.col("content"))
       .as[Array[Byte]]
       .map(unzipFirstKml)

@@ -173,8 +173,10 @@ object EventStreams {
     // (warehouse dir, …) refuse modification and keep their values
     parent.conf.getAll.foreach { case (k, v) =>
       if (k != "spark.sql.shuffle.partitions")
+        // NonFatal, not just AnalysisException: an unsettable/exotic conf
+        // entry must never abort the drain — skipping it is the contract.
         try sess.conf.set(k, v)
-        catch { case _: org.apache.spark.sql.AnalysisException => () }
+        catch { case scala.util.control.NonFatal(_) => () }
     }
     sess.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
     val bound = org.apache.spark.sql.graft.DatasetBridge.ofRows(sess,
