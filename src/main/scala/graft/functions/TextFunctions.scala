@@ -43,12 +43,24 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** BPE-ish subword pretokenizer pattern, deliberately lookaround-FREE so
+    * the identical pattern runs under RE2 (DuckDB `regexp_extract_all`) and
+    * the query carries a real oracle. A token is: an ASCII letter run, a
+    * digit run, or a single other-non-whitespace char glued to an
+    * immediately-following letter run or digit run ("!cd5" → "!cd","5").
+    * Equivalent to the former lookaround split form
+    * `split(c, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\s+|(?=[^a-zA-Z0-9 ])")`
+    * minus empty tokens — property-tested in TextFunctionsSpec. Caveat:
+    * Java regex counts UTF-16 units where RE2 counts codepoints, so counts
+    * agree for BMP text only (astral chars would read as 2 tokens here,
+    * 1 in DuckDB — the corpus is ASCII). */
+  val subwordPattern: String =
+    "[^a-zA-Z0-9\\s](?:[a-zA-Z]+|[0-9]+)?|[a-zA-Z]+|[0-9]+"
+
   /** BPE-ish subword segmentation: splits on whitespace AND digit/letter
     * boundaries, the regex-only approximation of byte-pair pretokenizers. */
   def subwordTokens(c: Column): Column =
-    filter(
-      split(c, "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9 ])"),
-      t => length(t) > 0)
+    regexp_extract_all(c, lit(subwordPattern), lit(0))
 
   /** Character k-shingles of a PRE-STAGED normalized text column: the
     * lambda re-evaluates its free references per element, so passing

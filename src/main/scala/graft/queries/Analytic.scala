@@ -225,17 +225,29 @@ object Analytic extends QueryPack {
         .filter(col("n") >= 3)
         .orderBy(col("o_custkey"))),
 
-    // approx_count_distinct: HLL sketches are engine-specific, so this is a
-    // rows-only check (no oracle) — the spec asserts the ±5% envelope instead.
+    // approx_count_distinct: HLL sketch values are engine-specific, so the
+    // sketch value itself can't be hash-compared — instead the query emits
+    // the EXACT count (hash-checked) plus a boolean asserting the sketch
+    // landed within its ±5% envelope (the oracle expects `true`, so a
+    // drifted sketch is a gate FAILURE, not a rows-only shrug).
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("__approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__approx") - col("exact_orders")) <=
+            col("exact_orders").cast("double") * 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag")))
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

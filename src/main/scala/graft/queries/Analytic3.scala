@@ -72,14 +72,22 @@ object Analytic3 extends QueryPack {
           round(col("p75"), 6).as("p75"))
         .orderBy(col("l_returnflag"))),
 
-    // Approximate percentile sketch (rows-only: sketch internals are
-    // engine-specific; the error bound vs the exact form is spec-asserted).
+    // Approximate percentile sketch. The sketch VALUE is engine-specific
+    // (can't hash-compare), so the query emits the group size (exact,
+    // hash-checked) plus a boolean asserting the sketch tracks the exact
+    // interpolated median within 5% — the oracle expects `true`, making
+    // sketch drift a gate failure instead of an unchecked row count.
     "q_approx_quantile" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50_approx"),
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)")
+            .as("__approx"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("__exact"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("__approx") - col("__exact")) <=
+            abs(col("__exact")) * 0.05).as("approx_ok"))
         .orderBy(col("l_returnflag"))),
 
     // Ordered string aggregation: nation names per region, sorted — the
@@ -183,6 +191,10 @@ object Analytic3 extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      """SELECT l_returnflag, count(*) AS n, true AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_corr_regr" ->
       """WITH s AS (
         |  SELECT l_returnflag,

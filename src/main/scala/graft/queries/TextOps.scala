@@ -226,7 +226,9 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
-    // BPE-ish subword token count — rows-only (lookaround regex).
+    // BPE-ish subword token count. Oracled: the pretokenizer pattern is
+    // lookaround-free by construction (TextFunctions.subwordPattern), so
+    // the SAME regex runs under DuckDB's RE2 in the oracle below.
     "q_subword" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         size(subwordTokens(col("text"))).as("n_subwords"))
@@ -246,6 +248,14 @@ object TextOps extends QueryPack {
   private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
   override def oracle: Map[String, String] = Map(
+    // Same pattern string both engines (Java regex + RE2 agree: no
+    // lookarounds); single quotes in SQL take no backslash processing.
+    "q_subword" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$subwordPattern')) AS INT)
+         |    AS n_subwords
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_text_stats" ->
       s"""SELECT doc_id,
          |  CAST(length(${sqlNorm("text")}) AS INT) AS n_chars_norm,

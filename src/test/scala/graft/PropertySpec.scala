@@ -37,6 +37,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subword matcher pattern ≡ the lookaround split form (batched)") {
+    // subwordTokens moved from a Java-only lookaround split to a
+    // lookaround-free matcher (same pattern must run under DuckDB's RE2
+    // for the q_subword oracle); pin the equivalence on adversarial text:
+    // letter/digit boundaries, punctuation runs, mixed whitespace, unicode
+    val messyChar = Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf("!?.,;:#&-_'\"()[]/+=*".toSeq),
+      2 -> Gen.oneOf(" \t\n".toSeq), 1 -> Gen.oneOf("éß€汉".toSeq))
+    val messy = Gen.listOf(messyChar).map(_.mkString)
+    val cases = samples(messy, 300)
+    val df = cases.toDF("t")
+    val legacySplit = filter(
+      split(col("t"),
+        "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9 ])"),
+      t => length(t) > 0)
+    val rows = df.select(col("t"),
+      TextFunctions.subwordTokens(col("t")).as("m"), legacySplit.as("s"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"matcher != split for ${r.getString(0)}")
+    }
+  }
+
   test("fingerprints are whitespace/case-normalization-invariant (batched)") {
     val cases = samples(text, 40)
     val df = cases.toDF("t")

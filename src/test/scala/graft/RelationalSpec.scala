@@ -23,23 +23,23 @@ class RelationalSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet.diff(qs)
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
     // a typo'd oracle key silently downgrades the query to a rows-only
-    // check — pin the rows-only set to exactly the documented four
+    // check — every query now carries an oracle (the former four
+    // engine-specific ones emit exact values + in-envelope booleans the
+    // oracle pins to `true`), so the rows-only set must stay EMPTY
     val rowsOnly = qs.diff(SparkEntry.oracleSql.keySet)
-    assert(rowsOnly ==
-      Set("q_approx_distinct", "q_subword", "q_sim_ivf", "q_approx_quantile"),
+    assert(rowsOnly.isEmpty,
       s"unexpected rows-only queries (oracle missing?): $rowsOnly")
   }
 
-  test("approx_percentile tracks the exact interpolated percentile") {
-    // the sketch is engine-specific (rows-only in the gate); its accuracy
-    // contract vs the exact form is asserted here instead
-    val approx = SparkEntry.queries("q_approx_quantile")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val exact = SparkEntry.queries("q_percentile_cont")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    exact.foreach { case (flag, p50) =>
-      val rel = math.abs(approx(flag) - p50) / p50
-      assert(rel < 0.05, s"$flag: approx ${approx(flag)} vs exact $p50")
+  test("approx sketch queries report every group inside the envelope") {
+    // the gate oracle pins these booleans to `true`; assert locally too so
+    // a sketch regression fails fast in `sbt test`, not only at gate time
+    Seq("q_approx_quantile", "q_approx_distinct").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+      assert(rows.nonEmpty, s"$q returned no rows")
+      rows.foreach { r =>
+        assert(r.getBoolean(2), s"$q out of envelope: $r")
+      }
     }
   }
 
