@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering step
+  * a dedup pipeline runs AFTER pair generation: near-duplicate PAIRS
+  * (from MinHash/SimHash/embedding blocking) form a graph whose components
+  * are the duplicate clusters; "keep one doc per cluster" is then a single
+  * `component = id` filter (or a min_by over a quality score).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", ACM SoCC 2014). Each round is two key-partitioned
+  * aggregations + a self-join per star; the edge set contracts toward a
+  * forest of stars centered at each component's minimum id in O(log n)
+  * rounds — no driver-side graph state, no per-node iteration proportional
+  * to graph diameter (a plain min-label propagation needs O(diameter)
+  * rounds; a 100 TB web-ish graph can have diameter in the hundreds).
+  *
+  * Scale shape per round: one `groupBy(u).min(v)` (map-side partial min),
+  * one co-partitioned join back on `u` (same key → AQE reuses the
+  * exchange), one `distinct` to keep the edge multiset from ballooning.
+  * The intermediate edge set is `localCheckpoint`ed every round: iterative
+  * plans otherwise nest exponentially and re-execute from the source.
+  * Skewed high-degree centers are exactly what the alternation handles —
+  * large-star hangs big neighborhoods off the minimum, small-star
+  * flattens them.
+  *
+  * Reference behavior: the reference engine has no graph operator; this is
+  * part of the LLM-pipeline surface (dedup clustering) built Spark-first.
+  */
+object Components {
+
+  /** (id, component) for every node in `nodes`, where `component` is the
+    * SMALLEST node id reachable from `id` over undirected `edges`.
+    * Isolated nodes (in `nodes` but no edge) label themselves.
+    *
+    * @param edges two-column DataFrame of undirected edges (any names;
+    *              the first two columns are used); self-loops and nulls
+    *              are dropped.
+    * @param nodes one-column DataFrame of node ids (duplicates fine) —
+    *              the label universe; edge endpoints outside it are
+    *              still labeled (union semantics).
+    * @param maxRounds safety bound on star rounds; the algorithm
+    *                  converges in O(log n) (~20 covers 2^20 components
+    *                  of any size) — exceeding it throws rather than
+    *                  returning a half-contracted labeling.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    val ec = edges.columns
+    require(ec.length >= 2, "edges needs two columns")
+    val e0 = edges
+      .select(col(ec(0)).cast("long").as("u"), col(ec(1)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      // canonical small→large, deduped: the star rounds re-derive
+      // direction themselves, but starting deduped keeps round 1 honest
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    val nc = nodes.columns
+    val nodeIds = nodes.select(col(nc(0)).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+
+    // Fixpoint detection: the canonical edge set's (count, xor-of-hashes)
+    // signature — two cheap aggregates, no driver-side edge collection.
+    // XOR (not SUM: ANSI long overflow) is set-stable because the edge
+    // set is distinct by construction each round.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = e0.localCheckpoint()
+    var sig = signature(cur)
+    var converged = cur.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+
+    // At the fixpoint the canonical (u, v) edges are (center, member)
+    // stars with u = the component minimum; min() is belt-and-braces for
+    // the final round.
+    val labeled = cur.select(col("v").as("id"), col("u").as("component"))
+      .union(cur.select(col("u").as("id"), col("u").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+    nodeIds.join(labeled, Seq("id"), "full_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** m(u) = min(Γ(u) ∪ {u}); connect every LARGER neighbor to it:
+    * emit (v, m) for v ∈ Γ(u), v > u. Works on the symmetrized view so
+    * every node sees its full neighborhood. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(min(col("v")).as("__mn"))
+      .select(col("u"), least(col("u"), col("__mn")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Direct each edge large→small; m(u) = min of u's smaller neighbors;
+    * connect u and every other smaller neighbor to m: emit (u, m) and
+    * (v, m) for v ∈ Γ⁻(u) \ {m}. Output is canonical (v < u). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+    dir.join(m, "u")
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(m.select(col("u"), col("m").as("v")))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .select(col("v").as("u"), col("u").as("v")) // back to (small, large)
+  }
+}

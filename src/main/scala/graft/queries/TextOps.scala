@@ -173,6 +173,23 @@ object TextOps extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Duplicate-cluster labeling: near-dup PAIRS (LSH) → connected
+    // components (alternating large-star/small-star, O(log n) rounds) →
+    // one (doc_id, component) label per doc, component = min doc id in
+    // the cluster. The step between pair generation and "keep one per
+    // cluster" in a corpus-cleaning pipeline; oracled against a DuckDB
+    // recursive-CTE transitive closure over the SAME SQL-derived pairs.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val d = withMutants(docs(s, dir))
+      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      graft.operators.Components.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")),
+          d.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing fingerprint (rolling local fingerprints, Schleimer et al.):
     // sorted distinct window-min shingle hashes per doc — the
     // partial-overlap detector between exact dedup and MinHash. Staged:
@@ -319,6 +336,41 @@ object TextOps extends QueryPack {
          |    / 16 AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Transitive closure via recursive CTE over the SQL-rederived LSH
+    // pairs: min reachable id per node ≡ the star-contraction labels.
+    // Closure size is Σ|component|² — fine at gate scale, which is
+    // exactly why the ENGINE side uses O(log n) star contraction instead.
+    "q_dedup_cluster" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM $sqlWithMutants),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |banded AS (
+         |  SELECT id, sig, b || '_' || md5(array_to_string(
+         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
     },
 
     "q_pipeline_dedup" -> {

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find oracle: min id per component. */
+  private def unionFindLabels(nodes: Seq[Long],
+      edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.foreach(find)
+    edges.foreach { case (a, b) => union(a, b) }
+    // path-compress to roots, which are component minima by construction
+    (nodes ++ edges.flatMap(e => Seq(e._1, e._2))).distinct
+      .map(n => n -> find(n)).toMap
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(
+        edges.toDF("id_a", "id_b"), nodes.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+
+  test("random graphs match a driver-side union-find (property)") {
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      nEdges <- Gen.choose(0, 90)
+      edges <- Gen.listOfN(nEdges,
+        Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield (n.toLong, edges)
+    (0 until 12).foreach { i =>
+      val (n, edges) = gen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val nodes = 0L until n
+      assert(run(nodes, edges) == unionFindLabels(nodes, edges),
+        s"mismatch on seed ${7 + i}")
+    }
+  }
+
+  test("long chain converges (log-round contraction, not diameter-bound)") {
+    // a 200-node path has diameter 199: min-label propagation would need
+    // ~200 rounds; star contraction must finish inside the default 25
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val labels = run(0L until 200L, edges)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("isolated nodes label themselves; edge ids outside `nodes` survive") {
+    val labels = run(Seq(1L, 2L, 3L, 10L), Seq((100L, 101L), (2L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 10L -> 10L,
+      100L -> 100L, 101L -> 100L))
+  }
+
+  test("self-loops and duplicate/reversed edges are harmless") {
+    val labels = run(Seq(1L, 2L, 3L),
+      Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("empty edge set labels every node itself") {
+    val labels = run(Seq(5L, 6L), Seq.empty)
+    assert(labels == Map(5L -> 5L, 6L -> 6L))
+  }
+}
