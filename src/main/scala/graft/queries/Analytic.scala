@@ -228,16 +228,19 @@ object Analytic extends QueryPack {
     // approx_count_distinct: HLL sketch values are engine-specific, so the
     // sketch value itself can't be hash-compared — instead the query emits
     // the EXACT count (hash-checked) plus a boolean asserting the sketch
-    // landed within its ±5% envelope (the oracle expects `true`, so a
-    // drifted sketch is a gate FAILURE, not a rows-only shrug).
+    // landed within 3 standard errors of it (the oracle expects `true`,
+    // so a drifted sketch is a gate FAILURE, not a rows-only shrug).
+    // Default rsd deliberately: tightening rsd to buy a narrower envelope
+    // blows the register array up ~(1/rsd)² and measured 13× slower at
+    // sf0.1 for zero extra hash-checked signal.
     "q_approx_distinct" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("__approx"),
+        .agg(approx_count_distinct(col("l_orderkey")).as("__approx"),
           countDistinct(col("l_orderkey")).as("exact_orders"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("__approx") - col("exact_orders")) <=
-            col("exact_orders").cast("double") * 0.05).as("approx_ok"))
+            col("exact_orders").cast("double") * 0.15).as("approx_ok"))
         .orderBy(col("l_returnflag")))
   )
 

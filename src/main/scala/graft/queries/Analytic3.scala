@@ -77,18 +77,26 @@ object Analytic3 extends QueryPack {
     // hash-checked) plus a boolean asserting the sketch tracks the exact
     // interpolated median within 5% — the oracle expects `true`, making
     // sketch drift a gate failure instead of an unchecked row count.
-    "q_approx_quantile" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // The exact reference comes from the DISTRIBUTED sort operator (same
+    // as q_percentile_cont), not the built-in `percentile` that buffers
+    // every group value in one aggregation buffer.
+    "q_approx_quantile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val approx = li.groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)")
             .as("__approx"),
-          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("__exact"),
           count(lit(1)).as("n"))
+      val exact = graft.operators.Percentiles.exactInterpolated(
+          li, col("l_returnflag"), col("l_extendedprice").cast("double"),
+          Seq(0.5), Seq("__exact"))
+        .select(col("group").as("l_returnflag"), col("__exact"))
+      approx.join(exact, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n"),
           (abs(col("__approx") - col("__exact")) <=
             abs(col("__exact")) * 0.05).as("approx_ok"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Ordered string aggregation: nation names per region, sorted — the
     // deterministic form of LISTAGG/STRING_AGG (collect order is
