@@ -65,22 +65,25 @@ object Components {
       .filter(col("id").isNotNull).distinct()
 
     // Fixpoint detection: the canonical edge set's (count, xor-of-hashes)
-    // signature — two cheap aggregates, no driver-side edge collection.
-    // XOR (not SUM: ANSI long overflow) is set-stable because the edge
-    // set is distinct by construction each round.
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+    // signature. XOR (not SUM: ANSI long overflow) is set-stable because
+    // the edge set is distinct by construction each round. The signature
+    // rides the checkpoint materialization itself via observe() — zero
+    // extra jobs per round (at bench scale the per-round fixed cost IS
+    // the operator's cost: the contracted edge set is tiny).
+    def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs, count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
+        .localCheckpoint()
+      val m = obs.get
+      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
     }
 
-    var cur = e0.localCheckpoint()
-    var sig = signature(cur)
-    var converged = cur.isEmpty
+    var (cur, sig) = checkpointWithSignature(e0)
+    var converged = sig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
-      val nextSig = signature(next)
+      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(cur)))
       converged = nextSig == sig
       cur = next
       sig = nextSig
@@ -109,10 +112,13 @@ object Components {
     val m = sym.groupBy(col("u"))
       .agg(min(col("v")).as("__mn"))
       .select(col("u"), least(col("u"), col("__mn")).as("m"))
+    // No distinct here: smallStar canonicalizes and dedups its own output,
+    // and duplicate edges don't perturb its min-aggregation — dropping the
+    // shuffle halves the per-round stage count for a bounded (≤2|E|)
+    // intermediate.
     sym.join(m, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** Direct each edge large→small; m(u) = min of u's smaller neighbors;
