@@ -47,6 +47,27 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("larger random graph matches union-find (20k nodes, 30k edges)") {
+    val rnd = new scala.util.Random(99)
+    val n = 20000L
+    val edges = Seq.fill(30000)(
+      (rnd.nextLong(n), rnd.nextLong(n)))
+    val nodes = 0L until n
+    assert(run(nodes, edges) == unionFindLabels(nodes, edges))
+  }
+
+  test("high-degree hub (planted skew) contracts without incident") {
+    // one hub connected to 5k spokes: the degenerate neighborhood the
+    // large-star/small-star alternation exists to handle — a single
+    // min-label round would funnel everything through one reducer key,
+    // which is also what happens here, but bounded at min-aggregation
+    // (map-side partial) rather than at a collect
+    val edges = (1L to 5000L).map(i => (0L, i)) ++
+      Seq((5000L, 5001L)) // chain off the last spoke
+    val labels = run(0L to 5001L, edges)
+    assert(labels.values.toSet == Set(0L))
+  }
+
   test("long chain converges (log-round contraction, not diameter-bound)") {
     // a 200-node path has diameter 199: min-label propagation would need
     // ~200 rounds; star contraction must finish inside the default 25
