@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Deterministic, reproducible sampling — the corpus-subsetting op every
+  * training-data pipeline runs ("take 10% of the crawl", "cap English at
+  * half, oversample low-resource languages").
+  *
+  * `df.sample()` is the wrong tool for that job at 100 TB: it is seeded
+  * per-PARTITION, so adding one input file, repartitioning, or a speculative
+  * re-execution changes which rows survive — the sample is not a function
+  * of the data. A hash gate IS: a row is kept iff the portable 32-bit hash
+  * ([[graft.plans.Hash32Expr]], first 4 md5 bytes — NOT engine-native
+  * `hash()`) of its stable key lands under `rate` of the hash space. Same
+  * key → same verdict on any cluster, any partitioning, any engine that
+  * can compute md5 (the DuckDB oracle does, in SQL) — and membership is
+  * consistent across tables keyed by the same id, so a sampled `documents`
+  * slice automatically aligns with its `embeddings` rows.
+  *
+  * Scale shape: a narrow codegen'd filter fused into the scan — no
+  * shuffle, no driver state, prunes before anything downstream.
+  */
+object Sampling {
+
+  private val HashSpace = 1L << 32
+
+  private def gate(keyCol: Column, rate: Column): Column =
+    hash32(keyCol.cast("string")) < (rate * HashSpace).cast("long")
+
+  /** Keep rows whose hashed `keyCol` falls in the first `rate` fraction of
+    * the hash space (`rate` in [0, 1]; 0 keeps none, 1 keeps all).
+    * Deterministic in the DATA: re-runs, repartitions and engine swaps
+    * reproduce the exact member set. Nested rates compose: the `rate=0.1`
+    * sample is a subset of the `rate=0.5` sample over the same key. */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must lie in [0, 1], got $rate")
+    df.filter(gate(keyCol, lit(rate)))
+  }
+
+  /** Per-stratum rates ("en" → 0.5, "de" → 0.2, anything else →
+    * `defaultRate`): one pass, one codegen'd CASE over the stratum column,
+    * same deterministic hash gate per row. */
+  def stratifiedHashSample(df: DataFrame, keyCol: Column, stratumCol: Column,
+      rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rates must lie in [0, 1], got $r"))
+    val rateCol = rates.foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) => when(stratumCol === stratum, r).otherwise(acc)
+    }
+    df.filter(gate(keyCol, rateCol))
+  }
+}

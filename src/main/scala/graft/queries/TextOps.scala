@@ -173,6 +173,20 @@ object TextOps extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Deterministic stratified sampling: portable-hash gate per doc_id
+    // with per-language rates (cap English, oversample zh) — reproducible
+    // across runs/partitionings/ENGINES, which is exactly what the oracle
+    // checks: DuckDB recomputes the same md5-derived gate in SQL and must
+    // select the identical member set (counts + char sums per stratum).
+    "q_sample_stratified" -> ((s, dir) => {
+      val sampled = graft.operators.Sampling.stratifiedHashSample(
+        docs(s, dir), col("doc_id"), col("lang"),
+        Map("en" -> 0.5, "zh" -> 0.9), defaultRate = 0.25)
+      sampled.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Duplicate-cluster labeling: near-dup PAIRS (LSH) → connected
     // components (alternating large-star/small-star, O(log n) rounds) →
     // one (doc_id, component) label per doc, component = min doc id in
@@ -265,6 +279,19 @@ object TextOps extends QueryPack {
   private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
   override def oracle: Map[String, String] = Map(
+    // Portable hash gate: ('0x'||substr(md5(k),1,8))::BIGINT ≡ the native
+    // Hash32Expr; FLOOR (not CAST) on the threshold because DuckDB's
+    // double→BIGINT cast rounds where Spark's truncates.
+    "q_sample_stratified" ->
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        |  CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5
+        |                   WHEN lang = 'zh' THEN 0.9
+        |                   ELSE 0.25 END) * 4294967296) AS BIGINT)
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     // Same pattern string both engines (Java regex + RE2 agree: no
     // lookarounds); single quotes in SQL take no backslash processing.
     "q_subword" ->
