@@ -173,6 +173,18 @@ object TextOps extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // Token-budget packing: docs accumulate chars per language in doc_id
+    // order; pack boundary at each budget multiple (docs never split,
+    // ≤1-doc overflow). One window cumsum — no sequential fold — so the
+    // oracle replays the identical rule. Output: per-pack accounting.
+    "q_pack_budget" -> ((s, dir) =>
+      graft.operators.Packing.byBudget(
+          docs(s, dir), Seq(col("lang")), col("doc_id"), col("n_chars"),
+          budget = 20000L)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("pack_chars"))
+        .orderBy(col("lang"), col("pack_id"))),
+
     // Deterministic stratified sampling: portable-hash gate per doc_id
     // with per-language rates (cap English, oversample zh) — reproducible
     // across runs/partitionings/ENGINES, which is exactly what the oracle
@@ -279,6 +291,18 @@ object TextOps extends QueryPack {
   private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
   override def oracle: Map[String, String] = Map(
+    // Same boundary rule: pack = (cumsum-before-this-doc) // budget,
+    // integer division in both engines (// in DuckDB, decimal-routed
+    // div engine-side).
+    "q_pack_budget" ->
+      """SELECT lang, CAST((cum - n_chars) // 20000 AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS pack_chars
+        |FROM (
+        |  SELECT lang, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+        |  FROM documents)
+        |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
     // Portable hash gate: ('0x'||substr(md5(k),1,8))::BIGINT ≡ the native
     // Hash32Expr; FLOOR (not CAST) on the threshold because DuckDB's
     // double→BIGINT cast rounds where Spark's truncates.
