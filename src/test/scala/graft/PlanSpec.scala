@@ -149,4 +149,31 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
     assert(exchanges <= 2, s"too many shuffles in LSH pipeline ($exchanges):\n$p")
   }
+
+  test("q_sample_stratified: hash gate fused above a text-pruned scan, " +
+      "thresholds constant-folded") {
+    val p = plan("q_sample_stratified")
+    val readSchema = p.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("text"),
+      s"sampling scan reads the heavy text column:\n$readSchema")
+    // rate * 2^32 folded to a literal at plan time (0.5 → 2147483648)
+    assert(p.contains("2147483648"), s"threshold not constant-folded:\n$p")
+    // the gate filters before the aggregate: one agg exchange + the output
+    // sort, nothing upstream of the filter (tree lines only — formatted
+    // mode repeats every operator in the detail listing)
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 2, s"sampling should not shuffle pre-filter:\n$p")
+  }
+
+  test("q_pack_budget: one window shuffle reused by the aggregation") {
+    val p = plan("q_pack_budget")
+    assert(p.contains("Window"), s"no window cumsum in plan:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    // the (lang, pack_id) aggregation reuses the window's hash(lang)
+    // partitioning (ClusteredDistribution accepts the subset), so the
+    // whole query is the window exchange + the output sort — asserting
+    // this pins the exchange-reuse property, not just "few shuffles"
+    val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
+    assert(exchanges <= 2, s"agg should reuse the window partitioning:\n$p")
+  }
 }
