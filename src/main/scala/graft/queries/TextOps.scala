@@ -216,6 +216,32 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Training-mix capstone: the full corpus-to-batches pipeline under ONE
+    // oracle — stratified hash-gate sampling (per-language rates) → LSH
+    // near-dup drop on the SAMPLE → token-budget packing per language →
+    // per-pack accounting. Composes this round's Sampling/Packing with the
+    // bounded LSH stage; every stage is individually oracled elsewhere,
+    // this pins their composition.
+    "q_pipeline_mix" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val d = d0.unionByName(d0.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
+      val sampled = graft.operators.Sampling.stratifiedHashSample(
+        d, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
+        defaultRate = 0.25)
+      val dupIds = Dedup.minhashPairs(sampled, col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = sampled.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("__nc"))
+      graft.operators.Packing.byBudget(kept, Seq(col("lang")),
+          col("doc_id"), col("__nc"), budget = 20000L)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("pack_chars"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // Winnowing fingerprint (rolling local fingerprints, Schleimer et al.):
     // sorted distinct window-min shingle hashes per doc — the
     // partial-overlap detector between exact dedup and MinHash. Staged:
@@ -422,6 +448,52 @@ object TextOps extends QueryPack {
          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    // The whole mix pipeline replayed in SQL: hash gate → banded LSH →
+    // dup drop → window-cumsum packing. Same building blocks as the
+    // per-stage oracles, composed.
+    "q_pipeline_mix" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text, lang
+         |  FROM documents),
+         |sampled AS MATERIALIZED (
+         |  SELECT doc_id, text, lang FROM corpus
+         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+         |    CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5
+         |                     WHEN lang = 'zh' THEN 0.9
+         |                     ELSE 0.25 END) * 4294967296) AS BIGINT)),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM sampled),
+         |banded AS (
+         |  SELECT id, sig, b || '_' || md5(array_to_string(
+         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
+         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |dups AS (
+         |  SELECT DISTINCT id_b FROM (
+         |    SELECT id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |kept AS (
+         |  SELECT doc_id, lang, length(text) AS nc FROM sampled
+         |  WHERE doc_id NOT IN (SELECT id_b FROM dups)),
+         |packed AS (
+         |  SELECT lang, CAST((cum - nc) // 20000 AS BIGINT) AS pack_id, nc
+         |  FROM (
+         |    SELECT lang, nc,
+         |      SUM(nc) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |    FROM kept))
+         |SELECT lang, pack_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(nc) AS BIGINT) AS pack_chars
+         |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
     },
 
     "q_pipeline_dedup" -> {
