@@ -64,29 +64,43 @@ object Components {
     val nodeIds = nodes.select(col(nc(0)).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
 
-    // Fixpoint detection: the canonical edge set's (count, xor-of-hashes)
-    // signature. XOR (not SUM: ANSI long overflow) is set-stable because
-    // the edge set is distinct by construction each round. The signature
-    // rides the checkpoint materialization itself via observe() — zero
-    // extra jobs per round (at bench scale the per-round fixed cost IS
-    // the operator's cost: the contracted edge set is tiny).
-    def checkpointWithSignature(e: DataFrame): (DataFrame, (Long, Long)) = {
+    // Fixpoint = the canonical (u, v) edge set is a forest of rooted
+    // stars, tested DIRECTLY on the round that produces it (comparing
+    // round signatures instead would burn one extra full contraction
+    // round just to observe "no change"). Star forest ⇔
+    //   (a) every member points to exactly one center: each v occurs once
+    //   (b) centers are never members: distinct(u) ∩ distinct(v) = ∅
+    // (⇐) stars are a fixpoint of both stars by inspection. (⇒) if some v
+    // repeats — edges (m1,x),(m2,x) — small-star rewires (m2 → m1), and
+    // if some node is center and member both, large-star collapses it; so
+    // any non-star set still changes, and the alternation provably ends
+    // in rooted stars (Kiveris et al. §3). Both conditions fold into ONE
+    // aggregation over the (tiny, checkpointed) contracted set: per node,
+    // its v-occurrences and total occurrences — a violation is a node
+    // seen as member (vc ≥ 1) that is either a member twice (vc > 1) or
+    // also a center (tot > vc).
+    def checkpointWithStarCheck(e: DataFrame): (DataFrame, Boolean) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = e.observe(obs, count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
-        .localCheckpoint()
-      val m = obs.get
-      (ck, (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long]))
+      val ck = e.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      val nEdges = obs.get("n").asInstanceOf[Long]
+      val isStar = nEdges == 0L || {
+        ck.select(col("v").as("id"), lit(1L).as("m"))
+          .unionAll(ck.select(col("u").as("id"), lit(0L).as("m")))
+          .groupBy(col("id"))
+          .agg(sum(col("m")).as("vc"), count(lit(1)).as("tot"))
+          .filter(col("vc") >= 1 &&
+            (col("vc") > 1 || col("tot") > col("vc")))
+          .isEmpty
+      }
+      (ck, isStar)
     }
 
-    var (cur, sig) = checkpointWithSignature(e0)
-    var converged = sig._1 == 0L
+    var (cur, converged) = checkpointWithStarCheck(e0)
     var round = 0
     while (!converged && round < maxRounds) {
-      val (next, nextSig) = checkpointWithSignature(smallStar(largeStar(cur)))
-      converged = nextSig == sig
+      val (next, isStar) = checkpointWithStarCheck(smallStar(largeStar(cur)))
+      converged = isStar
       cur = next
-      sig = nextSig
       round += 1
     }
     if (!converged)
