@@ -77,9 +77,14 @@ object Bench {
     println(line(jq(results), 0)) // full map: head may truncate in the tail
     val budget = 1700 // line bytes; tail window 2000 minus sbt suffix + slack
     val bySlowest = results.sortBy(-_._2)
+    // measure each candidate with its REAL omitted count (the digit width
+    // differs), and tolerate even the empty map busting the budget (a
+    // mass-failure run puts every query name in `failed`) — the summary
+    // line must always print, over budget beats absent
     val keep = (0 to bySlowest.length).view.map(n => bySlowest.take(n))
-      .takeWhile(kvs => line(jq(kvs), 0).length <= budget)
-      .last // n=0 always fits, so `last` is total
+      .takeWhile(kvs =>
+        line(jq(kvs), results.length - kvs.length).length <= budget)
+      .lastOption.getOrElse(Seq.empty)
     println(line(jq(keep), results.length - keep.length))
     Console.out.flush()
     spark.stop()

@@ -48,11 +48,23 @@ object MapboxPublish {
     * reference passes it (`?access_token=`). */
   def plan(sourceDir: Path, user: String, tilesetName: String, token: String,
       apiBase: String = "https://api.mapbox.com"): Seq[Request] = {
-    val files = Files.list(sourceDir).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(sourceDir)
+    val files =
+      try listing.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        // hidden files (.DS_Store, editor swap) would derive an EMPTY
+        // source name and hit the list-sources endpoint instead
+        .filterNot(_.getFileName.toString.startsWith("."))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     require(files.nonEmpty, s"no source files under $sourceDir")
+    // first dot-segment, matching the reference's `IFS='.' read` naming
     val sources = files.map(f => f.getFileName.toString.split('.').head -> f)
+    val dupNames = sources.groupBy(_._1).filter(_._2.length > 1).keys
+    require(dupNames.isEmpty,
+      s"source files collide on derived names: ${dupNames.mkString(", ")} " +
+        "(two uploads would append to one tileset source and the recipe " +
+        "would emit duplicate layer keys)")
     val perSource = sources.flatMap { case (name, path) =>
       Seq(
         Request(s"upload:$name", "POST",
@@ -74,7 +86,11 @@ object MapboxPublish {
 
   /** Execute a plan in order through `transport`, stopping at the first
     * non-2xx response (the shell loop barrels on; a typed orchestrator
-    * should not publish a tileset whose sources failed to land). */
+    * should not publish a tileset whose sources failed to land). A
+    * transport exception (connection reset mid-sequence) records as a
+    * synthetic 599 outcome rather than escaping — the caller always gets
+    * the outcomes of the steps that DID land, or retry decisions are
+    * impossible. */
   def run(requests: Seq[Request],
       transport: Request => Response): Seq[Outcome] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Outcome]
@@ -82,7 +98,12 @@ object MapboxPublish {
     var halted = false
     while (it.hasNext && !halted) {
       val req = it.next()
-      val o = Outcome(req, transport(req))
+      val resp =
+        try transport(req)
+        catch { case scala.util.control.NonFatal(e) =>
+          Response(599, s"transport error: ${e.getClass.getName}: ${e.getMessage}")
+        }
+      val o = Outcome(req, resp)
       out += o
       halted = !o.ok
     }
@@ -104,10 +125,14 @@ object MapboxPublish {
             "Content-Type: application/octet-stream\r\n\r\n")
             .getBytes(StandardCharsets.UTF_8)
           val tail = s"\r\n--$boundary--\r\n".getBytes(StandardCharsets.UTF_8)
-          val payload = head ++ Files.readAllBytes(path) ++ tail
+          // concat streams the file part with constant memory — a multi-GB
+          // tileset source must not be buffered (×3) on the driver
+          import java.net.http.HttpRequest.BodyPublishers
           builder.header("Content-Type", s"multipart/form-data; boundary=$boundary")
-            .method(req.method,
-              java.net.http.HttpRequest.BodyPublishers.ofByteArray(payload))
+            .method(req.method, BodyPublishers.concat(
+              BodyPublishers.ofByteArray(head),
+              BodyPublishers.ofFile(path),
+              BodyPublishers.ofByteArray(tail)))
         case (None, Some(b)) =>
           req.contentType.foreach(ct => builder.header("Content-Type", ct))
           builder.method(req.method,

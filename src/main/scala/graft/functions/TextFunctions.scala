@@ -169,6 +169,23 @@ object TextFunctions {
   def sqlHash32(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 8))::BIGINT"
 
+  /** The banded-LSH candidate CTE fragment shared by every LSH oracle:
+    * `banded` (per-band keys over a preceding `sigs(id, sig)` CTE) and
+    * `cteName` (distinct same-band id<id pairs carrying both signatures).
+    * ONE definition: the band arithmetic is the cross-engine contract
+    * with [[graft.operators.Dedup.minhashPairs]]' banding — a k/bands
+    * change must not be hand-synchronized across oracle strings. */
+  def sqlBandedCandidates(bands: Int, rowsPerBand: Int,
+      cteName: String = "cand"): String =
+    s"""banded AS (
+       |  SELECT id, sig, b || '_' || md5(array_to_string(
+       |    list_slice(sig, b*$rowsPerBand + 1, b*$rowsPerBand + $rowsPerBand), ',')) AS band_key
+       |  FROM sigs, (SELECT unnest(generate_series(0, ${bands - 1})) AS b)),
+       |$cteName AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_key = b.band_key AND a.id < b.id)""".stripMargin
+
   /** MinHash signature (SURVEY §2.11): k universal hashes
     * h_i(s) = (a_i * hash32(s) + b_i) mod p over the shingle set, min per i.
     * Deterministic (a_i, b_i) from the index; p = 2^31-1 keeps every product

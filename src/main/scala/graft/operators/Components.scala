@@ -95,10 +95,24 @@ object Components {
       (ck, isStar)
     }
 
+    // Release each superseded round's checkpoint blocks as soon as the
+    // next round has materialized — waiting for driver GC (the
+    // ContextCleaner default) would retain O(rounds) copies of the edge
+    // set in executor storage, a real hazard on a 100 TB-scale graph.
+    // Only the FINAL round's blocks stay pinned: the returned plan reads
+    // them (and by then the set is a contracted star forest).
+    def releaseBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     var (cur, converged) = checkpointWithStarCheck(e0)
     var round = 0
     while (!converged && round < maxRounds) {
       val (next, isStar) = checkpointWithStarCheck(smallStar(largeStar(cur)))
+      releaseBlocks(cur)
       converged = isStar
       cur = next
       round += 1

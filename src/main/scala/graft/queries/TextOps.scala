@@ -35,8 +35,8 @@ object TextOps extends QueryPack {
 
   override def defs: Map[String, Q] = Map(
     // Token counting + basic stats (whitespace tokenizer; the BPE-ish
-    // subword variant is q_subword below — its regex needs lookarounds
-    // DuckDB's RE2 lacks, so it is a rows-only check).
+    // subword variant is q_subword below — its matcher pattern is
+    // lookaround-free, so the same regex oracles under DuckDB's RE2).
     // Staged: n_tokens computed once in its own projection — the HOF token
     // pipeline is CodegenFallback, and inlining it per reference re-runs
     // normalize+split per output column (the round-1 staging lesson).
@@ -333,10 +333,10 @@ object TextOps extends QueryPack {
     // Hash32Expr; FLOOR (not CAST) on the threshold because DuckDB's
     // double→BIGINT cast rounds where Spark's truncates.
     "q_sample_stratified" ->
-      """SELECT lang, source, COUNT(*) AS n_docs,
+      s"""SELECT lang, source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+        |WHERE ${sqlHash32("CAST(doc_id AS VARCHAR)")} <
         |  CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5
         |                   WHEN lang = 'zh' THEN 0.9
         |                   ELSE 0.25 END) * 4294967296) AS BIGINT)
@@ -400,14 +400,7 @@ object TextOps extends QueryPack {
       val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
       s"""WITH sigs AS (
          |  SELECT doc_id AS id, $sig AS sig FROM $sqlWithMutants),
-         |banded AS (
-         |  SELECT id, sig, b || '_' || md5(array_to_string(
-         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
-         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.id < b.id)
+         |${sqlBandedCandidates(4, 4, "pairs")}
          |SELECT id_a, id_b,
          |  CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
          |    / 16 AS est_jaccard
@@ -425,14 +418,7 @@ object TextOps extends QueryPack {
          |  SELECT doc_id, text FROM $sqlWithMutants),
          |sigs AS MATERIALIZED (
          |  SELECT doc_id AS id, $sig AS sig FROM corpus),
-         |banded AS (
-         |  SELECT id, sig, b || '_' || md5(array_to_string(
-         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
-         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |${sqlBandedCandidates(4, 4)},
          |pairs AS MATERIALIZED (
          |  SELECT id_a, id_b FROM (
          |    SELECT id_a, id_b,
@@ -462,20 +448,13 @@ object TextOps extends QueryPack {
          |  FROM documents),
          |sampled AS MATERIALIZED (
          |  SELECT doc_id, text, lang FROM corpus
-         |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT <
+         |  WHERE ${sqlHash32("CAST(doc_id AS VARCHAR)")} <
          |    CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5
          |                     WHEN lang = 'zh' THEN 0.9
          |                     ELSE 0.25 END) * 4294967296) AS BIGINT)),
          |sigs AS MATERIALIZED (
          |  SELECT doc_id AS id, $sig AS sig FROM sampled),
-         |banded AS (
-         |  SELECT id, sig, b || '_' || md5(array_to_string(
-         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
-         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |${sqlBandedCandidates(4, 4)},
          |dups AS (
          |  SELECT DISTINCT id_b FROM (
          |    SELECT id_b,
@@ -502,14 +481,7 @@ object TextOps extends QueryPack {
          |  SELECT doc_id, text FROM $sqlWithMutants),
          |sigs AS MATERIALIZED (
          |  SELECT doc_id AS id, $sig AS sig FROM corpus),
-         |banded AS (
-         |  SELECT id, sig, b || '_' || md5(array_to_string(
-         |    list_slice(sig, b*4 + 1, b*4 + 4), ',')) AS band_key
-         |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)),
-         |pairs AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band_key = b.band_key AND a.id < b.id),
+         |${sqlBandedCandidates(4, 4, "pairs")},
          |dups AS (
          |  SELECT DISTINCT id_b FROM (
          |    SELECT id_a, id_b,
