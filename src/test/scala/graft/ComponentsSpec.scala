@@ -88,6 +88,18 @@ class ComponentsSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
+  test("superseded rounds release their checkpoint blocks") {
+    // the chain needs several contraction rounds; without the release the
+    // persistent-RDD census would grow by one edge-set copy per round
+    // (and would also prove the LogicalRDD match silently stopped firing)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    run(0L until 200L, edges)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"persisted RDDs grew $before -> $after: rounds are not releasing")
+  }
+
   test("empty edge set labels every node itself") {
     val labels = run(Seq(5L, 6L), Seq.empty)
     assert(labels == Map(5L -> 5L, 6L -> 6L))
