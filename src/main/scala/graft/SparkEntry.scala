@@ -18,6 +18,7 @@ object SparkEntry {
     JoinsExtra,
     Geo,
     TextOps,
+    PipelineOps,
     SimOps,
     StreamOps,
     Completeness,

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.wordNgramsNative
+
+/** Benchmark decontamination — the train/eval overlap check every serious
+  * training-data pipeline runs before a corpus ships: a training document
+  * that shares enough contiguous n-grams with an evaluation benchmark leaks
+  * the benchmark into the weights, so contaminated docs are flagged (and
+  * usually dropped or span-scrubbed).
+  *
+  * Semantics (the widely published recipe, e.g. the GPT-3/PaLM appendix
+  * method): build the distinct word-n-gram set of the eval corpus; a
+  * training doc's contamination count is how many of ITS distinct n-grams
+  * appear in that set.
+  *
+  * Scale shape: eval benchmarks are small by construction (MBs against the
+  * corpus's TBs), so the eval n-gram set is a broadcast dimension — the
+  * corpus side stays a narrow scan → one-pass native shingler
+  * ([[graft.plans.WordNgramsExpr]], codegen'd) → explode → broadcast-hash
+  * semi-probe, with NO corpus-wide shuffle of text or grams. The only
+  * exchange carries (doc_id, partial count) pairs for the final per-doc
+  * sum — partial-aggregated map-side, a few bytes per doc. At 100 TB the
+  * corpus scan is the whole cost, which is the floor for any overlap check.
+  */
+object Contamination {
+
+  /** Per-doc overlap against the eval set: (id, n_overlap) for every
+    * training doc sharing ≥ `minOverlap` distinct `n`-grams with
+    * `evalDocs`. Docs below the threshold are absent (the common case —
+    * emitting a zero row per clean doc would shuffle the whole corpus id
+    * space for no information).
+    *
+    * `corpus` and `evalDocs` both expose `textCol`; `idCol` names corpus
+    * docs. The eval side is deduplicated and broadcast. */
+  def ngramOverlap(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 5,
+      minOverlap: Long = 1L): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(minOverlap >= 1, s"minOverlap must be positive, got $minOverlap")
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(wordNgramsNative(textCol, n))).as("gram"))
+      .distinct()
+    corpus
+      .select(idCol.as("id"),
+        explode(array_distinct(wordNgramsNative(textCol, n))).as("gram"))
+      // inner join ≡ semi-join here (evalGrams is distinct), but keeps the
+      // count: each surviving row is one overlapping distinct gram.
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Decontaminate: `corpus` minus every doc contaminated at
+    * (`n`, `minOverlap`) — the apply step, an anti-join against the
+    * flagged ids (ids only shuffle, text never does). */
+  def scrub(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 5,
+      minOverlap: Long = 1L): DataFrame = {
+    val flagged = ngramOverlap(corpus, evalDocs, textCol, idCol, n, minOverlap)
+      .select(col("id"))
+    corpus.join(flagged, idCol === flagged("id"), "left_anti")
+  }
+}

@@ -203,6 +203,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Cross-corpus near-dedup: MinHash+LSH candidate pairs BETWEEN two
+    * corpora — "dedup the new crawl against what we already trained on".
+    * A `right` doc surfaces once per `left` doc whose estimated Jaccard
+    * (signature agreement) ≥ `threshold`; pairs WITHIN either corpus are
+    * not emitted. Output: (left_id, right_id, est_jaccard).
+    *
+    * Plan shape: both sides run the same narrow signature kernel, union
+    * with a side tag, and flow through the one-shuffle capped banding of
+    * [[minhashPairs]] — banding a union is strictly cheaper than a
+    * band-key join of two banded sides (one exchange instead of two, and
+    * the skew cap bounds the combined bucket, which is the quantity that
+    * actually explodes on shared boilerplate). The side tag rides the
+    * payload struct; cross-side survivors are oriented left→right after
+    * the pair stage. At 100 TB the reference corpus is usually the big
+    * side — nothing here assumes otherwise, and when the NEW side is small
+    * its docs simply thin out the buckets.
+    *
+    * Ids must be distinct across the two corpora (they name output rows).
+    * Same skew-cap semantics and `drops` observability as [[minhashPairs]]. */
+  def minhashPairsAcross(left: DataFrame, right: DataFrame,
+      textCol: Column, idCol: Column,
+      shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 4096,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rowsPerBand = k / bands
+    val tagged = minhashSignatures(left, textCol, idCol, shingleSize, k)
+        .withColumn("side", lit(0))
+      .unionByName(
+        minhashSignatures(right, textCol, idCol, shingleSize, k)
+          .withColumn("side", lit(1)))
+      .select(col("id"), struct(col("sig"), col("side")).as("pl"))
+
+    val banded = tagged.select(col("id"), col("pl"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_", b,
+            md5(array_join(slice(col("pl.sig"), b * rowsPerBand + 1,
+              lit(rowsPerBand)), ",")))))
+        .as("band_key"))
+
+    // same stage ordering as minhashPairs: narrow agreement + side filters
+    // prune the duplicated pair stream BEFORE the dedup shuffle
+    cappedBucketPairs(banded, "pl", maxBucket, drops)
+      .drop("band_key")
+      .filter(col("pl_a.side") =!= col("pl_b.side"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("pl_a.sig"), col("pl_b.sig"),
+          (x, y) => when(x === y, 1).otherwise(null)), v => v.isNotNull))
+          .cast("double") / k)
+      .filter(col("est_jaccard") >= threshold)
+      .select(
+        when(col("pl_a.side") === 0, col("id_a")).otherwise(col("id_b"))
+          .as("left_id"),
+        when(col("pl_a.side") === 0, col("id_b")).otherwise(col("id_a"))
+          .as("right_id"),
+        col("est_jaccard"))
+      .distinct() // one row per (left, right) pair; est is a pair-function
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs: a DataFrame with
     * (id_a, id_b) joined back to the texts. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,

@@ -51,4 +51,42 @@ object Sampling {
     }
     df.filter(gate(keyCol, rateCol))
   }
+
+  /** Temperature-rebalanced stratum mix at α = 1/2 (the published
+    * multilingual-corpus recipe: sample stratum l with probability
+    * ∝ n_l^α, α < 1 upweighting low-resource strata — XLM-R/mT5 style),
+    * targeting ~`targetRows` total rows. Rates come FROM the data, so the
+    * whole chain must be reproducible across engines — float `pow` is not
+    * (libm vs JVM differ in the last ulp, and one ulp at a gate threshold
+    * flips membership), so the rate is DEFINED in integer arithmetic with
+    * sqrt the single float op (IEEE-correctly-rounded everywhere):
+    *
+    *   w_l      = floor(2^18 · sqrt(n_l))            — integer weight
+    *   rate20_l = min(2^20, (2^20·w_l·T) div (Σw·n_l)) — 20-bit keep rate
+    *   keep row ⇔ hash32(key) >> 12  <  rate20_l
+    *
+    * (expected kept per stratum = n_l·rate = T·w_l/Σw.) The rate products
+    * route through DECIMAL(38,0) — exact far past 64-bit, so corpus-scale
+    * n_l·T cannot overflow — and the per-stratum table is a broadcast
+    * dimension over the same narrow hash gate as [[hashSample]]: one
+    * count pass, one gated scan, no corpus shuffle. The DuckDB oracle
+    * replays the identical integer chain (HUGEINT division). */
+  def temperatureHalfSample(df: DataFrame, keyCol: Column, stratumCol: Column,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    val counts = df.groupBy(stratumCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val weighted = counts.select(col("__stratum"), col("__n"),
+      floor(sqrt(col("__n").cast("double")) * (1L << 18)).cast("long").as("__w"))
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val rates = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("__w")).as("__sw"))))
+      .selectExpr("__stratum",
+        s"""least(CAST(${1L << 20} AS BIGINT),
+           |  CAST((${dec((1L << 20).toString)} * ${dec("__w")} * ${dec(targetRows.toString)})
+           |    DIV (${dec("__sw")} * ${dec("__n")}) AS BIGINT)) AS __rate20""".stripMargin)
+    df.join(broadcast(rates), stratumCol === col("__stratum"))
+      .filter(shiftrightunsigned(hash32(keyCol.cast("string")), 12) < col("__rate20"))
+      .drop("__stratum", "__rate20")
+  }
 }

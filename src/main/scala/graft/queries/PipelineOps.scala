@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Chunking, Contamination, Dedup, Layout, Sampling}
+import graft.sources.Tables
+
+/** Corpus-pipeline operators round 2 (SURVEY §2.11 extensions): benchmark
+  * decontamination, cross-corpus near-dedup, repetition quality metrics,
+  * sliding-window chunking, PII redaction, and z-order layout keys — the
+  * remaining ops a 100 TB training-data pipeline runs between "crawl" and
+  * "batches". Every query carries a full DuckDB oracle.
+  */
+object PipelineOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  private def orders(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "orders")
+
+  /** Deterministic eval slice: every 97th doc plays the benchmark. */
+  private val evalPred = col("doc_id") % 97 === 0
+  private val sqlEvalPred = "doc_id % 97 = 0"
+
+  // PII patterns — deliberately lookaround-free and ASCII so the IDENTICAL
+  // pattern string runs under Java regex (engine) and RE2 (oracle).
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val numPat = "\\b\\d{6,}\\b"
+
+  override def defs: Map[String, Q] = Map(
+    // Benchmark decontamination: distinct-5-gram overlap of every training
+    // doc against the eval slice's gram set (broadcast dimension — the
+    // corpus side never shuffles text). Eval docs surface with their full
+    // self-overlap; chance collisions in the synthetic vocab land low.
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.ngramOverlap(d, d.filter(evalPred),
+          col("text"), col("doc_id"), n = 5, minOverlap = 1L)
+        .select(col("id").as("doc_id"), col("n_overlap"),
+          (col("n_overlap") >= 3L).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-corpus near-dedup: the mutant corpus (the "new crawl") deduped
+    // AGAINST the originals (the "already trained on" side) — banding the
+    // side-tagged union costs ONE shuffle; within-corpus pairs are filtered
+    // by the side tag. Every (original, its mutant) pair must surface.
+    "q_dedup_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val mutants = d.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text"))
+      Dedup.minhashPairsAcross(
+          d.select(col("doc_id"), col("text")), mutants,
+          col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .orderBy(col("left_id"), col("right_id"))
+    }),
+
+    // Gopher-style repetition metrics: distinct-token ratio, top-token
+    // fraction, top-bigram fraction — the "is this doc boilerplate?"
+    // pre-filter. Tokens and bigrams each explode once (grouped counts,
+    // partial-aggregated); the two per-doc profiles join on doc_id.
+    "q_text_repetition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tokStats = d
+        .select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("__n_tok"), count(lit(1)).as("__n_distinct"),
+          max(col("c")).as("__top_tok"))
+      val biStats = d
+        .select(col("doc_id"),
+          explode(wordNgramsNative(col("text"), 2)).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("__n_bg"), max(col("c")).as("__top_bg"))
+      tokStats.join(biStats, "doc_id")
+        .select(col("doc_id"),
+          round(col("__n_distinct").cast("double") /
+            col("__n_tok").cast("double"), 6).as("distinct_ratio"),
+          round(col("__top_tok").cast("double") /
+            col("__n_tok").cast("double"), 6).as("top_token_frac"),
+          round(col("__top_bg").cast("double") /
+            col("__n_bg").cast("double"), 6).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sliding-window chunking: 64-token windows, stride 48 (overlapping
+    // context blocks). Narrow end to end; chunk identity = md5 so the
+    // oracle checks CONTENT, not just counts.
+    "q_chunk_windows" -> ((s, dir) =>
+      Chunking.tokenWindows(docs(s, dir), col("doc_id"),
+          tokens(normalizeText(col("text"))), windowSize = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // PII redaction: email → phone → long-digit-run, applied in sequence
+    // (each stage counts on ITS input, then rewrites). The corpus carries
+    // no PII, so each doc gets a deterministic synthetic contact line —
+    // the operator, not the data, is under test. Stages are staged
+    // projections (each intermediate is referenced twice: count + next
+    // rewrite).
+    "q_pii_redact" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ref "), (col("doc_id") + 123456L).cast("string"))
+            .as("__t0"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("__t0"), lit(emailPat), lit(0)))
+            .as("n_emails"),
+          regexp_replace(col("__t0"), emailPat, "<EMAIL>").as("__t1"))
+        .select(col("doc_id"), col("n_emails"),
+          size(regexp_extract_all(col("__t1"), lit(phonePat), lit(0)))
+            .as("n_phones"),
+          regexp_replace(col("__t1"), phonePat, "<PHONE>").as("__t2"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          size(regexp_extract_all(col("__t2"), lit(numPat), lit(0)))
+            .as("n_nums"),
+          md5(regexp_replace(col("__t2"), numPat, "<NUM>"))
+            .as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+
+    // Temperature-rebalanced language mix (α = 1/2): per-language keep
+    // rates derived FROM the data (∝ √n_l, normalized to ~200 target
+    // rows), defined in integer arithmetic so the DuckDB oracle replays
+    // the rate chain exactly — float pow at a gate threshold is not
+    // cross-engine-stable; floor(2^18·sqrt) + HUGEINT-exact division is.
+    "q_sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureHalfSample(docs(s, dir), col("doc_id"), col("lang"),
+          targetRows = 200L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
+    // Z-order layout key: Morton-interleave (custkey, order-day) and roll
+    // up per 4096-wide z-range ("file"): row count + per-file min/max of
+    // BOTH dims — the footer stats a z-sorted write gives a scan to prune
+    // on either column. The z-value is the cross-engine contract.
+    "q_zorder_layout" -> ((s, dir) => {
+      val day = datediff(col("o_orderdate"), lit("1995-01-01"))
+      orders(s, dir)
+        .select(col("o_custkey"), day.as("__day"),
+          Layout.zValue(col("o_custkey"), day).as("__z"))
+        .groupBy(shiftrightunsigned(col("__z"), 12).as("z_file"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_custkey")).as("min_cust"),
+          max(col("o_custkey")).as("max_cust"),
+          min(col("__day")).as("min_day"), max(col("__day")).as("max_day"))
+        .orderBy(col("z_file"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_decontaminate" -> {
+      val grams = s"list_distinct(${sqlWordNgrams("text", 5)})"
+      s"""WITH ev AS (
+         |  SELECT DISTINCT unnest($grams) AS gram
+         |  FROM documents WHERE $sqlEvalPred),
+         |tg AS (
+         |  SELECT doc_id, unnest($grams) AS gram FROM documents)
+         |SELECT doc_id, COUNT(*) AS n_overlap,
+         |  COUNT(*) >= 3 AS contaminated
+         |FROM tg JOIN ev USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // same banding arithmetic as q_dedup_minhash; orientation falls out of
+    // the id ranges (originals < 1000000 ≤ mutants) and cand's id_a < id_b
+    "q_dedup_cross" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+         |  FROM documents),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |${sqlBandedCandidates(4, 4)}
+         |SELECT DISTINCT id_a AS left_id, id_b AS right_id,
+         |  CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |    / 16 AS est_jaccard
+         |FROM cand
+         |WHERE id_a < 1000000 AND id_b >= 1000000 AND est_jaccard >= 0.5
+         |ORDER BY left_id, right_id""".stripMargin
+    },
+
+    "q_text_repetition" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      val bgs = sqlWordNgrams("text", 2)
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |ts AS (
+         |  SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct,
+         |    MAX(c) AS top_tok
+         |  FROM tc GROUP BY 1),
+         |bc AS (
+         |  SELECT doc_id, bg, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest($bgs) AS bg FROM documents)
+         |  GROUP BY 1, 2),
+         |bs AS (
+         |  SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_bg
+         |  FROM bc GROUP BY 1)
+         |SELECT doc_id,
+         |  round(CAST(n_distinct AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         |    AS distinct_ratio,
+         |  round(CAST(top_tok AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         |    AS top_token_frac,
+         |  round(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 6)
+         |    AS top_bigram_frac
+         |FROM ts JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
+
+    "q_chunk_windows" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(generate_series(0, n - 1, 48)) AS start
+         |  FROM s)
+         |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start,
+         |  CAST(LEAST(64, n - start) AS INT) AS n_chunk_tokens,
+         |  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+         |    AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
+    "q_pii_redact" ->
+      s"""WITH t0 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id ||
+         |    '@example.com or 415-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+         |    ' ref ' || CAST(doc_id + 123456 AS VARCHAR) AS t
+         |  FROM documents),
+         |t1 AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '$emailPat')) AS INT) AS n_emails,
+         |    regexp_replace(t, '$emailPat', '<EMAIL>', 'g') AS t
+         |  FROM t0),
+         |t2 AS MATERIALIZED (
+         |  SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(t, '$phonePat')) AS INT) AS n_phones,
+         |    regexp_replace(t, '$phonePat', '<PHONE>', 'g') AS t
+         |  FROM t1)
+         |SELECT doc_id, n_emails, n_phones,
+         |  CAST(len(regexp_extract_all(t, '$numPat')) AS INT) AS n_nums,
+         |  md5(regexp_replace(t, '$numPat', '<NUM>', 'g')) AS redacted_md5
+         |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // identical integer rate chain: floor(2^18·sqrt(n)) weights, HUGEINT
+    // products (exact — Spark routes the same products through
+    // DECIMAL(38,0)), integer division, top-20-bit hash gate
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |w AS (SELECT lang, n,
+         |  CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * ${1L << 18}) AS BIGINT) AS w
+         |  FROM c),
+         |s AS (SELECT CAST(SUM(w) AS HUGEINT) AS sw FROM w),
+         |r AS (SELECT lang,
+         |  LEAST(CAST(${1L << 20} AS HUGEINT),
+         |    (CAST(${1L << 20} AS HUGEINT) * w * 200) // (sw * n)) AS rate20
+         |  FROM w, s)
+         |SELECT d.lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents d JOIN r ON d.lang = r.lang
+         |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_zorder_layout" -> {
+      val day = "date_diff('day', DATE '1995-01-01', o_orderdate)"
+      val z = graft.operators.Layout.sqlZValue("o_custkey", day)
+      s"""SELECT CAST($z >> 12 AS BIGINT) AS z_file,
+         |  COUNT(*) AS n_orders,
+         |  MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+         |  CAST(MIN($day) AS INT) AS min_day,
+         |  CAST(MAX($day) AS INT) AS max_day
+         |FROM orders
+         |GROUP BY z_file ORDER BY z_file""".stripMargin
+    }
+  )
+}

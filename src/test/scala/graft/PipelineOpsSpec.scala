@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Chunking, Contamination, Dedup, Layout}
+
+/** Operator-level behavior of the round-5 pipeline additions; the gate
+  * queries in [[graft.queries.PipelineOps]] pin the same ops against
+  * DuckDB oracles at sf0.01. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- decontamination -------------------------------------------------------
+
+  test("decontamination flags planted n-gram overlap and nothing else") {
+    val evalDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains a contiguous 5-gram run lifted from the eval doc
+      (10L, "intro words then quick brown fox jumps over and more trailing text"),
+      // shares vocabulary but no 5-gram
+      (11L, "fox dog quick lazy brown the over jumps tonight scrambled"),
+      (12L, "completely unrelated content with distinct tokens entirely")).toDF("doc_id", "text")
+
+    val hits = Contamination.ngramOverlap(corpus, evalDocs,
+        col("text"), col("doc_id"), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.keySet == Set(10L)) // one overlapping 5-gram window
+    assert(hits(10L) == 1L)
+
+    val kept = Contamination.scrub(corpus, evalDocs, col("text"), col("doc_id"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
+
+  test("decontamination self-overlap: an eval doc inside the corpus flags fully") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hits = Contamination.ngramOverlap(d, d, col("text"), col("doc_id"), n = 5)
+      .collect()
+    assert(hits.length == 1)
+    // 8 tokens → 4 distinct 5-gram windows, all self-overlapping
+    assert(hits.head.getLong(1) == 4L)
+  }
+
+  // -- cross-corpus near-dedup -----------------------------------------------
+
+  test("cross-corpus LSH finds planted cross pairs and suppresses within-corpus pairs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // left: originals PLUS an in-corpus near-dup of doc 0 at id 900000
+    val left = docs.unionByName(docs.filter(col("doc_id") === 0L)
+      .select(lit(900000L).as("doc_id"),
+        concat(col("text"), lit(" withinmutant")).as("text")))
+    // right: a near-dup of every original at id + 1000000
+    val right = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" crossmutant")).as("text"))
+
+    val pairs = Dedup.minhashPairsAcross(left, right, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val nDocs = docs.count()
+    val expected = (0L until nDocs).map(i => (i, i + 1000000L)).toSet
+    // banding is probabilistic per doc (same envelope as the minhashPairs
+    // recall test): near-total recall on one-word-tail mutants
+    assert(expected.intersect(pairs).size >= (nDocs * 0.95).toInt,
+      s"cross recall too low: ${expected.intersect(pairs).size}/$nDocs")
+    // every emitted pair is cross-side: the within-left near-dup
+    // (0, 900000) and all original-original pairs are suppressed
+    assert(pairs.forall { case (l, r) => l <= 900000L && r >= 1000000L },
+      s"within-corpus pair leaked: ${pairs.find(p => p._2 < 1000000L)}")
+  }
+
+  test("cross-corpus pairs orient left→right regardless of id order") {
+    // right-side ids BELOW the left side's, identical text (deterministic
+    // candidate): orientation must come from the side tag, not the ids
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val left = Seq((500L, t)).toDF("doc_id", "text")
+    val right = Seq((7L, t)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsAcross(left, right, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((500L, 7L)))
+  }
+
+  // -- chunking --------------------------------------------------------------
+
+  test("token windows: boundary arithmetic and content") {
+    val toks = (1 to 100).map(i => s"t$i")
+    val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val rows = Chunking.tokenWindows(d, col("doc_id"),
+        tokens(normalizeText(col("text"))), windowSize = 64, stride = 48)
+      .orderBy(col("chunk_id"))
+      .select(col("start"), col("n_chunk_tokens"), col("chunk_text"))
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((0L, 64), (48L, 52), (96L, 4)))
+    assert(rows(0).getString(2) == toks.take(64).mkString(" "))
+    assert(rows(1).getString(2) == toks.slice(48, 100).mkString(" "))
+    assert(rows(2).getString(2) == toks.slice(96, 100).mkString(" "))
+  }
+
+  test("disjoint windows (stride = size) reassemble the document") {
+    val toks = (1 to 37).map(i => s"w$i")
+    val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.tokenWindows(d, col("doc_id"),
+        tokens(normalizeText(col("text"))), windowSize = 10, stride = 10)
+      .orderBy(col("chunk_id"))
+      .select(col("chunk_text")).as[String].collect()
+    assert(chunks.mkString(" ") == toks.mkString(" "))
+  }
+
+  test("overlap region: consecutive windows share exactly size - stride tokens") {
+    val toks = (1 to 80).map(i => s"x$i")
+    val d = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Chunking.tokenWindows(d, col("doc_id"),
+        tokens(normalizeText(col("text"))), windowSize = 32, stride = 24)
+      .orderBy(col("chunk_id"))
+      .select(col("chunk_text")).as[String].collect()
+      .map(_.split(" ").toSeq)
+    chunks.sliding(2).foreach {
+      case Array(a, b) => assert(a.takeRight(32 - 24) == b.take(32 - 24))
+      case _           =>
+    }
+  }
+
+  // -- temperature sampling --------------------------------------------------
+
+  test("temperature sampling matches an exact integer-arithmetic replay") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val rows = docs.select(col("doc_id"), col("lang"))
+      .as[(Long, String)].collect()
+
+    // the contract, replayed in BigInt: w = floor(2^18·√n),
+    // rate20 = min(2^20, (2^20·w·T) div (Σw·n)), keep ⇔ hash32 >> 12 < rate
+    val t = 200L
+    val n = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val w = n.view.mapValues(c => math.floor(math.sqrt(c.toDouble) * (1L << 18)).toLong).toMap
+    val sw = w.values.map(BigInt(_)).sum
+    val rate = n.keys.map { l =>
+      l -> (BigInt(1L << 20) * w(l) * t / (sw * n(l))).min(BigInt(1L << 20))
+    }.toMap
+    def hash32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      BigInt(1, d.take(4)).toLong
+    }
+    val expected = rows.filter { case (id, l) =>
+      BigInt(hash32(id.toString) >>> 12) < rate(l)
+    }.map(_._1).toSet
+
+    val got = graft.operators.Sampling
+      .temperatureHalfSample(docs, col("doc_id"), col("lang"), t)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == expected, s"member-set divergence: ${got.diff(expected).take(5)} / ${expected.diff(got).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("temperature sampling upweights low-resource strata (rate monotone in 1/√n)") {
+    // planted sizes far apart: 1000 vs 40 docs — per-row keep rate of the
+    // small stratum must exceed the big one's (∝ 1/√n)
+    val d = (0L until 1000L).map(i => (i, "big")) ++
+      (1000L until 1040L).map(i => (i, "small"))
+    val df = d.toDF("doc_id", "lang")
+    val kept = graft.operators.Sampling
+      .temperatureHalfSample(df, col("doc_id"), col("lang"), targetRows = 300L)
+      .groupBy(col("lang")).count()
+      .as[(String, Long)].collect().toMap
+    val bigFrac = kept.getOrElse("big", 0L) / 1000.0
+    val smallFrac = kept.getOrElse("small", 0L) / 40.0
+    assert(smallFrac > bigFrac,
+      s"low-resource stratum not upweighted: small=$smallFrac big=$bigFrac")
+  }
+
+  // -- z-order ---------------------------------------------------------------
+
+  /** Reference Morton decode: every other bit, compacted. */
+  private def deinterleave(z: Long): (Long, Long) = {
+    def compact(v0: Long): Long = {
+      var v = v0 & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+      v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+      v
+    }
+    (compact(z), compact(z >> 1))
+  }
+
+  test("zValue round-trips: deinterleaving recovers both coordinates") {
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zValue(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(deinterleave(z) == ((a, b)), s"z mismatch for ($a, $b)")
+    }
+  }
+
+  test("zValue is monotone per coordinate (order-preserving interleave)") {
+    val df = spark.range(0, 1000).toDF("a")
+      .select(Layout.zValue(col("a"), lit(77L)).as("z"), col("a"))
+      .orderBy(col("a"))
+    val zs = df.select(col("z")).as[Long].collect()
+    assert(zs.sameElements(zs.sorted), "z not monotone in a with b fixed")
+  }
+
+  test("z-range blocks bound both dimensions (the data-skipping property)") {
+    // every 4096-wide z block covers at most a 64×64 tile in (a, b) space
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(5000)((rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+    val spans = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        shiftrightunsigned(Layout.zValue(col("a"), col("b")), 12).as("blk"))
+      .groupBy(col("blk"))
+      .agg((max(col("a")) - min(col("a"))).as("sa"),
+        (max(col("b")) - min(col("b"))).as("sb"))
+      .select(max(col("sa")), max(col("sb")))
+      .collect().head
+    assert(spans.getLong(0) < 64L && spans.getLong(1) < 64L,
+      s"z block leaks beyond its tile: $spans")
+  }
+}
