@@ -53,6 +53,43 @@ object Contamination {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** [[ngramOverlap]] with a Bloom pre-filter — the scale path when the
+    * eval-gram set outgrows comfortable broadcast-hash-join territory: the
+    * filter costs ~1.2 bytes/gram at 1% fpp (vs tens of bytes/gram in a
+    * broadcast hash set), probes as a NARROW codegen'd predicate fused
+    * into the corpus scan ([[graft.plans.BloomMightContainExpr]]), and
+    * its false positives are removed by the exact join running over the
+    * tiny surviving stream — so the result is IDENTICAL to
+    * [[ngramOverlap]] (spec-asserted), the filter only subtracts work.
+    * The driver-side gram collect is the same small-model-artifact move
+    * as the IVF quantizer: the eval set is MBs against the corpus's TBs. */
+  def ngramOverlapBloom(corpus: DataFrame, evalDocs: DataFrame,
+      textCol: Column, idCol: Column, n: Int = 5,
+      minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(minOverlap >= 1, s"minOverlap must be positive, got $minOverlap")
+    require(fpp > 0 && fpp < 1, s"fpp must lie in (0, 1), got $fpp")
+    val evalGrams = evalDocs
+      .select(explode(array_distinct(wordNgramsNative(textCol, n))).as("gram"))
+      .distinct()
+    val grams = evalGrams.collect().map(_.getString(0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(grams.length.toLong, 1L), fpp)
+    grams.foreach(bloom.putString)
+    import org.apache.spark.sql.graft.ColumnBridge
+    val mightContain = ColumnBridge.column(
+      graft.plans.BloomMightContainExpr(
+        ColumnBridge.expression(col("gram")), bloom))
+    corpus
+      .select(idCol.as("id"),
+        explode(array_distinct(wordNgramsNative(textCol, n))).as("gram"))
+      .filter(mightContain)
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Decontaminate: `corpus` minus every doc contaminated at
     * (`n`, `minOverlap`) — the apply step, an anti-join against the
     * flagged ids (ids only shuffle, text never does). */

@@ -44,6 +44,18 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // The bloom-prefiltered scale path: narrow codegen'd Bloom probe fused
+    // into the scan, exact join over the survivors — result must be
+    // IDENTICAL to q_decontaminate (same oracle pins both).
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.ngramOverlapBloom(d, d.filter(evalPred),
+          col("text"), col("doc_id"), n = 5, minOverlap = 1L)
+        .select(col("id").as("doc_id"), col("n_overlap"),
+          (col("n_overlap") >= 3L).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-corpus near-dedup: the mutant corpus (the "new crawl") deduped
     // AGAINST the originals (the "already trained on" side) — banding the
     // side-tagged union costs ONE shuffle; within-corpus pairs are filtered
@@ -128,6 +140,36 @@ object PipelineOps extends QueryPack {
             .as("redacted_md5"))
         .orderBy(col("doc_id"))),
 
+    // Vocab-id tokenization: the apply step after vocabulary building —
+    // top-20 tokens by (freq desc, token) get ids 1..20, everything else
+    // is OOV id 0; each doc becomes its ordered id sequence (content-
+    // checked via md5 of the csv form) plus OOV accounting. Scale shape:
+    // the vocab is a TakeOrderedAndProject top-k (never a global window
+    // over all distinct tokens) broadcast to a left join; the ordered
+    // per-doc sequence is one sort_array(collect_list(struct(pos, id)))
+    // — grouped, partial-aggregated, no window.
+    "q_tokenize_ids" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "token")))
+      val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token")).limit(20)
+        .withColumn("vid", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("freq").desc, col("token"))).cast("long"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("vid"), lit(0L)).as("vid"))
+        .groupBy(col("doc_id"))
+        .agg(
+          md5(array_join(
+            transform(sort_array(collect_list(struct(col("pos"), col("vid")))),
+              s => s("vid").cast("string")), ",")).as("ids_md5"),
+          sum(when(col("vid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-rebalanced language mix (α = 1/2): per-language keep
     // rates derived FROM the data (∝ √n_l, normalized to ~200 target
     // rows), defined in integer arithmetic so the DuckDB oracle replays
@@ -158,19 +200,23 @@ object PipelineOps extends QueryPack {
     })
   )
 
+  private val decontaminateSql: String = {
+    val grams = s"list_distinct(${sqlWordNgrams("text", 5)})"
+    s"""WITH ev AS (
+       |  SELECT DISTINCT unnest($grams) AS gram
+       |  FROM documents WHERE $sqlEvalPred),
+       |tg AS (
+       |  SELECT doc_id, unnest($grams) AS gram FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_overlap,
+       |  COUNT(*) >= 3 AS contaminated
+       |FROM tg JOIN ev USING (gram)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
-    "q_decontaminate" -> {
-      val grams = s"list_distinct(${sqlWordNgrams("text", 5)})"
-      s"""WITH ev AS (
-         |  SELECT DISTINCT unnest($grams) AS gram
-         |  FROM documents WHERE $sqlEvalPred),
-         |tg AS (
-         |  SELECT doc_id, unnest($grams) AS gram FROM documents)
-         |SELECT doc_id, COUNT(*) AS n_overlap,
-         |  COUNT(*) >= 3 AS contaminated
-         |FROM tg JOIN ev USING (gram)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    },
+    "q_decontaminate" -> decontaminateSql,
+    // the bloom path must produce the identical result — same oracle
+    "q_decontaminate_bloom" -> decontaminateSql,
 
     // same banding arithmetic as q_dedup_minhash; orientation falls out of
     // the id ranges (originals < 1000000 ≤ mutants) and cand's id_a < id_b
@@ -260,6 +306,30 @@ object PipelineOps extends QueryPack {
          |  CAST(len(regexp_extract_all(t, '$numPat')) AS INT) AS n_nums,
          |  md5(regexp_replace(t, '$numPat', '<NUM>', 'g')) AS redacted_md5
          |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    // 1-based DuckDB positions vs 0-based posexplode only ORDER the
+    // sequence — the id csv is position-blind, so the forms agree
+    "q_tokenize_ids" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, toks[i] AS token
+         |  FROM t, LATERAL unnest(generate_series(1, len(toks))) AS s(i)),
+         |vocab AS (
+         |  SELECT token,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS vid
+         |  FROM (SELECT token, COUNT(*) AS freq FROM tok GROUP BY 1)
+         |  QUALIFY vid <= 20),
+         |ids AS (
+         |  SELECT tok.doc_id, tok.pos, COALESCE(vocab.vid, 0) AS vid
+         |  FROM tok LEFT JOIN vocab USING (token))
+         |SELECT doc_id,
+         |  md5(array_to_string(list(vid ORDER BY pos), ',')) AS ids_md5,
+         |  CAST(SUM(CASE WHEN vid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  COUNT(*) AS n_tokens
+         |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     // identical integer rate chain: floor(2^18·sqrt(n)) weights, HUGEINT
     // products (exact — Spark routes the same products through

@@ -43,6 +43,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits.head.getLong(1) == 4L)
   }
 
+  test("bloom-prefiltered decontamination is identical to the exact path") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Contamination.ngramOverlap(docs, eval, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bloomed = Contamination.ngramOverlapBloom(docs, eval, col("text"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == bloomed)
+    assert(exact.nonEmpty) // the eval docs at least flag themselves
+  }
+
+  test("bloom probe never false-negatives, and codegen matches interpreted eval") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val planted = (0 until 500).map(i => s"gram number $i")
+    planted.foreach(bloom.putString)
+    val probe = ColumnBridge.column(graft.plans.BloomMightContainExpr(
+      ColumnBridge.expression(col("g")), bloom))
+    val df = (planted ++ (10000 until 10500).map(i => s"absent $i")).toDF("g")
+    val got = df.select(col("g"), probe.as("hit")).collect()
+      .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // every inserted key must hit (no false negatives, the bloom contract)
+    planted.foreach(g => assert(got(g), s"false negative on '$g'"))
+    // absent keys mostly miss (1% fpp; 500 probes → a handful at most)
+    val fps = (10000 until 10500).count(i => got(s"absent $i"))
+    assert(fps < 25, s"implausible false-positive count: $fps")
+  }
+
   // -- cross-corpus near-dedup -----------------------------------------------
 
   test("cross-corpus LSH finds planted cross pairs and suppresses within-corpus pairs") {
