@@ -20,6 +20,9 @@ object PipelineOps extends QueryPack {
   private def orders(s: SparkSession, dir: String) =
     Tables.load(s, dir, "orders")
 
+  private def embeddings(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
   /** Deterministic eval slice: every 97th doc plays the benchmark. */
   private val evalPred = col("doc_id") % 97 === 0
   private val sqlEvalPred = "doc_id % 97 = 0"
@@ -73,24 +76,28 @@ object PipelineOps extends QueryPack {
 
     // Gopher-style repetition metrics: distinct-token ratio, top-token
     // fraction, top-bigram fraction — the "is this doc boilerplate?"
-    // pre-filter. Tokens and bigrams each explode once (grouped counts,
-    // partial-aggregated); the two per-doc profiles join on doc_id.
+    // pre-filter. One kind-tagged term stream (tokens ∪ bigrams, each
+    // exploding once) → ONE (doc, kind, term) count shuffle → ONE per-doc
+    // conditional aggregation (sum/max over `when kind`): two exchanges
+    // total and no self-join, where the two-profile join form costs four
+    // exchanges; both shuffles carry grouped counts, never raw terms
+    // twice.
     "q_text_repetition" -> ((s, dir) => {
       val d = docs(s, dir)
-      val tokStats = d
-        .select(col("doc_id"),
-          explode(tokens(normalizeText(col("text")))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val terms = d
+        .select(col("doc_id"), lit(0).as("kind"),
+          explode(tokens(normalizeText(col("text")))).as("term"))
+        .unionByName(d.select(col("doc_id"), lit(1).as("kind"),
+          explode(wordNgramsNative(col("text"), 2)).as("term")))
+      terms.groupBy(col("doc_id"), col("kind"), col("term"))
+        .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("__n_tok"), count(lit(1)).as("__n_distinct"),
-          max(col("c")).as("__top_tok"))
-      val biStats = d
-        .select(col("doc_id"),
-          explode(wordNgramsNative(col("text"), 2)).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("c")).as("__n_bg"), max(col("c")).as("__top_bg"))
-      tokStats.join(biStats, "doc_id")
+        .agg(
+          sum(when(col("kind") === 0, col("c"))).as("__n_tok"),
+          count(when(col("kind") === 0, lit(1))).as("__n_distinct"),
+          max(when(col("kind") === 0, col("c"))).as("__top_tok"),
+          sum(when(col("kind") === 1, col("c"))).as("__n_bg"),
+          max(when(col("kind") === 1, col("c"))).as("__top_bg"))
         .select(col("doc_id"),
           round(col("__n_distinct").cast("double") /
             col("__n_tok").cast("double"), 6).as("distinct_ratio"),
@@ -139,6 +146,26 @@ object PipelineOps extends QueryPack {
           md5(regexp_replace(col("__t2"), numPat, "<NUM>"))
             .as("redacted_md5"))
         .orderBy(col("doc_id"))),
+
+    // Cross-table sample alignment: the property that makes the hash gate
+    // the right sampling primitive for multi-table corpora — sampling
+    // `documents` by doc_id and `embeddings` by vec_id at the same rate
+    // selects ALIGNED member sets (the gate is a function of the key
+    // value, not the table), so a sampled corpus keeps exactly its own
+    // sampled embeddings: n_docs = n_embs = n_joined, pinned by value.
+    "q_sample_aligned" -> ((s, dir) => {
+      val d = Sampling.hashSample(docs(s, dir), col("doc_id"), 0.3)
+        .select(col("doc_id"))
+      val e = Sampling.hashSample(embeddings(s, dir), col("vec_id"), 0.3)
+        .select(col("vec_id"))
+      // one full-outer join + one aggregate (count skips nulls) instead
+      // of three independent aggregation branches
+      d.join(e, col("doc_id") === col("vec_id"), "full_outer")
+        .agg(count(col("doc_id")).as("n_docs"),
+          count(col("vec_id")).as("n_embs"),
+          count(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1))
+            .as("n_joined"))
+    }),
 
     // Vocab-id tokenization: the apply step after vocabulary building —
     // top-20 tokens by (freq desc, token) get ids 1..20, everything else
@@ -306,6 +333,17 @@ object PipelineOps extends QueryPack {
          |  CAST(len(regexp_extract_all(t, '$numPat')) AS INT) AS n_nums,
          |  md5(regexp_replace(t, '$numPat', '<NUM>', 'g')) AS redacted_md5
          |FROM t2 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_aligned" -> {
+      val gate = (k: String) =>
+        s"${sqlHash32(s"CAST($k AS VARCHAR)")} < CAST(FLOOR(0.3 * 4294967296) AS BIGINT)"
+      s"""SELECT
+         |  (SELECT COUNT(*) FROM documents WHERE ${gate("doc_id")}) AS n_docs,
+         |  (SELECT COUNT(*) FROM embeddings WHERE ${gate("vec_id")}) AS n_embs,
+         |  (SELECT COUNT(*) FROM documents d JOIN embeddings e
+         |     ON e.vec_id = d.doc_id
+         |   WHERE ${gate("d.doc_id")} AND ${gate("e.vec_id")}) AS n_joined""".stripMargin
+    },
 
     // 1-based DuckDB positions vs 0-based posexplode only ORDER the
     // sequence — the id csv is position-blind, so the forms agree
