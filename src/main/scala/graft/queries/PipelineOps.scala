@@ -209,6 +209,39 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // Quality-gate capstone: score every doc (the q_text_quality
+    // heuristics), compute each language's EXACT interpolated median
+    // score with the distributed percentile operator (never a per-group
+    // value buffer), and keep only at-or-above-median docs — the "drop
+    // the bottom half by quality, per language" stage of a corpus
+    // pipeline, composed under ONE oracle. The per-language thresholds
+    // are a broadcast dimension (|langs| rows).
+    "q_pipeline_quality" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          tokens(normalizeText(col("text"))).as("__toks"),
+          (punctCount(col("text")).cast("double") /
+            length(col("text")).cast("double")).as("__punct"))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("__punct"),
+          (stopwordCount(col("__toks"), langProfiles.head._2).cast("double") /
+            size(col("__toks")).cast("double")).as("__stop"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(
+            when(col("n_chars").between(100, 2000), lit(0.5)).otherwise(lit(0.0)) +
+              least(col("__stop") * 2.0, lit(0.3)) +
+              when(col("__punct") < 0.05, lit(0.2)).otherwise(lit(0.0)),
+            6).as("score"))
+      val med = graft.operators.Percentiles.exactInterpolated(
+          scored, col("lang"), col("score"), Seq(0.5), Seq("med"))
+        .select(col("group").as("lang"), col("med"))
+      scored.join(broadcast(med), Seq("lang"))
+        .filter(col("score") >= col("med"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"),
+          round(Parity.dsum(col("score"), 6), 6).as("total_score"))
+        .orderBy(col("lang"))
+    }),
+
     // Z-order layout key: Morton-interleave (custkey, order-day) and roll
     // up per 4096-wide z-range ("file"): row count + per-file min/max of
     // BOTH dims — the footer stats a z-sorted write gives a scan to prune
@@ -387,6 +420,28 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_pipeline_quality" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      val stopRatio = s"(CAST(${sqlStopwordCount(toks, langProfiles.head._2)} AS DOUBLE) / CAST(len($toks) AS DOUBLE))"
+      val punctRatio = s"(CAST(${sqlPunctCount("text")} AS DOUBLE) / CAST(length(text) AS DOUBLE))"
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT doc_id, lang, n_chars,
+         |    round(
+         |      (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 0.5 ELSE 0.0 END) +
+         |      least($stopRatio * 2.0, 0.3) +
+         |      (CASE WHEN $punctRatio < 0.05 THEN 0.2 ELSE 0.0 END), 6)
+         |      AS score
+         |  FROM documents),
+         |m AS (SELECT lang, quantile_cont(score, 0.5) AS med
+         |      FROM q GROUP BY 1)
+         |SELECT q.lang, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  round(${Parity.sqlDsum("score", 6)}, 6) AS total_score
+         |FROM q JOIN m ON q.lang = m.lang
+         |WHERE score >= med
+         |GROUP BY q.lang ORDER BY q.lang""".stripMargin
+    },
 
     "q_zorder_layout" -> {
       val day = "date_diff('day', DATE '1995-01-01', o_orderdate)"

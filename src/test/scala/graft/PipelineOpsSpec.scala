@@ -201,6 +201,61 @@ class PipelineOpsSpec extends SparkSpec {
       s"low-resource stratum not upweighted: small=$smallFrac big=$bigFrac")
   }
 
+  // -- plan shapes (the 100 TB properties, asserted like PlanSpec) ----------
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+  /** Shuffle exchanges only: the gate queries end in a presentation
+    * `orderBy` whose rangepartitioning exchange is output contract, not
+    * operator cost. Simple explain mode keeps `Exchange hashpartitioning`
+    * on one line (formatted mode splits node from arguments). */
+  private def hashExchanges(name: String): Int =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+      .linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+
+  test("q_chunk_windows plans narrow: no shuffle (only the output sort)") {
+    assert(hashExchanges("q_chunk_windows") == 0,
+      s"chunking should not shuffle:\n${planOf("q_chunk_windows")}")
+  }
+
+  test("q_decontaminate joins the eval-gram dimension broadcast") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
+  }
+
+  test("q_tokenize_ids: broadcast vocab join, TakeOrderedAndProject top-k") {
+    val p = planOf("q_tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab top-k should not be a full sort:\n$p")
+  }
+
+  test("q_zorder_layout: one shuffle (the rollup), z math stays in the scan stage") {
+    val p = planOf("q_zorder_layout")
+    assert(hashExchanges("q_zorder_layout") == 1,
+      s"z-order rollup should shuffle once:\n$p")
+    assert(p.contains("partial_"), "missing map-side partial aggregation")
+  }
+
+  test("q_text_repetition: exactly two shuffles (term counts, per-doc profile)") {
+    assert(hashExchanges("q_text_repetition") == 2,
+      s"repetition metrics should cost two shuffles:\n${planOf("q_text_repetition")}")
+  }
+
+  test("q_sample_temperature: rate dimension broadcast, corpus scanned without text") {
+    val p = planOf("q_sample_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"rate dim not broadcast:\n$p")
+    val reads = p.linesIterator.filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      "temperature sampling reads the text column it never uses")
+  }
+
   // -- z-order ---------------------------------------------------------------
 
   /** Reference Morton decode: every other bit, compacted. */
