@@ -209,6 +209,34 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // Per-label centroid vectors — the distributed k-means update step
+    // (and the class-prototype computation of every embedding pipeline):
+    // posexplode to (label, dim, value) → ONE partial-aggregated shuffle
+    // of (label, dim) decimal sums (4-byte floats widen exactly; decimal
+    // sums make the mean partition-count-independent) → per-label ordered
+    // csv assembly. No per-group vector buffer: a 64-dim × 1e9-row corpus
+    // shuffles |labels|×64 aggregate states, nothing else.
+    "q_embed_centroids" -> ((s, dir) => {
+      val dims = embeddings(s, dir)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(round(Parity.davg(col("v").cast("double"), 8), 6)
+            // fixed-point string form: double→string diverges across
+            // engines in scientific-notation territory (~1e-5 means);
+            // DECIMAL(12,6) renders plain in both
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(12, 6))
+            .as("m"),
+          count(lit(1)).as("n"))
+      dims.groupBy(col("label"))
+        .agg(
+          array_join(
+            transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+              s => s("m").cast("string")), ",").as("centroid"),
+          max(col("n")).as("n_vectors"))
+        .orderBy(col("label"))
+    }),
+
     // Quality-gate capstone: score every doc (the q_text_quality
     // heuristics), compute each language's EXACT interpolated median
     // score with the distributed percentile operator (never a per-group
@@ -420,6 +448,22 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_embed_centroids" ->
+      s"""WITH e AS (
+         |  SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+         |  FROM embeddings,
+         |    LATERAL unnest(generate_series(1, len(embedding))) AS s(i)),
+         |a AS (
+         |  SELECT label, dim,
+         |    CAST(round(${Parity.sqlDavg("v", 8)}, 6) AS DECIMAL(12,6)) AS m,
+         |    COUNT(*) AS n
+         |  FROM e GROUP BY 1, 2)
+         |SELECT label,
+         |  array_to_string(list(CAST(m AS VARCHAR) ORDER BY dim), ',')
+         |    AS centroid,
+         |  MAX(n) AS n_vectors
+         |FROM a GROUP BY label ORDER BY label""".stripMargin,
 
     "q_pipeline_quality" -> {
       val toks = sqlTokens(sqlNormalizeText("text"))

@@ -46,6 +46,26 @@ object StreamOps extends QueryPack {
           qn("stream_join"), mode = "append")
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // Streaming corpus ingest: the documents table as a file-source stream
+    // through the front of the cleaning pipeline — deterministic hash-gate
+    // sampling (the gate is stateless, so it composes with streaming
+    // unchanged: the same rows survive as in batch) and the length-quality
+    // band — then per-language accounting. The batch-SQL oracle is exactly
+    // the stream/batch equivalence Structured Streaming promises.
+    "q_stream_corpus" -> ((s, dir) => {
+      val docsStream = s.readStream
+        .schema(graft.sources.Tables.loadRaw(s, dir, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+      val cleaned = graft.operators.Sampling
+        .hashSample(docsStream, col("doc_id"), 0.5)
+        .filter(col("n_chars").between(100, 2000))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      EventStreams.runToResult(s, cleaned, qn("stream_corpus"))
+        .orderBy(col("lang"))
+    }),
+
     // Stream-static broadcast join: enrich the stream against a literal
     // funnel-stage dimension (no state store; the static side re-reads per
     // micro-batch), then aggregate per stage.
@@ -76,6 +96,15 @@ object StreamOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // same hash gate as the batch sampling oracles (md5-derived, portable)
+    "q_stream_corpus" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE ${graft.functions.TextFunctions.sqlHash32("CAST(doc_id AS VARCHAR)")} <
+         |  CAST(FLOOR(0.5 * 4294967296) AS BIGINT)
+         |  AND n_chars BETWEEN 100 AND 2000
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Tumbling window = epoch-floor to 600s buckets. epoch_us (exact
     // integer µs) — epoch() is a double and ::BIGINT *rounds*, which
     // misplaces events within 0.5s of a boundary.
