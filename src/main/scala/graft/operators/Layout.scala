@@ -47,4 +47,38 @@ object Layout {
       }
     s"(${spread(a)} | (${spread(b)} << 1))"
   }
+
+  /** Z-order-clustered parquet write: range-partition on the z-value of
+    * (`a`, `b`) into `numFiles` output tasks and sort each within itself —
+    * every file then covers one compact z-range, i.e. a bounded tile in
+    * BOTH dimensions, which is what lets min/max footer stats prune scans
+    * filtered on either column.
+    *
+    * Both dimensions are min/max-scaled to the full 16-bit budget first
+    * (one cheap global agg). Raw interleave is worthless on unequal
+    * domains: a 0..149 key against a 0..2400 key leaves the narrow key's
+    * high bits constant, so every range cut falls in the wide key's bits
+    * and the "tiles" span the narrow dimension entirely — the same reason
+    * production z-order implementations interleave rank/range ids, never
+    * raw values. Costs exactly what any sorted write costs (one range
+    * exchange + per-task sort); the z column is dropped from the stored
+    * schema. */
+  def writeZOrdered(df: org.apache.spark.sql.DataFrame, path: String,
+      a: Column, b: Column, numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be positive, got $numFiles")
+    val Array(bounds) = df
+      .agg(min(a).cast("double").as("amin"), max(a).cast("double").as("amax"),
+        min(b).cast("double").as("bmin"), max(b).cast("double").as("bmax"))
+      .collect()
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else floor((c.cast("double") - lo) / (hi - lo) * 65535.0).cast("long")
+    df.withColumn("__z", zValue(
+        scaled(a, bounds.getDouble(0), bounds.getDouble(1)),
+        scaled(b, bounds.getDouble(2), bounds.getDouble(3))))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

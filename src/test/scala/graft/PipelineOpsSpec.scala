@@ -291,6 +291,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(zs.sameElements(zs.sorted), "z not monotone in a with b fixed")
   }
 
+  test("writeZOrdered: a narrow range on EITHER column prunes most files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zw").toString
+    val orders = graft.sources.Tables.load(spark, sf, "orders")
+    val day = datediff(col("o_orderdate"), lit("1995-01-01"))
+    Layout.writeZOrdered(
+      orders.select(col("o_orderkey"), col("o_custkey"), day.as("day")),
+      dir, col("o_custkey"), col("day"), numFiles = 16)
+    // per-file min/max — exactly what parquet footers expose to a scan.
+    // A single-column sort can only ever prune on its own leading column;
+    // the z layout must let an eighth-of-domain range on EITHER column
+    // skip at least half the files (simulation on this corpus: 4/16 read).
+    val stats = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("o_custkey")).as("cmin"), max(col("o_custkey")).as("cmax"),
+        min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+      .collect()
+    assert(stats.length >= 8, s"expected many files, got ${stats.length}")
+    val custReads = stats.count(r => r.getLong(1) <= 18L) // cust ∈ [0, 18]
+    val dayReads = stats.count(r => r.getInt(3) <= 300)   // day ∈ [0, 300]
+    assert(custReads <= stats.length / 2,
+      s"cust-range query reads $custReads/${stats.length} files")
+    assert(dayReads <= stats.length / 2,
+      s"day-range query reads $dayReads/${stats.length} files")
+  }
+
   test("z-range blocks bound both dimensions (the data-skipping property)") {
     // every 4096-wide z block covers at most a 64×64 tile in (a, b) space
     val rnd = new scala.util.Random(7)
