@@ -209,6 +209,19 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // Heavy hitters via the DataSketches frequent-items sketch: fixed
+    // O(maxMapSize) summary per task + tiny merge, no corpus-wide
+    // group-by shuffle. At maxMapSize ≥ the distinct-key count the
+    // sketch never evicts, so every estimate is EXACT and equals the
+    // group-by oracle (bounds collapse onto the count); the approximate
+    // regime's no-false-negative guarantee is spec-tested with a planted
+    // hitter over 100k distinct keys.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.HeavyHitters.topK(
+        docs(s, dir).select(
+          explode(tokens(normalizeText(col("text")))).as("tok")),
+        col("tok"), k = 10, maxMapSize = 1024)),
+
     // Per-label centroid vectors — the distributed k-means update step
     // (and the class-prototype computation of every embedding pipeline):
     // posexplode to (label, dim, value) → ONE partial-aggregated shuffle
@@ -448,6 +461,19 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // exact regime: map never evicts → estimate = exact count, bounds
+    // collapse; ties broken by token
+    "q_heavy_hitters" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""SELECT t AS item, freq AS estimate,
+         |  freq AS lower_bound, freq AS upper_bound
+         |FROM (
+         |  SELECT t, COUNT(*) AS freq
+         |  FROM (SELECT unnest($toks) AS t FROM documents)
+         |  GROUP BY 1 ORDER BY freq DESC, t LIMIT 10)
+         |ORDER BY estimate DESC, item""".stripMargin
+    },
 
     "q_embed_centroids" ->
       s"""WITH e AS (

@@ -62,6 +62,23 @@ object Sinks {
     * layer name → basic source with zoom range; optionally wrapped in a
     * publish message. Plain JSON rendering, 2-space indent like the
     * reference's `JSON.stringify(output, null, 2)` (MR:53-55). */
+  /** Training-shard JSONL export — the handoff format between a data
+    * pipeline and a training loader: one JSON object per line, sharded
+    * into bounded files (`maxRecordsPerShard` via the writer's
+    * `maxRecordsPerFile`, so shard sizing is enforced by the engine, not
+    * by a driver loop), optionally partitioned by a mix column (per-
+    * language directories). Fully distributed — every executor writes its
+    * own shards; nothing funnels through the driver. */
+  def writeJsonlShards(df: DataFrame, outDir: String,
+      maxRecordsPerShard: Long, partitionCols: Seq[String] = Nil): Unit = {
+    require(maxRecordsPerShard > 0,
+      s"maxRecordsPerShard must be positive, got $maxRecordsPerShard")
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerShard.toString)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(outDir)
+  }
+
   def recipeJson(layerNames: Seq[String], username: String,
       tilesetName: String = "test", wrap: Boolean = false): String = {
     def layer(name: String): String =

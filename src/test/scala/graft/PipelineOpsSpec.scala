@@ -201,6 +201,63 @@ class PipelineOpsSpec extends SparkSpec {
       s"low-resource stratum not upweighted: small=$smallFrac big=$bigFrac")
   }
 
+  // -- heavy hitters ---------------------------------------------------------
+
+  test("heavy hitters: exact regime equals the group-by truth") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val toks = docs.select(
+      explode(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.normalizeText(col("text")))).as("tok"))
+    val exact = toks.groupBy(col("tok")).count()
+      .orderBy(col("count").desc, col("tok")).limit(5)
+      .as[(String, Long)].collect().toSeq
+    val sketched = graft.operators.HeavyHitters.topK(toks, col("tok"), 5, 1024)
+      .select(col("item"), col("estimate")).as[(String, Long)].collect().toSeq
+    assert(sketched == exact)
+  }
+
+  test("heavy hitters: planted hitter survives eviction pressure with true bounds") {
+    // 100k distinct singletons + one item planted 10k times, map of 64:
+    // the sketch must report the planted item (no false negatives above
+    // the error threshold) with bounds bracketing the true count
+    val singles = spark.range(100000)
+      .select(concat(lit("u"), col("id")).as("k"))
+    val planted = spark.range(10000).select(lit("HH").as("k"))
+    val stream = singles.unionByName(planted).repartition(13)
+    val top = graft.operators.HeavyHitters.topK(stream, col("k"), 3, 64)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    val hh = top.find(_._1 == "HH")
+    assert(hh.isDefined, s"planted heavy hitter lost: ${top.mkString(", ")}")
+    assert(hh.get._2 <= 10000L && 10000L <= hh.get._3,
+      s"bounds do not bracket the true count: $hh")
+  }
+
+  // -- JSONL training shards -------------------------------------------------
+
+  test("JSONL shard export: bounded shards, lossless round-trip, mix partitioning") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    graft.sinks.Sinks.writeJsonlShards(docs, dir,
+      maxRecordsPerShard = 100L, partitionCols = Seq("lang"))
+    val back = spark.read.json(dir)
+    assert(back.count() == docs.count())
+    // per-shard bound holds
+    val maxShard = back.groupBy(input_file_name()).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(maxShard <= 100L, s"shard exceeds bound: $maxShard")
+    // partition layout: per-language directories exist
+    val langs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(langs.size >= 2, s"expected lang= partitions, got $langs")
+    // content round-trips (ids and char counts survive)
+    val sumBack = back.agg(sum(col("doc_id")), sum(col("n_chars")))
+      .collect().head
+    val sumOrig = docs.agg(sum(col("doc_id")), sum(col("n_chars")))
+      .collect().head
+    assert(sumBack == sumOrig)
+  }
+
   // -- plan shapes (the 100 TB properties, asserted like PlanSpec) ----------
 
   private def planOf(name: String): String =
