@@ -222,6 +222,20 @@ object PipelineOps extends QueryPack {
           explode(tokens(normalizeText(col("text")))).as("tok")),
         col("tok"), k = 10, maxMapSize = 1024)),
 
+    // Cross-corpus distinct overlap via theta sketches: per-side
+    // fixed-size sketches (narrow partials, lossless union), set algebra
+    // on the sketches — never a distinct-set shuffle. Below
+    // nominalEntries the sketch is exact (this corpus), so the estimates
+    // equal the COUNT DISTINCT oracle; the RSE envelope at 300k keys is
+    // spec-tested.
+    "q_vocab_overlap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def toksOf(lang: String) = d.filter(col("lang") === lang)
+        .select(explode(tokens(normalizeText(col("text")))).as("tok"))
+      graft.operators.ThetaOverlap.distinctOverlap(
+        toksOf("en"), toksOf("zh"), col("tok"))
+    }),
+
     // Per-label centroid vectors — the distributed k-means update step
     // (and the class-prototype computation of every embedding pipeline):
     // posexplode to (label, dim, value) → ONE partial-aggregated shuffle
@@ -461,6 +475,21 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // exact regime: every hash retained → estimates are the exact
+    // distinct counts
+    "q_vocab_overlap" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""WITH l AS (SELECT DISTINCT unnest($toks) AS t
+         |           FROM documents WHERE lang = 'en'),
+         |r AS (SELECT DISTINCT unnest($toks) AS t
+         |      FROM documents WHERE lang = 'zh')
+         |SELECT (SELECT COUNT(*) FROM l) AS n_left,
+         |  (SELECT COUNT(*) FROM r) AS n_right,
+         |  (SELECT COUNT(*) FROM l JOIN r USING (t)) AS n_shared,
+         |  (SELECT COUNT(*) FROM (SELECT t FROM l UNION SELECT t FROM r))
+         |    AS n_union""".stripMargin
+    },
 
     // exact regime: map never evicts → estimate = exact count, bounds
     // collapse; ties broken by token

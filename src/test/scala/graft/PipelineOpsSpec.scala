@@ -232,6 +232,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"bounds do not bracket the true count: $hh")
   }
 
+  test("theta overlap: exact regime equals COUNT DISTINCT set algebra") {
+    val left = spark.range(0, 150).select(concat(lit("k"), col("id")).as("k"))
+    val right = spark.range(100, 400).select(concat(lit("k"), col("id")).as("k"))
+    val row = graft.operators.ThetaOverlap
+      .distinctOverlap(left, right, col("k")).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((150L, 300L, 50L, 400L)))
+  }
+
+  test("theta overlap: estimation regime stays inside the RSE envelope") {
+    // 200k vs 200k keys sharing 100k, nominalEntries 4096 → rse ≈ 1.6%,
+    // intersection error ≈ rse·√(union/inter) ≈ 2.7%; assert a 10% band
+    val left = spark.range(0, 200000).select(concat(lit("k"), col("id")).as("k"))
+      .repartition(7)
+    val right = spark.range(100000, 300000)
+      .select(concat(lit("k"), col("id")).as("k")).repartition(5)
+    val row = graft.operators.ThetaOverlap
+      .distinctOverlap(left, right, col("k")).collect().head
+    def within(got: Long, truth: Long, tol: Double): Boolean =
+      math.abs(got - truth) <= truth * tol
+    assert(within(row.getLong(0), 200000L, 0.05), s"n_left ${row.getLong(0)}")
+    assert(within(row.getLong(1), 200000L, 0.05), s"n_right ${row.getLong(1)}")
+    assert(within(row.getLong(2), 100000L, 0.10), s"n_shared ${row.getLong(2)}")
+    assert(within(row.getLong(3), 300000L, 0.05), s"n_union ${row.getLong(3)}")
+  }
+
   // -- JSONL training shards -------------------------------------------------
 
   test("JSONL shard export: bounded shards, lossless round-trip, mix partitioning") {
