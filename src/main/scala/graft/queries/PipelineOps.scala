@@ -222,6 +222,29 @@ object PipelineOps extends QueryPack {
           explode(tokens(normalizeText(col("text")))).as("tok")),
         col("tok"), k = 10, maxMapSize = 1024)),
 
+    // Deterministic corpus shuffle: training order matters and must be
+    // REPRODUCIBLE — orderBy(rand(seed)) is partition-dependent, so the
+    // permutation key is the portable hash of (salt, doc_id): the same
+    // engine-independent order on any cluster, any partitioning, and a
+    // different-but-reproducible epoch order per salt. The permutation
+    // materializes as 256 ORDERED shuffle buckets (hash top byte), each
+    // internally ordered by (hash, doc_id) — concatenating buckets IS the
+    // global order, each bucket is an independent unit a loader consumes
+    // in sequence, and the plan is one hash exchange + per-bucket sorted
+    // collect: NO global window/sort. The oracle pins the exact
+    // permutation content via per-bucket md5 of the doc-id sequence.
+    "q_shuffle_order" -> ((s, dir) => {
+      val key = hash32(concat(lit("epoch7:"), col("doc_id").cast("string")))
+      docs(s, dir)
+        .select(col("doc_id"), key.as("__k"))
+        .groupBy(shiftrightunsigned(col("__k"), 24).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(
+            transform(sort_array(collect_list(struct(col("__k"), col("doc_id")))),
+              s => s("doc_id").cast("string")), ",")).as("order_md5"))
+        .orderBy(col("bucket"))
+    }),
+
     // Cross-corpus distinct overlap via theta sketches: per-side
     // fixed-size sketches (narrow partials, lossless union), set algebra
     // on the sketches — never a distinct-set shuffle. Below
@@ -475,6 +498,16 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_shuffle_order" -> {
+      val h = sqlHash32("'epoch7:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT (h >> 24) AS bucket, COUNT(*) AS n_docs,
+         |  md5(array_to_string(
+         |    list(CAST(doc_id AS VARCHAR) ORDER BY h, doc_id), ','))
+         |    AS order_md5
+         |FROM (SELECT doc_id, $h AS h FROM documents)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
 
     // exact regime: every hash retained → estimates are the exact
     // distinct counts
