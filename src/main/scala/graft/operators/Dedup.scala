@@ -263,6 +263,20 @@ object Dedup {
       .distinct() // one row per (left, right) pair; est is a pair-function
   }
 
+  /** The apply step of cross-corpus dedup: `right` (the new crawl) minus
+    * every doc near-duplicating something in `left` (the corpus already
+    * trained on) — [[minhashPairsAcross]] candidates → anti-join on the
+    * right id (ids only shuffle, text never does). */
+  def scrubAgainst(left: DataFrame, right: DataFrame,
+      textCol: Column, idCol: Column,
+      shingleSize: Int = 3, k: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 4096): DataFrame = {
+    val hit = minhashPairsAcross(left, right, textCol, idCol,
+        shingleSize, k, bands, threshold, maxBucket)
+      .select(col("right_id")).distinct()
+    right.join(hit, idCol === hit("right_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs: a DataFrame with
     * (id_a, id_b) joined back to the texts. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,

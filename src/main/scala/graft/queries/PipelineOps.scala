@@ -74,6 +74,44 @@ object PipelineOps extends QueryPack {
         .orderBy(col("left_id"), col("right_id"))
     }),
 
+    // The cross-dedup APPLY step: a "new crawl" of mutants (near-dups of
+    // the reference corpus — should scrub away) plus fresh docs
+    // (char-reversed text, disjoint shingles — must survive), scrubbed
+    // against the originals; survivors counted per language pin the
+    // whole candidates→anti-join composition.
+    "q_dedup_cross_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val crawl = d.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzmutant")).as("text"), col("lang"))
+        .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
+          reverse(col("text")).as("text"), col("lang")))
+      Dedup.scrubAgainst(d.select(col("doc_id"), col("text")), crawl,
+          col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang"))
+    }),
+
+    // Contamination provenance matrix: WHICH eval doc leaked into which
+    // training doc — (train_doc, eval_doc, n_shared distinct 5-grams).
+    // Same broadcast shape as q_decontaminate with the eval doc id kept
+    // on the dimension; the matrix is bounded by |eval| × |hits|.
+    "q_decontaminate_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val evalGrams = d.filter(evalPred)
+        .select(col("doc_id").as("eval_id"),
+          explode(array_distinct(wordNgramsNative(col("text"), 5))).as("gram"))
+        .distinct()
+      d.select(col("doc_id"),
+          explode(array_distinct(wordNgramsNative(col("text"), 5))).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .filter(col("doc_id") =!= col("eval_id")) // self-overlap is q_decontaminate's row
+        .groupBy(col("doc_id"), col("eval_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+
     // Gopher-style repetition metrics: distinct-token ratio, top-token
     // fraction, top-bigram fraction — the "is this doc boilerplate?"
     // pre-filter. One kind-tagged term stream (tokens ∪ bigrams, each
@@ -355,6 +393,52 @@ object PipelineOps extends QueryPack {
     "q_decontaminate" -> decontaminateSql,
     // the bloom path must produce the identical result — same oracle
     "q_decontaminate_bloom" -> decontaminateSql,
+
+    "q_decontaminate_matrix" -> {
+      val grams = s"list_distinct(${sqlWordNgrams("text", 5)})"
+      s"""WITH ev AS (
+         |  SELECT DISTINCT doc_id AS eval_id, unnest($grams) AS gram
+         |  FROM documents WHERE $sqlEvalPred),
+         |tg AS (
+         |  SELECT doc_id, unnest($grams) AS gram FROM documents)
+         |SELECT doc_id, eval_id, COUNT(*) AS n_shared
+         |FROM tg JOIN ev USING (gram)
+         |WHERE doc_id <> eval_id
+         |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
+    },
+
+    // survivors = crawl members (mutants at +1e6, reversed-fresh at +2e6)
+    // with no banded cross match vs the originals; language comes from
+    // the source doc
+    "q_dedup_cross_scrub" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+         |  FROM documents),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |${sqlBandedCandidates(4, 4)},
+         |hit AS (
+         |  SELECT DISTINCT id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand)
+         |  WHERE id_a < 1000000 AND id_b >= 1000000 AND est_jaccard >= 0.5),
+         |crawl AS (
+         |  SELECT doc_id + 1000000 AS cid, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS cid, lang FROM documents)
+         |SELECT lang, COUNT(*) AS n_survivors
+         |FROM crawl
+         |WHERE cid NOT IN (SELECT id_b FROM hit)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // same banding arithmetic as q_dedup_minhash; orientation falls out of
     // the id ranges (originals < 1000000 ≤ mutants) and cand's id_a < id_b
