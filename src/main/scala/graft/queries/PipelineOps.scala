@@ -358,6 +358,36 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // The full-production capstone: every front-of-pipeline stage under
+    // ONE oracle — mutant corpus → stratified hash-gate sampling →
+    // benchmark decontamination (eval slice from the ORIGINAL docs) →
+    // LSH near-dup drop → token-budget packing per language → per-pack
+    // accounting. Extends q_pipeline_mix with the decontamination stage;
+    // every stage is individually oracled elsewhere, this pins the
+    // four-stage composition end to end.
+    "q_pipeline_full" -> ((s, dir) => {
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val corpus = d0.unionByName(d0.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
+      val sampled = Sampling.stratifiedHashSample(
+        corpus, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
+        defaultRate = 0.25)
+      val evalDocs = docs(s, dir).filter(evalPred)
+      val decon = Contamination.scrub(sampled, evalDocs,
+        col("text"), col("doc_id"), n = 5, minOverlap = 1L)
+      val dupIds = Dedup.minhashPairs(decon, col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+      val kept = decon.join(dupIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("__nc"))
+      graft.operators.Packing.byBudget(kept, Seq(col("lang")),
+          col("doc_id"), col("__nc"), budget = 20000L)
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__nc")).as("pack_chars"))
+        .orderBy(col("lang"), col("pack_id"))
+    }),
+
     // Z-order layout key: Morton-interleave (custkey, order-day) and roll
     // up per 4096-wide z-range ("file"): row count + per-file min/max of
     // BOTH dims — the footer stats a z-sorted write gives a scan to prune
@@ -657,6 +687,53 @@ object PipelineOps extends QueryPack {
          |FROM q JOIN m ON q.lang = m.lang
          |WHERE score >= med
          |GROUP BY q.lang ORDER BY q.lang""".stripMargin
+    },
+
+    // q_pipeline_mix's oracle plus the decontamination CTE between the
+    // gate and the LSH stage
+    "q_pipeline_full" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      val grams = s"list_distinct(${sqlWordNgrams("text", 5)})"
+      s"""WITH corpus AS MATERIALIZED (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text, lang
+         |  FROM documents),
+         |sampled AS MATERIALIZED (
+         |  SELECT doc_id, text, lang FROM corpus
+         |  WHERE ${sqlHash32("CAST(doc_id AS VARCHAR)")} <
+         |    CAST(FLOOR((CASE WHEN lang = 'en' THEN 0.5
+         |                     WHEN lang = 'zh' THEN 0.9
+         |                     ELSE 0.25 END) * 4294967296) AS BIGINT)),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM
+         |    (SELECT doc_id, unnest($grams) AS gram FROM sampled) s
+         |    JOIN (SELECT DISTINCT unnest($grams) AS gram
+         |          FROM documents WHERE $sqlEvalPred) ev USING (gram)),
+         |decon AS MATERIALIZED (
+         |  SELECT * FROM sampled
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM decon),
+         |${sqlBandedCandidates(4, 4)},
+         |dups AS (
+         |  SELECT DISTINCT id_b FROM (
+         |    SELECT id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |kept AS (
+         |  SELECT doc_id, lang, length(text) AS nc FROM decon
+         |  WHERE doc_id NOT IN (SELECT id_b FROM dups)),
+         |packed AS (
+         |  SELECT lang, CAST((cum - nc) // 20000 AS BIGINT) AS pack_id, nc
+         |  FROM (
+         |    SELECT lang, nc,
+         |      SUM(nc) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |    FROM kept))
+         |SELECT lang, pack_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(nc) AS BIGINT) AS pack_chars
+         |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
     },
 
     "q_zorder_layout" -> {
