@@ -247,6 +247,24 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // Corpus profiling: the one-pass ingest summary (row count, per-column
+    // null counts, distinct cardinalities, ranges, text-length moments) a
+    // pipeline runs before anything else. ONE aggregate — Spark plans the
+    // multi-distinct via expand, still a single scan; averages are
+    // decimal-routed for cross-engine determinism.
+    "q_profile_table" -> ((s, dir) =>
+      docs(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        countDistinct(col("lang")).as("distinct_lang"),
+        countDistinct(col("source")).as("distinct_source"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(Parity.davg(col("n_chars").cast("double"), 4), 6)
+          .as("avg_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))),
+
     // Heavy hitters via the DataSketches frequent-items sketch: fixed
     // O(maxMapSize) summary per task + tiny merge, no corpus-wide
     // group-by shuffle. At maxMapSize ≥ the distinct-key count the
@@ -622,6 +640,20 @@ object PipelineOps extends QueryPack {
          |FROM (SELECT doc_id, $h AS h FROM documents)
          |GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_profile_table" ->
+      s"""SELECT COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS null_text,
+         |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS null_lang,
+         |  COUNT(DISTINCT lang) AS distinct_lang,
+         |  COUNT(DISTINCT source) AS distinct_source,
+         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+         |  round(${Parity.sqlDavg("CAST(n_chars AS DOUBLE)", 4)}, 6)
+         |    AS avg_chars,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM documents""".stripMargin,
 
     // exact regime: every hash retained → estimates are the exact
     // distinct counts
