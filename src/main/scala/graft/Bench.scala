@@ -32,11 +32,16 @@ object Bench {
     // the projected expressions (the thing under benchmark) out of
     // projection-only queries. Failures report as -1, never as a timing.
     //
-    // Each query runs REPS times and the MEDIAN is recorded: a single
-    // sample on a loaded box has caught 2-3× phantom regressions (r3's
-    // q_pivot read 2.56 s recorded vs 1.19 s re-measured). The first rep
-    // additionally absorbs that query's Janino compilation, so the median
-    // reflects steady-state execution.
+    // Each query runs REPS times; reps are INTERLEAVED round-robin across
+    // queries (rep 1 of every query, then rep 2 of every query, ...) so a
+    // transient load window on the box lands on at most one rep of each
+    // query instead of swallowing all reps of a few (r5's back-to-back reps
+    // let a load spike turn q_array_funcs's median-of-3 into 82.8 s vs
+    // 1.06 s isolated). The MEDIAN is recorded as the headline, and the
+    // MIN-of-N is recorded alongside it: with temporally decorrelated reps
+    // the min is the load-immune statistic a reader can trust.
+    // Rep 1 of a query additionally absorbs its Janino compilation, so
+    // median and min both reflect steady-state execution.
     // Clamped to >=1: 0/negative would make the median index throw, and a
     // non-numeric value should not abort the bench before any query runs.
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
@@ -50,12 +55,13 @@ object Bench {
         -1.0
       }
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to reps).map(_ => once(name, fn))
-      val dur =
-        if (samples.exists(_ < 0)) -1.0
-        else samples.sorted.apply(samples.length / 2)
-      name -> dur
+    val order = selected.toSeq.sortBy(_._1)
+    val sampleRows: Seq[IndexedSeq[Double]] =
+      (1 to reps).map(_ => order.map { case (n, fn) => once(n, fn) }.toIndexedSeq)
+    val results = order.zipWithIndex.map { case ((name, _), i) =>
+      val samples = sampleRows.map(_(i))
+      if (samples.exists(_ < 0)) (name, -1.0, -1.0)
+      else (name, samples.sorted.apply(samples.length / 2), samples.min)
     }
     // The driver captures only the LAST ~2000 chars of the run output and
     // parses the JSON line out of that tail; sbt appends its own
@@ -65,16 +71,21 @@ object Bench {
     // per-query map on its own line first (for humans / the judge), then a
     // final line whose `queries` map keeps the SLOWEST entries that fit a
     // conservative byte budget — slowest-first is the informative subset.
+    // `queries` stays a flat name->seconds map of MEDIANS (the driver's
+    // documented contract); `queries_min` carries the min-of-N for the same
+    // keys, and `value_min` the min-total — the numbers a reader compares
+    // against isolated re-runs when adjudicating a load-contaminated record.
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    def jq(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
+    def jq(kvs: Seq[(String, Double, Double)], sel: ((String, Double, Double))
+        => Double): String =
+      kvs.map(t => "\"" + t._1 + "\":" + r3(sel(t))).mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val totalMin = r3(results.map(_._3).filter(_ >= 0).sum)
     val failed = results.filter(_._2 < 0).map(r => "\"" + r._1 + "\"")
       .mkString("[", ",", "]")
-    def line(qs: String, omitted: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.length},"omitted":$omitted,"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line(jq(results), 0)) // full map: head may truncate in the tail
+    def line(kvs: Seq[(String, Double, Double)], omitted: Int): String =
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","reps":$reps,"n_queries":${results.length},"omitted":$omitted,"queries":${jq(kvs, _._2)},"queries_min":${jq(kvs, _._3)},"failed":$failed,"sf":"$sfDir"}"""
+    println(line(results, 0)) // full map: head may truncate in the tail
     val budget = 1700 // line bytes; tail window 2000 minus sbt suffix + slack
     val bySlowest = results.sortBy(-_._2)
     // measure each candidate with its REAL omitted count (the digit width
@@ -83,9 +94,9 @@ object Bench {
     // line must always print, over budget beats absent
     val keep = (0 to bySlowest.length).view.map(n => bySlowest.take(n))
       .takeWhile(kvs =>
-        line(jq(kvs), results.length - kvs.length).length <= budget)
+        line(kvs, results.length - kvs.length).length <= budget)
       .lastOption.getOrElse(Seq.empty)
-    println(line(jq(keep), results.length - keep.length))
+    println(line(keep, results.length - keep.length))
     Console.out.flush()
     spark.stop()
   }

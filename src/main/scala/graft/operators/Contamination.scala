@@ -61,8 +61,11 @@ object Contamination {
     * its false positives are removed by the exact join running over the
     * tiny surviving stream — so the result is IDENTICAL to
     * [[ngramOverlap]] (spec-asserted), the filter only subtracts work.
-    * The driver-side gram collect is the same small-model-artifact move
-    * as the IVF quantizer: the eval set is MBs against the corpus's TBs. */
+    * The filter itself is built DISTRIBUTED (`df.stat.bloomFilter`, a
+    * treeAggregate of per-partition filters): the driver never holds the
+    * gram set, only the final ~1.2 bytes/gram filter — so the path stays
+    * honest precisely in its advertised regime, an eval-gram set too big
+    * to broadcast-hash comfortably. */
   def ngramOverlapBloom(corpus: DataFrame, evalDocs: DataFrame,
       textCol: Column, idCol: Column, n: Int = 5,
       minOverlap: Long = 1L, fpp: Double = 0.01): DataFrame = {
@@ -72,10 +75,12 @@ object Contamination {
     val evalGrams = evalDocs
       .select(explode(array_distinct(wordNgramsNative(textCol, n))).as("gram"))
       .distinct()
-    val grams = evalGrams.collect().map(_.getString(0))
-    val bloom = org.apache.spark.util.sketch.BloomFilter
-      .create(math.max(grams.length.toLong, 1L), fpp)
-    grams.foreach(bloom.putString)
+    // Sizing pass first (a count of the already-distinct gram stream), then
+    // the distributed build: each partition fills a local filter, the
+    // driver receives only the OR-merged result. No row ever leaves the
+    // executors.
+    val nGrams = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", nGrams, fpp)
     import org.apache.spark.sql.graft.ColumnBridge
     val mightContain = ColumnBridge.column(
       graft.plans.BloomMightContainExpr(

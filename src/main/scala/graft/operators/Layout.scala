@@ -70,6 +70,13 @@ object Layout {
       .agg(min(a).cast("double").as("amin"), max(a).cast("double").as("amax"),
         min(b).cast("double").as("bmin"), max(b).cast("double").as("bmax"))
       .collect()
+    if (bounds.isNullAt(0)) {
+      // Empty input: min/max aggregate to NULL and getDouble would NPE.
+      // There is nothing to cluster — write the (empty) frame as-is so the
+      // caller still gets a readable parquet dataset with this schema.
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scaled(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else floor((c.cast("double") - lo) / (hi - lo) * 65535.0).cast("long")

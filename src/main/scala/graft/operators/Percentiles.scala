@@ -53,13 +53,14 @@ import org.apache.spark.sql.functions._
   * interactive/batch analytic; use a reliable `checkpoint` directory
   * upstream if that matters).
   *
-  * RETENTION: the checkpointed blocks are released by the ContextCleaner
-  * only when the returned plan (and the RDD it pins) is garbage-collected
-  * on the driver — there is no explicit unpersist path through this API.
-  * In a long-lived session calling this repeatedly, drop references to
-  * the returned DataFrame once consumed (and rely on GC), or materialize
-  * the result and discard the plan; each call retains one projected
-  * (group, value) copy of the input until then.
+  * RETENTION: with [[exactInterpolated]] the checkpointed blocks are
+  * released by the ContextCleaner only when the returned plan (and the RDD
+  * it pins) is garbage-collected on the driver — each call retains one
+  * projected (group, value) copy of the input until then. A long-lived
+  * session calling repeatedly should use [[exactInterpolatedEager]], which
+  * materializes the (one row per group) result and releases the input
+  * blocks before returning — executor storage then holds only the
+  * KB-scale result, never an accumulating series of input copies.
   */
 object Percentiles {
 
@@ -67,7 +68,33 @@ object Percentiles {
     * of `valueCol` (nulls ignored; all-null groups yield null columns;
     * a NULL group key is a group, exactly like the built-in aggregate). */
   def exactInterpolated(df: DataFrame, groupCol: Column, valueCol: Column,
-      ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+      ps: Seq[Double], outNames: Seq[String]): DataFrame =
+    build(df, groupCol, valueCol, ps, outNames)._1
+
+  /** [[exactInterpolated]] with release-after-consume: runs the result to
+    * a `localCheckpoint` (tiny — one row per group) and eagerly releases
+    * the input's checkpoint blocks before returning, instead of leaving
+    * one (group, value) copy of the input pinned in executor storage
+    * until driver GC (the [[Components]] release pattern,
+    * `Components.scala` releaseBlocks). Same rows, same schema; costs the
+    * one extra materialization of the KB-scale result. */
+  def exactInterpolatedEager(df: DataFrame, groupCol: Column,
+      valueCol: Column, ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    val (result, input) = build(df, groupCol, valueCol, ps, outNames)
+    val out = result.localCheckpoint()
+    input.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+    out
+  }
+
+  /** Shared plan builder: (result, the checkpointed (group, value)
+    * projection) — the second element so eager callers can release its
+    * blocks once the result no longer needs them. */
+  private def build(df: DataFrame, groupCol: Column, valueCol: Column,
+      ps: Seq[Double], outNames: Seq[String]): (DataFrame, DataFrame) = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0, 1]")
     require(outNames.length == ps.length, "one output name per percentile")
@@ -142,8 +169,9 @@ object Percentiles {
     // percentiles, matching the built-in aggregate's output exactly.
     // Null-safe again: EqualTo would strip a NULL group's computed values.
     val groups = all.select(col("__g")).distinct()
-    groups.join(computed.withColumnRenamed("__g", "__cg"),
+    val result = groups.join(computed.withColumnRenamed("__g", "__cg"),
         groups("__g") <=> col("__cg"), "left")
       .select(col("__g").as("group") +: outNames.map(col): _*)
+    (result, all)
   }
 }

@@ -210,18 +210,25 @@ object PipelineOps extends QueryPack {
     // is OOV id 0; each doc becomes its ordered id sequence (content-
     // checked via md5 of the csv form) plus OOV accounting. Scale shape:
     // the vocab is a TakeOrderedAndProject top-k (never a global window
-    // over all distinct tokens) broadcast to a left join; the ordered
-    // per-doc sequence is one sort_array(collect_list(struct(pos, id)))
-    // — grouped, partial-aggregated, no window.
+    // over all distinct tokens); ids are assigned on the COLLECTED 20-row
+    // dim — a KB-scale tokenizer artifact, the same driver-side move as
+    // the IVF quantizer (a partition-less row_number window here fired
+    // WindowExec's single-partition warning on every run, a red flag
+    // during perf triage even though only 20 rows ever reached it). The
+    // ordered per-doc sequence is one sort_array(collect_list(struct(pos,
+    // id))) — grouped, partial-aggregated, no window.
     "q_tokenize_ids" -> ((s, dir) => {
+      import s.implicits._
       val tok = docs(s, dir)
         .select(col("doc_id"),
           posexplode(tokens(normalizeText(col("text")))).as(Seq("pos", "token")))
       val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token")).limit(20)
-        .withColumn("vid", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("freq").desc, col("token"))).cast("long"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, f) => (-f, t) } // re-pin order off the wire
+        .zipWithIndex
+        .map { case ((t, _), i) => (t, (i + 1).toLong) }
+        .toSeq.toDF("token", "vid")
       tok.join(broadcast(vocab), Seq("token"), "left")
         .select(col("doc_id"), col("pos"),
           coalesce(col("vid"), lit(0L)).as("vid"))
@@ -411,7 +418,11 @@ object PipelineOps extends QueryPack {
     // BOTH dims — the footer stats a z-sorted write gives a scan to prune
     // on either column. The z-value is the cross-engine contract.
     "q_zorder_layout" -> ((s, dir) => {
-      val day = datediff(col("o_orderdate"), lit("1995-01-01"))
+      // Epoch at/below the data's min date (TPC-H orders start 1992-01-01):
+      // zValue masks to the low 16 bits, so a NEGATIVE day would alias to
+      // the top of the 16-bit domain (day -1 → 65535) and break the
+      // "bounded tile" semantics the per-file min/max stats pin.
+      val day = datediff(col("o_orderdate"), lit("1992-01-01"))
       orders(s, dir)
         .select(col("o_custkey"), day.as("__day"),
           Layout.zValue(col("o_custkey"), day).as("__z"))
@@ -508,6 +519,9 @@ object PipelineOps extends QueryPack {
          |ORDER BY left_id, right_id""".stripMargin
     },
 
+    // ts LEFT JOIN bs: a 1-token doc has tokens but no bigrams, and the
+    // Spark side emits its row with NULL top_bigram_frac (the kind-1
+    // branch aggregates to NULL) — an inner join would drop it here only.
     "q_text_repetition" -> {
       val toks = sqlTokens(sqlNormalizeText("text"))
       val bgs = sqlWordNgrams("text", 2)
@@ -533,7 +547,7 @@ object PipelineOps extends QueryPack {
          |    AS top_token_frac,
          |  round(CAST(top_bg AS DOUBLE) / CAST(n_bg AS DOUBLE), 6)
          |    AS top_bigram_frac
-         |FROM ts JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM ts LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin
     },
 
     "q_chunk_windows" -> {
@@ -769,7 +783,7 @@ object PipelineOps extends QueryPack {
     },
 
     "q_zorder_layout" -> {
-      val day = "date_diff('day', DATE '1995-01-01', o_orderdate)"
+      val day = "date_diff('day', DATE '1992-01-01', o_orderdate)"
       val z = graft.operators.Layout.sqlZValue("o_custkey", day)
       s"""SELECT CAST($z >> 12 AS BIGINT) AS z_file,
          |  COUNT(*) AS n_orders,

@@ -58,10 +58,6 @@ object Sinks {
     try writeKmz(kml, os, iconDir) finally os.close()
   }
 
-  /** S8 — Mapbox tileset recipe generator (`src/make-recipe.js:12-55`):
-    * layer name → basic source with zoom range; optionally wrapped in a
-    * publish message. Plain JSON rendering, 2-space indent like the
-    * reference's `JSON.stringify(output, null, 2)` (MR:53-55). */
   /** Training-shard JSONL export — the handoff format between a data
     * pipeline and a training loader: one JSON object per line, sharded
     * into bounded files (`maxRecordsPerShard` via the writer's
@@ -79,6 +75,10 @@ object Sinks {
       .json(outDir)
   }
 
+  /** S8 — Mapbox tileset recipe generator (`src/make-recipe.js:12-55`):
+    * layer name → basic source with zoom range; optionally wrapped in a
+    * publish message. Plain JSON rendering, 2-space indent like the
+    * reference's `JSON.stringify(output, null, 2)` (MR:53-55). */
   def recipeJson(layerNames: Seq[String], username: String,
       tilesetName: String = "test", wrap: Boolean = false): String = {
     def layer(name: String): String =

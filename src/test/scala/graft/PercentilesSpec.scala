@@ -62,6 +62,30 @@ class PercentilesSpec extends SparkSpec {
     builtinVsDistributed(df, "g", "v", Seq(0.0, 0.5, 1.0))
   }
 
+  test("eager variant: same rows, and the input checkpoint is released " +
+      "after the action") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+    val ps = Seq(0.25, 0.5, 0.75)
+    val names = Seq("p25", "p50", "p75")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val eager = Percentiles.exactInterpolatedEager(li, col("l_returnflag"),
+      col("l_extendedprice"), ps, names)
+    val newIds = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // only the (one row per group) RESULT checkpoint may remain pinned —
+    // the (group, value) input copy must be unpersisted before return
+    val resultId = eager.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.execution.LogicalRDD].rdd.id
+    assert(newIds == Set(resultId),
+      s"expected only the result checkpoint $resultId pinned, got $newIds")
+    val lazyRows = Percentiles.exactInterpolated(li, col("l_returnflag"),
+        col("l_extendedprice"), ps, names)
+      .collect().map(r => r.getString(0) ->
+        (1 to 3).map(r.getDouble).toVector).toMap
+    val eagerRows = eager.collect().map(r => r.getString(0) ->
+      (1 to 3).map(r.getDouble).toVector).toMap
+    assert(eagerRows == lazyRows)
+  }
+
   test("the sort is value-bucketed, not one task per group") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
     val p = Percentiles.exactInterpolated(li, col("l_returnflag"),

@@ -312,11 +312,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$p")
   }
 
-  test("q_tokenize_ids: broadcast vocab join, TakeOrderedAndProject top-k") {
+  test("q_tokenize_ids: broadcast vocab join, no window operator anywhere") {
+    // the vocab top-k runs EAGERLY at build time (orderBy+limit+collect →
+    // TakeOrderedAndProject by construction) and ids are assigned on the
+    // collected 20-row dim — so the returned plan must show the broadcast
+    // apply-join and, crucially, NO WindowExec: the old partition-less
+    // row_number fired the "moving all data to a single partition"
+    // warning on every run
     val p = planOf("q_tokenize_ids")
     assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"vocab top-k should not be a full sort:\n$p")
+    assert(!p.contains("Window"), s"vocab ranking must not use a window:\n$p")
   }
 
   test("q_zorder_layout: one shuffle (the rollup), z math stays in the scan stage") {
@@ -397,6 +402,20 @@ class PipelineOpsSpec extends SparkSpec {
       s"cust-range query reads $custReads/${stats.length} files")
     assert(dayReads <= stats.length / 2,
       s"day-range query reads $dayReads/${stats.length} files")
+  }
+
+  test("writeZOrdered: empty input writes an empty readable dataset, no NPE") {
+    // min/max bounds aggregate to NULL on an empty frame; the old code
+    // NPE'd on bounds.getDouble(0) before any write happened
+    val dir = java.nio.file.Files.createTempDirectory("graft-zw-empty").toString
+    val empty = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .filter(lit(false))
+    Layout.writeZOrdered(empty, dir, col("o_custkey"), col("o_orderkey"),
+      numFiles = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSeq == Seq("o_orderkey", "o_custkey"))
   }
 
   test("z-range blocks bound both dimensions (the data-skipping property)") {
