@@ -66,6 +66,33 @@ object StreamOps extends QueryPack {
         .orderBy(col("lang"))
     }),
 
+    // Rate source (§2.10): the built-in unbounded benchmark source driving
+    // the same cleaning front as q_stream_corpus — synthetic docs derived
+    // from the monotone `value` counter in integer arithmetic (both
+    // engines replay it exactly), deterministic hash-gate sampling, a
+    // length-quality band, per-bucket accounting. `rate-micro-batch` emits
+    // exactly `rowsPerBatch` consecutive values per batch, so after 4
+    // committed batches values 0..999 have all been processed; the drain
+    // waits for those 1000 SOURCE rows and the `value < 1000` bound makes
+    // any later batch a no-op on the aggregate. No jar needed — this is
+    // the declared non-file source the container can actually run (the
+    // Kafka connector is not shipped).
+    "q_stream_rate" -> ((s, dir) => {
+      val src = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "250").load()
+        .filter(col("value") < 1000)
+        .select(col("value").as("doc_id"),
+          (col("value") * 37 % 2500).as("n_chars"))
+      val cleaned = graft.operators.Sampling
+        .hashSample(src, col("doc_id"), 0.5)
+        .filter(col("n_chars").between(100, 2000))
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      EventStreams.runUntilInputRows(s, cleaned, qn("stream_rate"),
+          minInputRows = 1000L)
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-static broadcast join: enrich the stream against a literal
     // funnel-stage dimension (no state store; the static side re-reads per
     // micro-batch), then aggregate per stage.
@@ -105,6 +132,18 @@ object StreamOps extends QueryPack {
          |  CAST(FLOOR(0.5 * 4294967296) AS BIGINT)
          |  AND n_chars BETWEEN 100 AND 2000
          |GROUP BY lang ORDER BY lang""".stripMargin,
+    // the rate stream is values 0..999 by construction — the oracle
+    // replays the synthetic-doc arithmetic and the same md5 hash gate
+    // over generate_series, no table needed
+    "q_stream_rate" ->
+      s"""SELECT (g % 10) AS bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(g * 37 % 2500) AS BIGINT) AS sum_chars
+         |FROM generate_series(0, 999) t(g)
+         |WHERE ${graft.functions.TextFunctions.sqlHash32("CAST(g AS VARCHAR)")} <
+         |  CAST(FLOOR(0.5 * 4294967296) AS BIGINT)
+         |  AND (g * 37 % 2500) BETWEEN 100 AND 2000
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Tumbling window = epoch-floor to 600s buckets. epoch_us (exact
     // integer µs) — epoch() is a double and ::BIGINT *rounds*, which
     // misplaces events within 0.5s of a boundary.

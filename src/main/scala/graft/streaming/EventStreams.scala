@@ -157,7 +157,39 @@ object EventStreams {
     * touched — not even transiently — and a batch query planned mid-drain
     * keeps the batch width (spec-asserted with a concurrent prober). */
   def runToResult(spark: SparkSession, df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
+      mode: String = "complete"): DataFrame =
+    runIsolated(spark, df, name, mode)(_.processAllAvailable())
+
+  /** [[runToResult]] for an UNBOUNDED source (e.g. the built-in `rate` /
+    * `rate-micro-batch` benchmark sources, §2.10): `processAllAvailable`
+    * never returns when the source keeps producing, so the drain instead
+    * waits until the query has committed at least `minInputRows` SOURCE
+    * rows (summed over batch progress, deduped by batchId), then stops.
+    * The caller makes the result deterministic by bounding its own
+    * computation — e.g. `filter(value < N)` with `minInputRows = N`: any
+    * batch at or past the crossing point yields the identical aggregate,
+    * so the stop racing one extra batch is harmless. */
+  def runUntilInputRows(spark: SparkSession, df: DataFrame, name: String,
+      minInputRows: Long, timeoutMs: Long = 120000L,
+      mode: String = "complete"): DataFrame =
+    runIsolated(spark, df, name, mode) { q =>
+      val seen = scala.collection.mutable.Map.empty[Long, Long]
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var total = 0L
+      while (total < minInputRows) {
+        if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"stream committed only $total/$minInputRows rows in ${timeoutMs}ms")
+        q.recentProgress.foreach(p => seen(p.batchId) = p.numInputRows)
+        total = seen.values.sum
+        if (total < minInputRows) Thread.sleep(25)
+      }
+    }
+
+  private def runIsolated(spark: SparkSession, df: DataFrame, name: String,
+      mode: String)(
+      drain: org.apache.spark.sql.streaming.StreamingQuery => Unit)
+      : DataFrame = {
     val ckpt = newCheckpointDir(name)
     // State partitions are pinned at first-batch planning from
     // spark.sql.shuffle.partitions; size them to streaming key cardinality
@@ -187,7 +219,7 @@ object EventStreams {
       .outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try q.processAllAvailable()
+    try drain(q)
     finally q.stop()
     // the memory sink registers its view on the isolated session; hand the
     // materialized rows back on the caller's session

@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("rate source drains to a deterministic result and repeats exactly") {
+    // the unbounded drain stops on committed source rows; the value bound
+    // makes any extra batch a no-op, so two runs must agree bit-for-bit
+    def run(tag: String) = {
+      val src = spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "250").load()
+        .filter(col("value") < 1000)
+        .select(col("value").as("id"), (col("value") * 37 % 2500).as("nc"))
+      val agg = graft.operators.Sampling.hashSample(src, col("id"), 0.5)
+        .filter(col("nc").between(100, 2000))
+        .groupBy((col("id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("nc")).as("s"))
+      EventStreams.runUntilInputRows(spark, agg, s"spec_rate_$tag",
+          minInputRows = 1000L)
+        .orderBy(col("bucket"))
+        .as[(Long, Long, Long)].collect().toSeq
+    }
+    val a = run("a")
+    assert(a.nonEmpty && a.map(_._2).sum > 0, s"rate drain produced $a")
+    assert(a == run("b"), "rate-source result is not reproducible")
+  }
+
+  test("unbounded drain times out with a clear error, query stopped") {
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "1").load()
+      .groupBy().agg(count(lit(1)).as("n"))
+    val e = intercept[IllegalStateException] {
+      EventStreams.runUntilInputRows(spark, src, "spec_rate_timeout",
+        minInputRows = Long.MaxValue, timeoutMs = 300L)
+    }
+    assert(e.getMessage.contains("committed only"))
+  }
+
   test("foreachBatch bridges a stream into a batch sink") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
     EventStreams.runForeachBatch(
