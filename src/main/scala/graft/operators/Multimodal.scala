@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side structure — schema, partitioning, batch-iterator transform
-  * shape — is real and tested; the *codec* is a deterministic stub (this
-  * container ships no image/audio libraries). Swapping [[FakeCodec]] for a
-  * real decoder changes no plan shape: the `mapPartitions` stage is already
-  * the batch boundary a JNI/FFI decoder needs (one codec init per partition,
-  * streamed rows, no per-row setup — the Scala analogue of a Pandas-batch
-  * UDF).
+  * shape — is real and tested. Codecs: IMAGE and AUDIO decode for real
+  * through the JDK ([[ImageCodec]] javax.imageio, [[AudioCodec]]
+  * javax.sound — header-only reads); VIDEO is the one deterministic stub
+  * left (the JDK ships no video codec and the container no libav). Swapping
+  * [[FakeCodec]]'s video branch for a real decoder changes no plan shape:
+  * the `mapPartitions` stage is already the batch boundary a JNI/FFI
+  * decoder needs (one codec init per partition, streamed rows, no per-row
+  * setup — the Scala analogue of a Pandas-batch UDF).
   *
   * Scale posture: media bytes never shuffle — decode/feature stages are
   * narrow maps; only extracted metadata (small structs) flows into joins and
@@ -39,13 +41,19 @@ object Multimodal {
   /** STUB — deterministic fake codec standing in for libavcodec etc.
     * Derives plausible metadata purely from the bytes so every run (and the
     * DuckDB oracle) agrees. A real implementation replaces these bodies;
-    * signatures and call sites stay. Audio/video only — images decode for
-    * real through [[ImageCodec]] (the JDK ships one). */
+    * signatures and call sites stay. VIDEO is the one remaining stubbed
+    * kind (the JDK ships no video codec) — images decode for real through
+    * [[ImageCodec]], audio through [[AudioCodec]]. */
   object FakeCodec {
     def decodeDims(data: Array[Byte]): (Int, Int) =
       (16 + (data.length % 640), 16 + ((data.length * 7) % 480))
     def frameCount(kind: String, data: Array[Byte]): Int =
       if (kind == "video") 1 + (data.length % 8) else 1
+    /** (sample_rate, channels, n_frames) fallback for undecodable audio
+      * bytes — same role as [[decodeDims]] for undecodable images. */
+    def audioInfo(data: Array[Byte]): (Int, Int, Long) =
+      (8000 + (data.length % 4) * 2000, 1 + data.length % 2,
+        data.length.toLong)
   }
 
   /** Real image decode via `javax.imageio` (in the JDK, no external libs):
@@ -77,6 +85,31 @@ object Multimodal {
         }
       } finally in.close()
     }
+  }
+
+  /** Real audio header decode via `javax.sound.sampled` (in the JDK, no
+    * external libs): WAV/AIFF/AU containers. Header-only — the parser
+    * reads the format chunk and data-chunk length, never the samples, so
+    * this is the cheap 100 TB metadata pass. Returns None for undecodable
+    * bytes (text fixtures), which fall back to [[FakeCodec.audioInfo]] so
+    * fixture-driven runs stay deterministic — the exact [[ImageCodec]]
+    * pattern. */
+  object AudioCodec {
+    /** (sample_rate_hz, channels, n_frames), or None if not WAV/AIFF/AU. */
+    def decodeInfo(data: Array[Byte]): Option[(Int, Int, Long)] =
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(data))
+        val fmt = aff.getFormat
+        // AudioSystem.NOT_SPECIFIED (-1) frame length = a stream the JDK
+        // can't size from the header; treat as undecodable, not as real
+        if (aff.getFrameLength < 0 || fmt.getSampleRate <= 0) None
+        else Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          aff.getFrameLength.toLong))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
   }
 
   /** Build a media table from the documents corpus: text bytes stand in for
@@ -120,6 +153,64 @@ object Multimodal {
             java.security.MessageDigest.getInstance("MD5")
               .digest(r.data).take(4).map("%02x".format(_)).mkString,
             w, h, FakeCodec.frameCount(r.kind, r.data))
+        }
+      }
+  }
+
+  /** Little-endian byte rendering of an int column as `n` binary bytes —
+    * the header-arithmetic primitive for [[wavFromText]], pure codegen'd
+    * built-ins (hex/lpad/to_binary). */
+  private def leBytes(x: Column, n: Int): Column =
+    to_binary(concat((0 until n).map(i =>
+      lpad(hex(shiftright(x, 8 * i).bitwiseAND(lit(255))), 2, "0")): _*),
+      lit("hex"))
+
+  /** Wrap arbitrary payload bytes in a REAL RIFF/WAVE container (16 kHz
+    * mono PCM-16): canonical 44-byte header, payload truncated to frame
+    * alignment. Entirely column expressions — the corpus becomes genuine
+    * decodable audio files inside the engine, no driver loop, no UDF.
+    * Exists so the audio decode path can be exercised (and oracled) against
+    * driver-provided tables that carry no real media: any standards-
+    * compliant reader recovers sample_rate=16000, channels=1,
+    * n_frames=⌊len/2⌋ from the result. */
+  def wavFromText(data: Column): Column = {
+    val dataLen = (length(data) - pmod(length(data), lit(2))).cast("long")
+    val body = data.substr(lit(1), dataLen.cast("int"))
+    concat(
+      lit("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leBytes(dataLen + 36L, 4),
+      lit("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      lit("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leBytes(lit(16), 4),      // fmt chunk size
+      leBytes(lit(1), 2),       // PCM
+      leBytes(lit(1), 2),       // mono
+      leBytes(lit(16000), 4),   // sample rate
+      leBytes(lit(32000), 4),   // byte rate = rate * blockAlign
+      leBytes(lit(2), 2),       // block align (16-bit mono)
+      leBytes(lit(16), 2),      // bits per sample
+      lit("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leBytes(dataLen, 4),
+      body)
+  }
+
+  case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, n_frames: Long, duration_ms: Long)
+
+  /** Batch audio-metadata pass over the audio rows: REAL header decode
+    * ([[AudioCodec]], JDK javax.sound — WAV/AIFF/AU) with the
+    * deterministic stub as the undecodable-bytes fallback; same
+    * `mapPartitions` batch boundary as [[decodeMeta]]. Payload bytes never
+    * shuffle — the output is six small scalars per row. */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val (sr, ch, fr) = AudioCodec.decodeInfo(data)
+            .getOrElse(FakeCodec.audioInfo(data))
+          AudioMeta(id, data.length.toLong, sr, ch, fr, fr * 1000L / sr)
         }
       }
   }

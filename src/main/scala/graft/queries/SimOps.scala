@@ -117,7 +117,21 @@ object SimOps extends QueryPack {
       Multimodal.sampleFrames(
           Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents")),
           stride = 2)
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
+    // REAL audio decode end to end: the audio rows' text payloads are
+    // wrapped in genuine RIFF/WAVE containers inside the engine
+    // (wavFromText, pure column expressions), then the mapPartitions batch
+    // pass parses them back through JDK javax.sound. The oracle predicts
+    // sample_rate/channels/n_frames/duration from the WAV spec — values
+    // only a standards-correct header write AND a real decode reproduce
+    // (the stub fallback would fail the hash).
+    "q_media_audio" -> ((s, dir) =>
+      Multimodal.audioMeta(s,
+          Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+            .withColumn("data", Multimodal.wavFromText(col("data"))))
+        .toDF()
+        .orderBy(col("media_id")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -221,6 +235,23 @@ object SimOps extends QueryPack {
         |  SELECT doc_id AS media_id,
         |    CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
         |  FROM documents WHERE doc_id % 3 = 2)
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // 16 kHz mono PCM-16 WAV built from the text bytes: 44-byte canonical
+    // header + frame-aligned payload; frames = payload/2, duration in
+    // integer ms. Matches only if the Spark side both writes a correct
+    // header and genuinely parses it back.
+    "q_media_audio" ->
+      """SELECT doc_id AS media_id,
+        |  44 + octet_length(encode(text)) - octet_length(encode(text)) % 2
+        |    AS n_bytes,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS channels,
+        |  (octet_length(encode(text)) - octet_length(encode(text)) % 2) // 2
+        |    AS n_frames,
+        |  ((octet_length(encode(text)) - octet_length(encode(text)) % 2) // 2)
+        |    * 1000 // 16000 AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin
   )
 }

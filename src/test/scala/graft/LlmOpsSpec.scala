@@ -317,6 +317,48 @@ class LlmOpsSpec extends SparkSpec {
     assert(metas(2) == ((3L, stubPng._1, stubPng._2)))
   }
 
+  test("audio payloads decode for real through javax.sound (batch path)") {
+    // a genuine 8 kHz mono PCM-16 WAV with exactly 1234 frames, rendered
+    // in-memory by the JDK's own writer: every value must come from the
+    // actual header parse, not the byte-arithmetic stub
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1234 * 2)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1234L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val textBytes = "not audio".getBytes("UTF-8")
+    val media = Seq((1L, "audio", wav, "synthetic"),
+        (2L, "audio", textBytes, "synthetic"),
+        (3L, "image", wav, "synthetic")) // non-audio kinds are filtered out
+      .toDF("media_id", "kind", "data", "source")
+    val metas = Multimodal.audioMeta(spark, media)
+      .select(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"))
+      .as[(Long, Int, Int, Long, Long)].collect().sortBy(_._1)
+    assert(metas.length == 2, s"audio filter leaked: ${metas.toSeq}")
+    assert(metas(0) == ((1L, 8000, 1, 1234L, 154L)),
+      s"real decode missed: ${metas(0)}")
+    // undecodable bytes fall back to the deterministic stub
+    val (sr, ch, fr) = Multimodal.FakeCodec.audioInfo(textBytes)
+    assert(metas(1) == ((2L, sr, ch, fr, fr * 1000L / sr)))
+  }
+
+  test("wavFromText writes a standards-correct header javax.sound reparses") {
+    // round-trip: column-expression WAV writer -> JDK decoder; odd-length
+    // payload must truncate to frame alignment
+    val payload = "0123456789x" // 11 bytes -> 10-byte body, 5 frames
+    val df = Seq((7L, payload.getBytes("UTF-8")))
+      .toDF("media_id", "data")
+      .select(col("media_id"), Multimodal.wavFromText(col("data")).as("wav"))
+    val bytes = df.select(col("wav")).as[Array[Byte]].head()
+    assert(bytes.length == 44 + 10, s"container length ${bytes.length}")
+    val info = Multimodal.AudioCodec.decodeInfo(bytes)
+    assert(info.contains((16000, 1, 5L)), s"reparse got $info")
+  }
+
   test("frame sampling emits stride-spaced offsets within bounds") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs), stride = 2)
