@@ -112,6 +112,54 @@ object Multimodal {
       }
   }
 
+  /** Real video CONTAINER-header decode: AVI is RIFF-framed, and its
+    * `avih` main header carries total frames, µs-per-frame and dims as
+    * plain little-endian fields — so frame counts / dims / duration (the
+    * metadata a pipeline actually extracts at 100 TB) come from a genuine
+    * parse of the file structure with zero codec involvement. Decoding
+    * frame CONTENT would need libav (not in the JDK or container) — that
+    * boundary, not this one, is what [[FakeCodec]] still stands in for.
+    * Returns None for anything that isn't a well-formed RIFF/AVI. */
+  object VideoCodec {
+    private val Ascii = java.nio.charset.StandardCharsets.US_ASCII
+    private def le32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+        ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, Ascii)
+
+    /** (width, height, n_frames, duration_ms), or None if not AVI. */
+    def decodeInfo(data: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      if (data.length < 12 || fourcc(data, 0) != "RIFF" ||
+          fourcc(data, 8) != "AVI ") return None
+      var off = 12 // walk top-level RIFF chunks for LIST/hdrl
+      while (off + 12 <= data.length) {
+        val id = fourcc(data, off)
+        val size = le32(data, off + 4)
+        if (id == "LIST" && fourcc(data, off + 8) == "hdrl") {
+          var o = off + 12 // walk the list's children for avih
+          val end = math.min(off + 8 + size, data.length.toLong)
+          while (o + 8 <= end) {
+            val csz = le32(data, o + 4)
+            if (fourcc(data, o) == "avih" && o + 8 + 40 <= data.length) {
+              val usPerFrame = le32(data, o + 8)
+              val frames = le32(data, o + 8 + 16)
+              val w = le32(data, o + 8 + 32)
+              val h = le32(data, o + 8 + 36)
+              return if (w <= 0 || h <= 0) None
+              else Some((w.toInt, h.toInt, frames,
+                frames * usPerFrame / 1000L))
+            }
+            o += 8 + csz.toInt + (csz.toInt & 1) // chunks pad to even
+          }
+          return None
+        }
+        off += 8 + size.toInt + (size.toInt & 1)
+      }
+      None
+    }
+  }
+
   /** Build a media table from the documents corpus: text bytes stand in for
     * the payload (`data = encode(text)`), kind assigned round-robin —
     * deterministic plumbing over driver-provided inputs. */
@@ -136,9 +184,11 @@ object Multimodal {
       (lit(16) + pmod(length(col("data")) * 7, lit(480))).as("height"))
 
   /** Batch decode via mapPartitions — the real-codec integration point.
-    * Image payloads decode for real ([[ImageCodec]], JDK imageio) with the
-    * deterministic stub as the undecodable-bytes fallback; audio/video
-    * remain stubbed (no codec in the JDK). */
+    * Image payloads decode for real ([[ImageCodec]], JDK imageio) and AVI
+    * video payloads parse their real container header ([[VideoCodec]] —
+    * dims + frame count from the `avih` chunk), each with the
+    * deterministic stub as the undecodable-bytes fallback. Audio has its
+    * own typed pass ([[audioMeta]] — its metadata shape differs). */
   def decodeMeta(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col("media_id"), col("kind"), col("data"), col("source"))
@@ -146,13 +196,18 @@ object Multimodal {
       .mapPartitions { rows =>
         // one codec context per partition would be initialized here
         rows.map { r =>
-          val (w, h) =
-            (if (r.kind == "image") ImageCodec.decodeDims(r.data) else None)
-              .getOrElse(FakeCodec.decodeDims(r.data))
+          val video =
+            if (r.kind == "video") VideoCodec.decodeInfo(r.data) else None
+          val (w, h) = video.map(v => (v._1, v._2))
+            .orElse(
+              if (r.kind == "image") ImageCodec.decodeDims(r.data) else None)
+            .getOrElse(FakeCodec.decodeDims(r.data))
+          val nFrames = video.map(_._3.toInt)
+            .getOrElse(FakeCodec.frameCount(r.kind, r.data))
           MediaMeta(r.media_id, r.kind, r.data.length.toLong,
             java.security.MessageDigest.getInstance("MD5")
               .digest(r.data).take(4).map("%02x".format(_)).mkString,
-            w, h, FakeCodec.frameCount(r.kind, r.data))
+            w, h, nFrames)
         }
       }
   }
@@ -193,6 +248,38 @@ object Multimodal {
       body)
   }
 
+  /** Wrap arbitrary payload bytes in a REAL RIFF/AVI container: canonical
+    * `LIST hdrl`/`avih` main header (25 fps) carrying the given frame
+    * count and dimensions, payload as a single `movi` chunk truncated to
+    * even length. Entirely column expressions, like [[wavFromText]] — any
+    * AVI-aware reader (including [[VideoCodec]]) recovers the embedded
+    * values from the file structure. */
+  def aviFromText(data: Column, frames: Column, width: Column,
+      height: Column): Column = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val even = (length(data) - pmod(length(data), lit(2))).cast("long")
+    val body = data.substr(lit(1), even.cast("int"))
+    val z4 = leBytes(lit(0), 4)
+    val avih = concat(
+      lit("avih".getBytes(ascii)), leBytes(lit(56), 4),
+      leBytes(lit(40000), 4),               // µs per frame (25 fps)
+      z4, z4, z4,                           // maxBytesPerSec, padding, flags
+      leBytes(frames, 4),
+      z4,                                   // initial frames
+      leBytes(lit(1), 4),                   // stream count
+      z4,                                   // suggested buffer size
+      leBytes(width, 4), leBytes(height, 4),
+      z4, z4, z4, z4)                       // reserved[4]
+    val hdrl = concat(lit("LIST".getBytes(ascii)), leBytes(lit(68), 4),
+      lit("hdrl".getBytes(ascii)), avih)
+    val movi = concat(lit("LIST".getBytes(ascii)), leBytes(even + 12L, 4),
+      lit("movi".getBytes(ascii)),
+      lit("00dc".getBytes(ascii)), leBytes(even, 4), body)
+    // riff size = "AVI "(4) + hdrl total(8+68) + movi total(8 + 12 + body)
+    concat(lit("RIFF".getBytes(ascii)), leBytes(even + 100L, 4),
+      lit("AVI ".getBytes(ascii)), hdrl, movi)
+  }
+
   case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Int,
       channels: Int, n_frames: Long, duration_ms: Long)
 
@@ -211,6 +298,30 @@ object Multimodal {
           val (sr, ch, fr) = AudioCodec.decodeInfo(data)
             .getOrElse(FakeCodec.audioInfo(data))
           AudioMeta(id, data.length.toLong, sr, ch, fr, fr * 1000L / sr)
+        }
+      }
+  }
+
+  case class VideoMeta(media_id: Long, n_bytes: Long, width: Int,
+      height: Int, n_frames: Long, duration_ms: Long)
+
+  /** Batch video-metadata pass over the video rows: REAL container-header
+    * parse ([[VideoCodec]], RIFF/AVI structure) with the deterministic
+    * stub as the non-AVI fallback; same `mapPartitions` batch boundary as
+    * [[decodeMeta]] and [[audioMeta]]. */
+  def videoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("data"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, data) =>
+          val (w, h, fr, ms) = VideoCodec.decodeInfo(data).getOrElse {
+            val (sw, sh) = FakeCodec.decodeDims(data)
+            val sf = FakeCodec.frameCount("video", data).toLong
+            (sw, sh, sf, sf * 40L) // stub duration at the same 25 fps
+          }
+          VideoMeta(id, data.length.toLong, w, h, fr, ms)
         }
       }
   }

@@ -131,6 +131,22 @@ object SimOps extends QueryPack {
           Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
             .withColumn("data", Multimodal.wavFromText(col("data"))))
         .toDF()
+        .orderBy(col("media_id"))),
+
+    // REAL video container parse end to end, the aviFromText analogue of
+    // q_media_audio: the video rows become genuine RIFF/AVI files inside
+    // the engine (frame count + dims derived from n_chars, embedded in a
+    // canonical avih header), then the batch pass recovers them by parsing
+    // the RIFF structure. The oracle predicts every field from the same
+    // arithmetic — a wrong header write OR a wrong parse fails the hash.
+    "q_media_video" -> ((s, dir) =>
+      Multimodal.videoMeta(s,
+          Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+            .withColumn("data", Multimodal.aviFromText(col("data"),
+              lit(1) + pmod(length(col("data")), lit(240)),
+              lit(16) + pmod(length(col("data")), lit(640)),
+              lit(16) + pmod(length(col("data")) * 7, lit(480)))))
+        .toDF()
         .orderBy(col("media_id")))
   )
 
@@ -252,6 +268,20 @@ object SimOps extends QueryPack {
         |  ((octet_length(encode(text)) - octet_length(encode(text)) % 2) // 2)
         |    * 1000 // 16000 AS duration_ms
         |FROM documents WHERE doc_id % 3 = 1
+        |ORDER BY media_id""".stripMargin,
+
+    // canonical AVI from the text bytes: container = 108 header/framing
+    // bytes + frame-aligned payload; frames/dims replay the same
+    // n_chars-derived arithmetic the query embeds; 25 fps -> 40 ms/frame
+    "q_media_video" ->
+      """SELECT doc_id AS media_id,
+        |  108 + octet_length(encode(text)) - octet_length(encode(text)) % 2
+        |    AS n_bytes,
+        |  CAST(16 + octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INT) AS height,
+        |  1 + octet_length(encode(text)) % 240 AS n_frames,
+        |  (1 + octet_length(encode(text)) % 240) * 40 AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY media_id""".stripMargin
   )
 }

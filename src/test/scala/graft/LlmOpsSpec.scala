@@ -359,6 +359,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(info.contains((16000, 1, 5L)), s"reparse got $info")
   }
 
+  test("aviFromText writes a real RIFF/AVI structure VideoCodec reparses") {
+    // round-trip: column-expression AVI writer -> byte-level container
+    // parse; embedded frames/dims must come back from the avih header
+    val df = Seq((9L, "0123456789x".getBytes("UTF-8"))) // 11 -> 10-byte body
+      .toDF("media_id", "data")
+      .select(Multimodal.aviFromText(col("data"),
+        lit(123), lit(320), lit(240)).as("avi"))
+    val bytes = df.as[Array[Byte]].head()
+    assert(bytes.length == 108 + 10, s"container length ${bytes.length}")
+    val info = Multimodal.VideoCodec.decodeInfo(bytes)
+    assert(info.contains((320, 240, 123L, 4920L)), s"reparse got $info")
+    // non-AVI bytes are rejected, not misparsed
+    assert(Multimodal.VideoCodec.decodeInfo("RIFFxxxx".getBytes).isEmpty)
+    assert(Multimodal.VideoCodec.decodeInfo(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeMeta picks up real AVI headers for video rows") {
+    val avi = Seq((1L, "payload!".getBytes("UTF-8")))
+      .toDF("media_id", "data")
+      .select(Multimodal.aviFromText(col("data"),
+        lit(77), lit(512), lit(384)).as("avi"))
+      .as[Array[Byte]].head()
+    val media = Seq(
+        (1L, "video", avi, "synthetic"),
+        (2L, "video", "not a video".getBytes("UTF-8"), "synthetic"))
+      .toDF("media_id", "kind", "data", "source")
+    val metas = Multimodal.decodeMeta(spark, media)
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"))
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(metas(0) == ((1L, 512, 384, 77)), s"real parse missed: ${metas(0)}")
+    // non-AVI video bytes keep the deterministic stub values
+    val bytes2 = "not a video".getBytes("UTF-8")
+    val (sw, sh) = Multimodal.FakeCodec.decodeDims(bytes2)
+    val sf = Multimodal.FakeCodec.frameCount("video", bytes2)
+    assert(metas(1) == ((2L, sw, sh, sf)))
+  }
+
   test("frame sampling emits stride-spaced offsets within bounds") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs), stride = 2)
