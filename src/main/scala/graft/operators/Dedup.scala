@@ -277,6 +277,39 @@ object Dedup {
     right.join(hit, idCol === hit("right_id"), "left_anti")
   }
 
+  /** Exact SUBSTRING-level duplication census — the span-granular dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": a training corpus repeats far more n-token SPANS than whole
+    * documents (boilerplate, licenses, quotes), and span-level accounting
+    * is what decides which docs to cut or scrub. Per doc: total n-token
+    * spans (stride 1 — every window) and how many of its span INSTANCES
+    * also occur elsewhere in the corpus (global occurrence ≥ `minCount`).
+    *
+    * Scale shape: spans are word n-grams (the native one-pass shingler),
+    * pre-aggregated per (doc, span) map-side; the global census groups the
+    * per-doc counts again by span, so the span→count join arrives
+    * CO-PARTITIONED on span (both sides hash-partitioned by the groupBys
+    * — no third exchange) and the final per-doc rollup is the only other
+    * shuffle. Raw text never shuffles; spans travel once, counted. Docs
+    * shorter than `n` tokens contribute their single truncated shingle,
+    * same as every other n-gram op here. */
+  def duplicatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"span width must be positive, got $n")
+    require(minCount >= 2, s"minCount below 2 flags everything, got $minCount")
+    val perDoc = docs
+      .select(idCol.as("id"), explode(wordNgramsNative(textCol, n)).as("span"))
+      .groupBy(col("id"), col("span"))
+      .agg(count(lit(1)).as("k"))
+    val global = perDoc.groupBy(col("span"))
+      .agg(sum(col("k")).as("c"))
+    perDoc.join(global, Seq("span"))
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_spans"),
+        sum(when(col("c") >= minCount, col("k")).otherwise(0L))
+          .as("n_dup_spans"))
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs: a DataFrame with
     * (id_a, id_b) joined back to the texts. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,

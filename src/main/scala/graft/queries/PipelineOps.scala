@@ -413,6 +413,57 @@ object PipelineOps extends QueryPack {
         .orderBy(col("lang"), col("pack_id"))
     }),
 
+    // Substring-level duplication census (Lee et al. span dedup): per doc,
+    // total 8-token spans and how many span instances recur corpus-wide.
+    // Two shuffles (per-doc span counts, global census) with the
+    // span->count join co-partitioned between them; text never shuffles.
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.duplicatedSpans(docs(s, dir), col("text"), col("doc_id"),
+          n = 8, minCount = 2L)
+        .select(col("id").as("doc_id"), col("n_spans"), col("n_dup_spans"))
+        .orderBy(col("doc_id"))),
+
+    // Per-source epoch upsampling — the published corpus-mixing recipe
+    // (The Pile / LLaMA tables): high-quality sources repeat for several
+    // epochs, the tail sees one. explode(sequence(1, epochs)) is the
+    // entire operator — narrow, no shuffle until the accounting rollup,
+    // and the (doc, epoch) composite key keeps every replica addressable
+    // by a training loader.
+    "q_mix_epochs" -> ((s, dir) =>
+      docs(s, dir)
+        .withColumn("epochs",
+          when(col("source") === "src0", 3L)
+            .when(col("source") === "src1", 2L).otherwise(1L))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("epoch"))),
+
+    // Linear quality-model apply (fasttext-style): score = Σ tf(token) ·
+    // w(token) against a broadcast (token, weight) dimension built from
+    // the corpus vocabulary — the model-apply step after training a
+    // quality classifier. Weights are md5-derived integer milli-units so
+    // both engines replay the exact sum (float dot products are not
+    // cross-engine-stable at gate thresholds); keep = score ≥ 0 is the
+    // filter decision a pipeline would act on.
+    "q_quality_model" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val weights = tf.select(col("token")).distinct()
+        .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
+      tf.join(broadcast(weights), Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("w")).as("score_milli"))
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+          (col("score_milli") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order layout key: Morton-interleave (custkey, order-day) and roll
     // up per 4096-wide z-range ("file"): row count + per-file min/max of
     // BOTH dims — the footer stats a z-sorted write gives a scan to prune
@@ -780,6 +831,41 @@ object PipelineOps extends QueryPack {
          |SELECT lang, pack_id, COUNT(*) AS n_docs,
          |  CAST(SUM(nc) AS BIGINT) AS pack_chars
          |FROM packed GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin
+    },
+
+    // same two-level census: per-(doc, span) counts, global sum, rollup
+    "q_dedup_substring" -> {
+      val spans = sqlWordNgrams("text", 8)
+      s"""WITH s AS (SELECT doc_id, unnest($spans) AS span FROM documents),
+         |pd AS (SELECT doc_id, span, COUNT(*) AS k FROM s GROUP BY 1, 2),
+         |g AS (SELECT span, SUM(k) AS c FROM pd GROUP BY 1)
+         |SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_spans,
+         |  CAST(SUM(CASE WHEN c >= 2 THEN k ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans
+         |FROM pd JOIN g USING (span)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_mix_epochs" ->
+      """SELECT source, epoch, COUNT(*) AS n_docs
+        |FROM (SELECT source, unnest(generate_series(1,
+        |        CASE WHEN source = 'src0' THEN 3
+        |             WHEN source = 'src1' THEN 2 ELSE 1 END)) AS epoch
+        |      FROM documents)
+        |GROUP BY source, epoch ORDER BY source, epoch""".stripMargin,
+
+    // md5-derived integer milli-weights: exact replay of the dot product
+    "q_quality_model" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      val w = s"(${graft.functions.TextFunctions.sqlHash32("token")} % 1000 - 500)"
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(tf * $w) AS BIGINT) AS score_milli,
+         |  CAST(SUM(tf * $w) AS BIGINT) >= 0 AS keep
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q_zorder_layout" -> {

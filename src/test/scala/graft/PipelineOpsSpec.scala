@@ -302,6 +302,48 @@ class PipelineOpsSpec extends SparkSpec {
       .linesIterator.count(l =>
         l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
 
+  test("duplicatedSpans: planted repeated span counted, unique doc clean") {
+    val boiler = "all rights reserved do not redistribute this text ever"
+    val corpus = Seq(
+      (1L, s"unique opening words here $boiler"),
+      (2L, s"different preamble tokens again $boiler"),
+      (3L, "entirely original content with no shared spans at all overall"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, col("text"), col("doc_id"),
+        n = 9, minCount = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 3: 10 tokens -> 2 9-token spans, none shared
+    assert(out(3L) == ((2L, 0L)), s"clean doc flagged: ${out(3L)}")
+    // docs 1, 2: the 9-token boilerplate window occurs in both — at least
+    // one dup span each, and never more dups than spans
+    Seq(1L, 2L).foreach { id =>
+      val (spans, dups) = out(id)
+      assert(dups >= 1L && dups <= spans, s"doc $id: $dups/$spans")
+    }
+  }
+
+  test("q_mix_epochs replicates sources by their epoch factor") {
+    val rows = SparkEntry.queries("q_mix_epochs")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = rows.groupBy(_._1)
+    // epoch counts within a source are identical (every doc replicates)
+    bySource.foreach { case (src, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"$src uneven: ${rs.toSeq}")
+    }
+    assert(bySource("src0").length == 3 && bySource("src1").length == 2)
+    assert(bySource.view.filterKeys(s => s != "src0" && s != "src1")
+      .forall(_._2.length == 1))
+  }
+
+  test("q_quality_model: weight dimension broadcast, keep ≡ sign of score") {
+    val p = planOf("q_quality_model")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    val rows = SparkEntry.queries("q_quality_model")(spark, sf)
+      .select(col("score_milli"), col("keep")).as[(Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, k) => assert(k == (s >= 0L)) }
+  }
+
   test("q_chunk_windows plans narrow: no shuffle (only the output sort)") {
     assert(hashExchanges("q_chunk_windows") == 0,
       s"chunking should not shuffle:\n${planOf("q_chunk_windows")}")
