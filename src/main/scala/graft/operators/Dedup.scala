@@ -285,14 +285,17 @@ object Dedup {
     * spans (stride 1 — every window) and how many of its span INSTANCES
     * also occur elsewhere in the corpus (global occurrence ≥ `minCount`).
     *
-    * Scale shape: spans are word n-grams (the native one-pass shingler),
-    * pre-aggregated per (doc, span) map-side; the global census groups the
-    * per-doc counts again by span, so the span→count join arrives
-    * CO-PARTITIONED on span (both sides hash-partitioned by the groupBys
-    * — no third exchange) and the final per-doc rollup is the only other
-    * shuffle. Raw text never shuffles; spans travel once, counted. Docs
-    * shorter than `n` tokens contribute their single truncated shingle,
-    * same as every other n-gram op here. */
+    * Scale shape: four key exchanges — per-(doc, span) pre-agg, global
+    * span census (both partial-aggregated map-side, so repeated spans
+    * collapse before they travel), the span-keyed join of those two, and
+    * the final per-doc rollup — and every one carries counted (id, span)
+    * pairs, never raw text (spec-asserted). The hot-span hazard (a
+    * boilerplate span repeated across millions of docs) lands on the
+    * JOIN, where AQE skew splitting applies, rather than on a window
+    * buffering the whole span group in one task — that is why this is a
+    * census join and not the 3-exchange window formulation. Docs shorter
+    * than `n` tokens contribute their single truncated shingle, same as
+    * every other n-gram op here. */
   def duplicatedSpans(docs: DataFrame, textCol: Column, idCol: Column,
       n: Int = 8, minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"span width must be positive, got $n")

@@ -415,8 +415,8 @@ object PipelineOps extends QueryPack {
 
     // Substring-level duplication census (Lee et al. span dedup): per doc,
     // total 8-token spans and how many span instances recur corpus-wide.
-    // Two shuffles (per-doc span counts, global census) with the
-    // span->count join co-partitioned between them; text never shuffles.
+    // Four counted-pair exchanges (per-doc counts, global census, the
+    // skew-safe census join, per-doc rollup); text never shuffles.
     "q_dedup_substring" -> ((s, dir) =>
       Dedup.duplicatedSpans(docs(s, dir), col("text"), col("doc_id"),
           n = 8, minCount = 2L)

@@ -322,6 +322,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_substring: counted spans shuffle, text does not") {
+    val p = planOf("q_dedup_substring")
+    val n = hashExchanges("q_dedup_substring")
+    assert(n == 4, s"span census costs exactly 4 key exchanges, got $n:\n$p")
+    // no exchange may carry the text column — only ids/spans/counts travel
+    val simple = SparkEntry.queries("q_dedup_substring")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    simple.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("text#"), s"text shuffles: $l")
+    }
+    assert(p.contains("partial_"), "missing map-side partial aggregation")
+  }
+
   test("q_mix_epochs replicates sources by their epoch factor") {
     val rows = SparkEntry.queries("q_mix_epochs")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
