@@ -464,6 +464,29 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Inverted-index build with BOUNDED posting lists — the retrieval-side
+    // structure next to TF-IDF: per token, document frequency, total term
+    // frequency, and the top-5 documents by (tf desc, doc_id). The posting
+    // cap rides the bounded-buffer TopK aggregator (map-side prune to k
+    // entries per task BEFORE the exchange — a window would shuffle and
+    // sort every (token, doc) pair, and an uncapped collect_list would
+    // buffer a hot token's entire posting list in one aggregation buffer).
+    "q_inverted_index" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val stats = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      graft.operators.TopK.perGroup(tf, Seq("token"), col("tf"),
+          col("doc_id"), k = 5)
+        .join(stats, Seq("token"))
+        .select(col("token"), col("df"), col("total_tf"), col("rank"),
+          col("id").as("doc_id"), col("score").cast("long").as("tf"))
+        .orderBy(col("token"), col("rank"))
+    }),
+
     // Z-order layout key: Morton-interleave (custkey, order-day) and roll
     // up per 4096-wide z-range ("file"): row count + per-file min/max of
     // BOTH dims — the footer stats a z-sorted write gives a scan to prune
@@ -866,6 +889,24 @@ object PipelineOps extends QueryPack {
          |  CAST(SUM(tf * $w) AS BIGINT) AS score_milli,
          |  CAST(SUM(tf * $w) AS BIGINT) >= 0 AS keep
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // same ordering contract as the TopK aggregator: tf desc, doc_id asc
+    "q_inverted_index" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""WITH tf AS (
+         |  SELECT token, doc_id, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |stats AS (SELECT token, COUNT(*) AS df,
+         |  CAST(SUM(tf) AS BIGINT) AS total_tf FROM tf GROUP BY 1),
+         |ranked AS (SELECT token, doc_id, tf,
+         |  row_number() OVER (PARTITION BY token ORDER BY tf DESC, doc_id)
+         |    AS rank
+         |  FROM tf)
+         |SELECT token, df, total_tf, CAST(rank AS INT) AS rank, doc_id, tf
+         |FROM ranked JOIN stats USING (token)
+         |WHERE rank <= 5 ORDER BY token, rank""".stripMargin
     },
 
     "q_zorder_layout" -> {

@@ -336,6 +336,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains("partial_"), "missing map-side partial aggregation")
   }
 
+  test("q_inverted_index: bounded posting via ObjectHashAggregate partial") {
+    val p = planOf("q_inverted_index")
+    // the TopK aggregator must run partial+final (map-side prune before
+    // the exchange), never a window over all (token, doc) pairs
+    assert(p.contains("ObjectHashAggregate"), s"no typed aggregate:\n$p")
+    assert(!p.contains("Window"), s"posting cap fell back to a window:\n$p")
+    val rows = SparkEntry.queries("q_inverted_index")(spark, sf)
+      .select(col("token"), col("rank"), col("tf")).collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k and tf is non-increasing within a token
+    rows.groupBy(_.getString(0)).foreach { case (tok, rs) =>
+      val byRank = rs.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to byRank.length),
+        s"$tok ranks: ${byRank.map(_.getInt(1)).toSeq}")
+      val tfs = byRank.map(_.getLong(2))
+      assert(tfs.zip(tfs.tail).forall { case (a, b) => a >= b },
+        s"$tok posting not tf-ordered: ${tfs.toSeq}")
+    }
+  }
+
   test("q_mix_epochs replicates sources by their epoch factor") {
     val rows = SparkEntry.queries("q_mix_epochs")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
