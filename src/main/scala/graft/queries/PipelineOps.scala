@@ -464,6 +464,43 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Round-6 curation capstone — the new operators composed under ONE
+    // oracle: linear quality-model gate (score ≥ 0) → substring-span
+    // duplication census dropping dup-majority docs → per-source epoch
+    // upsampling → per-source accounting. Every stage is individually
+    // oracled above; this pins the composition, like q_pipeline_full does
+    // for the sampling/decontamination/LSH/packing chain.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tf = d.select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val weights = tf.select(col("token")).distinct()
+        .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
+      val scored = tf.join(broadcast(weights), Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("w")).as("score"))
+      val kept = scored.filter(col("score") >= 0)
+        .select(col("doc_id"), col("n_tokens"))
+      val census = Dedup.duplicatedSpans(d.join(kept, Seq("doc_id")),
+        col("text"), col("doc_id"), n = 8, minCount = 2L)
+      val clean = kept.join(
+        census.filter(col("n_dup_spans") * 2 <= col("n_spans"))
+          .select(col("id").as("doc_id")), Seq("doc_id"))
+      clean.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("epochs",
+          when(col("source") === "src0", 3L)
+            .when(col("source") === "src1", 2L).otherwise(1L))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // Inverted-index build with BOUNDED posting lists — the retrieval-side
     // structure next to TF-IDF: per token, document frequency, total term
     // frequency, and the top-5 documents by (tf desc, doc_id). The posting
@@ -889,6 +926,42 @@ object PipelineOps extends QueryPack {
          |  CAST(SUM(tf * $w) AS BIGINT) AS score_milli,
          |  CAST(SUM(tf * $w) AS BIGINT) >= 0 AS keep
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the round-6 stages replayed end to end in SQL (quality gate →
+    // span census filter → epoch upsampling → accounting)
+    "q_pipeline_curate" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      val spans = sqlWordNgrams("text", 8)
+      val w = s"(${graft.functions.TextFunctions.sqlHash32("token")} % 1000 - 500)"
+      s"""WITH tf AS (
+         |  SELECT doc_id, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(tf * $w) AS BIGINT) AS score
+         |  FROM tf GROUP BY 1),
+         |kept AS (SELECT doc_id, n_tokens FROM scored WHERE score >= 0),
+         |s AS (SELECT d.doc_id, unnest($spans) AS span
+         |      FROM documents d JOIN kept USING (doc_id)),
+         |pd AS (SELECT doc_id, span, COUNT(*) AS k FROM s GROUP BY 1, 2),
+         |g AS (SELECT span, SUM(k) AS c FROM pd GROUP BY 1),
+         |census AS (
+         |  SELECT doc_id, SUM(k) AS n_spans,
+         |    SUM(CASE WHEN c >= 2 THEN k ELSE 0 END) AS n_dup
+         |  FROM pd JOIN g USING (span) GROUP BY 1),
+         |clean AS (
+         |  SELECT k.doc_id, k.n_tokens FROM kept k JOIN census c USING (doc_id)
+         |  WHERE c.n_dup * 2 <= c.n_spans),
+         |up AS (
+         |  SELECT d.source, cl.doc_id, cl.n_tokens,
+         |    unnest(generate_series(1, CASE WHEN d.source = 'src0' THEN 3
+         |      WHEN d.source = 'src1' THEN 2 ELSE 1 END)) AS epoch
+         |  FROM clean cl JOIN documents d USING (doc_id))
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_rows,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM up GROUP BY source ORDER BY source""".stripMargin
     },
 
     // same ordering contract as the TopK aggregator: tf desc, doc_id asc
