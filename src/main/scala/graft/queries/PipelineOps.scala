@@ -441,19 +441,26 @@ object PipelineOps extends QueryPack {
         .orderBy(col("source"), col("epoch"))),
 
     // Linear quality-model apply (fasttext-style): score = Σ tf(token) ·
-    // w(token) against a broadcast (token, weight) dimension built from
-    // the corpus vocabulary — the model-apply step after training a
-    // quality classifier. Weights are md5-derived integer milli-units so
-    // both engines replay the exact sum (float dot products are not
-    // cross-engine-stable at gate thresholds); keep = score ≥ 0 is the
-    // filter decision a pipeline would act on.
+    // w(token) against a broadcast (token, weight) dimension — the
+    // model-apply step after training a quality classifier. The weight
+    // table is a KB-scale model artifact: the vocab collects EAGERLY at
+    // build (the "load the model" step, same move as the tokenize-ids
+    // vocab and the IVF quantizer), so the returned APPLY plan scans the
+    // corpus exactly once — leaving the dim lazy made Catalyst re-derive
+    // it with a second full text scan, the Percentiles-r3 mistake.
+    // Weights are md5-derived integer milli-units so both engines replay
+    // the exact sum (float dot products are not cross-engine-stable at
+    // gate thresholds); keep = score ≥ 0 is the filter decision a
+    // pipeline would act on.
     "q_quality_model" -> ((s, dir) => {
+      import s.implicits._
       val tf = docs(s, dir)
         .select(col("doc_id"),
           explode(tokens(normalizeText(col("text")))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
       val weights = tf.select(col("token")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq.toDF("token")
         .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
       tf.join(broadcast(weights), Seq("token"))
         .groupBy(col("doc_id"))
@@ -471,12 +478,15 @@ object PipelineOps extends QueryPack {
     // oracled above; this pins the composition, like q_pipeline_full does
     // for the sampling/decontamination/LSH/packing chain.
     "q_pipeline_curate" -> ((s, dir) => {
+      import s.implicits._
       val d = docs(s, dir)
       val tf = d.select(col("doc_id"),
           explode(tokens(normalizeText(col("text")))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
+      // eager KB-scale weight artifact — see q_quality_model
       val weights = tf.select(col("token")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq.toDF("token")
         .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
       val scored = tf.join(broadcast(weights), Seq("token"))
         .groupBy(col("doc_id"))

@@ -372,6 +372,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("q_quality_model: weight dimension broadcast, keep ≡ sign of score") {
     val p = planOf("q_quality_model")
     assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    // the weight dim is an eagerly-collected model artifact: the apply
+    // plan must scan the corpus exactly once (a lazy dim made Catalyst
+    // re-derive the vocab with a second full text scan)
+    val simple = SparkEntry.queries("q_quality_model")(spark, sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    val scans = simple.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1,
+      s"apply plan should scan the corpus exactly once, got $scans:\n$simple")
     val rows = SparkEntry.queries("q_quality_model")(spark, sf)
       .select(col("score_milli"), col("keep")).as[(Long, Boolean)].collect()
     assert(rows.nonEmpty)
