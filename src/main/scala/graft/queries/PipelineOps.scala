@@ -471,6 +471,22 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Exact-N per-stratum sampling — "exactly 30 docs per language",
+    // the eval-set carving a rate-based hash gate cannot promise (a rate
+    // yields a BINOMIAL count). Deterministic reservoir: rank by the
+    // portable hash (a function of the data, so any engine / partitioning
+    // reproduces the member set) and keep the first N per stratum through
+    // the bounded-buffer TopK aggregator — ≤ N rows per stratum per map
+    // task reach the exchange, where the window form shuffles every row.
+    "q_sample_exact_n" -> ((s, dir) => {
+      val keyed = docs(s, dir).select(col("lang"), col("doc_id"),
+        (-hash32(col("doc_id").cast("string"))).cast("double").as("neg_h"))
+      graft.operators.TopK.perGroup(keyed, Seq("lang"), col("neg_h"),
+          col("doc_id"), k = 30)
+        .select(col("lang"), col("id").as("doc_id"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Round-6 curation capstone — the new operators composed under ONE
     // oracle: linear quality-model gate (score ≥ 0) → substring-span
     // duplication census dropping dup-majority docs → per-source epoch
@@ -936,6 +952,17 @@ object PipelineOps extends QueryPack {
          |  CAST(SUM(tf * $w) AS BIGINT) AS score_milli,
          |  CAST(SUM(tf * $w) AS BIGINT) >= 0 AS keep
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // TopK's ordering contract: score desc ≡ hash asc (negated), id asc
+    "q_sample_exact_n" -> {
+      val h = graft.functions.TextFunctions.sqlHash32("CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, doc_id, CAST(rn AS INT) AS rank
+         |FROM (SELECT lang, doc_id,
+         |  row_number() OVER (PARTITION BY lang ORDER BY $h ASC, doc_id ASC)
+         |    AS rn
+         |  FROM documents)
+         |WHERE rn <= 30 ORDER BY lang, rank""".stripMargin
     },
 
     // the round-6 stages replayed end to end in SQL (quality gate →

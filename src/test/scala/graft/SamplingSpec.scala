@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
 import graft.operators.Sampling
 import graft.sources.Tables
 
@@ -61,6 +62,27 @@ class SamplingSpec extends SparkSpec {
     val docIds = docs.select(col("doc_id")).as[Long].collect().toSet
     val embIds = emb.select(col("doc_id")).as[Long].collect().toSet
     assert(sampledDocs.intersect(embIds) == sampledEmb.intersect(docIds))
+  }
+
+  test("exact-N per-stratum sample: exact counts, reproducible, " +
+      "partitioning-invariant") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopK.perGroup(
+          df.select(col("lang"), col("doc_id"),
+            (-hash32(col("doc_id").cast("string"))).cast("double")
+              .as("neg_h")),
+          Seq("lang"), col("neg_h"), col("doc_id"), k = 30)
+        .orderBy(col("lang"), col("rank"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSeq
+    val a = run(docs)
+    // every stratum yields exactly min(30, stratum size) rows, ranks 1..n
+    val sizes = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(30L, sizes(lang)).toInt, s"$lang")
+      assert(rows.map(_._3).sorted == (1 to rows.length), s"$lang ranks")
+    }
+    assert(a == run(docs.repartition(13)), "sample not partitioning-invariant")
   }
 
   test("invalid rates are rejected") {
