@@ -471,6 +471,31 @@ object PipelineOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Length-bucket binning — the dynamic-batching prep step: pad-to-
+    // bucket batching wastes (bucket − len) tokens per doc, so the loader
+    // wants docs binned to the next power of two with the waste priced.
+    // The pow-2 ceiling is the classic bit smear (v−1, OR-shift cascade,
+    // +1) — pure integer ops replayed verbatim in SQL, where a float
+    // log2/ceil chain is not cross-engine-stable at exact powers of two.
+    // Entirely narrow until the per-bucket rollup; waste in integer
+    // milli-units (DIV) for the same reason.
+    "q_length_buckets" -> ((s, dir) => {
+      val v = greatest(size(tokens(normalizeText(col("text")))), lit(1))
+        .cast("long")
+      val bucket = Seq(1, 2, 4, 8, 16, 32)
+        .foldLeft(v - 1L)((acc, sh) => acc.bitwiseOR(shiftright(acc, sh))) +
+        lit(1L)
+      docs(s, dir)
+        .select(v.as("v"), bucket.as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("v")).as("sum_tokens"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          (col("bucket") * col("n_docs")).as("padded_tokens"),
+          expr("(bucket * n_docs - sum_tokens) * 1000 DIV (bucket * n_docs)")
+            .as("waste_milli"))
+        .orderBy(col("bucket"))
+    }),
+
     // Exact-N per-stratum sampling — "exactly 30 docs per language",
     // the eval-set carving a rate-based hash gate cannot promise (a rate
     // yields a BINOMIAL count). Deterministic reservoir: rank by the
@@ -952,6 +977,27 @@ object PipelineOps extends QueryPack {
          |  CAST(SUM(tf * $w) AS BIGINT) AS score_milli,
          |  CAST(SUM(tf * $w) AS BIGINT) >= 0 AS keep
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // same bit-smear pow-2 ceiling, staged through CTEs for legibility
+    "q_length_buckets" -> {
+      val toks = sqlTokens(sqlNormalizeText("text"))
+      s"""WITH n AS (
+         |  SELECT doc_id, CAST(greatest(len($toks), 1) AS BIGINT) AS v
+         |  FROM documents),
+         |s0 AS (SELECT v, v - 1 AS m FROM n),
+         |s1 AS (SELECT v, m | (m >> 1) AS m FROM s0),
+         |s2 AS (SELECT v, m | (m >> 2) AS m FROM s1),
+         |s3 AS (SELECT v, m | (m >> 4) AS m FROM s2),
+         |s4 AS (SELECT v, m | (m >> 8) AS m FROM s3),
+         |s5 AS (SELECT v, m | (m >> 16) AS m FROM s4),
+         |b AS (SELECT v, (m | (m >> 32)) + 1 AS bucket FROM s5)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(v) AS BIGINT) AS sum_tokens,
+         |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+         |  CAST((bucket * COUNT(*) - SUM(v)) * 1000 // (bucket * COUNT(*))
+         |    AS BIGINT) AS waste_milli
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
     // TopK's ordering contract: score desc ≡ hash asc (negated), id asc
