@@ -141,6 +141,38 @@ class PropertySpec extends SparkSpec {
     assert(a.nonEmpty, "degenerate property: no matches generated")
   }
 
+  test("media containers round-trip for any payload length (batched)") {
+    // wavFromText/aviFromText must stay standards-correct at the edges:
+    // empty payload (0 frames), odd lengths (frame-alignment truncation),
+    // and multi-KB bodies — each reparsed by the REAL decoder
+    val payload = Gen.choose(0, 4096)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)))
+      .map(_.toArray)
+    val cases = samples(payload, 40)
+    val df = cases.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("id", "data")
+      .select(col("id"),
+        graft.operators.Multimodal.wavFromText(col("data")).as("wav"),
+        graft.operators.Multimodal.aviFromText(col("data"),
+          lit(7) + pmod(length(col("data")), lit(100)),
+          lit(320), lit(200)).as("avi"),
+        length(col("data")).as("n"))
+    df.select(col("id"), col("wav"), col("avi"), col("n"))
+      .as[(Long, Array[Byte], Array[Byte], Int)].collect()
+      .foreach { case (id, wav, avi, n) =>
+        val even = n - n % 2
+        val w = graft.operators.Multimodal.AudioCodec.decodeInfo(wav)
+        assert(w.contains((16000, 1, even / 2L)),
+          s"case $id (len $n): wav reparse $w")
+        val expFrames = 7L + (n % 100)
+        val v = graft.operators.Multimodal.VideoCodec.decodeInfo(avi)
+        assert(v.contains((320, 200, expFrames, expFrames * 40L)),
+          s"case $id (len $n): avi reparse $v")
+        assert(wav.length == 44 + even && avi.length == 108 + even,
+          s"case $id: container sizes ${wav.length}/${avi.length}")
+      }
+  }
+
   test("st_envelope always bounds st_points (batched over random linestrings)") {
     val coords = Gen.listOfN(6,
       Gen.chooseNum(-179.0, 179.0).flatMap(x =>
