@@ -23,7 +23,8 @@ object SparkEntry {
     StreamOps,
     Completeness,
     Analytic2,
-    Analytic3
+    Analytic3,
+    CurateOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,309 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Sessionize, Similarity, TopK}
+import graft.sources.Tables
+
+/** Corpus-curation operators round 3 (SURVEY §2.11 extensions): batch
+  * sessionization, per-source document caps, token-rarity scoring,
+  * reciprocal-rank fusion of hybrid retrieval, deterministic random
+  * projection of embeddings, equi-width histogram profiling, and
+  * leak-free group-aware splits. Every query carries a full DuckDB oracle.
+  */
+object CurateOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  private def events(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+
+  private def emb(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  /** Plan-time sign matrix for [[graft.operators.Similarity]]-style random
+    * projection: sign(j, i) = ±1 from the SAME portable md5-derived hash as
+    * [[hash32]] over the flattened index (j·4096 + i, i 1-based to match
+    * the oracle's `generate_series(1, len)`), so the projection matrix is
+    * a pure function of indices — reproducible across engines, sessions
+    * and partitionings with no stored model artifact. */
+  private[graft] def projSign(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(String.valueOf(j * 4096 + i).getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  private val ProjDims = 4
+  private val EmbDims = 64
+
+  /** 12-hour inactivity gap in microseconds. */
+  private val GapUs = 12L * 3600 * 1000000
+
+  private val SourceCap = 15
+
+  // RRF with integer arithmetic: score = Σ floor(10^9 / (60 + rank)).
+  // The usual 1/(60+r) doubles are engine-stable here, but the integer
+  // form is exact by construction and survives any future k change.
+  private val RrfK = 60
+
+  override def defs: Map[String, Q] = Map(
+    // Batch sessionization of the event log: 12h-gap sessions per user,
+    // then per-session rollup. One exchange on user_id feeds both windows;
+    // the rollup keys on the (user, session) composite.
+    "q_sessionize" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"))
+      Sessionize.byGap(e, col("user_id"), col("us"), col("event_id"), GapUs)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          Parity.dsum(col("value")).as("sum_value"),
+          expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+        .orderBy(col("user_id"), col("session_idx"))
+    }),
+
+    // Per-source document cap (RefinedWeb/Gopher-style domain balancing):
+    // keep at most `SourceCap` docs per source, ranked by a portable hash
+    // of the id — deterministic in the data, uniform over the source. The
+    // kept set flows through the bounded TopK aggregator (map-side prune:
+    // the shuffle carries ≤ k·|sources|·|tasks| entries, never the corpus),
+    // and kept_id_sum pins the exact membership, not just the count.
+    "q_source_cap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = TopK.perGroup(
+        d.withColumn("h", hash32(col("doc_id").cast("string"))),
+        Seq("source"), -col("h"), col("doc_id"), SourceCap)
+      val keptAgg = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("id")).as("kept_id_sum"))
+      d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(keptAgg, Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    // Token-rarity scoring — the perplexity-proxy LM filter with the
+    // arithmetic kept exact: a doc's mean corpus-frequency of its tokens,
+    // and the fraction of its tokens rarer than the corpus mean. Thresholds
+    // derive FROM the data (no magic constant to re-tune per scale). Sums
+    // are integer products; only the final ratios go through doubles.
+    "q_token_rarity" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val freq = tf.groupBy(col("token")).agg(sum(col("tf")).as("c"))
+      val thr = freq.agg(expr("sum(c) div count(1)").as("mean_c"))
+      tf.join(freq, Seq("token"))
+        .crossJoin(broadcast(thr))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          round(sum(col("tf") * col("c")).cast("double") /
+            sum(col("tf")).cast("double"), 6).as("mean_tok_freq"),
+          round(sum(when(col("c") < col("mean_c"), col("tf")).otherwise(0L))
+            .cast("double") / sum(col("tf")).cast("double"), 6)
+            .as("rare_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Hybrid-retrieval fusion: dense ranking (cosine to a probe embedding)
+    // and lexical ranking (distinct-token overlap with the probe doc),
+    // fused by reciprocal rank. Each ranker's top-20 comes from
+    // TakeOrderedAndProject (never a global window over the corpus); the
+    // rank assignment windows run AFTER the limit, over 20 rows, partition
+    // keyed by a literal so no partition-less-window warning fires.
+    "q_rrf_fusion" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val probeV = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(probeV))
+        .select(col("vec_id").as("id"),
+          round(Similarity.cosine(col("embedding"), col("pv")), 6)
+            .as("score"))
+        .orderBy(col("score").desc, col("id")).limit(20)
+      val dr = dense.withColumn("rank_dense",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("score").desc, col("id"))).cast("long"))
+      val probeToks = docs(s, dir).filter(col("doc_id") === 0)
+        .select(explode(tokens(normalizeText(col("text")))).as("token"))
+        .distinct()
+      val lex = docs(s, dir).filter(col("doc_id") =!= 0)
+        .select(col("doc_id").as("id"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .join(broadcast(probeToks), Seq("token"))
+        .groupBy(col("id"))
+        .agg(countDistinct(col("token")).as("overlap"))
+        .orderBy(col("overlap").desc, col("id")).limit(20)
+      val lr = lex.withColumn("rank_lex",
+        row_number().over(Window.partitionBy(lit(0))
+          .orderBy(col("overlap").desc, col("id"))).cast("long"))
+      dr.select(col("id"), col("rank_dense"))
+        .join(lr.select(col("id"), col("rank_lex")), Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(expr(s"1000000000 div ($RrfK + rank_dense)"), lit(0L)) +
+            coalesce(expr(s"1000000000 div ($RrfK + rank_lex)"), lit(0L)))
+            .as("rrf_nano"),
+          col("rank_dense"), col("rank_lex"))
+        .orderBy(col("rrf_nano").desc, col("id")).limit(10)
+    }),
+
+    // Deterministic Johnson-Lindenstrauss sign projection 64 → 4 dims: the
+    // sign matrix is a plan-time literal derived from the portable hash
+    // (no model artifact, no shuffle — the whole operator is a narrow
+    // codegen'd projection at scan speed). Folds run in index order, so
+    // the double sums are bit-identical cross-engine (the cosine-parity
+    // discipline of SimOps).
+    "q_embed_project" -> ((s, dir) => {
+      val cols = (0 until ProjDims).map { j =>
+        val signs = typedlit((1 to EmbDims).map(i => projSign(j, i)))
+        round(aggregate(
+          zip_with(col("embedding"), signs, (v, sg) => v.cast("double") * sg),
+          lit(0.0), (acc, v) => acc + v), 6).as(s"p$j")
+      }
+      emb(s, dir).select(col("vec_id") +: cols: _*).orderBy(col("vec_id"))
+    }),
+
+    // Equi-width histogram of document length per language — the profiling
+    // pass that sizes chunking/packing budgets. Bucket arithmetic is pure
+    // integer (floor-div, clamp to the last bucket); one narrow projection
+    // plus one low-cardinality aggregate.
+    "q_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"),
+          least(expr("n_chars div 128"), lit(15L)).as("bucket"),
+          col("n_chars"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+        .orderBy(col("lang"), col("bucket"))),
+
+    // Leak-free train/val/test split: the split is a function of the
+    // SOURCE (hash-gated 80/10/10), never the document — so near-dup docs
+    // from one domain can never straddle splits. n_sources per (split,
+    // lang) pins the grouping; disjointness holds by construction since
+    // a deterministic function assigns each source exactly one split.
+    "q_split_leakfree" -> ((s, dir) => {
+      val bucket = pmod(hash32(col("source")), lit(10L))
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("split"), col("lang"))
+    })
+  )
+
+  private val sqlToks = sqlTokens(sqlNormalizeText("text"))
+
+  override def oracle: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GapUs
+         |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END
+         |      AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+         |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+         |        AS session_idx FROM g)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  COUNT(*) AS n_events,
+         |  ${Parity.sqlDsum("value")} AS sum_value,
+         |  CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_source_cap" ->
+      s"""WITH ranked AS (
+         |  SELECT source, doc_id, ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY ${sqlHash32("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN doc_id ELSE 0 END)
+         |    AS BIGINT) AS kept_id_sum
+         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_token_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token
+         |             FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |freq AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c
+         |         FROM tf GROUP BY 1),
+         |thr AS (SELECT CAST(SUM(c) AS BIGINT) // COUNT(*) AS mean_c
+         |        FROM freq)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  round(CAST(SUM(tf * c) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6)
+         |    AS mean_tok_freq,
+         |  round(CAST(SUM(CASE WHEN c < (SELECT mean_c FROM thr)
+         |                      THEN tf ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(tf) AS DOUBLE), 6) AS rare_frac
+         |FROM tf JOIN freq USING (token)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_rrf_fusion" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x, $y), " +
+          "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+      val cos = s"(${dot("c.embedding", "p.embedding")} / " +
+        s"(sqrt(${dot("c.embedding", "c.embedding")}) * " +
+        s"sqrt(${dot("p.embedding", "p.embedding")})))"
+      s"""WITH dense AS (
+         |  SELECT c.vec_id AS id, round($cos, 6) AS score
+         |  FROM embeddings c, embeddings p
+         |  WHERE p.vec_id = 0 AND c.vec_id != 0
+         |  ORDER BY score DESC, id LIMIT 20),
+         |dr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id)
+         |         AS rank_dense FROM dense),
+         |probe AS (SELECT DISTINCT unnest($sqlToks) AS token
+         |          FROM documents WHERE doc_id = 0),
+         |lex AS (
+         |  SELECT t.doc_id AS id, COUNT(DISTINCT t.token) AS overlap
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS token
+         |        FROM documents WHERE doc_id != 0) t
+         |  JOIN probe USING (token) GROUP BY 1
+         |  ORDER BY overlap DESC, id LIMIT 20),
+         |lr AS (SELECT id, ROW_NUMBER() OVER (ORDER BY overlap DESC, id)
+         |         AS rank_lex FROM lex)
+         |SELECT COALESCE(dr.id, lr.id) AS id,
+         |  CAST(COALESCE(1000000000 // ($RrfK + dr.rank_dense), 0)
+         |     + COALESCE(1000000000 // ($RrfK + lr.rank_lex), 0) AS BIGINT)
+         |    AS rrf_nano,
+         |  dr.rank_dense, lr.rank_lex
+         |FROM dr FULL OUTER JOIN lr ON dr.id = lr.id
+         |ORDER BY rrf_nano DESC, id LIMIT 10""".stripMargin
+    },
+
+    "q_embed_project" -> {
+      val cols = (0 until ProjDims).map { j =>
+        s"round(list_sum(list_transform(generate_series(1, len(embedding)), " +
+          s"i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN " +
+          s"('0x' || substr(md5(CAST($j*4096 + i AS VARCHAR)), 1, 8))::BIGINT" +
+          s" % 2 = 0 THEN 1.0 ELSE -1.0 END))), 6) AS p$j"
+      }.mkString(",\n  ")
+      s"SELECT vec_id,\n  $cols\nFROM embeddings ORDER BY vec_id"
+    },
+
+    "q_histogram" ->
+      """SELECT lang, CAST(LEAST(n_chars // 128, 15) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_split_leakfree" ->
+      s"""WITH tagged AS (
+         |  SELECT lang, source,
+         |    CASE WHEN ${sqlHash32("source")} % 10 < 8 THEN 'train'
+         |         WHEN ${sqlHash32("source")} % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT split, lang, COUNT(*) AS n_docs,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM tagged GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}
