@@ -24,7 +24,8 @@ object SparkEntry {
     Completeness,
     Analytic2,
     Analytic3,
-    CurateOps
+    CurateOps,
+    RankOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

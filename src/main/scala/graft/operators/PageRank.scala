@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration weighted PageRank with the arithmetic kept exact
+  * (SURVEY §2.11 extension — iterative graph analytics beyond
+  * [[Components]]' connected components; ranks sources/domains by the
+  * link-ish structure a curation pipeline derives, e.g. who-supplies-whom
+  * or who-cites-whom).
+  *
+  * The float formulation (`0.15/N + 0.85·Σ r/deg`) is not cross-engine
+  * reproducible — partial-sum order changes the last ulp, and rank is fed
+  * back through ITERATIONS, so ulps compound. Here rank is an integer
+  * share of `total` (default 10^12 "pico-units") and every step is
+  * integer arithmetic, identical in any engine:
+  *
+  *   r_0(v)     = total div N
+  *   contrib(u→v) = (r_k(u) · w(u,v)) div W_out(u)
+  *   r_{k+1}(v) = (total·(100−d)) div (100·N) + (d · Σ contrib) div 100
+  *
+  * Floor losses (a few parts in 10^12 per step) are the price of bit
+  * reproducibility — acceptable against PageRank's own damping noise.
+  *
+  * Scale posture: one out-weight aggregation up front; per iteration, one
+  * key-partitioned join of the (node, rank) table to the edge list plus
+  * one sum by destination — the standard distributed PageRank step, edges
+  * never materialize on the driver. Rounds are `localCheckpoint`ed with
+  * eager release of the superseded round (the [[Components]] pattern —
+  * GC-deferred cleanup would retain O(iters) rank tables in executor
+  * storage). Node count comes from ONE `count()` of the node dimension
+  * (driver-side scalar, not a data collect). 64-bit bound: r·w stays
+  * under 2^63 while `total · max(W_out)` does; past that (trillion-edge
+  * graphs) route the product through DECIMAL(38,0) in both engines.
+  */
+object PageRank {
+
+  /** @param edges (src: long, dst: long, w: long) weighted edge list
+    * @param nodes (id: long) node dimension — rows with no in/out edges
+    *              still receive the base rank
+    * @return (id, rank_pico) — integer shares of `total`, summing to
+    *         ~`total` minus floor losses
+    */
+  def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
+      total: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val n = nodes.count()
+    require(n > 0, "empty node set")
+    val base = (total * (100 - dampingPct)) / (100L * n)
+
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = edges.join(outW, Seq("src")).localCheckpoint()
+
+    def releaseBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
+    var cur = nodes.select(col("id"), lit(total / n).as("r")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val inc = ew.join(cur, col("src") === col("id"))
+        .select(col("dst"), expr("(r * w) div wout").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
+      val next = nodes.join(inc, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+      releaseBlocks(cur)
+      cur = next
+    }
+    releaseBlocks(ew)
+    cur.select(col("id"), col("r").as("rank_pico"))
+  }
+}

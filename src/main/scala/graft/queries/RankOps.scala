@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{PageRank, Similarity, TopK}
+import graft.sources.Tables
+
+/** Graph ranking + retrieval evaluation (SURVEY §2.11 extensions): exact
+  * fixed-iteration PageRank over the nation trade graph, and the
+  * recall/MRR harness that scores an approximate retriever against the
+  * exact ranking — the measurement loop every ANN deployment needs.
+  */
+object RankOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private val Iters = 5
+
+  override def defs: Map[String, Q] = Map(
+    // Weighted PageRank on the customer-nation → supplier-nation trade
+    // graph (an edge per lineitem, collapsed to weighted nation pairs).
+    // Five exact integer iterations — see operators/PageRank for why the
+    // float recurrence cannot carry a cross-engine oracle.
+    "q_pagerank" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
+      PageRank.ranks(edges, nodes, iters = Iters).orderBy(col("id"))
+    }),
+
+    // Retrieval-quality eval: the int8-dequantized cosine retriever's
+    // top-20 scored against the exact cosine top-5 ground truth, per
+    // probe — recall@5 plus MRR of the true nearest neighbor, both in
+    // exact arithmetic (recall is a multiple of 1/5; MRR in integer
+    // nano-units). Probes broadcast; both rankers prune through the
+    // bounded TopK aggregator, never a global corpus window.
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val qz = e
+        .select(col("vec_id").as("id"), col("embedding").as("cv"),
+          Similarity.int8Scale(col("embedding")).as("__s"))
+        .select(col("id"),
+          Similarity.int8Dequantize(
+            Similarity.int8Quantize(col("cv"), col("__s")), col("__s"))
+            .as("dq"))
+      val cand = TopK.perGroup(
+        qz.join(broadcast(probes), col("query_id") =!= col("id"))
+          .withColumn("a", round(Similarity.cosine(col("qv"), col("dq")), 6)),
+        Seq("query_id"), col("a"), col("id"), 20)
+        .select(col("query_id"), col("id"), col("rank").cast("long")
+          .as("crank"))
+      val truth = TopK.perGroup(
+        e.select(col("vec_id").as("id"), col("embedding").as("cv"))
+          .join(broadcast(probes), col("query_id") =!= col("id"))
+          .withColumn("sc", round(Similarity.cosine(col("qv"), col("cv")), 6)),
+        Seq("query_id"), col("sc"), col("id"), 5)
+        .select(col("query_id"), col("id"), col("rank").cast("long")
+          .as("trank"))
+      truth.join(cand, Seq("query_id", "id"), "left")
+        .groupBy(col("query_id"))
+        .agg(
+          round(sum(when(col("crank").isNotNull && col("crank") <= 5, 1L)
+              .otherwise(0L)).cast("double") / lit(5.0), 6).as("recall5"),
+          expr("CAST(coalesce(1000000000 div " +
+            "min(CASE WHEN trank = 1 THEN crank END), 0) AS BIGINT)")
+            .as("mrr_nano"))
+        .orderBy(col("query_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val pre =
+        """WITH e0 AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    COUNT(*) AS w
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+          |       FROM e0 GROUP BY 1),
+          |e2 AS (SELECT e0.src, e0.dst, e0.w, ow.wout
+          |       FROM e0 JOIN ow USING (src)),
+          |n AS (SELECT n_nationkey AS id FROM nation),
+          |r0 AS (SELECT id, 1000000000000 // (SELECT COUNT(*) FROM n) AS r
+          |       FROM n)""".stripMargin
+      val its = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    (1000000000000 * 15) // (100 * (SELECT COUNT(*) FROM n))
+           |    + (85 * COALESCE(SUM((p.r * e2.w) // e2.wout), 0)) // 100 AS r
+           |  FROM n LEFT JOIN e2 ON e2.dst = n.id
+           |  LEFT JOIN r${k - 1} p ON p.id = e2.src
+           |  GROUP BY n.id)""".stripMargin
+      }
+      (pre +: its).mkString(",\n") +
+        s"\nSELECT id, CAST(r AS BIGINT) AS rank_pico FROM r$Iters ORDER BY id"
+    },
+
+    "q_retrieval_eval" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x, $y), " +
+          "s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+      def cos(a: String, b: String) =
+        s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+         |      / 127 AS s
+         |  FROM embeddings),
+         |qz AS MATERIALIZED (
+         |  SELECT vec_id AS id,
+         |    list_transform(
+         |      list_transform(embedding,
+         |        x -> CASE WHEN s = 0 THEN CAST(0 AS TINYINT)
+         |             ELSE CAST(round(CAST(x AS DOUBLE) / s) AS TINYINT) END),
+         |      v -> CAST(v AS DOUBLE) * s) AS dq
+         |  FROM sc),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings WHERE vec_id < 5),
+         |cand AS (
+         |  SELECT query_id, id, rn AS crank FROM (
+         |    SELECT p.query_id, z.id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(${cos("p.qv", "z.dq")}, 6) DESC, z.id) AS rn
+         |    FROM qz z, probes p WHERE p.query_id != z.id) WHERE rn <= 20),
+         |truth AS (
+         |  SELECT query_id, id, rn AS trank FROM (
+         |    SELECT p.query_id, e.vec_id AS id,
+         |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(${cos("p.qv", "e.embedding")}, 6) DESC,
+         |          e.vec_id) AS rn
+         |    FROM embeddings e, probes p WHERE p.query_id != e.vec_id)
+         |  WHERE rn <= 5)
+         |SELECT query_id,
+         |  round(CAST(SUM(CASE WHEN c.crank IS NOT NULL AND c.crank <= 5
+         |                 THEN 1 ELSE 0 END) AS DOUBLE) / 5.0, 6) AS recall5,
+         |  CAST(COALESCE(1000000000 //
+         |      MIN(CASE WHEN t.trank = 1 THEN c.crank END), 0) AS BIGINT)
+         |    AS mrr_nano
+         |FROM truth t LEFT JOIN cand c USING (query_id, id)
+         |GROUP BY query_id ORDER BY query_id""".stripMargin
+    }
+  )
+}

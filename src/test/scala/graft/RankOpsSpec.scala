@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+import graft.queries.RankOps
+
+class RankOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cycle(n: Int) = {
+    val edges = (0L until n).map(i => (i, (i + 1) % n, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L until n).toDF("id")
+    (edges, nodes)
+  }
+
+  test("pagerank: symmetric cycle gives every node the identical rank") {
+    val (edges, nodes) = cycle(8)
+    val r = PageRank.ranks(edges, nodes, iters = 5)
+      .select(col("rank_pico")).as[Long].collect().toSet
+    assert(r.size == 1, s"cycle must be rank-uniform, got $r")
+  }
+
+  test("pagerank: mass is conserved up to floor losses") {
+    val (edges, nodes) = cycle(8)
+    val total = PageRank.ranks(edges, nodes, iters = 5)
+      .agg(sum(col("rank_pico"))).as[Long].head()
+    // each of 5 iterations loses < 100·N pico-units to integer floors
+    assert(total <= 1000000000000L && total > 1000000000000L - 5 * 100 * 8,
+      s"total $total")
+  }
+
+  test("pagerank: a node every edge points at outranks the spokes") {
+    // star: 0..6 -> 7 plus 7 -> 0 (no dangling node)
+    val edges = ((0L until 7).map(i => (i, 7L, 1L)) :+ ((7L, 0L, 1L)))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 7L).toDF("id")
+    val r = PageRank.ranks(edges, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(7L) > r(0L) && (1L to 6L).forall(i => r(7L) > r(i)),
+      s"hub must dominate: $r")
+  }
+
+  test("pagerank: result is partitioning-invariant (integer arithmetic)") {
+    val (edges, nodes) = cycle(11)
+    val skewed = edges.repartition(7)
+    val a = PageRank.ranks(edges, nodes, iters = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b = PageRank.ranks(skewed, nodes, iters = 4)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("pagerank: weight asymmetry shifts rank toward the heavy target") {
+    // 0 splits its vote 9:1 between 1 and 2; 1,2 return to 0
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 2L).toDF("id")
+    val r = PageRank.ranks(edges, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) > r(2L), s"9:1 edge weights must rank 1 over 2: $r")
+  }
+
+  test("retrieval eval: gate query reports full recall on most probes") {
+    // int8 quantization barely perturbs the ranking at 64 dims — the gate
+    // result should be recall5 ≥ 0.8 and a found true-NN for every probe
+    val out = RankOps.defs("q_retrieval_eval")(spark, sf)
+      .as[(Long, Double, Long)].collect()
+    assert(out.length == 5)
+    out.foreach { case (q, recall, mrr) =>
+      assert(recall >= 0.8, s"probe $q recall $recall")
+      assert(mrr > 0L, s"probe $q true NN absent from candidate top-20")
+    }
+  }
+}
