@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * window in `streaming/EventStreams`, for backfills and offline feature
   * builds over the same event data the stream processes live).
   *
-  * Gap semantics match `session_window(ts, gap)`: a new session starts
-  * where the previous event of the same key is more than `gapUs`
-  * microseconds older (strictly greater — an event exactly at the gap
-  * boundary extends the session, as the streaming operator does).
+  * Gap semantics match `session_window(ts, gap)` exactly: a streaming
+  * session spans [first, last + gap) with an EXCLUSIVE end, so an event
+  * arriving exactly `gap` after the previous one falls outside the
+  * window and starts a new session — hence the `>=` in the boundary
+  * test (asserted ≡ the streaming operator, session for session, in
+  * `CurateOpsSpec`).
   *
   * Scale posture: the classic two-window formulation — lag() to flag
   * session starts, running sum to number them — runs both windows over ONE
@@ -45,7 +47,7 @@ object Sessionize {
     val w = Window.partitionBy(keyCol).orderBy(usCol, tieCol)
     val prev = lag(usCol, 1).over(w)
     df.withColumn("__new_session",
-        when(prev.isNull || usCol - prev > gapUs, 1L).otherwise(0L))
+        when(prev.isNull || usCol - prev >= gapUs, 1L).otherwise(0L))
       .withColumn("session_idx",
         sum(col("__new_session"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

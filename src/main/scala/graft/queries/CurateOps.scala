@@ -180,6 +180,54 @@ object CurateOps extends QueryPack {
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
         .orderBy(col("lang"), col("bucket"))),
 
+    // Crawl-delta snapshot diff: the incremental-ingest primitive — what
+    // changed between yesterday's corpus and today's, by id and content
+    // hash. One full-outer co-partitioned join on the id; text never
+    // leaves its side (only the 16-byte md5 crosses for the compare).
+    // The "new" snapshot is derived deterministically (drops, edits,
+    // additions) so the oracle can pin every status bucket exactly.
+    "q_corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), md5(col("text")).as("h"))
+      val nw = docs(s, dir).filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 23 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+        .unionAll(docs(s, dir).filter(col("doc_id") % 11 === 5)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            md5(concat(lit("fresh "), col("doc_id").cast("string"))).as("h")))
+      old.select(col("doc_id"), col("h").as("h_old"))
+        .join(nw.select(col("doc_id"), col("h").as("h_new")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("status"))
+    }),
+
+    // Per-group standardization (feature z-scores within language): the
+    // moments are EXACT integer sums (count, Σx, Σx²) — the one broadcast
+    // dimension — and the per-row z is a fixed double expression over
+    // those integers, so both engines evaluate the identical IEEE tree.
+    // Narrow after the broadcast join: scoring runs at scan speed.
+    "q_feature_zscore" -> ((s, dir) => {
+      val m = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"),
+          sum(col("n_chars") * col("n_chars")).as("ss"))
+      docs(s, dir).join(broadcast(m), Seq("lang"))
+        .select(col("doc_id"),
+          round((col("n_chars").cast("double") -
+              col("s").cast("double") / col("n").cast("double")) /
+            sqrt((col("ss").cast("double") -
+              col("s").cast("double") * col("s").cast("double") /
+                col("n").cast("double")) / col("n").cast("double")), 6)
+            .as("z"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Leak-free train/val/test split: the split is a function of the
     // SOURCE (hash-gated 80/10/10), never the document — so near-dup docs
     // from one domain can never straddle splits. n_sources per (split,
@@ -204,7 +252,7 @@ object CurateOps extends QueryPack {
     "q_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
-         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > $GapUs
+         |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= $GapUs
          |         OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END
          |      AS new_s
          |  FROM events
@@ -294,6 +342,38 @@ object CurateOps extends QueryPack {
       """SELECT lang, CAST(LEAST(n_chars // 128, 15) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 23 = 0 THEN text || ' v2'
+        |        ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 != 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    md5('fresh ' || CAST(doc_id AS VARCHAR))
+        |  FROM documents WHERE doc_id % 11 = 5),
+        |j AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.h != n.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_feature_zscore" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY lang)
+        |SELECT doc_id,
+        |  round((CAST(n_chars AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS z
+        |FROM documents JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
 
     "q_split_leakfree" ->
       s"""WITH tagged AS (

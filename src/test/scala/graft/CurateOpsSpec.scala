@@ -12,7 +12,7 @@ class CurateOpsSpec extends SparkSpec {
     .select(col("user_id"), col("event_id"), col("value"),
       unix_micros(col("ts")).as("us"))
 
-  test("sessionize: session boundaries sit exactly at gaps > gapUs") {
+  test("sessionize: session boundaries sit exactly at gaps >= gapUs") {
     val gapUs = 3600L * 1000000
     val out = Sessionize
       .byGap(events, col("user_id"), col("us"), col("event_id"), gapUs)
@@ -24,7 +24,7 @@ class CurateOpsSpec extends SparkSpec {
       sorted.sliding(2).foreach {
         case Array(a, b) =>
           val sameSession = b._4 == a._4
-          assert(sameSession == (b._2 - a._2 <= gapUs),
+          assert(sameSession == (b._2 - a._2 < gapUs),
             s"gap ${b._2 - a._2} vs $gapUs: sessions ${a._4} -> ${b._4}")
         case _ => ()
       }
@@ -57,6 +57,43 @@ class CurateOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1,
       s"expected a single key exchange feeding both windows, got $exchanges\n$plan")
+  }
+
+  test("sessionize ≡ streaming session_window, session for session") {
+    // the batch operator claims session_window semantics — prove it:
+    // same events, same 5-minute gap, through the real streaming operator
+    import graft.streaming.EventStreams
+    val streamed = EventStreams.runToResult(spark,
+        EventStreams.sessionCounts(EventStreams.readEvents(spark, sf),
+          gap = "5 minutes"),
+        "spec_batch_coherence")
+      .select(col("session_start"), col("user_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().sorted
+    val batch = Sessionize
+      .byGap(events, col("user_id"), col("us"), col("event_id"),
+        5L * 60 * 1000000)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(expr("min(us) div 1000000").as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select(col("session_start"), col("user_id"), col("n_events"))
+      .as[(Long, Long, Long)].collect().sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streaming ${streamed.length} vs batch ${batch.length} sessions")
+  }
+
+  test("corpus diff: statuses partition both snapshots, buckets consistent") {
+    val out = CurateOps.defs("q_corpus_diff")(spark, sf)
+      .as[(String, Long, Long)].collect()
+      .map { case (st, n, idSum) => (st, (n, idSum)) }.toMap
+    val d = Tables.load(spark, sf, "documents")
+    val nOld = d.count()
+    val nNew = d.filter(col("doc_id") % 17 =!= 3).count() +
+      d.filter(col("doc_id") % 11 === 5).count()
+    val statuses = Seq("added", "removed", "changed", "unchanged")
+    assert(out.keySet.subsetOf(statuses.toSet))
+    def n(st: String) = out.get(st).map(_._1).getOrElse(0L)
+    assert(n("removed") + n("changed") + n("unchanged") == nOld)
+    assert(n("added") + n("changed") + n("unchanged") == nNew)
   }
 
   test("source cap: TopK path is rank-for-rank the window-form keep set") {
