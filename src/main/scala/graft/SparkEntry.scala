@@ -25,7 +25,8 @@ object SparkEntry {
     Analytic2,
     Analytic3,
     CurateOps,
-    RankOps
+    RankOps,
+    BehaviorOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

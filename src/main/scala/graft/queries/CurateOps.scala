@@ -180,6 +180,34 @@ object CurateOps extends QueryPack {
           min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
         .orderBy(col("lang"), col("bucket"))),
 
+    // Collocation mining: adjacent-bigram PMI against independence, the
+    // phrase-detection pass (word2vec-style "new_york" merging). The PMI
+    // ratio is held in integer micro-units — float log-PMI would not
+    // cross engines bit-for-bit; the ranking is the same either way.
+    // Bigrams come from the narrow n-gram slices (no positional
+    // self-join); unigram counts join on the token key; the final top-20
+    // is a TakeOrderedAndProject.
+    "q_collocations" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tok = d.select(explode(tokens(normalizeText(col("text"))))
+        .as("token"))
+      val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val bg = d.select(explode(wordNgrams(col("text"), 2)).as("bgram"))
+        .select(split(col("bgram"), " ").as("sp"))
+        .filter(size(col("sp")) === 2)
+        .select(col("sp")(0).as("t1"), col("sp")(1).as("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      bg.join(uni.select(col("token").as("t1"), col("c").as("ca")), Seq("t1"))
+        .join(uni.select(col("token").as("t2"), col("c").as("cb")), Seq("t2"))
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("c2"),
+          expr("(c2 * n * 1000000) div (ca * cb)").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+        .limit(20)
+    }),
+
     // Crawl-delta snapshot diff: the incremental-ingest primitive — what
     // changed between yesterday's corpus and today's, by id and content
     // hash. One full-outer co-partitioned join on the id; text never
@@ -342,6 +370,24 @@ object CurateOps extends QueryPack {
       """SELECT lang, CAST(LEAST(n_chars // 128, 15) AS BIGINT) AS bucket,
         |  COUNT(*) AS n_docs, MIN(n_chars) AS lo, MAX(n_chars) AS hi
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_collocations" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token,
+         |             generate_subscripts($sqlToks, 1) AS pos
+         |             FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n FROM tok),
+         |bg AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c2
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |       GROUP BY 1, 2)
+         |SELECT t1, t2, c2,
+         |  CAST((c2 * (SELECT n FROM tot) * 1000000) // (u1.c * u2.c)
+         |    AS BIGINT) AS pmi_micro
+         |FROM bg JOIN uni u1 ON u1.token = bg.t1
+         |JOIN uni u2 ON u2.token = bg.t2
+         |WHERE c2 >= 5
+         |ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
