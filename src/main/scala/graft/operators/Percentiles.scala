@@ -90,6 +90,28 @@ object Percentiles {
     out
   }
 
+  /** PERCENTILE_DISC semantics from the same distributed rank machinery:
+    * `outNames(i)` = the VALUE at 1-based rank ⌈pᵢ·n⌉ where pᵢ is the
+    * RATIONAL `ratios(i) = (num, den)` — the rank is computed in integer
+    * arithmetic (`(num·n + den − 1) div den`), so unlike a double
+    * `ceil(p*n)` it cannot drift off a rank boundary at any n. The picked
+    * value is an actual data value (no interpolation), which makes it
+    * bit-portable across engines — the reason winsorization thresholds
+    * use this and not [[exactInterpolated]]. */
+  def exactDisc(df: DataFrame, groupCol: Column, valueCol: Column,
+      ratios: Seq[(Int, Int)], outNames: Seq[String]): DataFrame = {
+    require(ratios.nonEmpty && ratios.forall { case (n, d) =>
+      d > 0 && n > 0 && n <= d }, "ratios must lie in (0, 1] as num/den")
+    require(outNames.length == ratios.length, "one output name per ratio")
+    val (ranked, all) = rankedFrame(df, groupCol, valueCol)
+    val aggs = ratios.zip(outNames).map { case ((num, den), name) =>
+      val rank = expr(s"(__n * $num + ${den - 1}) div $den")
+      max(when(col("__rn") === rank, col("__v"))).as(name)
+    }
+    restoreGroups(all,
+      ranked.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*), outNames)
+  }
+
   /** Shared plan builder: (result, the checkpointed (group, value)
     * projection) — the second element so eager callers can release its
     * blocks once the result no longer needs them. */
@@ -98,6 +120,35 @@ object Percentiles {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "percentiles must lie in [0, 1]")
     require(outNames.length == ps.length, "one output name per percentile")
+    val (ranked, all) = rankedFrame(df, groupCol, valueCol)
+
+    // pick the bracketing ranks per quantile and interpolate:
+    // pos = p(n-1) (0-based) → lo = ⌊pos⌋+1, hi = min(lo+1, n) (1-based)
+    val aggs = ps.zip(outNames).flatMap { case (p, name) =>
+      val pos = (col("__n") - 1) * p
+      val lo = floor(pos) + 1
+      val hi = least(lo + 1, col("__n"))
+      Seq(
+        max(when(col("__rn") === lo, col("__v"))).as(s"__lo_$name"),
+        max(when(col("__rn") === hi, col("__v"))).as(s"__hi_$name"),
+        first(pos - floor(pos)).as(s"__frac_$name"))
+    }
+    val out = ps.zip(outNames).map { case (_, name) =>
+      (col(s"__lo_$name") +
+        col(s"__frac_$name") * (col(s"__hi_$name") - col(s"__lo_$name")))
+        .as(name)
+    }
+    val computed = ranked.groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__g") +: out.map(c => c): _*)
+    (restoreGroups(all, computed, outNames), all)
+  }
+
+  /** The distributed global-rank frame shared by cont and disc variants:
+    * returns (ranked rows with `__g __v __rn __n`, the checkpointed
+    * (group, value) projection `all`). */
+  private def rankedFrame(df: DataFrame, groupCol: Column,
+      valueCol: Column): (DataFrame, DataFrame) = {
     // Eager narrow materialization: every later pass (sketch, census,
     // rank, group restore) reads these blocks — the source is scanned once.
     val all = df.select(groupCol.as("__g"), valueCol.as("__v"))
@@ -144,34 +195,17 @@ object Percentiles {
         col("__g") <=> col("__og") && col("__b") === col("__ob"))
       .drop("__og", "__ob")
       .withColumn("__rn", col("__off") + col("__lrn"))
+    (ranked, all)
+  }
 
-    // pick the bracketing ranks per quantile and interpolate:
-    // pos = p(n-1) (0-based) → lo = ⌊pos⌋+1, hi = min(lo+1, n) (1-based)
-    val aggs = ps.zip(outNames).flatMap { case (p, name) =>
-      val pos = (col("__n") - 1) * p
-      val lo = floor(pos) + 1
-      val hi = least(lo + 1, col("__n"))
-      Seq(
-        max(when(col("__rn") === lo, col("__v"))).as(s"__lo_$name"),
-        max(when(col("__rn") === hi, col("__v"))).as(s"__hi_$name"),
-        first(pos - floor(pos)).as(s"__frac_$name"))
-    }
-    val out = ps.zip(outNames).map { case (_, name) =>
-      (col(s"__lo_$name") +
-        col(s"__frac_$name") * (col(s"__hi_$name") - col(s"__lo_$name")))
-        .as(name)
-    }
-    val computed = ranked.groupBy(col("__g"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("__g") +: out: _*)
-
-    // all-null groups fell out at the null filter — restore them with null
-    // percentiles, matching the built-in aggregate's output exactly.
-    // Null-safe again: EqualTo would strip a NULL group's computed values.
+  /** All-null groups fell out at the null filter — restore them with null
+    * percentiles, matching the built-in aggregate's output exactly.
+    * Null-safe join: EqualTo would strip a NULL group's computed values. */
+  private def restoreGroups(all: DataFrame, computed: DataFrame,
+      outNames: Seq[String]): DataFrame = {
     val groups = all.select(col("__g")).distinct()
-    val result = groups.join(computed.withColumnRenamed("__g", "__cg"),
+    groups.join(computed.withColumnRenamed("__g", "__cg"),
         groups("__g") <=> col("__cg"), "left")
       .select(col("__g").as("group") +: outNames.map(col): _*)
-    (result, all)
   }
 }

@@ -195,7 +195,45 @@ object Analytic3 extends QueryPack {
           try_divide(col("l_partkey"), col("l_linenumber") - 1).as("div_maybe"),
           try_add(col("l_partkey"), lit(9223372036854775800L)).as("add_maybe"),
           try_multiply(col("l_suppkey"), lit(4611686018427387904L)).as("mul_maybe"))
-        .orderBy(col("l_orderkey"), col("l_linenumber")))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // Equi-width histogram of order totals: the profiling primitive. The
+    // bucket id is floor(x / width) — ONE IEEE double division (correctly
+    // rounded in every engine) then an exact floor, so bucket assignment
+    // is bit-portable; the whole query is a single map-side-combinable
+    // aggregation over the scan, no second pass for bounds.
+    "q_histogram" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 25000.0).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))),
+
+    // Winsorized mean per return flag: clamp at the exact 5th/95th
+    // discrete percentiles (actual data values picked at integer-computed
+    // ranks — see Percentiles.exactDisc — so the thresholds are
+    // bit-portable, unlike interpolated quantiles), then an exact
+    // decimal-routed mean of raw vs clamped values. The robust-statistics
+    // pass every metrics pipeline runs before averaging a heavy-tailed
+    // column; thresholds are a 3-row broadcast.
+    "q_winsorize" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val th = graft.operators.Percentiles.exactDisc(
+          li, col("g"), col("v"), Seq((1, 20), (19, 20)),
+          Seq("lo_t", "hi_t"))
+        .select(col("group").as("g"), col("lo_t"), col("hi_t"))
+      val counts = li.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      li.join(broadcast(th), Seq("g")).join(broadcast(counts), Seq("g"))
+        .groupBy(col("g"), col("n"), col("lo_t"), col("hi_t"))
+        .agg(Parity.davg(col("v")).as("mean_raw"),
+          Parity.davg(greatest(least(col("v"), col("hi_t")), col("lo_t")))
+            .as("mean_wins"))
+        .select(col("g").as("l_returnflag"), col("n"), col("lo_t"),
+          col("hi_t"), col("mean_raw"), col("mean_wins"))
+        .orderBy(col("l_returnflag"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -289,6 +327,29 @@ object Analytic3 extends QueryPack {
         |  CASE WHEN l_suppkey >= 2 THEN NULL
         |       ELSE l_suppkey * 4611686018427387904 END AS mul_maybe
         |FROM lineitem WHERE l_orderkey < 2000
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_winsorize" ->
+      s"""WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+         |           FROM lineitem),
+         |r AS (SELECT g, v,
+         |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+         |      FROM v),
+         |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+         |th AS (SELECT r.g,
+         |         MIN(v) FILTER (WHERE rk = (n + 19) // 20) AS lo_t,
+         |         MAX(v) FILTER (WHERE rk = (19 * n + 19) // 20) AS hi_t
+         |       FROM r JOIN n USING (g) GROUP BY 1)
+         |SELECT v.g AS l_returnflag, n.n AS n, th.lo_t, th.hi_t,
+         |  ${Parity.sqlDavg("v.v")} AS mean_raw,
+         |  ${Parity.sqlDavg("greatest(least(v.v, th.hi_t), th.lo_t)")}
+         |    AS mean_wins
+         |FROM v JOIN th USING (g) JOIN n USING (g)
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -71,6 +72,49 @@ object BehaviorOps extends QueryPack {
           expr("(1000 * step_click) div step_view").as("conv_click_milli"),
           expr("(1000 * step_purchase) div step_click")
             .as("conv_purchase_milli"))
+    }),
+
+    // Markov transition matrix over the event stream: counts and exact
+    // milli-probabilities of each consecutive (prev → next) event-type
+    // pair per user timeline. The lag window partitions by user (bounded
+    // per-user sort, fully parallel across users); the transition table is
+    // |event_types|² rows, so the per-prev totals join broadcasts. Ties in
+    // ts break on event_id — the order is total, so both engines see the
+    // same sequence.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val steps = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .select(col("prev"), col("event_type").as("next"))
+      val trans = steps.groupBy(col("prev"), col("next"))
+        .agg(count(lit(1)).as("c"))
+      val totals = trans.groupBy(col("prev")).agg(sum(col("c")).as("n"))
+      trans.join(broadcast(totals), Seq("prev"))
+        .select(col("prev"), col("next"), col("c"),
+          expr("(1000 * c) div n").as("p_milli"))
+        .orderBy(col("prev"), col("next"))
+    }),
+
+    // Activity-gap profile: per user, days active, calendar span, and the
+    // longest dormancy (full days with no events between two active days).
+    // The resample-to-daily-grid operator collapsed to its lag form — no
+    // exploded zero-filled grid ever materializes, so the shuffle carries
+    // one (user, day) row per ACTIVE day, not per calendar day.
+    "q_activity_gaps" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.withColumn("gap", col("day") - lag(col("day"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("active_days"),
+          (max(col("day")) - min(col("day")) + 1).as("span_days"),
+          coalesce(max(when(col("gap") > 1, col("gap") - 1)), lit(0L))
+            .as("max_gap"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -111,6 +155,31 @@ object BehaviorOps extends QueryPack {
          |    // (SELECT COUNT(*) FROM v) AS BIGINT) AS conv_click_milli,
          |  CAST((1000 * (SELECT COUNT(*) FROM p))
          |    // (SELECT COUNT(*) FROM c) AS BIGINT)
-         |    AS conv_purchase_milli""".stripMargin
+         |    AS conv_purchase_milli""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev
+        |  FROM events),
+        |t AS (SELECT prev, event_type AS next, COUNT(*) AS c
+        |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS n FROM t GROUP BY 1)
+        |SELECT t.prev, t.next, t.c,
+        |  CAST((1000 * t.c) // tot.n AS BIGINT) AS p_milli
+        |FROM t JOIN tot USING (prev) ORDER BY prev, next""".stripMargin,
+
+    "q_activity_gaps" ->
+      s"""WITH d AS (SELECT DISTINCT user_id,
+         |             epoch_us(ts) // $DayUs AS day FROM events),
+         |g AS (SELECT user_id, day,
+         |        day - lag(day) OVER (PARTITION BY user_id ORDER BY day)
+         |          AS gap
+         |      FROM d)
+         |SELECT user_id, COUNT(*) AS active_days,
+         |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
+         |  CAST(COALESCE(MAX(gap) FILTER (WHERE gap > 1) - 1, 0) AS BIGINT)
+         |    AS max_gap
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

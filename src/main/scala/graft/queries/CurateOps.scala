@@ -208,6 +208,62 @@ object CurateOps extends QueryPack {
         .limit(20)
     }),
 
+    // Bigram language model as next-token predictor: train the argmax
+    // table (most frequent next token per prefix, per language) and score
+    // it against the corpus it was trained on — the classic LM-quality
+    // probe with the whole computation in counts, no log-probs, so both
+    // engines agree exactly. The argmax is one aggregation — min over
+    // (−count, token) structs — not a window; the prediction table is
+    // vocab-sized and the final join groups straight back down to one row
+    // per language.
+    "q_lm_next_token" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .select(col("lang"), explode(wordNgrams(col("text"), 2)).as("b"))
+        .select(col("lang"), split(col("b"), " ").as("sp"))
+        .filter(size(col("sp")) === 2)
+        .select(col("lang"), col("sp")(0).as("t1"), col("sp")(1).as("t2"))
+        .groupBy(col("lang"), col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c2"))
+      val pred = bg.groupBy(col("lang"), col("t1"))
+        .agg(min(struct((-col("c2")).as("negc"), col("t2"))).as("m"))
+        .select(col("lang"), col("t1"), col("m.t2").as("p"))
+      bg.join(pred, Seq("lang", "t1"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c2")).as("total_bigrams"),
+          sum(when(col("t2") === col("p"), col("c2")).otherwise(0L))
+            .as("correct"))
+        .select(col("lang"), col("total_bigrams"), col("correct"),
+          expr("(1000 * correct) div total_bigrams").as("acc_milli"))
+        .orderBy(col("lang"))
+    }),
+
+    // Edit-distance near-dup verification: blocking (language, coarse
+    // length bucket, 12-char normalized prefix) generates candidates as an
+    // EQUI-join — never all-pairs — and Levenshtein verifies each pair on
+    // a bounded 200-char prefix, so per-pair cost is capped. Non-ASCII
+    // chars are projected to '?' (one char each) before the distance:
+    // Spark's levenshtein counts CHARACTERS while DuckDB's counts BYTES,
+    // and the ASCII projection makes the two metrics coincide without
+    // losing the char-level distance structure of any script.
+    "q_dedup_edit" -> ((s, dir) => {
+      val n = docs(s, dir).select(
+        col("doc_id"), col("lang"),
+        expr("n_chars div 20").as("lb"),
+        substring(normalizeText(col("text")), 1, 12).as("blk"),
+        regexp_replace(substring(normalizeText(col("text")), 1, 200),
+          "[^\\x20-\\x7e]", "?").as("p"))
+      val a = n.select(col("doc_id").as("id1"), col("lang"), col("lb"),
+        col("blk"), col("p").as("p1"))
+      val b = n.select(col("doc_id").as("id2"), col("lang"), col("lb"),
+        col("blk"), col("p").as("p2"))
+      a.join(b, Seq("lang", "lb", "blk"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("p1"), col("p2")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // Crawl-delta snapshot diff: the incremental-ingest primitive — what
     // changed between yesterday's corpus and today's, by id and content
     // hash. One full-outer co-partitioned join on the id; text never
@@ -388,6 +444,39 @@ object CurateOps extends QueryPack {
          |JOIN uni u2 ON u2.token = bg.t2
          |WHERE c2 >= 5
          |ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""".stripMargin,
+
+    "q_lm_next_token" ->
+      s"""WITH bg0 AS (SELECT lang, string_split(b, ' ') AS sp FROM (
+         |    SELECT lang, unnest(${sqlWordNgrams("text", 2)}) AS b
+         |    FROM documents)),
+         |bg AS (SELECT lang, sp[1] AS t1, sp[2] AS t2, COUNT(*) AS c2
+         |       FROM bg0 WHERE len(sp) = 2 GROUP BY 1, 2, 3),
+         |pred AS (SELECT lang, t1, t2 AS p FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang, t1
+         |      ORDER BY c2 DESC, t2) AS rn FROM bg)
+         |  WHERE rn = 1)
+         |SELECT bg.lang,
+         |  CAST(SUM(bg.c2) AS BIGINT) AS total_bigrams,
+         |  CAST(COALESCE(SUM(bg.c2) FILTER (WHERE bg.t2 = pred.p), 0)
+         |    AS BIGINT) AS correct,
+         |  CAST((1000 * COALESCE(SUM(bg.c2) FILTER (WHERE bg.t2 = pred.p),
+         |    0)) // SUM(bg.c2) AS BIGINT) AS acc_milli
+         |FROM bg JOIN pred ON bg.lang = pred.lang AND bg.t1 = pred.t1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_edit" ->
+      s"""WITH n AS (SELECT doc_id, lang, n_chars // 20 AS lb,
+         |  substr(${sqlNormalizeText("text")}, 1, 12) AS blk,
+         |  regexp_replace(substr(${sqlNormalizeText("text")}, 1, 200),
+         |    '[^\\x20-\\x7e]', '?', 'g') AS p
+         |  FROM documents)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist
+         |FROM n a JOIN n b
+         |  ON a.lang = b.lang AND a.lb = b.lb AND a.blk = b.blk
+         |  AND a.doc_id < b.doc_id
+         |WHERE levenshtein(a.p, b.p) <= 20
+         |ORDER BY id1, id2""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),

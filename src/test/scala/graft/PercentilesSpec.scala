@@ -62,6 +62,36 @@ class PercentilesSpec extends SparkSpec {
     builtinVsDistributed(df, "g", "v", Seq(0.0, 0.5, 1.0))
   }
 
+  test("exactDisc ≡ built-in percentile_disc: value at rank ⌈p·n⌉, " +
+      "including edge groups") {
+    val df = Seq[(String, java.lang.Double)](
+      ("one", 42.0),
+      ("tied", 7.0), ("tied", 7.0), ("tied", 7.0),
+      ("two", 1.0), ("two", 2.0),
+      ("withnull", 5.0), ("withnull", null), ("withnull", 15.0),
+      ("allnull", null), ("allnull", null),
+      (null, 10.0), (null, 20.0), (null, null))
+      .toDF("g", "v")
+      .union(graft.sources.Tables.load(spark, sf, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice")))
+    val ratios = Seq((1, 20), (1, 2), (19, 20), (1, 1))
+    val names = ratios.map { case (n, d) => s"d${n}_$d" }
+    def read(r: org.apache.spark.sql.Row) = r.get(0) ->
+      names.indices.map(i =>
+        if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1))).toVector
+    val fast = Percentiles.exactDisc(df, col("g"), col("v"), ratios, names)
+      .collect().map(read).toMap
+    val aggExprs = ratios.zip(names).map { case ((n, d), nm) =>
+      expr(s"percentile_disc(${n.toDouble / d}) WITHIN GROUP (ORDER BY v)")
+        .as(nm) }
+    val builtin = df.groupBy(col("g")).agg(aggExprs.head, aggExprs.tail: _*)
+      .collect().map(read).toMap
+    assert(fast.keySet == builtin.keySet)
+    builtin.foreach { case (key, exp) =>
+      assert(fast(key) == exp, s"group $key: disc ${fast(key)} vs $exp")
+    }
+  }
+
   test("eager variant: same rows, and the input checkpoint is released " +
       "after the action") {
     val li = graft.sources.Tables.load(spark, sf, "lineitem")
