@@ -233,6 +233,76 @@ object Analytic3 extends QueryPack {
         .select(col("g").as("l_returnflag"), col("n"), col("lo_t"),
           col("hi_t"), col("mean_raw"), col("mean_wins"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue by nation — the canonical
+    // multi-way star join. The fact-fact join (lineitem ⋈ orders) shuffles
+    // on the order key with the date filter PUSHED to the orders scan
+    // first; nation and region are explicit broadcasts; customer/supplier
+    // resolve by Catalyst/AQE size estimate. Revenue is decimal-routed so
+    // the sum is order-independent.
+    "q_tpch_q5" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") &&
+            col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Two-stage salted aggregation: the skew defense written as a plan
+    // shape. Stage 1 pre-aggregates on (key, salt) — 8-way fan-out caps
+    // any single reducer's share of a hot key; stage 2 merges the partial
+    // decimal sums, which are exact and associative, so the result is
+    // IDENTICAL to the direct group-by the oracle runs. The salt is a
+    // pure function of data (order key mod 8), not rand() — replayable.
+    "q_agg_salted" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), pmod(col("l_orderkey"), lit(8)).as("salt"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("ps"),
+          count(lit(1)).as("pc"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("ps")).cast("double").as("sum_qty"),
+          sum(col("pc")).as("n"))
+        .orderBy(col("l_suppkey"))),
+
+    // Median absolute deviation per return flag — the robust dispersion
+    // partner of q_winsorize: disc-median of the values, then disc-median
+    // of absolute deviations from it. Both medians are actual data values
+    // picked at integer ranks (bit-portable); the deviation column is one
+    // IEEE subtraction, identical in both engines. Two bounded passes,
+    // thresholds broadcast between them.
+    "q_mad" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val med = graft.operators.Percentiles.exactDisc(
+          li, col("g"), col("v"), Seq((1, 2)), Seq("m"))
+        .select(col("group").as("g"), col("m"))
+      val dev = li.join(broadcast(med), Seq("g"))
+        .select(col("g"), abs(col("v") - col("m")).as("dv"))
+      val mad = graft.operators.Percentiles.exactDisc(
+          dev, col("g"), col("dv"), Seq((1, 2)), Seq("mad"))
+        .select(col("group").as("g"), col("mad"))
+      med.join(mad, Seq("g"))
+        .select(col("g").as("l_returnflag"), col("m").as("median"),
+          col("mad"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -350,6 +420,46 @@ object Analytic3 extends QueryPack {
          |  ${Parity.sqlDavg("greatest(least(v.v, th.hi_t), th.lo_t)")}
          |    AS mean_wins
          |FROM v JOIN th USING (g) JOIN n USING (g)
-         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_agg_salted" ->
+      """SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_mad" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |           FROM lineitem),
+        |n1 AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        |r1 AS (SELECT g, v,
+        |         row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |       FROM v),
+        |med AS (SELECT r1.g, MIN(v) FILTER (WHERE rk = (n + 1) // 2) AS m
+        |        FROM r1 JOIN n1 USING (g) GROUP BY 1),
+        |d AS (SELECT v.g, abs(v.v - med.m) AS dv FROM v JOIN med USING (g)),
+        |r2 AS (SELECT g, dv,
+        |         row_number() OVER (PARTITION BY g ORDER BY dv) AS rk
+        |       FROM d),
+        |mad AS (SELECT r2.g, MIN(dv) FILTER (WHERE rk = (n + 1) // 2) AS mad
+        |        FROM r2 JOIN n1 USING (g) GROUP BY 1)
+        |SELECT med.g AS l_returnflag, med.m AS median, mad.mad AS mad
+        |FROM med JOIN mad USING (g) ORDER BY 1""".stripMargin
   )
 }

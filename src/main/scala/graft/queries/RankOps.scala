@@ -76,6 +76,60 @@ object RankOps extends QueryPack {
             "min(CASE WHEN trank = 1 THEN crank END), 0) AS BIGINT)")
             .as("mrr_nano"))
         .orderBy(col("query_id"))
+    }),
+
+    // Triangle count on the co-purchase graph (parts appearing in the
+    // same order). Edges are oriented u < v once, so each triangle is
+    // counted exactly once by the two-hop join — the standard distributed
+    // formulation: every join is an equi-join on a vertex key (shuffle,
+    // never cartesian). At real scale the orientation would be by degree
+    // (low-degree vertex first) to bound wedge fan-out on hubs; id order
+    // keeps the oracle simple at gate scale and the join SHAPE identical.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val tri = e.as("e1")
+        .join(e.select(col("u").as("mu"), col("v").as("mw")).as("e2"),
+          col("e1.v") === col("e2.mu"))
+        .join(e.select(col("u").as("cu"), col("v").as("cw")).as("e3"),
+          col("e1.u") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
+        .agg(count(lit(1)).as("n_triangles"))
+      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    }),
+
+    // Association rules over the same baskets: pair support, per-item
+    // support, and lift in exact integer micro-units. The lift numerator
+    // and denominator go through DECIMAL(38,0) products before the
+    // integer division — support × corpus-size products overflow BIGINT
+    // long before 100 TB. Item supports join as a vocab-sized broadcast;
+    // the top-20 is a TakeOrderedAndProject, never a global sort.
+    "q_basket_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.agg(countDistinct(col("ok")).as("n"))
+      val items = li.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 2)
+      pairs
+        .join(broadcast(items.select(col("i").as("u"), col("c").as("cu"))),
+          Seq("u"))
+        .join(broadcast(items.select(col("i").as("v"), col("c").as("cv"))),
+          Seq("v"))
+        .crossJoin(broadcast(n))
+        .select(col("u"), col("v"), col("c2"), col("cu"), col("cv"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * c2 * n) div
+                 (CAST(cu AS DECIMAL(38,0)) * cv) AS BIGINT)""")
+            .as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("u"), col("v"))
+        .limit(20)
     })
   )
 
@@ -153,6 +207,31 @@ object RankOps extends QueryPack {
          |    AS mrr_nano
          |FROM truth t LEFT JOIN cand c USING (query_id, id)
          |GROUP BY query_id ORDER BY query_id""".stripMargin
-    }
+    },
+
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |  (SELECT COUNT(*) FROM e e1
+        |   JOIN e e2 ON e2.u = e1.v
+        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles"""
+        .stripMargin,
+
+    "q_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT ok) AS n FROM li),
+        |it AS (SELECT pk AS i, COUNT(*) AS c FROM li GROUP BY 1),
+        |pr AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS c2
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.u, pr.v, pr.c2, cu.c AS cu, cv.c AS cv,
+        |  CAST((CAST(1000000 AS HUGEINT) * pr.c2 * (SELECT n FROM n))
+        |    // (CAST(cu.c AS HUGEINT) * cv.c) AS BIGINT) AS lift_micro
+        |FROM pr JOIN it cu ON cu.i = pr.u JOIN it cv ON cv.i = pr.v
+        |ORDER BY lift_micro DESC, u, v LIMIT 20""".stripMargin
   )
 }
