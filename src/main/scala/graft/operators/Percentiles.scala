@@ -112,6 +112,22 @@ object Percentiles {
       ranked.groupBy(col("__g")).agg(aggs.head, aggs.tail: _*), outNames)
   }
 
+  /** The distributed global per-group rank frame as a public surface:
+    * one row per non-null value with columns (group, value, rank, n) —
+    * rank is the 1-based position of the value inside its group's sorted
+    * order, n the group's non-null count. Rank statistics (Gini, Lorenz
+    * points, rank correlations) build on this without a per-group
+    * single-partition window: the sort is value-bucketed exactly as in
+    * the percentile paths. Note ranks among TIED values are arbitrary —
+    * consumers must only compute quantities invariant under permuting
+    * equal values (all of the above are). */
+  def globalRanks(df: DataFrame, groupCol: Column, valueCol: Column)
+      : DataFrame = {
+    val (ranked, _) = rankedFrame(df, groupCol, valueCol)
+    ranked.select(col("__g").as("group"), col("__v").as("value"),
+      col("__rn").as("rank"), col("__n").as("n"))
+  }
+
   /** Shared plan builder: (result, the checkpointed (group, value)
     * projection) — the second element so eager callers can release its
     * blocks once the result no longer needs them. */

@@ -303,6 +303,51 @@ object Analytic3 extends QueryPack {
         .select(col("g").as("l_returnflag"), col("m").as("median"),
           col("mad"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Gini concentration coefficient per return flag, from the
+    // distributed global-rank frame (Percentiles.globalRanks — no
+    // per-group single-partition window). Gini = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
+    // (n·Σxᵢ) over ascending ranks i; both sums are exact decimals
+    // shifted to integers (scale-4 × 10⁴), the quotient an exact
+    // DECIMAL(38,0) floor division in micro-units. Rank-tie invariant:
+    // permuting equal values leaves Σi·xᵢ unchanged.
+    "q_gini" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      graft.operators.Percentiles.globalRanks(li, col("g"), col("v"))
+        .groupBy(col("group"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("value").cast(DecimalType(18, 4))) * 10000)
+            .cast(DecimalType(38, 0)).as("s0"),
+          (sum(col("rank") * col("value").cast(DecimalType(18, 4))) * 10000)
+            .cast(DecimalType(38, 0)).as("s1"))
+        .select(col("group").as("l_returnflag"),
+          expr("""CAST((1000000 * (2 * s1 - (cnt + 1) * s0))
+                 div (cnt * s0) AS BIGINT)""").as("gini_micro"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Equal-frequency (quartile) binning of order totals per priority:
+    // thresholds are disc quartiles (actual data values at integer
+    // ranks), bucket = 1 + Σ(v > qₖ) so boundary ties land LOW on both
+    // engines, and the profile reports each bin's population and range.
+    // Thresholds broadcast; the binning itself is a narrow projection.
+    "q_equibin" -> ((s, dir) => {
+      val v = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+      val th = graft.operators.Percentiles.exactDisc(
+          v, col("g"), col("v"), Seq((1, 4), (1, 2), (3, 4)),
+          Seq("q1", "q2", "q3"))
+        .select(col("group").as("g"), col("q1"), col("q2"), col("q3"))
+      v.join(broadcast(th), Seq("g"))
+        .groupBy(col("g").as("grp"),
+          (lit(1) + (col("v") > col("q1")).cast("int")
+            + (col("v") > col("q2")).cast("int")
+            + (col("v") > col("q3")).cast("int")).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+          max(col("v")).as("hi"))
+        .orderBy(col("grp"), col("bucket"))
     })
   )
 
@@ -460,6 +505,42 @@ object Analytic3 extends QueryPack {
         |mad AS (SELECT r2.g, MIN(dv) FILTER (WHERE rk = (n + 1) // 2) AS mad
         |        FROM r2 JOIN n1 USING (g) GROUP BY 1)
         |SELECT med.g AS l_returnflag, med.m AS median, mad.mad AS mad
-        |FROM med JOIN mad USING (g) ORDER BY 1""".stripMargin
+        |FROM med JOIN mad USING (g) ORDER BY 1""".stripMargin,
+
+    "q_gini" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |           FROM lineitem),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |      FROM v),
+        |s AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS cnt,
+        |        CAST(SUM(CAST(v AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+        |          AS s0,
+        |        CAST(SUM(rk * CAST(v AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+        |          AS s1
+        |      FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag,
+        |  CAST((1000000 * (2 * s1 - (cnt + 1) * s0)) // (cnt * s0)
+        |    AS BIGINT) AS gini_micro
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "q_equibin" ->
+      """WITH v AS (SELECT o_orderpriority AS g, o_totalprice AS v
+        |           FROM orders),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |      FROM v),
+        |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        |th AS (SELECT r.g,
+        |    MIN(v) FILTER (WHERE rk = (n + 3) // 4) AS q1,
+        |    MIN(v) FILTER (WHERE rk = (n + 1) // 2) AS q2,
+        |    MIN(v) FILTER (WHERE rk = (3 * n + 3) // 4) AS q3
+        |  FROM r JOIN n USING (g) GROUP BY 1)
+        |SELECT v.g AS grp,
+        |  1 + (v.v > th.q1)::INT + (v.v > th.q2)::INT
+        |    + (v.v > th.q3)::INT AS bucket,
+        |  COUNT(*) AS n, MIN(v.v) AS lo, MAX(v.v) AS hi
+        |FROM v JOIN th USING (g) GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin
   )
 }

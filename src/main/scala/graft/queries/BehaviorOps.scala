@@ -22,6 +22,11 @@ object BehaviorOps extends QueryPack {
     * previous step's first occurrence. */
   private val FunnelWindowUs = 24L * 3600 * 1000000
 
+  /** 12-hour inactivity gap — the same session boundary q_sessionize and
+    * the streaming session window use, so paths line up session-for-
+    * session with both. */
+  private val SessionGapUs = 12L * 3600 * 1000000
+
   override def defs: Map[String, Q] = Map(
     // Cohort retention: users bucketed by first-seen day (cohort),
     // activity days expressed as offsets from the cohort day, distinct
@@ -115,6 +120,58 @@ object BehaviorOps extends QueryPack {
           coalesce(max(when(col("gap") > 1, col("gap") - 1)), lit(0L))
             .as("max_gap"))
         .orderBy(col("user_id"))
+    }),
+
+    // Chi-square independence test: event type × day-of-week (epoch-day
+    // mod 7 — a pure integer dow that needs no cross-engine calendar
+    // agreement). The statistic is Σ (n·o − r·c)² / (n·r·c) held in
+    // micro-units with every product routed through DECIMAL(38,0) —
+    // (n·o)² overflows BIGINT around corpus sizes of 10⁵ — and the
+    // per-cell integer quotients summed exactly. Marginals are
+    // |types|- and 7-row broadcasts; one scan, one cell-level shuffle.
+    "q_chi2" -> ((s, dir) => {
+      val cells = events(s, dir)
+        .select(col("event_type").as("e"),
+          expr(s"(unix_micros(ts) div $DayUs) % 7").as("d"))
+        .groupBy(col("e"), col("d")).agg(count(lit(1)).as("o"))
+      val rowm = cells.groupBy(col("e")).agg(sum(col("o")).as("ro"))
+      val colm = cells.groupBy(col("d")).agg(sum(col("o")).as("co"))
+      val tot = events(s, dir).agg(count(lit(1)).as("n"))
+      cells.join(broadcast(rowm), Seq("e"))
+        .join(broadcast(colm), Seq("d"))
+        .crossJoin(broadcast(tot))
+        .select(expr(
+          """(1000000 * (CAST(n AS DECIMAL(38,0)) * o - CAST(ro AS DECIMAL(38,0)) * co)
+             * (CAST(n AS DECIMAL(38,0)) * o - CAST(ro AS DECIMAL(38,0)) * co))
+             div (CAST(n AS DECIMAL(38,0)) * ro * co)""").as("cell"))
+        .agg(sum(col("cell")).as("chi2_micro"),
+          count(lit(1)).as("n_cells"))
+    }),
+
+    // Session path mining: the first three event types of each 12h-gap
+    // session (same gap and boundary semantics as q_sessionize /
+    // the streaming session window), counted into the top-10 navigation
+    // paths. The per-session ordered prefix comes from one bounded
+    // collect of ≤3 structs sorted in place — the path agg never buffers
+    // a whole session; the top-10 is a TakeOrderedAndProject.
+    "q_session_paths" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val sess = graft.operators.Sessionize.byGap(
+        e, col("user_id"), col("us"), col("event_id"), SessionGapUs)
+      val w = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("us"), col("event_id"))
+      sess.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(array_join(
+          transform(
+            sort_array(collect_list(
+              struct(col("us"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
     })
   )
 
@@ -180,6 +237,40 @@ object BehaviorOps extends QueryPack {
          |  CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS span_days,
          |  CAST(COALESCE(MAX(gap) FILTER (WHERE gap > 1) - 1, 0) AS BIGINT)
          |    AS max_gap
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_chi2" ->
+      s"""WITH c AS (SELECT event_type AS e,
+         |    (epoch_us(ts) // $DayUs) % 7 AS d, COUNT(*) AS o
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT e, CAST(SUM(o) AS HUGEINT) AS ro FROM c GROUP BY 1),
+         |k AS (SELECT d, CAST(SUM(o) AS HUGEINT) AS co FROM c GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM events)
+         |SELECT CAST(SUM(
+         |    (1000000 * (n.n * c.o - r.ro * k.co)
+         |     * (n.n * c.o - r.ro * k.co)) // (n.n * r.ro * k.co))
+         |  AS BIGINT) AS chi2_micro,
+         |  CAST(COUNT(*) AS BIGINT) AS n_cells
+         |FROM c JOIN r USING (e) JOIN k USING (d) CROSS JOIN n"""
+        .stripMargin,
+
+    "q_session_paths" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+         |        OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |        >= $SessionGapUs
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM events),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM e),
+         |p AS (SELECT user_id, sid,
+         |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         |      FROM (SELECT *, row_number() OVER (
+         |              PARTITION BY user_id, sid
+         |              ORDER BY ts, event_id) AS rn FROM s)
+         |      WHERE rn <= 3 GROUP BY 1, 2)
+         |SELECT path, COUNT(*) AS n FROM p
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }
