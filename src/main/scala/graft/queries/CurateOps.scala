@@ -193,10 +193,8 @@ object CurateOps extends QueryPack {
         .as("token"))
       val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
       val tot = tok.agg(count(lit(1)).as("n"))
-      val bg = d.select(explode(wordNgrams(col("text"), 2)).as("bgram"))
-        .select(split(col("bgram"), " ").as("sp"))
-        .filter(size(col("sp")) === 2)
-        .select(col("sp")(0).as("t1"), col("sp")(1).as("t2"))
+      val bg = d.select(explode(tokenBigrams(col("text"))).as("pq"))
+        .select(col("pq.t1").as("t1"), col("pq.t2").as("t2"))
         .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
         .filter(col("c2") >= 5)
       bg.join(uni.select(col("token").as("t1"), col("c").as("ca")), Seq("t1"))
@@ -218,10 +216,8 @@ object CurateOps extends QueryPack {
     // per language.
     "q_lm_next_token" -> ((s, dir) => {
       val bg = docs(s, dir)
-        .select(col("lang"), explode(wordNgrams(col("text"), 2)).as("b"))
-        .select(col("lang"), split(col("b"), " ").as("sp"))
-        .filter(size(col("sp")) === 2)
-        .select(col("lang"), col("sp")(0).as("t1"), col("sp")(1).as("t2"))
+        .select(col("lang"), explode(tokenBigrams(col("text"))).as("pq"))
+        .select(col("lang"), col("pq.t1").as("t1"), col("pq.t2").as("t2"))
         .groupBy(col("lang"), col("t1"), col("t2"))
         .agg(count(lit(1)).as("c2"))
       val pred = bg.groupBy(col("lang"), col("t1"))
