@@ -26,7 +26,8 @@ object SparkEntry {
     Analytic3,
     CurateOps,
     RankOps,
-    BehaviorOps
+    BehaviorOps,
+    QualityOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
