@@ -176,4 +176,44 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("+- Exchange"))
     assert(exchanges <= 2, s"agg should reuse the window partitioning:\n$p")
   }
+
+  test("q_tpch_q5: date filter pushed to the orders scan, dims broadcast, " +
+      "no cartesian anywhere") {
+    val p = plan("q_tpch_q5")
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"order-date predicate not pushed to the scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation/region dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"six-table star join degenerated to a cartesian:\n$p")
+  }
+
+  test("q_agg_salted: two-stage plan — an exchange on (key, salt) then " +
+      "a narrower one on the key") {
+    val p = plan("q_agg_salted")
+    // formatted mode lists partitioning columns on Arguments: detail
+    // lines, not the tree lines, and the salt alias reaches the physical
+    // plan as Aggregate's _groupingexpression — match on that
+    val partitionings =
+      "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+    assert(partitionings.exists(s =>
+        s.contains("l_suppkey") && s.contains("_groupingexpression")),
+      s"stage-1 exchange does not fan out on the salt:\n$p")
+    assert(partitionings.exists(s =>
+        s.contains("l_suppkey") && !s.contains("_groupingexpression")),
+      s"stage-2 merge exchange missing:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q_triangles: every graph join is an equi-join (hash or merge), " +
+      "never a cartesian") {
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle enumeration fell into a cartesian product:\n$p")
+    val equiJoins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(equiJoins >= 3,
+      s"expected >= 3 keyed joins (edge build + 2 closure hops):\n$p")
+  }
 }

@@ -61,6 +61,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("tokenBigrams ≡ wordNgrams(2) split back into pairs (batched)") {
+    // the struct-pair bigram feed (7× faster) must produce exactly the
+    // pair sequence of the string route: every 2-gram string rejoined
+    // from its struct, and the single-token fallback gram (no space)
+    // absent from the struct side. Messy text: punctuation runs, mixed
+    // whitespace, unicode, digits.
+    val messyChar = Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf("!?.,;:#&-_'\"()[]/+=*".toSeq),
+      2 -> Gen.oneOf(" \t\n".toSeq), 1 -> Gen.oneOf("éß€汉".toSeq))
+    val messy = Gen.listOf(messyChar).map(_.mkString)
+    val df = samples(messy, 300).toDF("t")
+    val viaStructs = transform(TextFunctions.tokenBigrams(col("t")),
+      p => concat_ws(" ", p.getField("t1"), p.getField("t2")))
+    val viaStrings = filter(TextFunctions.wordNgrams(col("t"), 2),
+      s => s.contains(" "))
+    val diff = df.select(col("t"), viaStructs.as("a"), viaStrings.as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() == 0,
+      s"bigram routes diverge, e.g. ${diff.take(1).mkString}")
+  }
+
   test("fingerprints are whitespace/case-normalization-invariant (batched)") {
     val cases = samples(text, 40)
     val df = cases.toDF("t")
