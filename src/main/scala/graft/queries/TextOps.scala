@@ -34,6 +34,31 @@ object TextOps extends QueryPack {
       | FROM documents)""".stripMargin
 
   override def defs: Map[String, Q] = Map(
+    // Per-language readability profile: mean sentence length (tokens per
+    // terminator run, approximated by terminator CHARS — a pure length
+    // difference, no split-semantics disagreement between engines) and a
+    // vowel-run syllable proxy, both as exact integer milli-ratios. One
+    // narrow projection, one tiny aggregation — readability scoring at
+    // scan speed.
+    "q_readability" -> ((s, dir) => {
+      val norm = normalizeText(col("text"))
+      docs(s, dir).select(col("lang"),
+          tokenCount(col("text")).cast("long").as("n_tok"),
+          greatest(length(col("text")) -
+            length(regexp_replace(col("text"), "[.!?]", "")), lit(1))
+            .cast("long").as("n_sent"),
+          (length(regexp_replace(norm, "[aeiou]+", "#")) -
+            length(regexp_replace(norm, "[aeiou]+", "")))
+            .cast("long").as("n_vruns"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST((1000 * sum(n_tok)) div sum(n_sent) AS BIGINT)")
+            .as("sent_len_milli"),
+          expr("CAST((1000 * sum(n_vruns)) div sum(n_tok) AS BIGINT)")
+            .as("syll_per_tok_milli"))
+        .orderBy(col("lang"))
+    }),
+
     // Token counting + basic stats (whitespace tokenizer; the BPE-ish
     // subword variant is q_subword below — its matcher pattern is
     // lookaround-free, so the same regex oracles under DuckDB's RE2).
@@ -317,6 +342,23 @@ object TextOps extends QueryPack {
   private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
   override def oracle: Map[String, String] = Map(
+    "q_readability" ->
+      s"""WITH d AS (SELECT lang,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,
+         |    CAST(greatest(length(text) -
+         |      length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+         |      AS BIGINT) AS n_sent,
+         |    CAST(length(regexp_replace(${sqlNorm("text")},
+         |        '[aeiou]+', '#', 'g')) -
+         |      length(regexp_replace(${sqlNorm("text")},
+         |        '[aeiou]+', '', 'g')) AS BIGINT) AS n_vruns
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST((1000 * SUM(n_tok)) // SUM(n_sent) AS BIGINT)
+         |    AS sent_len_milli,
+         |  CAST((1000 * SUM(n_vruns)) // SUM(n_tok) AS BIGINT)
+         |    AS syll_per_tok_milli
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same boundary rule: pack = (cumsum-before-this-doc) // budget,
     // integer division in both engines (// in DuckDB, decimal-routed
     // div engine-side).
