@@ -348,6 +348,30 @@ object Analytic3 extends QueryPack {
         .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
           max(col("v")).as("hi"))
         .orderBy(col("grp"), col("bucket"))
+    }),
+
+    // Lorenz curve (q_gini's pointwise companion): cumulative value share
+    // at each decile of the ranked population, in exact integer
+    // micro-units. Deciles come from the distributed rank frame — the
+    // only windows here run over the 10-row-per-group decile SUMMARY,
+    // never over the data.
+    "q_lorenz" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val d = graft.operators.Percentiles
+        .globalRanks(li, col("g"), col("v"))
+        .select(col("group").as("g"),
+          expr("((rank - 1) * 10) div n + 1").as("decile"),
+          col("value").cast(DecimalType(18, 4)).as("vd"))
+        .groupBy(col("g"), col("decile")).agg(sum(col("vd")).as("ds"))
+      val wc = Window.partitionBy(col("g")).orderBy(col("decile"))
+      d.withColumn("cum", sum(col("ds")).over(wc))
+        .withColumn("tot", sum(col("ds")).over(Window.partitionBy(col("g"))))
+        .select(col("g").as("l_returnflag"), col("decile"),
+          expr("""CAST((1000000 * CAST(cum * 10000 AS DECIMAL(38,0)))
+                 div CAST(tot * 10000 AS DECIMAL(38,0)) AS BIGINT)""")
+            .as("cum_share_micro"))
+        .orderBy(col("l_returnflag"), col("decile"))
     })
   )
 
@@ -541,6 +565,26 @@ object Analytic3 extends QueryPack {
         |    + (v.v > th.q3)::INT AS bucket,
         |  COUNT(*) AS n, MIN(v.v) AS lo, MAX(v.v) AS hi
         |FROM v JOIN th USING (g) GROUP BY 1, 2 ORDER BY 1, 2"""
-        .stripMargin
+        .stripMargin,
+
+    "q_lorenz" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |           FROM lineitem),
+        |r AS (SELECT g, v,
+        |        row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |      FROM v),
+        |n AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        |d AS (SELECT r.g, ((rk - 1) * 10) // n.n + 1 AS decile,
+        |        CAST(v AS DECIMAL(18,4)) AS vd
+        |      FROM r JOIN n USING (g)),
+        |s AS (SELECT g, decile, SUM(vd) AS ds FROM d GROUP BY 1, 2),
+        |c AS (SELECT g, decile,
+        |        SUM(ds) OVER (PARTITION BY g ORDER BY decile) AS cum,
+        |        SUM(ds) OVER (PARTITION BY g) AS tot
+        |      FROM s)
+        |SELECT g AS l_returnflag, CAST(decile AS BIGINT) AS decile,
+        |  CAST((1000000 * CAST(cum * 10000 AS HUGEINT))
+        |    // CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS cum_share_micro
+        |FROM c ORDER BY 1, 2""".stripMargin
   )
 }

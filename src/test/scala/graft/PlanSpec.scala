@@ -205,6 +205,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("AQE splits a skewed shuffle join at runtime (skew markers in the " +
+      "final adaptive plan)") {
+    // The runtime half of the skew story (q_agg_salted is the plan-time
+    // half): a 95%-hot key must trigger OptimizeSkewedJoin once the
+    // thresholds are in reach of test-sized data. Conf is restored so the
+    // shared session is untouched for other suites.
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      val left = spark.range(0, 200000).select(
+        when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 997)
+          .as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 997).select(col("id").as("k"),
+        (col("id") * 2).as("rv"))
+      val j = left.join(right, "k")
+      // collect(), not foreach(): foreach executes through the RDD path
+      // on a cloned plan, leaving THIS Dataset's AQE plan un-finalized
+      assert(j.collect().length > 0)
+      val finalPlan = j.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        s"hot key did not trigger the AQE skew-join split:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_triangles: every graph join is an equi-join (hash or merge), " +
       "never a cartesian") {
     val p = plan("q_triangles")
