@@ -107,6 +107,25 @@ object QualityOps extends QueryPack {
         .select(col("col"), col("n"), col("n_null"), col("n_distinct"),
           col("min_s"), col("max_s"))
         .orderBy(col("col"))
+    }),
+
+    // Benford leading-digit profile of order totals — the classic
+    // fabricated-data screen. The digit comes from the DECIMAL(15,2)
+    // string render (both engines print decimals identically; a raw
+    // double render would not agree), frequencies are exact integer
+    // micro-units with the total derived from the 9-row digit summary,
+    // not a second scan or a partition-less window.
+    "q_benford" -> ((s, dir) => {
+      val counts = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(substring(
+          col("o_totalprice").cast("decimal(15,2)").cast("string"), 1, 1)
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("tot"))))
+        .select(col("digit"), col("n"),
+          expr("CAST((1000000 * n) div tot AS BIGINT)").as("freq_micro"))
+        .orderBy(col("digit"))
     })
   )
 
@@ -157,6 +176,16 @@ object QualityOps extends QueryPack {
           "CAST(CAST(MIN(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR)",
           "CAST(CAST(MAX(o_totalprice) AS DECIMAL(15,2)) AS VARCHAR)"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY col")
-    }
+    },
+
+    "q_benford" ->
+      """WITH c AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(15,2))
+        |      AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n
+        |    FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+        |SELECT digit, n,
+        |  CAST((1000000 * n) // (SELECT tot FROM tot) AS BIGINT)
+        |    AS freq_micro
+        |FROM c ORDER BY digit""".stripMargin
   )
 }

@@ -242,6 +242,37 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle " +
+      "join") {
+    // Catalyst's InjectRuntimeFilter: a selective dimension filter should
+    // materialize as a bloom probe on the fact scan, cutting shuffle input
+    // before the join — the row-level twin of partition pruning, and the
+    // default behavior at 100 TB once the fact side crosses the scan-size
+    // threshold (lowered here to test-data reach).
+    import org.apache.spark.sql.functions._
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      val o = graft.sources.Tables.load(spark, sf, "orders")
+        .filter(col("o_totalprice") > 450000)
+      val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q_triangles: every graph join is an equi-join (hash or merge), " +
       "never a cartesian") {
     val p = plan("q_triangles")
