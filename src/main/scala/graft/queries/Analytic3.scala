@@ -266,22 +266,6 @@ object Analytic3 extends QueryPack {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
-    // Two-stage salted aggregation: the skew defense written as a plan
-    // shape. Stage 1 pre-aggregates on (key, salt) — 8-way fan-out caps
-    // any single reducer's share of a hot key; stage 2 merges the partial
-    // decimal sums, which are exact and associative, so the result is
-    // IDENTICAL to the direct group-by the oracle runs. The salt is a
-    // pure function of data (order key mod 8), not rand() — replayable.
-    "q_agg_salted" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .groupBy(col("l_suppkey"), pmod(col("l_orderkey"), lit(8)).as("salt"))
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("ps"),
-          count(lit(1)).as("pc"))
-        .groupBy(col("l_suppkey"))
-        .agg(sum(col("ps")).cast("double").as("sum_qty"),
-          sum(col("pc")).as("n"))
-        .orderBy(col("l_suppkey"))),
-
     // Median absolute deviation per return flag — the robust dispersion
     // partner of q_winsorize: disc-median of the values, then disc-median
     // of absolute deviations from it. Both medians are actual data values
@@ -505,13 +489,6 @@ object Analytic3 extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
-
-    "q_agg_salted" ->
-      """SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |    AS sum_qty,
-        |  COUNT(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mad" ->
       """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v

@@ -188,19 +188,19 @@ class PlanSpec extends SparkSpec {
       s"six-table star join degenerated to a cartesian:\n$p")
   }
 
-  test("q_agg_salted: two-stage plan — an exchange on (key, salt) then " +
+  test("q_salted_agg: two-stage plan — an exchange on (key, salt) then " +
       "a narrower one on the key") {
-    val p = plan("q_agg_salted")
+    val p = plan("q_salted_agg")
     // formatted mode lists partitioning columns on Arguments: detail
-    // lines, not the tree lines, and the salt alias reaches the physical
-    // plan as Aggregate's _groupingexpression — match on that
+    // lines, not the tree lines — match the hashpartitioning specs
     val partitionings =
       "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
-    assert(partitionings.exists(s =>
-        s.contains("l_suppkey") && s.contains("_groupingexpression")),
+    // stage 1 shuffles on (skew_key, __salt) — the __key alias only
+    // materializes after the partial aggregate
+    assert(partitionings.exists(_.contains("__salt")),
       s"stage-1 exchange does not fan out on the salt:\n$p")
     assert(partitionings.exists(s =>
-        s.contains("l_suppkey") && !s.contains("_groupingexpression")),
+        s.contains("__key") && !s.contains("__salt")),
       s"stage-2 merge exchange missing:\n$p")
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
