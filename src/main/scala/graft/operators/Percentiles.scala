@@ -120,12 +120,27 @@ object Percentiles {
     * single-partition window: the sort is value-bucketed exactly as in
     * the percentile paths. Note ranks among TIED values are arbitrary —
     * consumers must only compute quantities invariant under permuting
-    * equal values (all of the above are). */
+    * equal values (all of the above are); for row-linked rank statistics
+    * (Spearman) use [[globalRanksTieBroken]] instead. */
   def globalRanks(df: DataFrame, groupCol: Column, valueCol: Column)
       : DataFrame = {
     val (ranked, _) = rankedFrame(df, groupCol, valueCol)
     ranked.select(col("__g").as("group"), col("__v").as("value"),
       col("__rn").as("rank"), col("__n").as("n"))
+  }
+
+  /** [[globalRanks]] with a DETERMINISTIC total order: ties in the value
+    * break on `tieCol` (a per-row identity such as an event id), which is
+    * also carried through as `tie` so two rank frames over different
+    * value columns of the same rows can be joined back row-for-row —
+    * the feed for Spearman-style rank correlation. Buckets still come
+    * from the value alone (equal values share a bucket, so the in-bucket
+    * sort on (value, tie) yields globally consistent ranks). */
+  def globalRanksTieBroken(df: DataFrame, groupCol: Column,
+      valueCol: Column, tieCol: Column): DataFrame = {
+    val (ranked, _) = rankedFrame(df, groupCol, valueCol, Some(tieCol))
+    ranked.select(col("__g").as("group"), col("__v").as("value"),
+      col("__tb").as("tie"), col("__rn").as("rank"), col("__n").as("n"))
   }
 
   /** Shared plan builder: (result, the checkpointed (group, value)
@@ -161,14 +176,19 @@ object Percentiles {
   }
 
   /** The distributed global-rank frame shared by cont and disc variants:
-    * returns (ranked rows with `__g __v __rn __n`, the checkpointed
-    * (group, value) projection `all`). */
+    * returns (ranked rows with `__g __v __rn __n` (+ `__tb` when a
+    * tie-break column is given), the checkpointed projection `all`). */
   private def rankedFrame(df: DataFrame, groupCol: Column,
-      valueCol: Column): (DataFrame, DataFrame) = {
+      valueCol: Column, tieCol: Option[Column] = None)
+      : (DataFrame, DataFrame) = {
     // Eager narrow materialization: every later pass (sketch, census,
     // rank, group restore) reads these blocks — the source is scanned once.
-    val all = df.select(groupCol.as("__g"), valueCol.as("__v"))
-      .localCheckpoint()
+    val projected = tieCol match {
+      case Some(tb) => df.select(groupCol.as("__g"), valueCol.as("__v"),
+        tb.as("__tb"))
+      case None => df.select(groupCol.as("__g"), valueCol.as("__v"))
+    }
+    val all = projected.localCheckpoint()
     val base = all.filter(col("__v").isNotNull)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
 
@@ -204,9 +224,11 @@ object Percentiles {
     // would silently drop every one of its rows here.
     val offsetsR = offsets.select(col("__g").as("__og"), col("__b").as("__ob"),
       col("__off"), col("__n"))
+    val localOrder: Seq[Column] = col("__v") +:
+      tieCol.map(_ => col("__tb")).toSeq
     val ranked = bucketed
       .withColumn("__lrn", row_number().over(
-        Window.partitionBy(col("__g"), col("__b")).orderBy(col("__v"))))
+        Window.partitionBy(col("__g"), col("__b")).orderBy(localOrder: _*)))
       .join(broadcast(offsetsR),
         col("__g") <=> col("__og") && col("__b") === col("__ob"))
       .drop("__og", "__ob")

@@ -172,6 +172,43 @@ object BehaviorOps extends QueryPack {
         .groupBy(col("path")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(10)
+    }),
+
+    // Spearman rank correlation (does event value drift over time, per
+    // type): both rank frames come from the distributed tie-broken rank
+    // operator (Percentiles.globalRanksTieBroken — value-bucketed sort,
+    // ties on event_id, NO per-group single-partition window), joined
+    // row-for-row on the carried tie key. Rank sums are exact
+    // DECIMAL(38,0) integers; only the closing Pearson-of-ranks quotient
+    // touches doubles, with identical expressions both engines evaluate
+    // on identical integer inputs (IEEE /,*,sqrt are correctly rounded —
+    // deterministic cross-engine).
+    "q_spearman" -> ((s, dir) => {
+      val e = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type").as("g"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val rx = graft.operators.Percentiles.globalRanksTieBroken(
+          e, col("g"), col("value"), col("event_id"))
+        .select(col("group").as("g"), col("tie"), col("rank").as("rx"))
+      val ry = graft.operators.Percentiles.globalRanksTieBroken(
+          e, col("g"), col("us"), col("event_id"))
+        .select(col("group").as("g"), col("tie"), col("rank").as("ry"))
+      rx.join(ry, Seq("g", "tie"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).cast(d38).as("n"),
+          sum(col("rx").cast(d38)).as("sx"),
+          sum(col("ry").cast(d38)).as("sy"),
+          sum((col("rx") * col("ry")).cast(d38)).as("sxy"),
+          sum((col("rx") * col("rx")).cast(d38)).as("sxx"),
+          sum((col("ry") * col("ry")).cast(d38)).as("syy"))
+        .select(col("g").as("event_type"),
+          col("n").cast("long").as("n"),
+          expr("""CAST(floor((1000000 * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)""")
+            .as("rho_micro"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -271,6 +308,30 @@ object BehaviorOps extends QueryPack {
          |              ORDER BY ts, event_id) AS rn FROM s)
          |      WHERE rn <= 3 GROUP BY 1, 2)
          |SELECT path, COUNT(*) AS n FROM p
-         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    "q_spearman" ->
+      """WITH rx AS (SELECT event_type AS g, event_id AS tie,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rx
+        |  FROM events WHERE value IS NOT NULL),
+        |ry AS (SELECT event_type AS g, event_id AS tie,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS ry
+        |  FROM events WHERE value IS NOT NULL),
+        |j AS (SELECT rx.g, rx.rx, ry.ry
+        |      FROM rx JOIN ry ON rx.g = ry.g AND rx.tie = ry.tie),
+        |s AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+        |    CAST(SUM(rx * ry) AS HUGEINT) AS sxy,
+        |    CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+        |    CAST(SUM(ry * ry) AS HUGEINT) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(floor((1000000 * CAST(n * sxy - sx * sy AS DOUBLE))
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS rho_micro
+        |FROM s ORDER BY 1""".stripMargin
   )
 }
