@@ -209,6 +209,44 @@ object BehaviorOps extends QueryPack {
                       * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)""")
             .as("rho_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // SCD2 build: turn the event log into type-2 validity intervals —
+    // each user's state (last event type) with [valid_from, valid_to)
+    // bounds in epoch microseconds, the open interval closed by
+    // Long.MaxValue. One lead() window per user timeline (bounded
+    // per-user sort, parallel across users) — the standard
+    // warehouse-dimension construction, ready for the as-of join.
+    "q_scd2_build" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("valid_from"),
+          lead(unix_micros(col("ts")), 1).over(w).as("next_us"))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          coalesce(col("next_us"), lit(Long.MaxValue)).as("valid_to"))
+        .orderBy(col("user_id"), col("valid_from"), col("valid_to"),
+          col("event_type"))
+    }),
+
+    // Hour-of-day seasonality: per event type, the 24-hour activity
+    // profile collapsed to totals and the peak hour — the argmax is the
+    // same aggregate-only min-over-(−count, hour) structs as
+    // q_lm_next_token, no window over data. Hours are epoch-hour mod 24
+    // (pure integers, no calendar/timezone agreement needed).
+    "q_hourly_peak" -> ((s, dir) => {
+      val h = events(s, dir)
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"))
+      h.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("n")).as("total"),
+          min(struct((-col("n")).as("negn"), col("hour"))).as("m"))
+        .select(col("event_type"), col("n_hours"), col("total"),
+          col("m.hour").as("peak_hour"), (-col("m.negn")).as("peak_n"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -332,6 +370,29 @@ object BehaviorOps extends QueryPack {
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
         |         * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT)
         |    AS rho_micro
-        |FROM s ORDER BY 1""".stripMargin
+        |FROM s ORDER BY 1""".stripMargin,
+
+    "q_scd2_build" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_us
+        |  FROM events)
+        |SELECT user_id, event_type, us AS valid_from,
+        |  COALESCE(next_us, 9223372036854775807) AS valid_to
+        |FROM o
+        |ORDER BY user_id, valid_from, valid_to, event_type""".stripMargin,
+
+    "q_hourly_peak" ->
+      """WITH h AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, hour AS peak_hour, n AS peak_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY n DESC, hour) AS rn
+        |    FROM h) WHERE rn = 1)
+        |SELECT h.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+        |  CAST(SUM(n) AS BIGINT) AS total,
+        |  MIN(p.peak_hour) AS peak_hour, MIN(p.peak_n) AS peak_n
+        |FROM h JOIN p USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
