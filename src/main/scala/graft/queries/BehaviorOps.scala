@@ -247,6 +247,30 @@ object BehaviorOps extends QueryPack {
         .select(col("event_type"), col("n_hours"), col("total"),
           col("m.hour").as("peak_hour"), (-col("m.negn")).as("peak_n"))
         .orderBy(col("event_type"))
+    }),
+
+    // SCD2 point-in-time probe: look up each user's state at the midpoint
+    // of their observed timeline. The Spark side runs the sort-merge as-of
+    // operator (one shuffle, no pair explosion) against the raw event rows;
+    // the oracle answers by interval containment over the built SCD2
+    // dimension — two formulations of "state as of t" that must agree row
+    // for row, which is exactly the property that makes q_scd2_build's
+    // intervals trustworthy.
+    "q_scd2_asof" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+      val probes = e.groupBy(col("user_id"))
+        .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(col("user_id"), expr("(mn + mx) div 2").as("probe_us"))
+      graft.operators.AsOfJoin(probes, e,
+          leftKey = probes("user_id"), rightKey = e("user_id"),
+          leftTime = probes("probe_us"), rightTime = e("us"),
+          rightPayload = Seq("event_type", "us"),
+          rightTieBreak = e("event_id"))
+        .select(col("user_id"), col("probe_us"),
+          col("_match.event_type").as("state"),
+          col("_match.us").as("since_us"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -393,6 +417,21 @@ object BehaviorOps extends QueryPack {
         |SELECT h.event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
         |  CAST(SUM(n) AS BIGINT) AS total,
         |  MIN(p.peak_hour) AS peak_hour, MIN(p.peak_n) AS peak_n
-        |FROM h JOIN p USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM h JOIN p USING (event_type) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_scd2_asof" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, (MIN(us)+MAX(us))//2 AS probe_us
+        |      FROM e GROUP BY 1),
+        |scd AS (SELECT user_id, event_type, us AS valid_from,
+        |    COALESCE(lead(us) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id), 9223372036854775807) AS valid_to
+        |  FROM e)
+        |SELECT p.user_id, p.probe_us, s.event_type AS state,
+        |  s.valid_from AS since_us
+        |FROM p JOIN scd s ON s.user_id = p.user_id
+        |  AND s.valid_from <= p.probe_us AND p.probe_us < s.valid_to
+        |ORDER BY p.user_id""".stripMargin
   )
 }
