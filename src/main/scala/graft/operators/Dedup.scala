@@ -327,4 +327,65 @@ object Dedup {
           size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Exact Jaccard τ self-join with prefix filtering (the AllPairs/PPJoin
+    * family: Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    * WWW 2007; Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW 2008). Complements [[minhashPairs]]: LSH trades recall
+    * for cost; this join is EXACT — every pair with shingle-set Jaccard
+    * ≥ τ is emitted — yet never goes all-pairs.
+    *
+    * Prefix-filter principle: under any total order shared by all sets, two
+    * sets A, B with |A∩B| ≥ c must share an element among the first
+    * |A|−c+1 (resp. |B|−c+1) elements of each. J(A,B) ≥ τ implies
+    * |A∩B| ≥ ceil(τ·|A|) (and symmetrically), so exploding only each
+    * document's first |S|−ceil(τ·|S|)+1 shingles under the global order
+    * still generates every qualifying pair. Ordering by ASCENDING document
+    * frequency (ties on shingle text) makes prefixes maximally rare, so the
+    * per-shingle bucket join fans out least — a stopword-like shingle lands
+    * in a prefix only for documents where nothing rarer exists.
+    *
+    * Scale posture: one df-count shuffle on shingle keys, one per-doc
+    * grouped sort (bounded by the doc's own shingle count), one equi-join
+    * keyed on PREFIX shingles (rare by construction) with the τ·max ≤ min
+    * size filter applied before the pair distinct, then exact verification
+    * on candidates only (the [[ngramJaccard]] contract). All thresholds in
+    * integer milli-units — no doubles, so engines agree bit-for-bit.
+    */
+  def jaccardSelfJoin(docs: DataFrame, textCol: Column, idCol: Column,
+      n: Int = 3, tauMilli: Int = 500): DataFrame = {
+    require(tauMilli > 0 && tauMilli <= 1000,
+      s"tauMilli must be in (0, 1000], got $tauMilli")
+    val sets = docs.select(idCol.as("id"),
+        array_distinct(wordNgramsNative(textCol, n)).as("s"))
+      .withColumn("l", size(col("s")).cast("long"))
+    val ex = sets.select(col("id"), col("l"), explode(col("s")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val ordered = ex.join(dfreq, Seq("g"))
+      .groupBy(col("id"), col("l"))
+      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("og"))
+      .select(col("id"), col("l"),
+        slice(transform(col("og"), x => x.getField("g")), lit(1),
+          (col("l") - expr(s"($tauMilli * l + 999) div 1000") + 1)
+            .cast("int")).as("prefix"))
+    val pe = ordered.select(col("id"), col("l"), explode(col("prefix")).as("g"))
+    val cand = pe.as("a").join(pe.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          lit(1000) * least(col("a.l"), col("b.l")) >=
+            lit(tauMilli) * greatest(col("a.l"), col("b.l")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("s").as("sa"),
+        col("l").as("size_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("sb"),
+        col("l").as("size_b")), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(1000) * col("inter") >=
+        lit(tauMilli) * (col("size_a") + col("size_b") - col("inter")))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"),
+        expr("(1000 * inter) div (size_a + size_b - inter)").as("jac_milli"))
+  }
 }

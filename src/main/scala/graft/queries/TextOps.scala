@@ -178,6 +178,16 @@ object TextOps extends QueryPack {
         .orderBy(col("id_a"))
     }),
 
+    // EXACT Jaccard τ≥0.5 self-join with prefix filtering (AllPairs/PPJoin):
+    // the guaranteed-recall complement to the probabilistic LSH path. Spark
+    // explodes only each doc's df-rarest shingle prefix; the oracle answers
+    // by full inverted-index self-join — a different exact algorithm, same
+    // pair set. Integer milli-thresholds keep both engines bit-identical.
+    "q_jaccard_selfjoin" -> ((s, dir) =>
+      Dedup.jaccardSelfJoin(docs(s, dir), col("text"), col("doc_id"),
+          n = 3, tauMilli = 500)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // The capstone composition: a full training-data cleaning pass. Mutant
     // corpus → MinHash+LSH near-dup pairs → drop the higher-id member of
     // every pair → per-bucket corpus statistics of what survives. One
@@ -608,6 +618,21 @@ object TextOps extends QueryPack {
          |    AS jaccard
          |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000
          |ORDER BY id_a""".stripMargin
+    },
+
+    "q_jaccard_selfjoin" -> {
+      val grams = s"list_distinct(${sqlWordNgrams("text", 3)})"
+      s"""WITH d AS (SELECT doc_id, $grams AS s FROM documents),
+         |dd AS (SELECT doc_id, len(s) AS l, s FROM d),
+         |e AS (SELECT doc_id, l, unnest(s) AS gr FROM dd),
+         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    a.l AS la, b.l AS lb, COUNT(*) AS i
+         |  FROM e a JOIN e b ON a.gr = b.gr AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, i AS inter, la AS size_a, lb AS size_b,
+         |  (1000 * i) // (la + lb - i) AS jac_milli
+         |FROM c WHERE 1000 * i >= 500 * (la + lb - i)
+         |ORDER BY id_a, id_b""".stripMargin
     }
   )
 }

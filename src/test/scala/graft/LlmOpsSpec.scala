@@ -396,6 +396,39 @@ class LlmOpsSpec extends SparkSpec {
     assert(metas(1) == ((2L, sw, sh, sf)))
   }
 
+  test("prefix-filtered Jaccard join ≡ brute-force all-pairs (exact recall)") {
+    // Adversarial shapes: exact dup, one-word-tail near-dup, half-overlap
+    // pair straddling τ, tiny 1-gram docs, and a disjoint singleton — the
+    // prefix filter must reproduce the brute-force pair set exactly.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (4L, "gamma delta epsilon zeta one two three four"),
+      (5L, "tiny doc here"),
+      (6L, "tiny doc here"),
+      (7L, "completely different words nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val fast = Dedup.jaccardSelfJoin(corpus, col("text"), col("doc_id"),
+        n = 3, tauMilli = 500)
+      .select(col("id_a"), col("id_b"), col("jac_milli"))
+      .as[(Long, Long, Long)].collect().toSet
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(graft.functions.TextFunctions
+        .wordNgramsNative(col("text"), 3)).as("s"))
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long").as("i"),
+        (size(col("a.s")) + size(col("b.s"))).cast("long").as("ll"))
+      .filter(lit(1000) * col("i") >= lit(500) * (col("ll") - col("i")))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("(1000 * i) div (ll - i)").as("j"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "degenerate fixture: brute force found no pairs")
+    assert(fast == brute, s"prefix filter diverged: fast=$fast brute=$brute")
+  }
+
   test("frame sampling emits stride-spaced offsets within bounds") {
     val frames = Multimodal.sampleFrames(
       Multimodal.mediaFromDocuments(docs), stride = 2)
