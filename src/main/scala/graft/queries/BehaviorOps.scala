@@ -271,6 +271,72 @@ object BehaviorOps extends QueryPack {
           col("_match.event_type").as("state"),
           col("_match.us").as("since_us"))
         .orderBy(col("user_id"))
+    }),
+
+    // Exponential smoothing over the zero-filled daily grid, α = 1/2
+    // truncated at 8 lags: the smoothed value is a DYADIC rational —
+    // numerator Σ 2^(7-k)·x_(t-k) over denominator 2^8 — so both engines
+    // hold it exactly in integers (a float EWMA recurrence compounds ulp
+    // drift through the feedback loop and cannot carry a bit-exact
+    // oracle). The dense grid materializes types×days rows — tiny at any
+    // corpus scale; the window is one bounded per-type sort.
+    "q_ses_forecast" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("mn"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      d.withColumn("ses_num",
+          lit(128) * col("n") + lit(64) * lag(col("n"), 1, 0).over(w)
+            + lit(32) * lag(col("n"), 2, 0).over(w)
+            + lit(16) * lag(col("n"), 3, 0).over(w)
+            + lit(8) * lag(col("n"), 4, 0).over(w)
+            + lit(4) * lag(col("n"), 5, 0).over(w)
+            + lit(2) * lag(col("n"), 6, 0).over(w)
+            + lag(col("n"), 7, 0).over(w))
+        .filter(col("day") >= col("mn") + 7)
+        .select(col("event_type"), col("day"), col("n"), col("ses_num"),
+          expr("ses_num div 256").as("smooth"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Rolling 3σ anomaly screen on the same grid: each day against the
+    // PRECEDING 7 days (never itself — self-inclusion drags the mean
+    // toward the outlier). |x−μ| > 3σ is evaluated in cross-multiplied
+    // integers, (7x−Σ)² > 9(7Σx²−Σ²), so no sqrt and no doubles — the
+    // flag is bit-deterministic. All full-window days are emitted with
+    // both comparison sides, flagged or not, so the gate hash pins the
+    // arithmetic rather than (possibly zero) flagged rows alone.
+    "q_rolling_anomaly" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("mn"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      d.withColumn("sum7", sum(col("n")).over(w7))
+        .withColumn("ss7", sum(col("n") * col("n")).over(w7))
+        .filter(col("day") >= col("mn") + 7)
+        .select(col("event_type"), col("day"), col("n"), col("sum7"),
+          col("ss7"),
+          ((lit(7) * col("n") - col("sum7"))
+            * (lit(7) * col("n") - col("sum7"))).as("lhs"),
+          (lit(9) * (lit(7) * col("ss7") - col("sum7") * col("sum7")))
+            .as("rhs"))
+        .withColumn("is_anomaly", col("lhs") > col("rhs"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -432,6 +498,52 @@ object BehaviorOps extends QueryPack {
         |  s.valid_from AS since_us
         |FROM p JOIN scd s ON s.user_id = p.user_id
         |  AND s.valid_from <= p.probe_us AND p.probe_us < s.valid_to
-        |ORDER BY p.user_id""".stripMargin
+        |ORDER BY p.user_id""".stripMargin,
+
+    "q_ses_forecast" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, b.mn, u.day
+         |      FROM b, LATERAL unnest(generate_series(b.mn, b.mx))
+         |        AS u(day)),
+         |d AS (SELECT g.event_type, g.mn, g.day, COALESCE(c.n, 0) AS n
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |l AS (SELECT event_type, mn, day, n,
+         |    128*n + 64*lag(n,1,0) OVER w + 32*lag(n,2,0) OVER w
+         |    + 16*lag(n,3,0) OVER w + 8*lag(n,4,0) OVER w
+         |    + 4*lag(n,5,0) OVER w + 2*lag(n,6,0) OVER w
+         |    + lag(n,7,0) OVER w AS ses_num
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+         |  CAST(ses_num AS BIGINT) AS ses_num,
+         |  CAST(ses_num // 256 AS BIGINT) AS smooth
+         |FROM l WHERE day >= mn + 7
+         |ORDER BY event_type, day""".stripMargin,
+
+    "q_rolling_anomaly" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, b.mn, u.day
+         |      FROM b, LATERAL unnest(generate_series(b.mn, b.mx))
+         |        AS u(day)),
+         |d AS (SELECT g.event_type, g.mn, g.day, COALESCE(c.n, 0) AS n
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |w7 AS (SELECT event_type, mn, day, n,
+         |    SUM(n) OVER w AS sum7, SUM(n*n) OVER w AS ss7
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+         |  CAST(sum7 AS BIGINT) AS sum7, CAST(ss7 AS BIGINT) AS ss7,
+         |  CAST((7*n - sum7)*(7*n - sum7) AS BIGINT) AS lhs,
+         |  CAST(9*(7*ss7 - sum7*sum7) AS BIGINT) AS rhs,
+         |  (7*n - sum7)*(7*n - sum7) > 9*(7*ss7 - sum7*sum7) AS is_anomaly
+         |FROM w7 WHERE day >= mn + 7
+         |ORDER BY event_type, day""".stripMargin
   )
 }
