@@ -337,6 +337,38 @@ object BehaviorOps extends QueryPack {
             .as("rhs"))
         .withColumn("is_anomaly", col("lhs") > col("rhs"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Mann-Kendall trend test (Mann 1945; Kendall's S): Σ sign(x_j − x_i)
+    // over all day pairs i<j of each type's zero-filled daily series — a
+    // rank-order trend statistic that is PURE INTEGER, so it carries an
+    // exact oracle where a fitted slope could not. The pairwise self-join
+    // is per-series O(days²): days are the AGGREGATION axis (30 here,
+    // ≤ a few thousand for years of data), so the pair count stays bounded
+    // regardless of corpus row count — the corpus itself is reduced to the
+    // grid by one group-by before any pairing.
+    "q_trend_mk" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val a = d.select(col("event_type"), col("day").as("di"), col("n").as("ni"))
+      val z = d.select(col("event_type"), col("day").as("dj"), col("n").as("nj"))
+      a.join(z, Seq("event_type"))
+        .filter(col("di") < col("dj"))
+        .select(col("event_type"),
+          when(col("nj") > col("ni"), 1L)
+            .when(col("nj") < col("ni"), -1L).otherwise(0L).as("sgn"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"),
+          sum(when(col("sgn") === 0L, 1L).otherwise(0L)).as("n_ties"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -544,6 +576,28 @@ object BehaviorOps extends QueryPack {
          |  CAST(9*(7*ss7 - sum7*sum7) AS BIGINT) AS rhs,
          |  (7*n - sum7)*(7*n - sum7) > 9*(7*ss7 - sum7*sum7) AS is_anomaly
          |FROM w7 WHERE day >= mn + 7
-         |ORDER BY event_type, day""".stripMargin
+         |ORDER BY event_type, day""".stripMargin,
+
+    "q_trend_mk" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, u.day
+         |      FROM b, LATERAL unnest(generate_series(b.mn, b.mx))
+         |        AS u(day)),
+         |d AS (SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |p AS (SELECT a.event_type,
+         |    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1
+         |      ELSE 0 END AS sgn
+         |  FROM d a JOIN d b
+         |    ON a.event_type = b.event_type AND a.day < b.day)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(sgn) AS BIGINT) AS s_stat,
+         |  CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ties
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
