@@ -369,6 +369,40 @@ object BehaviorOps extends QueryPack {
         .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"),
           sum(when(col("sgn") === 0L, 1L).otherwise(0L)).as("n_ties"))
         .orderBy(col("event_type"))
+    }),
+
+    // CUSUM⁺ change-point screen (Page 1954): cumulative positive drift of
+    // the daily count above its per-type mean level k. The textbook
+    // recurrence CUSUM_t = max(0, CUSUM_{t-1} + (x_t − k)) looks
+    // inherently sequential, but rewrites EXACTLY as S_t − min_{j≤t} S_j
+    // over prefix sums S — two running windows, no recursion, fully
+    // parallel across types. Deviations are held in milli-units with k
+    // itself a floor quotient, so every engine computes identical
+    // integers; the drift flag fires at k/2 (half an average day of
+    // cumulative excess).
+    "q_cusum" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val m = d.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("day"), col("n"),
+          expr("(1000 * tot) div nd").as("k_milli"),
+          sum(expr("1000 * n - (1000 * tot) div nd")).over(w).as("ps"))
+        .withColumn("cusum_milli", col("ps") - min(col("ps")).over(w))
+        .select(col("event_type"), col("day"), col("n"), col("cusum_milli"),
+          (col("cusum_milli") > expr("k_milli div 2")).as("drifted"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -598,6 +632,34 @@ object BehaviorOps extends QueryPack {
          |  CAST(SUM(sgn) AS BIGINT) AS s_stat,
          |  CAST(SUM(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_ties
-         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cusum" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, u.day
+         |      FROM b, LATERAL unnest(generate_series(b.mn, b.mx))
+         |        AS u(day)),
+         |d AS (SELECT g.event_type, g.day, COALESCE(c.n, 0) AS n
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |m AS (SELECT event_type, SUM(n) AS tot, COUNT(*) AS nd
+         |      FROM d GROUP BY 1),
+         |s AS (SELECT d.event_type, d.day, d.n,
+         |    (1000 * m.tot) // m.nd AS k_milli,
+         |    SUM(1000 * d.n - (1000 * m.tot) // m.nd) OVER (
+         |      PARTITION BY d.event_type ORDER BY d.day
+         |      ROWS UNBOUNDED PRECEDING) AS ps
+         |  FROM d JOIN m USING (event_type)),
+         |cu AS (SELECT event_type, day, n, k_milli,
+         |    ps - MIN(ps) OVER (PARTITION BY event_type ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS cusum_milli
+         |  FROM s)
+         |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+         |  CAST(cusum_milli AS BIGINT) AS cusum_milli,
+         |  cusum_milli > k_milli // 2 AS drifted
+         |FROM cu ORDER BY event_type, day""".stripMargin
   )
 }
