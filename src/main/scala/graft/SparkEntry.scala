@@ -26,6 +26,7 @@ object SparkEntry {
     Analytic3,
     CurateOps,
     RankOps,
+    TpchOps,
     BehaviorOps,
     QualityOps
   )

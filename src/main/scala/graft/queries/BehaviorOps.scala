@@ -403,6 +403,41 @@ object BehaviorOps extends QueryPack {
         .select(col("event_type"), col("day"), col("n"), col("cusum_milli"),
           (col("cusum_milli") > expr("k_milli div 2")).as("drifted"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Rolling 7-day OLS trend slope per event type — the local trend
+    // companion to q_trend_mk's global test. Over the zero-filled daily
+    // grid, slope = (w·Σxy − Σx·Σy) / (w·Σx² − (Σx)²) from four window
+    // sums in pure integers (x = day − first-day), so numerator and
+    // denominator carry an exact oracle; the quotient is the one IEEE
+    // division. For 7 consecutive days the denominator is the constant
+    // 196 — emitted anyway as the algebraic invariant the oracle pins.
+    "q_rolling_slope" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("mn"), col("day"),
+          (col("day") - col("mn")).as("x"),
+          coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      d.select(col("event_type"), col("mn"), col("day"), col("n"),
+          sum(col("x")).over(w).as("sx"),
+          sum(col("n")).over(w).as("sy"),
+          sum(col("x") * col("n")).over(w).as("sxy"),
+          sum(col("x") * col("x")).over(w).as("sxx"))
+        .filter(col("day") >= col("mn") + 6)
+        .select(col("event_type"), col("day"), col("n"),
+          (lit(7) * col("sxy") - col("sx") * col("sy")).as("num"),
+          (lit(7) * col("sxx") - col("sx") * col("sx")).as("den"))
+        .withColumn("slope",
+          col("num").cast("double") / col("den").cast("double"))
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -660,6 +695,33 @@ object BehaviorOps extends QueryPack {
          |SELECT event_type, CAST(day AS BIGINT) AS day, n,
          |  CAST(cusum_milli AS BIGINT) AS cusum_milli,
          |  cusum_milli > k_milli // 2 AS drifted
-         |FROM cu ORDER BY event_type, day""".stripMargin
+         |FROM cu ORDER BY event_type, day""".stripMargin,
+
+    "q_rolling_slope" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, b.mn, u.day
+         |      FROM b, LATERAL unnest(generate_series(b.mn, b.mx))
+         |        AS u(day)),
+         |d AS (SELECT g.event_type, g.mn, g.day, g.day - g.mn AS x,
+         |             COALESCE(c.n, 0) AS n
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |w AS (SELECT event_type, mn, day, x, n,
+         |    CAST(SUM(x) OVER s AS BIGINT) AS sx,
+         |    CAST(SUM(n) OVER s AS BIGINT) AS sy,
+         |    CAST(SUM(x*n) OVER s AS BIGINT) AS sxy,
+         |    CAST(SUM(x*x) OVER s AS BIGINT) AS sxx
+         |  FROM d WINDOW s AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+         |  CAST(7*sxy - sx*sy AS BIGINT) AS num,
+         |  CAST(7*sxx - sx*sx AS BIGINT) AS den,
+         |  CAST(7*sxy - sx*sy AS DOUBLE) / CAST(7*sxx - sx*sx AS DOUBLE)
+         |    AS slope
+         |FROM w WHERE day >= mn + 6
+         |ORDER BY event_type, day""".stripMargin
   )
 }

@@ -126,6 +126,19 @@ object QualityOps extends QueryPack {
         .select(col("digit"), col("n"),
           expr("CAST((1000000 * n) div tot AS BIGINT)").as("freq_micro"))
         .orderBy(col("digit"))
+    }),
+
+    // Two-sample Kolmogorov–Smirnov drift screen: did URGENT orders'
+    // price distribution drift from LOW orders'? The D statistic is an
+    // exact integer numerator over the distributed rank frame (no
+    // partition-less window, no sorted collect) with one closing IEEE
+    // division — see [[graft.operators.KsTest]] for the tie handling.
+    "q_ks_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      graft.operators.KsTest.twoSample(o,
+        col("o_orderpriority") === "1-URGENT", col("o_totalprice"),
+        col("o_orderkey"))
     })
   )
 
@@ -186,6 +199,32 @@ object QualityOps extends QueryPack {
         |SELECT digit, n,
         |  CAST((1000000 * n) // (SELECT tot FROM tot) AS BIGINT)
         |    AS freq_micro
-        |FROM c ORDER BY digit""".stripMargin
+        |FROM c ORDER BY digit""".stripMargin,
+
+    // Value-grid cumulative counts — a different exact algorithm (window
+    // prefix sums over the distinct-value grid) pinning the same D.
+    "q_ks_test" ->
+      """WITH a AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS s
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_totalprice IS NOT NULL),
+        |nm AS (SELECT CAST(SUM(s) AS BIGINT) AS n_a,
+        |              CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_b FROM a),
+        |g AS (SELECT v, CAST(SUM(s) AS BIGINT) AS a1,
+        |             CAST(COUNT(*) - SUM(s) AS BIGINT) AS b1
+        |      FROM a GROUP BY 1),
+        |c AS (SELECT SUM(a1) OVER (ORDER BY v) AS i,
+        |             SUM(b1) OVER (ORDER BY v) AS j FROM g),
+        |dn AS (SELECT CAST(MAX(ABS(i*n_b - j*n_a)) AS BIGINT) AS d_num
+        |       FROM c, nm)
+        |SELECT n_a, n_b, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS d,
+        |  1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
+        |    AS crit,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) >
+        |    1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
+        |    AS drift
+        |FROM dn, nm""".stripMargin
   )
 }
