@@ -32,11 +32,23 @@ object Analytic3 extends QueryPack {
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(18, 4))).cast("double").as("sx"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 4))).cast("double").as("sy"),
-          sum((col("l_quantity") * col("l_extendedprice")).cast(d38)).cast("double").as("sxy"),
-          sum((col("l_quantity") * col("l_quantity")).cast(d38)).cast("double").as("sxx"),
-          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38)).cast("double").as("syy"))
+          // decimal → string → double: a decimal whose unscaled value
+          // exceeds 2^53 double-rounds under a direct engine cast (DuckDB
+          // converts the int128 then divides by 10^scale — 1 ulp off the
+          // correctly-rounded value Spark's BigDecimal path returns).
+          // Both engines' string parse IS correctly rounded, so routing
+          // the conversion through the exact decimal render is the one
+          // sequence that agrees at any magnitude.
+          sum(col("l_quantity").cast(DecimalType(18, 4)))
+            .cast("string").cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+            .cast("string").cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(d38))
+            .cast("string").cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(d38))
+            .cast("string").cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(d38))
+            .cast("string").cast("double").as("syy"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx"))
       sums.select(
@@ -356,6 +368,87 @@ object Analytic3 extends QueryPack {
                  div CAST(tot * 10000 AS DECIMAL(38,0)) AS BIGINT)""")
             .as("cum_share_micro"))
         .orderBy(col("l_returnflag"), col("decile"))
+    }),
+
+    // Pairwise correlation matrix over three lineitem measures from ONE
+    // aggregation pass: all sums, squares and cross-products accumulate
+    // as exact decimals in a single scan (the co-moment matrix — what a
+    // feature-stats pass computes before training), then the 1-row
+    // result explodes into the long-format (col_x, col_y, corr) triangle
+    // driver-side-free. Same closing double formula as q_corr_regr.
+    "q_corr_matrix" -> ((s, dir) => {
+      val d38 = DecimalType(38, 8)
+      // string-routed decimal → double: see q_corr_regr's scaladoc note
+      def d18(c: String) = sum(col(c).cast(DecimalType(18, 4)))
+        .cast("string").cast("double")
+      def dp(a: String, b: String) = sum((col(a) * col(b)).cast(d38))
+        .cast("string").cast("double")
+      val sums = t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        d18("l_quantity").as("s1"), d18("l_extendedprice").as("s2"),
+        d18("l_discount").as("s3"),
+        dp("l_quantity", "l_quantity").as("ss1"),
+        dp("l_extendedprice", "l_extendedprice").as("ss2"),
+        dp("l_discount", "l_discount").as("ss3"),
+        dp("l_quantity", "l_extendedprice").as("p12"),
+        dp("l_quantity", "l_discount").as("p13"),
+        dp("l_extendedprice", "l_discount").as("p23"))
+      def corrOf(sx: String, sy: String, sxx: String, syy: String,
+          pxy: String) =
+        (col("n") * col(pxy) - col(sx) * col(sy)) /
+          (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+            sqrt(col("n") * col(syy) - col(sy) * col(sy)))
+      sums.select(explode(array(
+          struct(lit("quantity").as("col_x"), lit("price").as("col_y"),
+            corrOf("s1", "s2", "ss1", "ss2", "p12").as("corr")),
+          struct(lit("quantity").as("col_x"), lit("discount").as("col_y"),
+            corrOf("s1", "s3", "ss1", "ss3", "p13").as("corr")),
+          struct(lit("price").as("col_x"), lit("discount").as("col_y"),
+            corrOf("s2", "s3", "ss2", "ss3", "p23").as("corr"))))
+          .as("r"))
+        .select(col("r.col_x").as("col_x"), col("r.col_y").as("col_y"),
+          col("r.corr").as("corr"))
+        .orderBy(col("col_x"), col("col_y"))
+    }),
+
+    // Kendall τ-b rank correlation — the concordance partner of
+    // q_spearman, exact on any corpus size: the data first reduces to
+    // the bounded (quantity × linenumber) contingency grid (≤ 50×7
+    // cells), then concordant/discordant pairs come from the grid's
+    // self-join — cell-count PRODUCTS, pure integers, never row pairs.
+    // The asymmetric join condition (b.x > a.x) counts each unordered
+    // pair exactly once. Only the closing τ quotient is IEEE (two exact
+    // sqrt inputs — the tie-corrected pair counts exceed 2⁶³ only as a
+    // product, so each factor converts to double first).
+    "q_kendall_tau" -> ((s, dir) => {
+      val g = t(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("x"),
+          col("l_linenumber").cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val n = g.agg(sum(col("c")).cast("long").as("n"))
+      val a = g.select(col("x").as("ax"), col("y").as("ay"),
+        col("c").as("ac"))
+      val bb = g.select(col("x").as("bx"), col("y").as("by"),
+        col("c").as("bc"))
+      val cd = a.join(bb, !(col("ax") === col("bx") &&
+          col("ay") === col("by")))
+        .agg(
+          sum(when(col("bx") > col("ax") && col("by") > col("ay"),
+            col("ac") * col("bc")).otherwise(0L)).cast("long").as("conc"),
+          sum(when(col("bx") > col("ax") && col("by") < col("ay"),
+            col("ac") * col("bc")).otherwise(0L)).cast("long").as("disc"))
+      val tx = g.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+        .agg(sum(expr("cx * (cx - 1) div 2")).cast("long").as("n1"))
+      val ty = g.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+        .agg(sum(expr("cy * (cy - 1) div 2")).cast("long").as("n2"))
+      cd.crossJoin(broadcast(n)).crossJoin(broadcast(tx))
+        .crossJoin(broadcast(ty))
+        .select(col("n"), col("conc"), col("disc"), col("n1"), col("n2"),
+          ((col("conc") - col("disc")).cast("double") /
+            (sqrt((expr("n * (n - 1) div 2") - col("n1")).cast("double")) *
+              sqrt((expr("n * (n - 1) div 2") - col("n2")).cast("double"))))
+            .as("tau_b"))
     })
   )
 
@@ -368,11 +461,11 @@ object Analytic3 extends QueryPack {
       """WITH s AS (
         |  SELECT l_returnflag,
         |    COUNT(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  round((sxy - sx*sy/n) / (n-1), 6) AS covar_samp,
@@ -562,6 +655,58 @@ object Analytic3 extends QueryPack {
         |SELECT g AS l_returnflag, CAST(decile AS BIGINT) AS decile,
         |  CAST((1000000 * CAST(cum * 10000 AS HUGEINT))
         |    // CAST(tot * 10000 AS HUGEINT) AS BIGINT) AS cum_share_micro
-        |FROM c ORDER BY 1, 2""".stripMargin
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "q_corr_matrix" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s1,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) AS s2,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s3,
+        |  CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,8)))
+        |    AS VARCHAR) AS DOUBLE) AS ss1,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*l_extendedprice
+        |    AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE) AS ss2,
+        |  CAST(CAST(SUM(CAST(l_discount*l_discount AS DECIMAL(38,8)))
+        |    AS VARCHAR) AS DOUBLE) AS ss3,
+        |  CAST(CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,8)))
+        |    AS VARCHAR) AS DOUBLE) AS p12,
+        |  CAST(CAST(SUM(CAST(l_quantity*l_discount AS DECIMAL(38,8)))
+        |    AS VARCHAR) AS DOUBLE) AS p13,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,8)))
+        |    AS VARCHAR) AS DOUBLE) AS p23
+        |  FROM lineitem)
+        |SELECT col_x, col_y,
+        |  (n*pxy - sx*sy) /
+        |    (SQRT(n*sxx - sx*sx) * SQRT(n*syy - sy*sy)) AS corr
+        |FROM (
+        |  SELECT 'quantity' AS col_x, 'price' AS col_y, n, s1 AS sx,
+        |    s2 AS sy, ss1 AS sxx, ss2 AS syy, p12 AS pxy FROM s
+        |  UNION ALL SELECT 'quantity', 'discount', n, s1, s3, ss1, ss3,
+        |    p13 FROM s
+        |  UNION ALL SELECT 'price', 'discount', n, s2, s3, ss2, ss3,
+        |    p23 FROM s)
+        |ORDER BY col_x, col_y""".stripMargin,
+
+    "q_kendall_tau" ->
+      """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(l_linenumber AS BIGINT) AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g),
+        |cd AS (SELECT
+        |    CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+        |      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+        |      THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc
+        |  FROM g a JOIN g b ON NOT (a.x = b.x AND a.y = b.y)),
+        |tx AS (SELECT CAST(SUM(cx * (cx - 1) // 2) AS BIGINT) AS n1
+        |       FROM (SELECT SUM(c) AS cx FROM g GROUP BY x)),
+        |ty AS (SELECT CAST(SUM(cy * (cy - 1) // 2) AS BIGINT) AS n2
+        |       FROM (SELECT SUM(c) AS cy FROM g GROUP BY y))
+        |SELECT n, conc, disc, n1, n2,
+        |  CAST(conc - disc AS DOUBLE) /
+        |    (SQRT(CAST(n*(n-1) // 2 - n1 AS DOUBLE)) *
+        |     SQRT(CAST(n*(n-1) // 2 - n2 AS DOUBLE))) AS tau_b
+        |FROM cd, n, tx, ty""".stripMargin
   )
 }

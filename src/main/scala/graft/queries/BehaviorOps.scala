@@ -438,6 +438,35 @@ object BehaviorOps extends QueryPack {
         .withColumn("slope",
           col("num").cast("double") / col("den").cast("double"))
         .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Rolling 7-day active users: DAU, WAU and the stickiness ratio —
+    // the product-health metric every event warehouse serves. The window
+    // distinct is EXACT and distributed: each distinct (user, day) pair
+    // fans out to the ≤7 windows it belongs to (a bounded ×7 expansion of
+    // the already-deduplicated pair set, not of raw events), then one
+    // count-distinct per window day — Spark's two-phase distinct
+    // aggregation, no per-window buffer, no sliding state.
+    "q_rolling_wau" -> ((s, dir) => {
+      val du = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("d"))
+        .distinct()
+      val b = du.agg(min(col("d")).as("mn"), max(col("d")).as("mx"))
+      val dau = du.groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("user_id"),
+          explode(sequence(col("d"), col("d") + 6)).as("day"))
+        .crossJoin(broadcast(b))
+        .filter(col("day") >= col("mn") + 6 && col("day") <= col("mx"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      wau.join(dau, Seq("day"), "left")
+        .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+          col("wau"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+        .orderBy(col("day"))
     })
   )
 
@@ -722,6 +751,27 @@ object BehaviorOps extends QueryPack {
          |  CAST(7*sxy - sx*sy AS DOUBLE) / CAST(7*sxx - sx*sx AS DOUBLE)
          |    AS slope
          |FROM w WHERE day >= mn + 6
-         |ORDER BY event_type, day""".stripMargin
+         |ORDER BY event_type, day""".stripMargin,
+
+    // Range-join formulation of the same exact window distinct.
+    "q_rolling_wau" ->
+      s"""WITH du AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS d
+         |            FROM events),
+         |b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM du),
+         |days AS (SELECT u.day FROM b,
+         |         LATERAL unnest(generate_series(b.mn + 6, b.mx))
+         |           AS u(day)),
+         |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+         |        FROM du GROUP BY 1),
+         |wau AS (SELECT w.day,
+         |    CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau
+         |  FROM days w JOIN du ON du.d BETWEEN w.day - 6 AND w.day
+         |  GROUP BY 1)
+         |SELECT CAST(w.day AS BIGINT) AS day,
+         |  COALESCE(dau.dau, 0) AS dau, w.wau,
+         |  CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
+         |    AS stickiness
+         |FROM wau w LEFT JOIN dau ON dau.day = w.day
+         |ORDER BY day""".stripMargin
   )
 }
