@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.TextFunctions
+
+/** Distributed Poisson bootstrap — a confidence interval for a corpus
+  * statistic WITHOUT resampling data movement: classical bootstrap draws
+  * n rows with replacement B times (unshareable state at 100 TB); the
+  * Poisson approximation gives each row an independent Poisson(1)
+  * multiplicity per replicate (Chamandy et al., "Estimating Uncertainty
+  * for Massive Data Streams", and the standard map-reduce bootstrap),
+  * so every replicate is just a weighted aggregation and all B of them
+  * run in ONE grouped pass over a bounded ×B fan-out.
+  *
+  * Weights are DETERMINISTIC in the data: the portable md5-derived
+  * [[graft.functions.TextFunctions.hash32]] of (key, replicate) maps
+  * through fixed integer Poisson(1) CDF thresholds (scaled to 2^32, the
+  * same literals in the DuckDB oracle), so re-runs, repartitions and
+  * engine swaps reproduce the exact replicate means bit-for-bit. The
+  * per-replicate mean routes its decimal sum through the string render
+  * (correctly-rounded double at any magnitude), and the CI bounds are
+  * order statistics of the B sorted means — a bounded collect, no
+  * partition-less window.
+  */
+object Bootstrap {
+
+  /** floor(CDF_Poisson(1)(k) · 2^32) for k = 0..6; hash ≥ last → weight 7
+    * (total tail probability 8.3e-5). */
+  private val Thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+    4213413783L, 4279248373L, 4292415291L, 4294609777L)
+
+  /** One-row result (n, b, mean_full, ci_lo, ci_hi): the full-data mean
+    * of `valueCol` plus the [loIdx, hiIdx] order-statistic bootstrap CI
+    * from `b` Poisson replicates keyed by `keyCol` (defaults: the 2.5%
+    * and 97.5% ranks of B = 200). */
+  def poissonMeanCi(df: DataFrame, keyCol: Column, valueCol: Column,
+      b: Int = 200, loIdx: Int = 5, hiIdx: Int = 196): DataFrame = {
+    require(b > 0 && loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
+      s"need 1 <= loIdx <= hiIdx <= b, got b=$b lo=$loIdx hi=$hiIdx")
+    val base = df
+      .select(keyCol.cast("string").as("__k"), valueCol.as("__v"))
+      .filter(col("__v").isNotNull)
+
+    val weight = Thresholds.zipWithIndex.foldRight(lit(7): Column) {
+      case ((t, i), rest) => when(col("__u") < t, lit(i)).otherwise(rest)
+    }
+    val means = base
+      .select(col("__k"), col("__v"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))
+      .withColumn("__u", TextFunctions.hash32(
+        concat(col("__k"), lit(":"), col("__b").cast("string"))))
+      .withColumn("__w", weight)
+      .filter(col("__w") > 0)
+      .groupBy(col("__b"))
+      .agg((sum((col("__w") * col("__v")).cast(DecimalType(18, 4)))
+        .cast("string").cast("double") /
+        sum(col("__w")).cast("double")).as("mean_b"))
+
+    val ci = means
+      .agg(sort_array(collect_list(col("mean_b"))).as("__ms"),
+        count(lit(1)).cast("long").as("b"))
+      .select(col("b"), element_at(col("__ms"), loIdx).as("ci_lo"),
+        element_at(col("__ms"), hiIdx).as("ci_hi"))
+
+    base.agg(count(lit(1)).as("n"),
+        (sum(col("__v").cast(DecimalType(18, 4)))
+          .cast("string").cast("double") /
+          count(lit(1)).cast("double")).as("mean_full"))
+      .crossJoin(broadcast(ci))
+      .select(col("n"), col("b"), col("mean_full"), col("ci_lo"),
+        col("ci_hi"))
+  }
+}

@@ -467,6 +467,46 @@ object BehaviorOps extends QueryPack {
         .withColumn("stickiness",
           col("dau").cast("double") / col("wau").cast("double"))
         .orderBy(col("day"))
+    }),
+
+    // Lag-1 / lag-7 autocorrelation of each type's zero-filled daily
+    // series — does yesterday (and the same weekday last week) predict
+    // today? Mean-centering is cleared of its rational mean by scaling
+    // through n: with e_t = n·x_t − S both ACF numerators and the
+    // denominator are PURE INTEGER sums of e-products (exact oracle);
+    // the two closing quotients are the only IEEE ops. The grid is the
+    // aggregation axis, so the lead windows run over ≤ a few thousand
+    // rows per type regardless of corpus size.
+    "q_autocorr" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      val b = c.groupBy(col("event_type"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val d = b.select(col("event_type"), col("mn"),
+          explode(sequence(col("mn"), col("mx"))).as("day"))
+        .join(c, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("x"), lit(0L)).as("x"))
+      val m = d.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val e = col("n") * col("x") - col("s")
+      val dv = d.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("day"), e.as("e"),
+          lead(e, 1).over(w).as("e1"), lead(e, 7).over(w).as("e7"))
+      dv.groupBy(col("event_type"))
+        .agg(sum(col("e") * col("e")).cast("long").as("den"),
+          sum(when(col("e1").isNotNull, col("e") * col("e1"))
+            .otherwise(0L)).cast("long").as("num1"),
+          sum(when(col("e7").isNotNull, col("e") * col("e7"))
+            .otherwise(0L)).cast("long").as("num7"))
+        .select(col("event_type"), col("den"), col("num1"), col("num7"),
+          (col("num1").cast("double") / col("den").cast("double"))
+            .as("acf1"),
+          (col("num7").cast("double") / col("den").cast("double"))
+            .as("acf7"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -772,6 +812,38 @@ object BehaviorOps extends QueryPack {
          |  CAST(COALESCE(dau.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
          |    AS stickiness
          |FROM wau w LEFT JOIN dau ON dau.day = w.day
-         |ORDER BY day""".stripMargin
+         |ORDER BY day""".stripMargin,
+
+    // HUGEINT products guard the e² sums far past 64-bit before the
+    // BIGINT render (the Spark side's longs hold to ~3e9 events/day).
+    "q_autocorr" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    COUNT(*) AS x FROM events GROUP BY 1, 2),
+         |b AS (SELECT event_type, MIN(day) AS mn, MAX(day) AS mx
+         |      FROM c GROUP BY 1),
+         |g AS (SELECT b.event_type, u.day FROM b,
+         |      LATERAL unnest(generate_series(b.mn, b.mx)) AS u(day)),
+         |d AS (SELECT g.event_type, g.day, COALESCE(c.x, 0) AS x
+         |      FROM g LEFT JOIN c
+         |        ON c.event_type = g.event_type AND c.day = g.day),
+         |m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         |             CAST(SUM(x) AS BIGINT) AS s FROM d GROUP BY 1),
+         |dv AS (SELECT d.event_type, d.day,
+         |    CAST(m.n * d.x - m.s AS HUGEINT) AS e,
+         |    CAST(LEAD(m.n * d.x - m.s, 1) OVER w AS HUGEINT) AS e1,
+         |    CAST(LEAD(m.n * d.x - m.s, 7) OVER w AS HUGEINT) AS e7
+         |  FROM d JOIN m USING (event_type)
+         |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day)),
+         |agg AS (SELECT event_type,
+         |    CAST(SUM(e*e) AS BIGINT) AS den,
+         |    CAST(SUM(CASE WHEN e1 IS NOT NULL THEN e*e1 ELSE 0 END)
+         |      AS BIGINT) AS num1,
+         |    CAST(SUM(CASE WHEN e7 IS NOT NULL THEN e*e7 ELSE 0 END)
+         |      AS BIGINT) AS num7
+         |  FROM dv GROUP BY 1)
+         |SELECT event_type, den, num1, num7,
+         |  CAST(num1 AS DOUBLE)/CAST(den AS DOUBLE) AS acf1,
+         |  CAST(num7 AS DOUBLE)/CAST(den AS DOUBLE) AS acf7
+         |FROM agg ORDER BY event_type""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Data-quality auditing (SURVEY §2.11 extensions): referential-integrity
@@ -139,7 +140,50 @@ object QualityOps extends QueryPack {
       graft.operators.KsTest.twoSample(o,
         col("o_orderpriority") === "1-URGENT", col("o_totalprice"),
         col("o_orderkey"))
-    })
+    }),
+
+    // Welch's unequal-variance t-test on the same two cohorts as
+    // q_ks_test — the parametric drift partner (KS asks "same
+    // distribution?", Welch asks "same mean?"). Co-moments are exact
+    // string-routed decimal sums; t and the Welch–Satterthwaite df are
+    // the closing IEEE ops written identically in both engines, and the
+    // 5% flag compares |t| against the z critical value.
+    "q_welch_ttest" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW") &&
+          col("o_totalprice").isNotNull)
+        .select(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)
+          .as("s"), col("o_totalprice").as("v"))
+      val st = a.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DecimalType(18, 4)))
+            .cast("string").cast("double").as("sv"),
+          sum((col("v") * col("v")).cast(DecimalType(38, 8)))
+            .cast("string").cast("double").as("ssv"))
+        .select(col("s"), col("n"), (col("sv") / col("n")).as("mean"),
+          ((col("ssv") - col("sv") * col("sv") / col("n")) /
+            (col("n") - 1)).as("var"))
+      val x = st.filter(col("s") === 1).select(col("n").as("n_a"),
+        col("mean").as("mean_a"), col("var").as("var_a"))
+      val y = st.filter(col("s") === 0).select(col("n").as("n_b"),
+        col("mean").as("mean_b"), col("var").as("var_b"))
+      val va = col("var_a") / col("n_a")
+      val vb = col("var_b") / col("n_b")
+      val tStat = (col("mean_a") - col("mean_b")) / sqrt(va + vb)
+      x.crossJoin(y).select(col("n_a"), col("n_b"), col("mean_a"),
+        col("mean_b"), tStat.as("t_stat"),
+        ((va + vb) * (va + vb) /
+          (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)))
+          .as("df"),
+        (abs(tStat) > 1.96).as("sig_05"))
+    }),
+
+    // Poisson-bootstrap 95% CI for the mean order total — B = 200
+    // deterministic weighted replicates in one grouped pass; see
+    // [[graft.operators.Bootstrap]].
+    "q_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.Bootstrap.poissonMeanCi(t(s, dir, "orders"),
+        col("o_orderkey"), col("o_totalprice")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -225,6 +269,59 @@ object QualityOps extends QueryPack {
         |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) >
         |    1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
         |    AS drift
-        |FROM dn, nm""".stripMargin
+        |FROM dn, nm""".stripMargin,
+
+    "q_welch_ttest" ->
+      """WITH a AS (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+        |             ELSE 0 END AS s, o_totalprice AS v
+        |           FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |             AND o_totalprice IS NOT NULL),
+        |m AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |      AS sv,
+        |    CAST(CAST(SUM(CAST(v*v AS DECIMAL(38,8))) AS VARCHAR)
+        |      AS DOUBLE) AS ssv
+        |  FROM a GROUP BY 1),
+        |st AS (SELECT s, n, sv/n AS mean, (ssv - sv*sv/n)/(n-1) AS var
+        |       FROM m)
+        |SELECT x.n AS n_a, y.n AS n_b, x.mean AS mean_a, y.mean AS mean_b,
+        |  (x.mean - y.mean) / SQRT(x.var/x.n + y.var/y.n) AS t_stat,
+        |  (x.var/x.n + y.var/y.n)*(x.var/x.n + y.var/y.n) /
+        |    ((x.var/x.n)*(x.var/x.n)/(x.n-1) +
+        |     (y.var/y.n)*(y.var/y.n)/(y.n-1)) AS df,
+        |  ABS((x.mean - y.mean) / SQRT(x.var/x.n + y.var/y.n)) > 1.96
+        |    AS sig_05
+        |FROM (SELECT * FROM st WHERE s = 1) x,
+        |     (SELECT * FROM st WHERE s = 0) y""".stripMargin,
+
+    // Same deterministic hash → Poisson(1) weight chain, value-grid
+    // free: the thresholds are the identical 2^32-scaled CDF literals.
+    "q_bootstrap_ci" ->
+      """WITH e AS (SELECT b.b,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
+        |      CAST(b.b AS VARCHAR)), 1, 8))::BIGINT AS u,
+        |    o_totalprice AS v
+        |  FROM orders, LATERAL unnest(generate_series(0, 199)) AS b(b)
+        |  WHERE o_totalprice IS NOT NULL),
+        |w AS (SELECT b,
+        |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+        |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+        |         WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+        |         WHEN u < 4294609777 THEN 6 ELSE 7 END AS wt, v
+        |  FROM e),
+        |mb AS (SELECT b,
+        |    CAST(CAST(SUM(CAST(wt * v AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) / CAST(SUM(wt) AS DOUBLE) AS mean_b
+        |  FROM w WHERE wt > 0 GROUP BY b),
+        |ci AS (SELECT list_sort(list(mean_b)) AS ms, COUNT(*) AS nb
+        |       FROM mb),
+        |fl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_full
+        |  FROM orders WHERE o_totalprice IS NOT NULL)
+        |SELECT fl.n, CAST(ci.nb AS BIGINT) AS b, fl.mean_full,
+        |  ci.ms[5] AS ci_lo, ci.ms[196] AS ci_hi
+        |FROM ci, fl""".stripMargin
   )
 }
