@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Multimodal, Similarity}
 import graft.sources.Tables
 
@@ -147,7 +148,35 @@ object SimOps extends QueryPack {
               lit(16) + pmod(length(col("data")), lit(640)),
               lit(16) + pmod(length(col("data")) * 7, lit(480)))))
         .toDF()
-        .orderBy(col("media_id")))
+        .orderBy(col("media_id"))),
+
+    // Distributed Gram matrix X'X over the embedding corpus — the
+    // covariance/PCA prep step. Each row expands to its d(d+1)/2 upper-
+    // triangle products NARROWLY (a generated array, no self-join on the
+    // corpus), and the only shuffle carries map-side-combined partials
+    // for the d(d+1)/2 = 2080 output cells — constant width at any row
+    // count. float×float is EXACT in double (48 ≤ 53 mantissa bits), and
+    // each product enters the sum as floor(p·10⁶) — floor has no rounding
+    // tie, where a double→decimal cast split engines 1-ulp at the 12th
+    // decimal on ~1 in 10⁷ values. Integer micro-unit sums carry the
+    // exact oracle; `gram` is the one closing IEEE division.
+    "q_embed_gram" -> ((s, dir) =>
+      emb(s, dir)
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1), i ->
+            |  transform(sequence(i, size(embedding) - 1), j ->
+            |    struct(i AS i, j AS j,
+            |      CAST(element_at(embedding, i + 1) AS DOUBLE) *
+            |      CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))
+            |""".stripMargin)).as("c"))
+        .select(col("c.i").cast("long").as("i"),
+          col("c.j").cast("long").as("j"),
+          floor(col("c.p") * 1000000).as("pm"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("pm")).cast("long").as("gram_micro"))
+        .withColumn("gram",
+          col("gram_micro").cast("double") / 1000000.0)
+        .orderBy(col("i"), col("j")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -282,6 +311,17 @@ object SimOps extends QueryPack {
         |  1 + octet_length(encode(text)) % 240 AS n_frames,
         |  (1 + octet_length(encode(text)) % 240) * 40 AS duration_ms
         |FROM documents WHERE doc_id % 3 = 2
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    "q_embed_gram" ->
+      """WITH x AS (SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS v
+        |           FROM embeddings, LATERAL
+        |           unnest(generate_series(1, len(embedding))) AS u(i)),
+        |p AS (SELECT a.i - 1 AS i, b.i - 1 AS j,
+        |        CAST(FLOOR(a.v * b.v * 1000000) AS BIGINT) AS pm
+        |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
+        |SELECT i, j, CAST(SUM(pm) AS BIGINT) AS gram_micro,
+        |  CAST(SUM(pm) AS DOUBLE) / 1000000.0 AS gram
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

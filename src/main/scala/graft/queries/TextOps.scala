@@ -345,6 +345,28 @@ object TextOps extends QueryPack {
       docs(s, dir).createOrReplaceTempView("nh_docs")
       s.sql("""SELECT doc_id, graft_hash32(text) AS h32
               |FROM nh_docs ORDER BY doc_id""".stripMargin)
+    }),
+
+    // Per-source language diversity via the Gini–Simpson index — the
+    // log-free diversity statistic (Shannon entropy would hinge on ln,
+    // which is not cross-engine bit-stable): collision probability
+    // λ = Σnᵢ(nᵢ−1) / N(N−1) is a PURE INTEGER rational, diversity is
+    // 1 − λ. Flags near-monolingual sources in a corpus-composition
+    // audit with exact integer evidence alongside the IEEE ratio.
+    "q_diversity" -> ((s, dir) => {
+      val c = docs(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+      c.groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("tot"),
+          sum(col("n") * (col("n") - 1)).cast("long").as("num"))
+        .select(col("source"), col("tot"), col("num"),
+          (col("num").cast("double") /
+            (col("tot") * (col("tot") - 1)).cast("double")).as("simpson"),
+          (lit(1.0) - col("num").cast("double") /
+            (col("tot") * (col("tot") - 1)).cast("double"))
+            .as("diversity"))
+        .orderBy(col("source"))
     })
   )
 
@@ -633,6 +655,17 @@ object TextOps extends QueryPack {
          |  (1000 * i) // (la + lb - i) AS jac_milli
          |FROM c WHERE 1000 * i >= 500 * (la + lb - i)
          |ORDER BY id_a, id_b""".stripMargin
-    }
+    },
+
+    "q_diversity" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+        |             CAST(SUM(n*(n-1)) AS BIGINT) AS num FROM c GROUP BY 1)
+        |SELECT source, tot, num,
+        |  CAST(num AS DOUBLE) / CAST(tot*(tot-1) AS DOUBLE) AS simpson,
+        |  1.0 - CAST(num AS DOUBLE) / CAST(tot*(tot-1) AS DOUBLE)
+        |    AS diversity
+        |FROM s ORDER BY source""".stripMargin
   )
 }
