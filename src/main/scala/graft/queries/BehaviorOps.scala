@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
 
 /** Behavioral analytics over the event log (SURVEY §2.11 / §2.4
@@ -507,6 +508,64 @@ object BehaviorOps extends QueryPack {
           (col("num7").cast("double") / col("den").cast("double"))
             .as("acf7"))
         .orderBy(col("event_type"))
+    }),
+
+    // Cohort lifetime value: q_cohort_retention's revenue companion —
+    // per (cohort, age) revenue and its running total, the curve an LTV
+    // model fits. Revenue sums and the cumulative window both stay in
+    // exact decimals (order-independent at any partitioning), string-
+    // routed to doubles only at the output boundary; the window is
+    // partitioned by cohort over the bounded age axis.
+    "q_cohort_ltv" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"),
+          col("value"))
+      val f = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_d"))
+      val mnv = f.agg(min(col("cohort_d")).as("m"))
+      val r = e.join(f, Seq("user_id")).crossJoin(broadcast(mnv))
+        .select((col("cohort_d") - col("m")).as("cohort_day"),
+          (col("day") - col("cohort_d")).as("day_offset"),
+          col("value"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(sum(col("value").cast(DecimalType(18, 4))).as("rev"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      r.select(col("cohort_day"), col("day_offset"),
+          col("rev").cast("string").cast("double").as("revenue"),
+          sum(col("rev")).over(w).cast("string").cast("double")
+            .as("cum_revenue"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // RFM segmentation: recency/frequency/monetary quintiles per user,
+    // segment census out. Each quintile comes from the DISTRIBUTED
+    // tie-broken rank frame (no partition-less window over users —
+    // the oracle's global row_number is the semantic spec, not the
+    // plan), with user_id the deterministic tie so both engines assign
+    // tied metric values identically. Quintile = ((rank−1)·5) div n + 1
+    // in pure integers.
+    "q_rfm" -> ((s, dir) => {
+      val d = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"),
+          col("value"))
+      val mx = d.agg(max(col("day")).as("mxd"))
+      val u = d.crossJoin(broadcast(mx))
+        .groupBy(col("user_id"))
+        .agg((first(col("mxd")) - max(col("day"))).as("recency"),
+          count(lit(1)).as("frequency"),
+          sum(col("value").cast(DecimalType(18, 4))).as("monetary"))
+        .localCheckpoint()
+      def quintile(metric: Column, name: String) =
+        graft.operators.Percentiles
+          .globalRanksTieBroken(u, lit(0), metric, col("user_id"))
+          .select(col("tie").as("user_id"),
+            expr("((rank - 1) * 5) div n + 1").as(name))
+      quintile(col("recency"), "r_q")
+        .join(quintile(col("frequency"), "f_q"), Seq("user_id"))
+        .join(quintile(col("monetary"), "m_q"), Seq("user_id"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
     })
   )
 
@@ -844,6 +903,49 @@ object BehaviorOps extends QueryPack {
          |SELECT event_type, den, num1, num7,
          |  CAST(num1 AS DOUBLE)/CAST(den AS DOUBLE) AS acf1,
          |  CAST(num7 AS DOUBLE)/CAST(den AS DOUBLE) AS acf7
-         |FROM agg ORDER BY event_type""".stripMargin
+         |FROM agg ORDER BY event_type""".stripMargin,
+
+    "q_cohort_ltv" ->
+      s"""WITH f AS (SELECT user_id,
+         |             MIN(epoch_us(ts)) // $DayUs AS cohort_d
+         |           FROM events GROUP BY 1),
+         |mn AS (SELECT MIN(cohort_d) AS m FROM f),
+         |r AS (SELECT CAST(f.cohort_d - (SELECT m FROM mn) AS BIGINT)
+         |        AS cohort_day,
+         |      CAST((epoch_us(e.ts) // $DayUs) - f.cohort_d AS BIGINT)
+         |        AS day_offset,
+         |      SUM(CAST(e.value AS DECIMAL(18,4))) AS rev
+         |      FROM events e JOIN f USING (user_id) GROUP BY 1, 2)
+         |SELECT cohort_day, day_offset,
+         |  CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+         |  CAST(CAST(SUM(rev) OVER (PARTITION BY cohort_day
+         |    ORDER BY day_offset ROWS UNBOUNDED PRECEDING) AS VARCHAR)
+         |    AS DOUBLE) AS cum_revenue
+         |FROM r ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_rfm" ->
+      s"""WITH d AS (SELECT user_id, epoch_us(ts) // $DayUs AS day, value
+         |           FROM events),
+         |mx AS (SELECT MAX(day) AS mxd FROM d),
+         |u AS (SELECT user_id,
+         |        CAST((SELECT mxd FROM mx) - MAX(day) AS BIGINT)
+         |          AS recency,
+         |        CAST(COUNT(*) AS BIGINT) AS frequency,
+         |        SUM(CAST(value AS DECIMAL(18,4))) AS monetary
+         |      FROM d GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+         |rr AS (SELECT user_id,
+         |    ((row_number() OVER (ORDER BY recency, user_id) - 1) * 5)
+         |      // (SELECT n FROM n) + 1 AS r_q FROM u),
+         |fr AS (SELECT user_id,
+         |    ((row_number() OVER (ORDER BY frequency, user_id) - 1) * 5)
+         |      // (SELECT n FROM n) + 1 AS f_q FROM u),
+         |mr AS (SELECT user_id,
+         |    ((row_number() OVER (ORDER BY monetary, user_id) - 1) * 5)
+         |      // (SELECT n FROM n) + 1 AS m_q FROM u)
+         |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+         |  CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM rr JOIN fr USING (user_id) JOIN mr USING (user_id)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }
