@@ -46,7 +46,13 @@ object Bootstrap {
     val weight = Thresholds.zipWithIndex.foldRight(lit(7): Column) {
       case ((t, i), rest) => when(col("__u") < t, lit(i)).otherwise(rest)
     }
+    // Spread BEFORE the ×B fan-out: the hash/weight work is B× the scan,
+    // so its parallelism must come from a repartition of the narrow base,
+    // not from the scan's split count (a few-MB input is one split — the
+    // whole 12M-row expansion would run in a single task).
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val means = base
+      .repartition(parts)
       .select(col("__k"), col("__v"),
         explode(sequence(lit(0), lit(b - 1))).as("__b"))
       .withColumn("__u", TextFunctions.hash32(
