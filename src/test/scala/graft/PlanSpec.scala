@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"full sort for a top-10:\n$p")
   }
 
+  test("TPC-H suite: top-k via TakeOrderedAndProject, no cartesian, pushdown") {
+    for (q <- Seq("q_tpch_q3", "q_tpch_q10", "q_tpch_q18")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: limit after sort did not plan as a per-partition heap:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+    // the date windows must reach the scans as pushed filters
+    assert(plan("q_tpch_q3").contains("PushedFilters"), "q3: nothing pushed")
+    assert(plan("q_tpch_q10").contains("IsNotNull(l_returnflag)") ||
+      plan("q_tpch_q10").contains("EqualTo(l_returnflag,R)"),
+      "q10: return-flag predicate not pushed to the lineitem scan")
+  }
+
   test("q_join_semi/anti plan semi/anti joins, not join+filter") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
