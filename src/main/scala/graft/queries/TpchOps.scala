@@ -104,6 +104,47 @@ object TpchOps extends QueryPack {
           col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // Q6 shape: forecast-revenue-change — the pure scan-and-aggregate
+    // query. Everything (year window, discount band, quantity cap)
+    // pushes to the parquet scan; the plan is one filtered scan feeding
+    // one partial+final aggregate, no shuffle of row data at all.
+    "q_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+            .cast(DecimalType(18, 4)))
+            .cast("string").cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // Q14 shape: promotion-revenue share for one month — conditional
+    // aggregation over a fact⋈dim join with the month window pushed to
+    // the fact scan and the part dim broadcast. The share itself is an
+    // exact integer micro-ratio (decimal scale-4 values ×10⁴ are
+    // integral, so the DECIMAL(38,0) floor division is unambiguous).
+    "q_tpch_q14" -> ((s, dir) => {
+      val j = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 4)).as("rev"))
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+      j.agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(lit(0).cast(DecimalType(18, 4)))).as("promo"),
+          sum(col("rev")).as("total"))
+        .select(col("promo").cast("string").cast("double")
+            .as("promo_revenue"),
+          col("total").cast("string").cast("double").as("total_revenue"),
+          expr("""CAST((1000000 * CAST(promo * 10000 AS DECIMAL(38,0)))
+                 div CAST(total * 10000 AS DECIMAL(38,0)) AS BIGINT)""")
+            .as("promo_share_micro"))
     }))
 
   private val sqlRevenue =
@@ -144,5 +185,34 @@ object TpchOps extends QueryPack {
         |  sum_qty
         |FROM big JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q14" ->
+      """WITH j AS (SELECT p_type,
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |      AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+        |s AS (SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO' THEN rev
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS promo,
+        |    SUM(rev) AS total FROM j)
+        |SELECT CAST(CAST(promo AS VARCHAR) AS DOUBLE) AS promo_revenue,
+        |  CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total_revenue,
+        |  CAST((1000000 * CAST(promo * 10000 AS HUGEINT))
+        |    // CAST(total * 10000 AS HUGEINT) AS BIGINT)
+        |    AS promo_share_micro
+        |FROM s""".stripMargin)
 }
