@@ -449,7 +449,16 @@ object Analytic3 extends QueryPack {
             (sqrt((expr("n * (n - 1) div 2") - col("n1")).cast("double")) *
               sqrt((expr("n * (n - 1) div 2") - col("n2")).cast("double"))))
             .as("tau_b"))
-    })
+    }),
+
+    // Price/quantity Pareto frontier over lineitems — the 2D skyline via
+    // the bucketed strict-prefix-max operator (operators/Skyline): no
+    // all-pairs anti-join, no partition-less window. The oracle's global
+    // window is the semantic spec; the operator's bucketed plan is the
+    // scale shape.
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.pareto2d(t(s, dir, "lineitem"),
+        col("l_extendedprice"), col("l_quantity")))
   )
 
   override def oracle: Map[String, String] = Map(
@@ -707,6 +716,15 @@ object Analytic3 extends QueryPack {
         |  CAST(conc - disc AS DOUBLE) /
         |    (SQRT(CAST(n*(n-1) // 2 - n1 AS DOUBLE)) *
         |     SQRT(CAST(n*(n-1) // 2 - n2 AS DOUBLE))) AS tau_b
-        |FROM cd, n, tx, ty""".stripMargin
+        |FROM cd, n, tx, ty""".stripMargin,
+
+    "q_skyline" ->
+      """WITH g AS (SELECT l_extendedprice AS x, MAX(l_quantity) AS gy
+        |           FROM lineitem GROUP BY 1),
+        |f AS (SELECT x, gy, MAX(gy) OVER (ORDER BY x
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |      FROM g)
+        |SELECT x, gy AS y FROM f WHERE pm IS NULL OR gy > pm
+        |ORDER BY x""".stripMargin
   )
 }
