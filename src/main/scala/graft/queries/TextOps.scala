@@ -367,7 +367,21 @@ object TextOps extends QueryPack {
             (col("tot") * (col("tot") - 1)).cast("double"))
             .as("diversity"))
         .orderBy(col("source"))
-    })
+    }),
+
+    // Token-weighted length percentiles per language — "the document a
+    // TOKEN experiences", the right length profile when the consumer is
+    // a training loader (long docs dominate the token stream; the
+    // unweighted median underestimates what the model sees). Exact
+    // integer thresholds on the weighted rank frame — see
+    // [[graft.operators.WeightedPercentiles]].
+    "q_weighted_median" -> ((s, dir) =>
+      graft.operators.WeightedPercentiles.exactDisc(
+          docs(s, dir).filter(col("n_chars").isNotNull),
+          col("lang"), col("n_chars"), tokenCount(col("text")),
+          Seq((1, 2), (9, 10)), Seq("w_p50", "w_p90"))
+        .select(col("group").as("lang"), col("w_p50"), col("w_p90"))
+        .orderBy(col("lang")))
   )
 
   private def sqlToks(expr: String) = sqlTokens(expr)
@@ -666,6 +680,23 @@ object TextOps extends QueryPack {
         |  CAST(num AS DOUBLE) / CAST(tot*(tot-1) AS DOUBLE) AS simpson,
         |  1.0 - CAST(num AS DOUBLE) / CAST(tot*(tot-1) AS DOUBLE)
         |    AS diversity
-        |FROM s ORDER BY source""".stripMargin
+        |FROM s ORDER BY source""".stripMargin,
+
+    // Weighted cum over the value order (RANGE frame: ties share their
+    // block-end cum), ceil thresholds in integer arithmetic.
+    "q_weighted_median" ->
+      s"""WITH d AS (SELECT lang, n_chars AS v,
+         |    CAST(len(${sqlToks("text")}) AS BIGINT) AS w
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |d2 AS (SELECT * FROM d WHERE w > 0),
+         |t AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS tw FROM d2
+         |      GROUP BY 1),
+         |c AS (SELECT lang, v, SUM(w) OVER (PARTITION BY lang ORDER BY v
+         |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+         |      FROM d2)
+         |SELECT t.lang,
+         |  MIN(v) FILTER (WHERE cw >= (tw * 1 + 1) // 2) AS w_p50,
+         |  MIN(v) FILTER (WHERE cw >= (tw * 9 + 9) // 10) AS w_p90
+         |FROM c JOIN t USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
