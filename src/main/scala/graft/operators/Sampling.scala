@@ -89,4 +89,30 @@ object Sampling {
       .filter(shiftrightunsigned(hash32(keyCol.cast("string")), 12) < col("__rate20"))
       .drop("__stratum", "__rate20")
   }
+
+  /** πps (probability-proportional-to-size) Poisson sampling targeting
+    * ~`targetRows` kept rows: each row keeps with probability
+    * min(1, w·T/Σw) — importance sampling by token count is the
+    * training-mix use. Same determinism contract as every gate here:
+    * the keep rate is DEFINED in integer arithmetic (20-bit rate,
+    * DECIMAL(38,0) products so corpus-scale w·T cannot overflow) and
+    * the membership test is the portable hash — re-runs, repartitions
+    * and engine swaps reproduce the exact member set. One weight-sum
+    * pass (a broadcast scalar), then one gated narrow scan. */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+      targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
+    val base = df.withColumn("__pw", weightCol.cast("long"))
+    val sw = base.agg(sum(col("__pw")).as("__sw"))
+    base.crossJoin(broadcast(sw))
+      .withColumn("__rate20",
+        expr(s"""least(CAST(${1L << 20} AS BIGINT),
+                |  CAST((${dec((1L << 20).toString)} * ${dec("__pw")}
+                |    * ${dec(targetRows.toString)})
+                |    DIV ${dec("__sw")} AS BIGINT))""".stripMargin))
+      .filter(shiftrightunsigned(hash32(keyCol.cast("string")), 12) <
+        col("__rate20"))
+      .drop("__pw", "__sw", "__rate20")
+  }
 }

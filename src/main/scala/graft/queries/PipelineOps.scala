@@ -254,6 +254,17 @@ object PipelineOps extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("lang"))),
 
+    // πps importance sampling: keep probability ∝ token count (long docs
+    // are the token stream; uniform row sampling under-represents them).
+    // Same integer rate chain + portable hash gate as the temperature
+    // mix, but the rate is PER ROW — see Sampling.weightedSample.
+    "q_sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), col("doc_id"),
+          tokenCount(col("text")), targetRows = 200L)
+        .select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).cast("long").as("w"))
+        .orderBy(col("doc_id"))),
+
     // Corpus profiling: the one-pass ingest summary (row count, per-column
     // null counts, distinct cardinalities, ranges, text-length moments) a
     // pipeline runs before anything else. ONE aggregate — Spark plans the
@@ -806,6 +817,21 @@ object PipelineOps extends QueryPack {
          |FROM documents d JOIN r ON d.lang = r.lang
          |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_sample_weighted" -> {
+      val w = s"CAST(len(${sqlTokens("text")}) AS BIGINT)"
+      s"""WITH d AS (SELECT doc_id, lang, $w AS w FROM documents),
+         |sw AS (SELECT CAST(SUM(w) AS HUGEINT) AS sw FROM d),
+         |g AS (SELECT doc_id, lang, w,
+         |    LEAST(CAST(${1L << 20} AS BIGINT),
+         |      CAST((CAST(${1L << 20} AS HUGEINT) * CAST(w AS HUGEINT)
+         |        * CAST(200 AS HUGEINT)) // (SELECT sw FROM sw)
+         |        AS BIGINT)) AS rate20
+         |  FROM d)
+         |SELECT doc_id, lang, w FROM g
+         |WHERE (${sqlHash32("CAST(doc_id AS VARCHAR)")} >> 12) < rate20
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_shuffle_order" -> {
       val h = sqlHash32("'epoch7:' || CAST(doc_id AS VARCHAR)")

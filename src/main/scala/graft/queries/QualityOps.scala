@@ -184,6 +184,34 @@ object QualityOps extends QueryPack {
     "q_bootstrap_ci" -> ((s, dir) =>
       graft.operators.Bootstrap.poissonMeanCi(t(s, dir, "orders"),
         col("o_orderkey"), col("o_totalprice")))
+,
+    // Per-stratum classifier evaluation: the confusion matrix and its
+    // precision/recall/F1 in exact integer micro-units — the model-eval
+    // report a quality-filter pipeline gates releases on. Truth and
+    // prediction here are deterministic derivations (length rule vs
+    // token-count rule), so both engines pin identical counts; NULLIF
+    // guards empty classes the way the SQL does.
+    "q_eval_confusion" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") >= 400).as("truth"),
+          (graft.functions.TextFunctions.tokenCount(col("text")) >= 80)
+            .as("pred"))
+      d.groupBy(col("lang"))
+        .agg(
+          sum(when(col("truth") && col("pred"), 1L).otherwise(0L))
+            .cast("long").as("tp"),
+          sum(when(!col("truth") && col("pred"), 1L).otherwise(0L))
+            .cast("long").as("fp"),
+          sum(when(col("truth") && !col("pred"), 1L).otherwise(0L))
+            .cast("long").as("fn"),
+          sum(when(!col("truth") && !col("pred"), 1L).otherwise(0L))
+            .cast("long").as("tn"))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("(1000000 * tp) div nullif(tp + fp, 0)").as("precision_micro"),
+          expr("(1000000 * tp) div nullif(tp + fn, 0)").as("recall_micro"),
+          expr("(2000000 * tp) div nullif(2*tp + fp + fn, 0)").as("f1_micro"))
+        .orderBy(col("lang"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -322,6 +350,27 @@ object QualityOps extends QueryPack {
         |  FROM orders WHERE o_totalprice IS NOT NULL)
         |SELECT fl.n, CAST(ci.nb AS BIGINT) AS b, fl.mean_full,
         |  ci.ms[5] AS ci_lo, ci.ms[196] AS ci_hi
-        |FROM ci, fl""".stripMargin
+        |FROM ci, fl""".stripMargin,
+
+    "q_eval_confusion" -> {
+      val toks = graft.functions.TextFunctions.sqlTokens("text")
+      s"""WITH d AS (SELECT lang, n_chars >= 400 AS truth,
+         |    len($toks) >= 80 AS pred FROM documents),
+         |c AS (SELECT lang,
+         |    CAST(SUM(CASE WHEN truth AND pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tn
+         |  FROM d GROUP BY 1)
+         |SELECT lang, tp, fp, fn, tn,
+         |  (1000000 * tp) // NULLIF(tp + fp, 0) AS precision_micro,
+         |  (1000000 * tp) // NULLIF(tp + fn, 0) AS recall_micro,
+         |  (2000000 * tp) // NULLIF(2*tp + fp + fn, 0) AS f1_micro
+         |FROM c ORDER BY lang""".stripMargin
+    }
   )
 }
