@@ -171,4 +171,30 @@ class StreamingSpec extends SparkSpec {
         EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
         "spec_feb_check").count())
   }
+
+  test("statistical drift screen composes with foreachBatch (KS per batch)") {
+    // the monitoring shape: each micro-batch of the event stream is
+    // KS-tested against the full historical distribution — the batch
+    // operator runs unchanged inside the streaming sink
+    import org.apache.spark.sql.functions._
+    val reference = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("value"), lit(0).as("side"))
+    var screened = 0L
+    EventStreams.runForeachBatch(
+      EventStreams.readEvents(spark, sf).select(col("event_id"),
+        col("value")), mode = "append") { (df, _) =>
+      if (!df.isEmpty) {
+        val tagged = df.select(col("event_id"), col("value"),
+            lit(1).as("side"))
+          .unionByName(reference)
+        val r = graft.operators.KsTest.twoSample(tagged,
+          col("side") === 1, col("value"), col("event_id")).head()
+        // a batch drawn FROM the reference cannot drift from it
+        assert(!r.getAs[Boolean]("drift"),
+          s"false drift alarm on an in-distribution batch: $r")
+        screened += r.getAs[Long]("n_a")
+      }
+    }
+    assert(screened > 0, "no batches were screened")
+  }
 }
