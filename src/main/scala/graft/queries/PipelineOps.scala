@@ -452,28 +452,24 @@ object PipelineOps extends QueryPack {
         .orderBy(col("source"), col("epoch"))),
 
     // Linear quality-model apply (fasttext-style): score = Σ tf(token) ·
-    // w(token) against a broadcast (token, weight) dimension — the
-    // model-apply step after training a quality classifier. The weight
-    // table is a KB-scale model artifact: the vocab collects EAGERLY at
-    // build (the "load the model" step, same move as the tokenize-ids
-    // vocab and the IVF quantizer), so the returned APPLY plan scans the
-    // corpus exactly once — leaving the dim lazy made Catalyst re-derive
-    // it with a second full text scan, the Percentiles-r3 mistake.
-    // Weights are md5-derived integer milli-units so both engines replay
-    // the exact sum (float dot products are not cross-engine-stable at
-    // gate thresholds); keep = score ≥ 0 is the filter decision a
-    // pipeline would act on.
+    // w(token). This toy model's weight is a PURE FUNCTION of the token
+    // (a hash-derived integer milli-unit), so it is computed inline as a
+    // column expression — no weight dim, no vocab collect, one corpus
+    // scan. A real classifier whose weights arrive as a trained artifact
+    // would instead broadcast a BOUNDED top-k vocab dim (the
+    // q_tokenize_ids TakeOrderedAndProject pattern) with OOV weight 0 —
+    // never a collect of the corpus's distinct-token set, which at
+    // 100 TB is hundreds of millions of strings. Integer weights keep
+    // the dot product exactly replayable cross-engine (float dot
+    // products are not bit-stable at gate thresholds); keep = score ≥ 0
+    // is the filter decision a pipeline would act on.
     "q_quality_model" -> ((s, dir) => {
-      import s.implicits._
-      val tf = docs(s, dir)
+      docs(s, dir)
         .select(col("doc_id"),
           explode(tokens(normalizeText(col("text")))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val weights = tf.select(col("token")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq.toDF("token")
         .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
-      tf.join(broadcast(weights), Seq("token"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           sum(col("tf") * col("w")).as("score_milli"))
@@ -530,17 +526,14 @@ object PipelineOps extends QueryPack {
     // oracled above; this pins the composition, like q_pipeline_full does
     // for the sampling/decontamination/LSH/packing chain.
     "q_pipeline_curate" -> ((s, dir) => {
-      import s.implicits._
       val d = docs(s, dir)
-      val tf = d.select(col("doc_id"),
+      // inline hash-derived weight — pure function of the token, no
+      // vocab dim, no collect; see q_quality_model
+      val scored = d.select(col("doc_id"),
           explode(tokens(normalizeText(col("text")))).as("token"))
         .groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      // eager KB-scale weight artifact — see q_quality_model
-      val weights = tf.select(col("token")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq.toDF("token")
         .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
-      val scored = tf.join(broadcast(weights), Seq("token"))
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           sum(col("tf") * col("w")).as("score"))
