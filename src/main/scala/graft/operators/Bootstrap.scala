@@ -64,11 +64,26 @@ object Bootstrap {
         .cast("string").cast("double") /
         sum(col("__w")).cast("double")).as("mean_b"))
 
+    // A replicate whose rows all draw weight 0 vanishes at the groupBy
+    // (possible at tiny n; P ≈ 0.37^n per replicate), so the collected
+    // means array can hold FEWER than b entries — indexing it at the
+    // nominal ranks would misalign the quantiles or run off the end
+    // (NULL, or an error under ANSI). The order-statistic ranks are
+    // therefore rescaled to the OBSERVED replicate count in pure integer
+    // arithmetic — identical to loIdx/hiIdx whenever all b survive —
+    // and an empty input yields an explicit NULL CI instead of a bogus
+    // element_at.
     val ci = means
       .agg(sort_array(collect_list(col("mean_b"))).as("__ms"),
         count(lit(1)).cast("long").as("b"))
-      .select(col("b"), element_at(col("__ms"), loIdx).as("ci_lo"),
-        element_at(col("__ms"), hiIdx).as("ci_hi"))
+      .select(col("b"),
+        when(col("b") > 0, element_at(col("__ms"),
+          greatest(lit(1L), (lit(loIdx.toLong) * col("b") / lit(b.toLong))
+            .cast("long")).cast("int"))).as("ci_lo"),
+        when(col("b") > 0, element_at(col("__ms"),
+          least(col("b"), ((lit(hiIdx.toLong) * col("b") + lit(b.toLong)
+            - lit(1L)) / lit(b.toLong)).cast("long")).cast("int")))
+          .as("ci_hi"))
 
     base.agg(count(lit(1)).as("n"),
         (sum(col("__v").cast(DecimalType(18, 4)))

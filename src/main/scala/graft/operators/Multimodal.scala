@@ -33,7 +33,7 @@ object Multimodal {
 
   case class MediaMeta(
       media_id: Long, kind: String, n_bytes: Long, checksum: String,
-      width: Int, height: Int, n_frames: Int)
+      width: Int, height: Int, n_frames: Long)
 
   case class MediaRow(media_id: Long, kind: String, data: Array[Byte],
       source: String)
@@ -128,36 +128,47 @@ object Multimodal {
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, Ascii)
 
-    /** (width, height, n_frames, duration_ms), or None if not AVI. */
-    def decodeInfo(data: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    /** (width, height, n_frames, duration_ms), or None if not AVI.
+      * Size fields are 32-bit UNSIGNED and attacker-controlled in a
+      * scraped corpus: every chunk size is validated (non-negative after
+      * widening, chunk stays inside its parent) and every offset
+      * increment is strictly positive, so a crafted size like 0xFFFFFFF8
+      * can neither loop the walk forever nor step backwards; anything
+      * malformed — including an out-of-range access a hostile header
+      * still manages to provoke — returns None via the outer catch,
+      * matching [[AudioCodec]]. */
+    def decodeInfo(data: Array[Byte]): Option[(Int, Int, Long, Long)] = try {
       if (data.length < 12 || fourcc(data, 0) != "RIFF" ||
           fourcc(data, 8) != "AVI ") return None
-      var off = 12 // walk top-level RIFF chunks for LIST/hdrl
+      var off = 12L // walk top-level RIFF chunks for LIST/hdrl
       while (off + 12 <= data.length) {
-        val id = fourcc(data, off)
-        val size = le32(data, off + 4)
-        if (id == "LIST" && fourcc(data, off + 8) == "hdrl") {
+        val id = fourcc(data, off.toInt)
+        val size = le32(data, off.toInt + 4)
+        if (id == "LIST" && fourcc(data, off.toInt + 8) == "hdrl") {
           var o = off + 12 // walk the list's children for avih
           val end = math.min(off + 8 + size, data.length.toLong)
           while (o + 8 <= end) {
-            val csz = le32(data, o + 4)
-            if (fourcc(data, o) == "avih" && o + 8 + 40 <= data.length) {
-              val usPerFrame = le32(data, o + 8)
-              val frames = le32(data, o + 8 + 16)
-              val w = le32(data, o + 8 + 32)
-              val h = le32(data, o + 8 + 36)
-              return if (w <= 0 || h <= 0) None
+            val csz = le32(data, o.toInt + 4)
+            if (o + 8 + csz > end) return None // child escapes its parent
+            if (fourcc(data, o.toInt) == "avih" && csz >= 40) {
+              val usPerFrame = math.min(le32(data, o.toInt + 8), 1000000000L)
+              val frames = le32(data, o.toInt + 8 + 16)
+              val w = le32(data, o.toInt + 8 + 32)
+              val h = le32(data, o.toInt + 8 + 36)
+              // frames < 2^32 and usPerFrame capped at 1e9 keep the
+              // duration product under Long.MaxValue
+              return if (w <= 0 || h <= 0 || w > 65536 || h > 65536) None
               else Some((w.toInt, h.toInt, frames,
                 frames * usPerFrame / 1000L))
             }
-            o += 8 + csz.toInt + (csz.toInt & 1) // chunks pad to even
+            o += 8 + csz + (csz & 1) // chunks pad to even; always > o
           }
           return None
         }
-        off += 8 + size.toInt + (size.toInt & 1)
+        off += 8 + size + (size & 1) // size >= 0 ⇒ strictly increasing
       }
       None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Build a media table from the documents corpus: text bytes stand in for
@@ -202,8 +213,10 @@ object Multimodal {
             .orElse(
               if (r.kind == "image") ImageCodec.decodeDims(r.data) else None)
             .getOrElse(FakeCodec.decodeDims(r.data))
-          val nFrames = video.map(_._3.toInt)
-            .getOrElse(FakeCodec.frameCount(r.kind, r.data))
+          // avih frame counts are 32-bit unsigned — kept as Long
+          // end-to-end so values above Int.MaxValue never wrap negative
+          val nFrames = video.map(_._3)
+            .getOrElse(FakeCodec.frameCount(r.kind, r.data).toLong)
           MediaMeta(r.media_id, r.kind, r.data.length.toLong,
             java.security.MessageDigest.getInstance("MD5")
               .digest(r.data).take(4).map("%02x".format(_)).mkString,

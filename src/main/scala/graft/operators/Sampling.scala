@@ -98,12 +98,20 @@ object Sampling {
     * DECIMAL(38,0) products so corpus-scale w·T cannot overflow) and
     * the membership test is the portable hash — re-runs, repartitions
     * and engine swaps reproduce the exact member set. One weight-sum
-    * pass (a broadcast scalar), then one gated narrow scan. */
+    * pass (a broadcast scalar), then one gated narrow scan.
+    *
+    * Rows with NULL or non-positive weight are EXCLUDED up front (the
+    * [[WeightedPercentiles]] convention): without the filter a NULL
+    * weight would null the rate product and `least()` — which skips
+    * NULLs — would hand the row the full 2^20 rate, silently keeping
+    * every unweighted row; and a degenerate Σw ≤ 0 would do the same
+    * corpus-wide. */
   def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
       targetRows: Long): DataFrame = {
     require(targetRows > 0, s"targetRows must be positive, got $targetRows")
     def dec(e: String) = s"CAST($e AS DECIMAL(38,0))"
     val base = df.withColumn("__pw", weightCol.cast("long"))
+      .filter(col("__pw") > 0)
     val sw = base.agg(sum(col("__pw")).as("__sw"))
     base.crossJoin(broadcast(sw))
       .withColumn("__rate20",

@@ -79,26 +79,41 @@ object RankOps extends QueryPack {
     }),
 
     // Triangle count on the co-purchase graph (parts appearing in the
-    // same order). Edges are oriented u < v once, so each triangle is
-    // counted exactly once by the two-hop join — the standard distributed
-    // formulation: every join is an equi-join on a vertex key (shuffle,
-    // never cartesian). At real scale the orientation would be by degree
-    // (low-degree vertex first) to bound wedge fan-out on hubs; id order
-    // keeps the oracle simple at gate scale and the join SHAPE identical.
+    // same order). Edges are oriented low-(degree, id) → high-(degree,
+    // id), so each triangle is counted exactly once by the two-hop join
+    // AND wedge fan-out is bounded on hub vertices: a vertex only fans
+    // out to neighbors of equal-or-higher degree, giving the classical
+    // O(m^1.5) wedge bound on power-law graphs (id orientation lets one
+    // low-id hub generate O(deg²) wedges in a single join key — a skew
+    // scale-killer). The degree table is vertex-sized (≪ edges) and
+    // broadcasts; every subsequent join is an equi-join on a vertex key
+    // (shuffle, never cartesian).
     "q_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e = li.as("a").join(li.as("b"),
+      val e0 = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
+      val deg = e0.select(col("u").as("x"))
+        .unionAll(e0.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val e = e0
+        .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
+          Seq("v"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+          when(fwd, col("v")).otherwise(col("u")).as("t"))
       val tri = e.as("e1")
-        .join(e.select(col("u").as("mu"), col("v").as("mw")).as("e2"),
-          col("e1.v") === col("e2.mu"))
-        .join(e.select(col("u").as("cu"), col("v").as("cw")).as("e3"),
-          col("e1.u") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
+        .join(e.select(col("s").as("mu"), col("t").as("mw")).as("e2"),
+          col("e1.t") === col("e2.mu"))
+        .join(e.select(col("s").as("cu"), col("t").as("cw")).as("e3"),
+          col("e1.s") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
         .agg(count(lit(1)).as("n_triangles"))
-      e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      e0.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
     // Association rules over the same baskets: pair support, per-item
@@ -210,14 +225,24 @@ object RankOps extends QueryPack {
     },
 
     "q_triangles" ->
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
         |  FROM lineitem a JOIN lineitem b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
-        |SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v)
+        |SELECT (SELECT COUNT(*) FROM e0) AS n_edges,
         |  (SELECT COUNT(*) FROM e e1
-        |   JOIN e e2 ON e2.u = e1.v
-        |   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles"""
+        |   JOIN e e2 ON e2.s = e1.t
+        |   JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t) AS n_triangles"""
         .stripMargin,
 
     "q_basket_rules" ->

@@ -387,12 +387,13 @@ class LlmOpsSpec extends SparkSpec {
       .toDF("media_id", "kind", "data", "source")
     val metas = Multimodal.decodeMeta(spark, media)
       .select(col("media_id"), col("width"), col("height"), col("n_frames"))
-      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
-    assert(metas(0) == ((1L, 512, 384, 77)), s"real parse missed: ${metas(0)}")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._1)
+    assert(metas(0) == ((1L, 512, 384, 77L)),
+      s"real parse missed: ${metas(0)}")
     // non-AVI video bytes keep the deterministic stub values
     val bytes2 = "not a video".getBytes("UTF-8")
     val (sw, sh) = Multimodal.FakeCodec.decodeDims(bytes2)
-    val sf = Multimodal.FakeCodec.frameCount("video", bytes2)
+    val sf = Multimodal.FakeCodec.frameCount("video", bytes2).toLong
     assert(metas(1) == ((2L, sw, sh, sf)))
   }
 
