@@ -78,12 +78,11 @@ object Bootstrap {
         count(lit(1)).cast("long").as("b"))
       .select(col("b"),
         when(col("b") > 0, element_at(col("__ms"),
-          greatest(lit(1L), (lit(loIdx.toLong) * col("b") / lit(b.toLong))
-            .cast("long")).cast("int"))).as("ci_lo"),
+          greatest(lit(1L), expr(s"(${loIdx}L * b) div ${b}L"))
+            .cast("int"))).as("ci_lo"),
         when(col("b") > 0, element_at(col("__ms"),
-          least(col("b"), ((lit(hiIdx.toLong) * col("b") + lit(b.toLong)
-            - lit(1L)) / lit(b.toLong)).cast("long")).cast("int")))
-          .as("ci_hi"))
+          least(col("b"), expr(s"(${hiIdx}L * b + ${b}L - 1L) div ${b}L"))
+            .cast("int"))).as("ci_hi"))
 
     base.agg(count(lit(1)).as("n"),
         (sum(col("__v").cast(DecimalType(18, 4)))

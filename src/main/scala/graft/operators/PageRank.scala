@@ -17,10 +17,15 @@ import org.apache.spark.sql.functions._
   *
   *   r_0(v)     = total div N
   *   contrib(u→v) = (r_k(u) · w(u,v)) div W_out(u)
-  *   r_{k+1}(v) = (total·(100−d)) div (100·N) + (d · Σ contrib) div 100
+  *   D_k        = Σ r_k(u) over dangling u (no out-edges)
+  *   r_{k+1}(v) = (total·(100−d)) div (100·N)
+  *                + (d · (Σ contrib + D_k div N)) div 100
   *
-  * Floor losses (a few parts in 10^12 per step) are the price of bit
-  * reproducibility — acceptable against PageRank's own damping noise.
+  * Dangling-node mass is redistributed uniformly each iteration (the
+  * standard teleport treatment) — without it, every sink drains its rank
+  * from the system and the output sums well below `total` on graphs with
+  * sinks. Floor losses (a few parts in 10^12 per step) are the price of
+  * bit reproducibility — acceptable against PageRank's own damping noise.
   *
   * Scale posture: one out-weight aggregation up front; per iteration, one
   * key-partitioned join of the (node, rank) table to the edge list plus
@@ -39,7 +44,8 @@ object PageRank {
     * @param nodes (id: long) node dimension — rows with no in/out edges
     *              still receive the base rank
     * @return (id, rank_pico) — integer shares of `total`, summing to
-    *         ~`total` minus floor losses
+    *         ~`total` minus floor losses (dangling mass is recycled, so
+    *         this holds on sink-bearing graphs too)
     */
   def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
       total: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
@@ -50,6 +56,9 @@ object PageRank {
 
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = edges.join(outW, Seq("src")).localCheckpoint()
+    // dangling = nodes with no out-edges; a static vertex-sized set
+    val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
+      .select(col("id").as("did")).localCheckpoint()
 
     def releaseBlocks(df: DataFrame): Unit =
       df.queryExecution.analyzed match {
@@ -63,16 +72,22 @@ object PageRank {
       val inc = ew.join(cur, col("src") === col("id"))
         .select(col("dst"), expr("(r * w) div wout").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
+      // this round's dangling mass: a 1-row aggregate, broadcast-attached
+      val dmass = cur.join(dangling, col("id") === col("did"))
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
       val next = nodes.join(inc, col("id") === col("dst"), "left")
+        .crossJoin(broadcast(dmass))
         .select(col("id"),
           (lit(base) +
-            expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
+              s" + dmass div $n)) div 100"))
             .as("r"))
         .localCheckpoint()
       releaseBlocks(cur)
       cur = next
     }
     releaseBlocks(ew)
+    releaseBlocks(dangling)
     cur.select(col("id"), col("r").as("rank_pico"))
   }
 }

@@ -68,12 +68,24 @@ object Analytic extends QueryPack {
         .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // ntile over a total order.
+    // ntile over a total order — WITHOUT the single-partition global
+    // window `ntile(4).over(Window.orderBy(...))` would plan (the whole
+    // table sorted in one task at scale). The distributed rank frame
+    // ([[graft.operators.Percentiles.globalRanksTieBroken]]: value-bucketed
+    // parallel sort, ties broken on c_custkey = the window's own tie
+    // order) yields the 1-based global rank + total count, from which the
+    // tile is closed-form: the first n%k tiles hold n/k+1 rows, the rest
+    // n/k — exactly SQL NTILE's distribution.
     "q_window_ntile" -> ((s, dir) => {
-      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      t(s, dir, "customer")
-        .select(col("c_custkey"), col("c_acctbal"),
-          ntile(4).over(w).as("quartile"))
+      val ranked = graft.operators.Percentiles.globalRanksTieBroken(
+        t(s, dir, "customer"), lit(1), col("c_acctbal"), col("c_custkey"))
+      ranked.select(col("tie").as("c_custkey"),
+          col("value").as("c_acctbal"),
+          expr("""CASE WHEN rank <= (n % 4) * (n div 4 + 1)
+                 THEN (rank - 1) div (n div 4 + 1) + 1
+                 ELSE (n % 4) + (rank - 1 - (n % 4) * (n div 4 + 1))
+                      div (n div 4) + 1 END""")
+            .cast("int").as("quartile"))
         .orderBy(col("c_custkey"))
     }),
 

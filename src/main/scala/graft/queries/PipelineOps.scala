@@ -813,7 +813,13 @@ object PipelineOps extends QueryPack {
 
     "q_sample_weighted" -> {
       val w = s"CAST(len(${sqlTokens("text")}) AS BIGINT)"
-      s"""WITH d AS (SELECT doc_id, lang, $w AS w FROM documents),
+      // the d CTE mirrors Sampling.weightedSample's convention exactly:
+      // NULL / non-positive weights are excluded up front (a NULL-text doc
+      // would otherwise survive through LEAST's NULL-skipping Postgres
+      // semantics while Spark drops it), and sw sums the filtered set
+      s"""WITH d AS (SELECT doc_id, lang, w FROM
+         |    (SELECT doc_id, lang, $w AS w FROM documents)
+         |  WHERE w IS NOT NULL AND w > 0),
          |sw AS (SELECT CAST(SUM(w) AS HUGEINT) AS sw FROM d),
          |g AS (SELECT doc_id, lang, w,
          |    LEAST(CAST(${1L << 20} AS BIGINT),

@@ -349,7 +349,9 @@ object QualityOps extends QueryPack {
         |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_full
         |  FROM orders WHERE o_totalprice IS NOT NULL)
         |SELECT fl.n, CAST(ci.nb AS BIGINT) AS b, fl.mean_full,
-        |  ci.ms[5] AS ci_lo, ci.ms[196] AS ci_hi
+        |  ci.ms[CAST(GREATEST(1, (5 * ci.nb) // 200) AS INT)] AS ci_lo,
+        |  ci.ms[CAST(LEAST(ci.nb, (196 * ci.nb + 199) // 200) AS INT)]
+        |    AS ci_hi
         |FROM ci, fl""".stripMargin,
 
     "q_eval_confusion" -> {

@@ -169,7 +169,10 @@ object RankOps extends QueryPack {
         s"""r$k AS (
            |  SELECT n.id,
            |    (1000000000000 * 15) // (100 * (SELECT COUNT(*) FROM n))
-           |    + (85 * COALESCE(SUM((p.r * e2.w) // e2.wout), 0)) // 100 AS r
+           |    + (85 * (COALESCE(SUM((p.r * e2.w) // e2.wout), 0)
+           |             + (SELECT COALESCE(SUM(r), 0) FROM r${k - 1}
+           |                WHERE id NOT IN (SELECT src FROM ow))
+           |               // (SELECT COUNT(*) FROM n))) // 100 AS r
            |  FROM n LEFT JOIN e2 ON e2.dst = n.id
            |  LEFT JOIN r${k - 1} p ON p.id = e2.src
            |  GROUP BY n.id)""".stripMargin

@@ -24,19 +24,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Read one corpus table from a scale-factor directory.
+  /** Read one corpus table from a scale-factor directory, normalizing
+    * `events.ts` to TimestampType regardless of the on-disk physical type
+    * (the corpus has shipped it in multiple shapes over time):
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the files; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as long nanoseconds
-    * and is converted here to a proper TimestampType (µs) via integer
-    * division — never a double path, since ns-since-epoch > 2^53. */
+    *  - TIMESTAMP(NANOS) → with `spark.sql.legacy.parquet.nanosAsLong` it
+    *    arrives as long nanoseconds and is converted via integer division
+    *    (never a double path, since ns-since-epoch > 2^53);
+    *  - `timestamp[us]` with no timezone → Spark reads TIMESTAMP_NTZ; the
+    *    session timezone is pinned UTC ([[graft.GraftSession]]), so a plain
+    *    cast to TimestampType is instant-preserving;
+    *  - TimestampType → passthrough. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = loadRaw(spark, sfDir, name)
-    if (name == "events" &&
-        df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .timestamp_micros(org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** ts-normalization arm shared by the batch and streaming readers. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** The uncorrected read (streaming uses it to probe the on-disk schema). */

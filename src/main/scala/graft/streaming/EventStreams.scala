@@ -34,9 +34,10 @@ object EventStreams {
 
   /** File-source stream of the events table (the file source wants a
     * directory; the glob filter selects the events file from the corpus).
-    * The ts declaration follows the batch reader's observed schema —
-    * [[graft.sources.Tables.load]] guards on LongType, and hardcoding ns
-    * here would silently mis-scale if the corpus moved to µs storage. */
+    * The ts declaration follows the batch reader's observed schema, then
+    * normalizes to TimestampType through the same arm as the batch source
+    * ([[graft.sources.Tables.normalizeEventTs]]) — long-ns, µs-NTZ, and
+    * plain-timestamp corpora all yield a watermarkable TimestampType ts. */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val batchTs = graft.sources.Tables
       .loadRaw(spark, sfDir, "events").schema("ts").dataType
@@ -45,9 +46,7 @@ object EventStreams {
         if (f.name == "ts") f.copy(dataType = batchTs) else f)))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    if (batchTs == LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    graft.sources.Tables.normalizeEventTs(stream)
   }
 
   /** Tumbling-window aggregate per event type. The watermark bounds state

@@ -369,12 +369,13 @@ class PipelineOpsSpec extends SparkSpec {
       .forall(_._2.length == 1))
   }
 
-  test("q_quality_model: weight dimension broadcast, keep ≡ sign of score") {
+  test("q_quality_model: inline weights — no join, single corpus scan") {
+    // the toy model's weight is a pure function of the token, computed
+    // inline as a column expression: the apply plan has NO weight dim at
+    // all (a real trained artifact would broadcast a bounded vocab dim —
+    // see the operator's scaladoc), so no join of any kind
     val p = planOf("q_quality_model")
-    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
-    // the weight dim is an eagerly-collected model artifact: the apply
-    // plan must scan the corpus exactly once (a lazy dim made Catalyst
-    // re-derive the vocab with a second full text scan)
+    assert(!p.contains("Join"), s"inline-weight apply must not join:\n$p")
     val simple = SparkEntry.queries("q_quality_model")(spark, sf)
       .queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("simple"))

@@ -69,6 +69,41 @@ class PlanSpec extends SparkSpec {
       "q10: return-flag predicate not pushed to the lineitem scan")
   }
 
+  test("q_tpch_q6: single filtered scan into partial+final agg, no join") {
+    val p = plan("q_tpch_q6")
+    assert(!p.contains("Join"), s"Q6 must not join anything:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"Q6 needs a map-side partial aggregate:\n$p")
+    // all three predicates (date window, discount band, quantity cap)
+    // reach the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThan(l_quantity"),
+      s"Q6 predicates not pushed to the scan:\n$p")
+  }
+
+  test("q_tpch_q14: month window pushed to the fact scan, part dim broadcast") {
+    val p = plan("q_tpch_q14")
+    assert(p.contains("BroadcastHashJoin"),
+      s"Q14 part dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"Q14 must not shuffle the fact side for the join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("LessThan(l_shipdate"),
+      s"Q14 date window not pushed to the lineitem scan:\n$p")
+  }
+
+  test("q_window_ntile: no single-partition global window (distributed ranks)") {
+    val p = plan("q_window_ntile")
+    // the rank windows partition by (group, bucket); a global
+    // Window.orderBy would plan Exchange SinglePartition → Window
+    val winIdx = p.linesIterator.zipWithIndex.collect {
+      case (l, i) if l.contains("Window") => i }.toSeq
+    assert(winIdx.nonEmpty, "expected the bucketed rank window")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"ntile went through a single-partition exchange:\n$p")
+  }
+
   test("q_join_semi/anti plan semi/anti joins, not join+filter") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))

@@ -41,6 +41,23 @@ class RankOpsSpec extends SparkSpec {
       s"hub must dominate: $r")
   }
 
+  test("pagerank: dangling mass is recycled — sink graphs conserve mass") {
+    // chain 0→1→2→3 where 3 is a pure sink: without per-iteration dangling
+    // redistribution, 3 drains rank from the system every round and the
+    // total decays far below `total`
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 3L).toDF("id")
+    val out = PageRank.ranks(edges, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val total = out.values.sum
+    // floor losses only: a handful of integer divisions per node per round
+    assert(total <= 1000000000000L && total > 1000000000000L - 5 * 1000 * 4,
+      s"sink graph must conserve mass, got $total")
+    // the sink still outranks the head of the chain (it receives 2's vote)
+    assert(out(3L) > out(0L), s"sink must outrank the source: $out")
+  }
+
   test("pagerank: result is partitioning-invariant (integer arithmetic)") {
     val (edges, nodes) = cycle(11)
     val skewed = edges.repartition(7)
