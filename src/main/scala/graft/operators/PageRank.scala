@@ -56,9 +56,12 @@ object PageRank {
 
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = edges.join(outW, Seq("src")).localCheckpoint()
-    // dangling = nodes with no out-edges; a static vertex-sized set
+    // dangling = nodes with no out-edges; a static vertex-sized set. When
+    // it is empty (every node emits), the per-iteration dangling-mass
+    // aggregate is pure overhead — one cheap static check skips it.
     val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
       .select(col("id").as("did")).localCheckpoint()
+    val hasDangling = !dangling.isEmpty
 
     def releaseBlocks(df: DataFrame): Unit =
       df.queryExecution.analyzed match {
@@ -72,16 +75,22 @@ object PageRank {
       val inc = ew.join(cur, col("src") === col("id"))
         .select(col("dst"), expr("(r * w) div wout").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
-      // this round's dangling mass: a 1-row aggregate, broadcast-attached
-      val dmass = cur.join(dangling, col("id") === col("did"))
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-      val next = nodes.join(inc, col("id") === col("dst"), "left")
-        .crossJoin(broadcast(dmass))
-        .select(col("id"),
+      val joined = nodes.join(inc, col("id") === col("dst"), "left")
+      val next = (if (hasDangling) {
+        // this round's dangling mass: a 1-row aggregate, broadcast-attached
+        val dmass = cur.join(dangling, col("id") === col("did"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        joined.crossJoin(broadcast(dmass))
+          .select(col("id"),
+            (lit(base) +
+              expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
+                s" + dmass div $n)) div 100"))
+              .as("r"))
+      } else
+        joined.select(col("id"),
           (lit(base) +
-            expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
-              s" + dmass div $n)) div 100"))
-            .as("r"))
+            expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r")))
         .localCheckpoint()
       releaseBlocks(cur)
       cur = next

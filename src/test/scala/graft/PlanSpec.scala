@@ -104,6 +104,37 @@ class PlanSpec extends SparkSpec {
       s"ntile went through a single-partition exchange:\n$p")
   }
 
+  test("no query plans an unpartitioned window over unbounded input " +
+      "(sweep of all 200)") {
+    // WindowExec with an empty partition spec sorts the WHOLE input in one
+    // task — the canonical 100 TB scale-killer. A handful of queries run a
+    // window over a PRE-BOUNDED input (post-limit top-20 rerank, a ≤32-row
+    // calendar spine, per-partition sketch rows), where the single
+    // partition holds a few dozen rows by construction — those are waived
+    // explicitly here; anything else is a regression.
+    // q_sort_nulls: the window's input is bounded by the pushed literal
+    // predicate o_orderkey < 300 — a fixed ~75 rows at ANY scale factor
+    // (the keyspace below 300 does not grow with data volume), so its
+    // single partition is a deliberate few-dozen-row null-ordering probe
+    val waived = Set("q_sort_nulls")
+    val guilty = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      scala.util.Try {
+        val p = SparkEntry.queries(name)(spark, sf).queryExecution
+          .explainString(ExplainMode.fromString("simple"))
+        // a global window physically plans Window ← Sort ← Exchange
+        // SinglePartition: flag any SinglePartition exchange with a Window
+        // operator within the 3 lines above it
+        val lines = p.linesIterator.toIndexedSeq
+        lines.indices.exists { i =>
+          lines(i).contains("Exchange SinglePartition") &&
+            (math.max(0, i - 3) until i).exists(j => lines(j).contains("Window"))
+        }
+      }.getOrElse(false) // build failures surface in their own suites
+    }
+    assert(guilty.forall(waived.contains),
+      s"unwaived single-partition windows in: ${guilty.filterNot(waived.contains)}")
+  }
+
   test("q_join_semi/anti plan semi/anti joins, not join+filter") {
     assert(plan("q_join_semi").contains("LeftSemi"))
     assert(plan("q_join_anti").contains("LeftAnti"))
