@@ -28,7 +28,8 @@ object SparkEntry {
     RankOps,
     TpchOps,
     BehaviorOps,
-    QualityOps
+    QualityOps,
+    MlOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

