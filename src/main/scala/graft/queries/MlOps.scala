@@ -158,24 +158,56 @@ object MlOps extends QueryPack {
     // |corpus|², same posture as the MinHash path. Output: each vector's
     // signature + its bucket population (the skew observability number).
     "q_embed_simhash" -> ((s, dir) => {
-      val vq = transform(col("embedding"),
-        x => round(x.cast("double") * lit(1048576L)).cast("long"))
-      val sig = hyperplanes.zipWithIndex.map { case (hp, j) =>
-        val dot = aggregate(
-          zip_with(col("vq"), lit(hp.toArray), (x, h) => x * h),
-          lit(0L), (acc, x) => acc + x)
-        when(dot >= 0L, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val signed = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), vq.as("vq"))
-        .select(col("vec_id"), sig.as("sig"))
+      val signed = signedEmbeddings(s, dir).select(col("vec_id"), col("sig"))
       val buckets = signed.groupBy(col("sig"))
         .agg(count(lit(1)).as("bucket_n"))
       signed.join(broadcast(buckets), Seq("sig"))
         .select(col("vec_id"), col("sig"), col("bucket_n"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The signature made actionable: multiprobe LSH retrieval of the
+    // top-50 candidate pairs by verified cosine. Candidates = signature
+    // Hamming distance ≤ 1, generated WITHOUT an all-pairs comparison:
+    // the probe side explodes each vector's 17 probe keys (identity +
+    // every 1-bit flip) and equi-joins the index side on the exact
+    // signature — a keyed shuffle join whose work is Σ|bucket|·probes,
+    // not |corpus|²; each unordered pair matches exactly one probe key,
+    // so no dedup pass is needed. Verification (exact cosine, rounded
+    // micro) runs on candidates only; final top-50 is a bounded heap.
+    "q_embed_neardup_lsh" -> ((s, dir) => {
+      val signed = signedEmbeddings(s, dir).localCheckpoint()
+      val probeKeys = array((0 until SimhashBits)
+        .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
+      val probes = signed.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), explode(probeKeys).as("psig"))
+      val index = signed.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("sig").as("psig"))
+      probes.join(index, Seq("psig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6)
+            .as("cos6"))
+        .orderBy(col("cos6").desc, col("id_a"), col("id_b"))
+        .limit(50)
     })
   )
+
+  /** (vec_id, embedding, sig): the shared signature frame for the two
+    * simhash queries. */
+  private def signedEmbeddings(s: SparkSession, dir: String) = {
+    val vq = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1048576L)).cast("long"))
+    val sig = hyperplanes.zipWithIndex.map { case (hp, j) =>
+      val dot = aggregate(
+        zip_with(col("vq"), lit(hp.toArray), (x, h) => x * h),
+        lit(0L), (acc, x) => acc + x)
+      when(dot >= 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), vq.as("vq"))
+      .select(col("vec_id"), col("embedding"), sig.as("sig"))
+  }
 
   override def oracle: Map[String, String] = Map(
     "q_fold_assign" -> {
@@ -252,26 +284,54 @@ object MlOps extends QueryPack {
          |WHERE a + b >= 25 AND a + b < n
          |ORDER BY chi2_micro DESC, token LIMIT 20""".stripMargin,
 
-    "q_embed_simhash" -> {
-      def dotJ(j: Int): String = {
-        val hp = hyperplanes(j).mkString("[", ",", "]")
-        s"""list_sum(list_transform(list_zip(vq, $hp::BIGINT[]),
-           | s -> s[1] * s[2]))""".stripMargin.replace("\n", "")
-      }
-      val sigExpr = (0 until SimhashBits).map { j =>
-        s"(CASE WHEN ${dotJ(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    "q_embed_simhash" ->
       s"""WITH q AS (SELECT vec_id,
          |    list_transform(embedding,
          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
          |      AS vq
          |  FROM embeddings),
-         |signed AS (SELECT vec_id, CAST($sigExpr AS BIGINT) AS sig FROM q),
+         |signed AS (SELECT vec_id, CAST($sqlSigExpr AS BIGINT) AS sig FROM q),
          |buckets AS (SELECT sig, COUNT(*) AS bucket_n
          |            FROM signed GROUP BY 1)
          |SELECT s.vec_id, s.sig, b.bucket_n
          |FROM signed s JOIN buckets b USING (sig)
-         |ORDER BY s.vec_id""".stripMargin
+         |ORDER BY s.vec_id""".stripMargin,
+
+    "q_embed_neardup_lsh" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x, $y), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+      val cos = s"(${dot("ea.embedding", "eb.embedding")} / " +
+        s"(sqrt(${dot("ea.embedding", "ea.embedding")}) * " +
+        s"sqrt(${dot("eb.embedding", "eb.embedding")})))"
+      // the Hamming-≤1 join is the oracle-side shortcut for the engine's
+      // 17-key multiprobe equi-join — identical candidate set
+      s"""WITH q AS (SELECT vec_id, embedding,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |      AS vq
+         |  FROM embeddings),
+         |signed AS (SELECT vec_id, embedding,
+         |    CAST($sqlSigExpr AS BIGINT) AS sig FROM q),
+         |cand AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+         |    round($cos, 6) AS cos6
+         |  FROM signed ea JOIN signed eb
+         |    ON ea.vec_id < eb.vec_id
+         |   AND bit_count(xor(ea.sig, eb.sig)) <= 1)
+         |SELECT id_a, id_b, cos6 FROM cand
+         |ORDER BY cos6 DESC, id_a, id_b LIMIT 50""".stripMargin
     }
   )
+
+  /** DuckDB SQL for the 16-bit signature over a `vq` quantized-component
+    * list — generated from the SAME [[hyperplanes]] literals the Spark
+    * plan embeds. */
+  private lazy val sqlSigExpr: String = {
+    def dotJ(j: Int): String = {
+      val hp = hyperplanes(j).mkString("[", ",", "]")
+      s"list_sum(list_transform(list_zip(vq, $hp::BIGINT[]), s -> s[1] * s[2]))"
+    }
+    (0 until SimhashBits).map { j =>
+      s"(CASE WHEN ${dotJ(j)} >= 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
 }

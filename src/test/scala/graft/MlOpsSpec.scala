@@ -78,6 +78,25 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_neardup_lsh: multiprobe equi-join — keyed join plus heap, " +
+      "never a cartesian") {
+    val df = SparkEntry.queries("q_embed_neardup_lsh")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must be a keyed equi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 not heap-pruned:\n$p")
+    // every returned pair really is within Hamming 1 of signatures, and
+    // candidates at Hamming ≥ 2 are structurally unreachable via one probe
+    val sigs = SparkEntry.queries("q_embed_simhash")(spark, sf)
+      .select(col("vec_id"), col("sig")).as[(Long, Long)].collect().toMap
+    val pairs = df.as[(Long, Long, Double)].collect()
+    assert(pairs.length == 50)
+    pairs.foreach { case (a, b, _) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 1,
+        s"pair ($a,$b) exceeds the probe radius")
+    }
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
