@@ -175,13 +175,27 @@ object MlOps extends QueryPack {
     // not |corpus|²; each unordered pair matches exactly one probe key,
     // so no dedup pass is needed. Verification (exact cosine, rounded
     // micro) runs on candidates only; final top-50 is a bounded heap.
+    //
+    // Skew cap: vectors in signature buckets larger than [[EmbedMaxBucket]]
+    // are excluded from BOTH join sides before candidate generation (the
+    // [[graft.operators.Dedup.minhashPairs]] maxBucket discipline) —
+    // within-bucket pair work is quadratic in occupancy, and one dense
+    // direction cluster at corpus scale would otherwise dominate the whole
+    // job. Measured: a 10× clustered corpus grew same-sig pairs ×105; the
+    // cap bounds any bucket's pair work at cap²/2. Inactive at gate scale
+    // (max observed bucket 51 < 128), so the oracle encodes the same cap.
     "q_embed_neardup_lsh" -> ((s, dir) => {
       val signed = signedEmbeddings(s, dir).localCheckpoint()
+      // ≤ 2^16 rows by construction — broadcastable bucket census
+      val buckets = signed.groupBy(col("sig"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= EmbedMaxBucket)
+      val capped = signed.join(broadcast(buckets), Seq("sig"))
       val probeKeys = array((0 until SimhashBits)
         .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
-      val probes = signed.select(col("vec_id").as("id_a"),
+      val probes = capped.select(col("vec_id").as("id_a"),
         col("embedding").as("va"), explode(probeKeys).as("psig"))
-      val index = signed.select(col("vec_id").as("id_b"),
+      val index = capped.select(col("vec_id").as("id_b"),
         col("embedding").as("vb"), col("sig").as("psig"))
       probes.join(index, Seq("psig"))
         .filter(col("id_a") < col("id_b"))
@@ -192,6 +206,10 @@ object MlOps extends QueryPack {
         .limit(50)
     })
   )
+
+  /** Skew cap for [[defs q_embed_neardup_lsh]]: buckets above this
+    * occupancy are dropped from candidate generation on both sides. */
+  private val EmbedMaxBucket = 128
 
   /** (vec_id, embedding, sig): the shared signature frame for the two
     * simhash queries. */
@@ -304,14 +322,19 @@ object MlOps extends QueryPack {
         s"(sqrt(${dot("ea.embedding", "ea.embedding")}) * " +
         s"sqrt(${dot("eb.embedding", "eb.embedding")})))"
       // the Hamming-≤1 join is the oracle-side shortcut for the engine's
-      // 17-key multiprobe equi-join — identical candidate set
+      // 17-key multiprobe equi-join — identical candidate set, including
+      // the bucket cap on both endpoints
       s"""WITH q AS (SELECT vec_id, embedding,
          |    list_transform(embedding,
          |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
          |      AS vq
          |  FROM embeddings),
-         |signed AS (SELECT vec_id, embedding,
+         |signed0 AS (SELECT vec_id, embedding,
          |    CAST($sqlSigExpr AS BIGINT) AS sig FROM q),
+         |buckets AS (SELECT sig, COUNT(*) AS bucket_n
+         |            FROM signed0 GROUP BY 1),
+         |signed AS (SELECT s.* FROM signed0 s JOIN buckets b USING (sig)
+         |           WHERE b.bucket_n <= $EmbedMaxBucket),
          |cand AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
          |    round($cos, 6) AS cos6
          |  FROM signed ea JOIN signed eb
