@@ -204,12 +204,38 @@ object MlOps extends QueryPack {
             .as("cos6"))
         .orderBy(col("cos6").desc, col("id_a"), col("id_b"))
         .limit(50)
-    })
+    }),
+
+    "q_ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir))
   )
 
   /** Skew cap for [[defs q_embed_neardup_lsh]]: buckets above this
     * occupancy are dropped from candidate generation on both sides. */
   private val EmbedMaxBucket = 128
+
+  /** Corpus-novelty scoring (curriculum/sampling signal): the fraction of
+    * each document's distinct 3-grams whose FIRST corpus occurrence (by
+    * doc_id order) is this document. High novelty = fresh content; low =
+    * templated/boilerplate. Plan: distinct grams per doc → min(doc_id)
+    * per gram (one hash aggregate over the gram keyspace, bounded like
+    * vocab, never collected) → join back on gram → per-doc integer milli
+    * ratio. Every quotient is integer; order by doc_id. */
+  private def ngramNovelty(s: SparkSession, dir: String) = {
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.TextFunctions.wordNgrams(col("text"), 3)))
+        .as("gram"))
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(1000 * n_novel) div n_grams").as("novelty_milli"))
+      .orderBy(col("doc_id"))
+  }
 
   /** (vec_id, embedding, sig): the shared signature frame for the two
     * simhash queries. */
@@ -342,6 +368,21 @@ object MlOps extends QueryPack {
          |   AND bit_count(xor(ea.sig, eb.sig)) <= 1)
          |SELECT id_a, id_b, cos6 FROM cand
          |ORDER BY cos6 DESC, id_a, id_b LIMIT 50""".stripMargin
+    },
+
+    "q_ngram_novelty" -> {
+      val grams3 = graft.functions.TextFunctions.sqlWordNgrams("text", 3)
+      s"""WITH g AS (SELECT doc_id, unnest(list_distinct($grams3)) AS gram
+         |  FROM documents),
+         |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT g.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  (1000 * CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
+         |    END) AS BIGINT)) // COUNT(*) AS novelty_milli
+         |FROM g JOIN f USING (gram)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
     }
   )
 

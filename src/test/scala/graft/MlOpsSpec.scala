@@ -97,6 +97,19 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ngram_novelty: the earliest document is fully novel, ratios are " +
+      "exact and bounded") {
+    val out = SparkEntry.queries("q_ngram_novelty")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // every gram of the minimum doc_id is first seen there by definition
+    val first = out.minBy(_._1)
+    assert(first._4 == 1000L, s"first doc must be fully novel: $first")
+    out.foreach { case (id, n, novel, milli) =>
+      assert(novel <= n && milli == 1000 * novel / n, s"doc $id ratio broken")
+    }
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
