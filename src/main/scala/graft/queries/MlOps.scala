@@ -94,7 +94,8 @@ object MlOps extends QueryPack {
       docs(s, dir)
         .select(col("lang"),
           (col("n_chars") >= 400).as("t"),
-          (size(tokens(normalizeText(col("text")))) >= 80).as("p"))
+          (graft.functions.TextFunctions.tokenCount(col("text")) >= 80)
+            .as("p"))
         .groupBy(col("lang"))
         .agg(
           sum(when(col("t") && col("p"), 1L).otherwise(0L)).as("tp"),
@@ -206,7 +207,74 @@ object MlOps extends QueryPack {
         .limit(50)
     }),
 
-    "q_ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir))
+    "q_ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir)),
+
+    // Classifier calibration report: the q_quality_model linear score
+    // binned into fixed 1000-milli bands vs the observed positive rate —
+    // the reliability-diagram table an eval stage prints. Bin index uses
+    // truncating integer division (identical cross-engine, incl. negative
+    // scores: the zero bin spans (−1000, 1000), documented). One token
+    // aggregate + one bin aggregate; nothing leaves the cluster.
+    "q_calibration_bins" -> ((s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), (col("n_chars") >= 400).as("pos"),
+          explode(tokens(normalizeText(col("text")))).as("token"))
+        .groupBy(col("doc_id"), col("pos"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
+        .groupBy(col("doc_id"), col("pos"))
+        .agg(sum(col("tf") * col("w")).as("score_milli"))
+      scored
+        .select(expr("score_milli div 1000").as("bin"), col("pos"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+        .select(col("bin"), col("n"), col("n_pos"),
+          expr("(1000 * n_pos) div n").as("pos_rate_milli"))
+        .orderBy(col("bin"))
+    }),
+
+    // Weak-supervision densification: labels propagate across the
+    // embedding near-dup graph — every vector in a connected component of
+    // the (Hamming ≤ 1, bucket-capped) signature graph adopts the
+    // component's majority label (ties break to the smallest label, via a
+    // rank-1 window PARTITIONED by component — parallel, never global).
+    // The components machinery is the same audited large-star/small-star
+    // path the text dedup uses; label counting adds one keyed aggregate.
+    "q_label_propagate" -> ((s, dir) => {
+      val signed = signedEmbeddings(s, dir).localCheckpoint()
+      val buckets = signed.groupBy(col("sig"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") <= EmbedMaxBucket)
+      val capped = signed.join(broadcast(buckets), Seq("sig"))
+      val probeKeys = array((0 until SimhashBits)
+        .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
+      val pairs = capped
+        .select(col("vec_id").as("id_a"), explode(probeKeys).as("psig"))
+        .join(capped.select(col("vec_id").as("id_b"),
+          col("sig").as("psig")), Seq("psig"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val comps = Components.connectedComponents(pairs,
+        signed.select(col("vec_id")))
+        .select(col("id").as("vec_id"), col("component"))
+      val labeled = comps.join(
+        Tables.load(s, dir, "embeddings")
+          .select(col("vec_id"), col("label")), Seq("vec_id"))
+      val counts = labeled.groupBy(col("component"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("cnt").desc, col("label"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .join(labeled.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members")), Seq("component"))
+        .select(col("component"), col("n_members"),
+          col("label").cast("long").as("majority_label"),
+          col("cnt").as("n_majority"))
+        .orderBy(col("component"))
+    })
   )
 
   /** Skew cap for [[defs q_embed_neardup_lsh]]: buckets above this
@@ -311,7 +379,9 @@ object MlOps extends QueryPack {
          |    CAST(COUNT(*) AS BIGINT) AS n
          |  FROM documents),
          |d AS (SELECT lang = 'en' AS pos,
-         |    unnest(list_distinct(${sqlTokens("text")})) AS token
+         |    unnest(list_distinct(${sqlTokens(
+               graft.functions.TextFunctions.sqlNormalizeText("text"))}))
+         |      AS token
          |  FROM documents),
          |c AS (SELECT token,
          |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS a,
@@ -383,7 +453,64 @@ object MlOps extends QueryPack {
          |    END) AS BIGINT)) // COUNT(*) AS novelty_milli
          |FROM g JOIN f USING (gram)
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
-    }
+    },
+
+    "q_calibration_bins" -> {
+      val toks = sqlTokens(
+        graft.functions.TextFunctions.sqlNormalizeText("text"))
+      val w = s"(${sqlHash32("token")} % 1000 - 500)"
+      s"""WITH tf AS (
+         |  SELECT doc_id, pos, token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, n_chars >= 400 AS pos,
+         |          unnest($toks) AS token FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT doc_id, pos, CAST(SUM(tf * $w) AS BIGINT) AS score_milli
+         |  FROM tf GROUP BY 1, 2)
+         |SELECT score_milli // 1000 AS bin,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  (1000 * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT))
+         |    // COUNT(*) AS pos_rate_milli
+         |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "q_label_propagate" ->
+      s"""WITH RECURSIVE q AS (SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |      AS vq
+         |  FROM embeddings),
+         |signed0 AS (SELECT vec_id, label,
+         |    CAST($sqlSigExpr AS BIGINT) AS sig FROM q),
+         |bk AS (SELECT sig, COUNT(*) AS bucket_n FROM signed0 GROUP BY 1),
+         |signed AS (SELECT s.* FROM signed0 s JOIN bk USING (sig)
+         |           WHERE bk.bucket_n <= $EmbedMaxBucket),
+         |pairs AS (SELECT ea.vec_id AS id_a, eb.vec_id AS id_b
+         |  FROM signed ea JOIN signed eb
+         |    ON ea.vec_id < eb.vec_id
+         |   AND bit_count(xor(ea.sig, eb.sig)) <= 1),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM signed0
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id AS vec_id, MIN(r) AS component
+         |         FROM reach GROUP BY id),
+         |lab AS (SELECT c.component, e.label, COUNT(*) AS cnt
+         |  FROM comp c JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |rk AS (SELECT component, label, cnt,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY cnt DESC, label) AS rk
+         |  FROM lab),
+         |sz AS (SELECT component, COUNT(*) AS n_members
+         |       FROM comp GROUP BY 1)
+         |SELECT r.component, s.n_members,
+         |  CAST(r.label AS BIGINT) AS majority_label, r.cnt AS n_majority
+         |FROM rk r JOIN sz s USING (component)
+         |WHERE r.rk = 1 ORDER BY r.component""".stripMargin
   )
 
   /** DuckDB SQL for the 16-bit signature over a `vq` quantized-component

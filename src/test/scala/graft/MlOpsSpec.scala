@@ -110,6 +110,28 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_calibration_bins: totals reconcile with the corpus and rates are " +
+      "exact milli ratios") {
+    val out = SparkEntry.queries("q_calibration_bins")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = graft.sources.Tables.load(spark, sf, "documents").count()
+    assert(out.map(_._2).sum == n, "every document lands in exactly one bin")
+    out.foreach { case (bin, cnt, pos, rate) =>
+      assert(pos <= cnt && rate == 1000 * pos / cnt, s"bin $bin rate broken")
+    }
+  }
+
+  test("q_label_propagate: members partition the corpus, majority is " +
+      "consistent") {
+    val out = SparkEntry.queries("q_label_propagate")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(out.map(_._2).sum == n, "components partition the vector set")
+    out.foreach { case (comp, members, _, nMaj) =>
+      assert(nMaj >= 1 && nMaj <= members, s"component $comp majority broken")
+    }
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
