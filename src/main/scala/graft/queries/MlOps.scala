@@ -234,6 +234,40 @@ object MlOps extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // Deletion-cascade audit (right-to-be-forgotten compliance): a
+    // deletion request for a document must also remove its near-
+    // duplicates — the content survives otherwise. Seeds = a
+    // deterministic pseudo request list (doc_id ≡ 0 mod 97); the cascade
+    // drops every near-dup component containing a seed. Output: per-lang
+    // kept/dropped accounting over the mutant corpus (mutants report
+    // under their base document's language). Plan: the audited LSH →
+    // components path + one semi-join of components against seeds + one
+    // keyed aggregate — no new shuffle shapes.
+    "q_deletion_cascade" -> ((s, dir) => {
+      val d = withMutants(s, dir)
+      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      val comps = Components.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")),
+          d.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+      val seedComps = comps.filter(col("doc_id") % 97 === 0)
+        .select(col("component")).distinct()
+      val flagged = comps.join(broadcast(seedComps
+          .withColumn("dropped", lit(true))), Seq("component"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dropped"), lit(false)).as("dropped"))
+      val langs = docs(s, dir).select(col("doc_id").as("base_id"),
+        col("lang"))
+      flagged
+        .withColumn("base_id", col("doc_id") % 1000000L)
+        .join(langs, Seq("base_id"))
+        .groupBy(col("lang"))
+        .agg(sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Weak-supervision densification: labels propagate across the
     // embedding near-dup graph — every vector in a connected component of
     // the (Hamming ≤ 1, bucket-capped) signature graph adopts the
@@ -473,6 +507,44 @@ object MlOps extends QueryPack {
          |  (1000 * CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT))
          |    // COUNT(*) AS pos_rate_milli
          |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "q_deletion_cascade" -> {
+      val sig = sqlMinhashSignature(
+        graft.functions.TextFunctions.sqlWordNgrams("text", 3), 16)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM $sqlWithMutants),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |${sqlBandedCandidates(4, 4)},
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS (SELECT id AS doc_id, MIN(r) AS component
+         |         FROM reach GROUP BY id),
+         |seedc AS (SELECT DISTINCT component FROM comp
+         |          WHERE doc_id % 97 = 0),
+         |flagged AS (SELECT c.doc_id,
+         |    c.component IN (SELECT component FROM seedc) AS dropped
+         |  FROM comp c)
+         |SELECT d.lang,
+         |  CAST(SUM(CASE WHEN f.dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  CAST(SUM(CASE WHEN NOT f.dropped THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept
+         |FROM flagged f
+         |JOIN documents d ON d.doc_id = f.doc_id % 1000000
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     },
 
     "q_label_propagate" ->

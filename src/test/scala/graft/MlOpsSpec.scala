@@ -132,6 +132,37 @@ class MlOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_deletion_cascade: a seed's mutant is dropped with it (the " +
+      "cascade property)") {
+    // rebuild the per-doc flags and assert: every seed is dropped, and
+    // every near-dup PAIR with a dropped member is fully dropped — the
+    // compliance property the audit exists to certify
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val dm = d.unionByName(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zzmutant")).as("text")))
+    val pairs = graft.operators.Dedup.minhashPairs(dm, col("text"),
+      col("doc_id"), shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    val comp = graft.operators.Components.connectedComponents(
+        graft.operators.Dedup.minhashPairs(dm, col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+          .select(col("id_a"), col("id_b")), dm.select(col("doc_id")))
+      .select(col("id"), col("component")).as[(Long, Long)].collect().toMap
+    val seedComps = comp.collect {
+      case (id, c) if id % 97 == 0 => c }.toSet
+    def dropped(id: Long) = seedComps.contains(comp(id))
+    pairs.foreach { case (a, b) =>
+      assert(dropped(a) == dropped(b),
+        s"pair ($a,$b) straddles the deletion boundary")
+    }
+    // totals reconcile with the gate aggregate
+    val agg = SparkEntry.queries("q_deletion_cascade")(spark, sf).collect()
+    val total = agg.map(r => r.getAs[Long]("n_dropped") +
+      r.getAs[Long]("n_kept")).sum
+    assert(total == comp.size, s"accounting covers $total of ${comp.size}")
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
