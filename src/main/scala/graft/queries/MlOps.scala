@@ -318,24 +318,47 @@ object MlOps extends QueryPack {
   /** Corpus-novelty scoring (curriculum/sampling signal): the fraction of
     * each document's distinct 3-grams whose FIRST corpus occurrence (by
     * doc_id order) is this document. High novelty = fresh content; low =
-    * templated/boilerplate. Plan: distinct grams per doc → min(doc_id)
-    * per gram (one hash aggregate over the gram keyspace, bounded like
-    * vocab, never collected) → join back on gram → per-doc integer milli
-    * ratio. Every quotient is integer; order by doc_id. */
+    * templated/boilerplate.
+    *
+    * Grams are identified by a portable 60-bit md5 fingerprint (15 hex
+    * chars — fits BIGINT in both engines; a collision merges two grams
+    * with probability ~n²/2⁶¹, negligible AND computed identically by the
+    * oracle, so parity holds by construction). The fingerprint is what
+    * makes the plan scale: the gram-keyed shuffle carries an 8-byte key
+    * instead of arbitrary-length strings.
+    *
+    * Plan shape — aggregations only, NO gram-keyed join-back (a first cut
+    * joined the exploded gram frame against the min-doc table on the gram
+    * STRING: it recomputed the explode twice and shuffled full strings
+    * twice — 20 s at sf0.1 vs ~2 s for this form): the checkpointed
+    * (doc, fp) frame feeds (1) a doc-keyed count = n_grams, and (2) an
+    * fp-keyed min(doc_id) whose RESULT re-aggregates by first_doc =
+    * n_novel per doc — two bounded aggregates joined doc-keyed (corpus-
+    * row-sized, not gram-sized). */
   private def ngramNovelty(s: SparkSession, dir: String) = {
-    val grams = docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(
-        graft.functions.TextFunctions.wordNgrams(col("text"), 3)))
-        .as("gram"))
-    val first = grams.groupBy(col("gram"))
-      .agg(min(col("doc_id")).as("first_doc"))
-    grams.join(first, Seq("gram"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        expr("(1000 * n_novel) div n_grams").as("novelty_milli"))
+    // spread BEFORE the gram fan-out: the per-gram md5 work is ~300× the
+    // scan, and a few-MB documents file is ONE split — without the
+    // repartition the whole explode runs in a single task (the
+    // Bootstrap.poissonMeanCi lesson)
+    val parts = s.sessionState.conf.numShufflePartitions
+    val g = docs(s, dir).select(col("doc_id"), col("text"))
+      .repartition(parts)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordNgrams(col("text"), 3)))
+          .as("gram"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(gram), 1, 15), 16, 10) AS BIGINT)")
+          .as("fp"))
+      .localCheckpoint()
+    val perDoc = g.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = g.groupBy(col("fp")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(1000 * coalesce(n_novel, 0)) div n_grams")
+          .as("novelty_milli"))
       .orderBy(col("doc_id"))
   }
 
@@ -476,17 +499,20 @@ object MlOps extends QueryPack {
 
     "q_ngram_novelty" -> {
       val grams3 = graft.functions.TextFunctions.sqlWordNgrams("text", 3)
-      s"""WITH g AS (SELECT doc_id, unnest(list_distinct($grams3)) AS gram
-         |  FROM documents),
-         |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
-         |SELECT g.doc_id,
-         |  CAST(COUNT(*) AS BIGINT) AS n_grams,
-         |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  (1000 * CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0
-         |    END) AS BIGINT)) // COUNT(*) AS novelty_milli
-         |FROM g JOIN f USING (gram)
-         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+      s"""WITH g AS (SELECT doc_id,
+         |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS fp
+         |  FROM (SELECT doc_id, unnest(list_distinct($grams3)) AS gram
+         |        FROM documents)),
+         |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+         |       FROM g GROUP BY 1),
+         |nv AS (SELECT first_doc, CAST(COUNT(*) AS BIGINT) AS n_novel
+         |  FROM (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+         |  GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_grams,
+         |  COALESCE(nv.n_novel, 0) AS n_novel,
+         |  (1000 * COALESCE(nv.n_novel, 0)) // pd.n_grams AS novelty_milli
+         |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
+         |ORDER BY pd.doc_id""".stripMargin
     },
 
     "q_calibration_bins" -> {
