@@ -209,6 +209,16 @@ object MlOps extends QueryPack {
 
     "q_ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir)),
 
+    // Distributed Lloyd k-means, 3 exact integer rounds over the full
+    // corpus (operators/KMeansLloyd — assignment is a codegen'd literal-
+    // centroid expression, update one (K×dim)-key aggregate per round;
+    // the K×64-long centroid table is the only driver artifact). The
+    // oracle unrolls the identical recurrence in SQL, like q_pagerank.
+    "q_kmeans_lloyd" -> ((s, dir) =>
+      graft.operators.KMeansLloyd.summary(
+        Tables.load(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = KmK, iters = KmIters)),
+
     // Classifier calibration report: the q_quality_model linear score
     // binned into fixed 1000-milli bands vs the observed positive rate —
     // the reliability-diagram table an eval stage prints. Bin index uses
@@ -314,6 +324,10 @@ object MlOps extends QueryPack {
   /** Skew cap for [[defs q_embed_neardup_lsh]]: buckets above this
     * occupancy are dropped from candidate generation on both sides. */
   private val EmbedMaxBucket = 128
+
+  /** k-means gate parameters (shared by the query and its oracle). */
+  private val KmK = 8
+  private val KmIters = 3
 
   /** Corpus-novelty scoring (curriculum/sampling signal): the fraction of
     * each document's distinct 3-grams whose FIRST corpus occurrence (by
@@ -513,6 +527,43 @@ object MlOps extends QueryPack {
          |  (1000 * COALESCE(nv.n_novel, 0)) // pd.n_grams AS novelty_milli
          |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
          |ORDER BY pd.doc_id""".stripMargin
+    },
+
+    "q_kmeans_lloyd" -> {
+      // squared integer distance between the vq list and a centroid list
+      def dist(v: String, c: String) =
+        s"list_sum(list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2])))"
+      // one assign+update round: a<i> assigns against c<i-1>f, c<i>f is
+      // the floor-mean update with empty clusters keeping their centroid
+      def round_(i: Int): String =
+        s"""a$i AS (SELECT id, vq, cid FROM (
+           |  SELECT q.id, q.vq, c.cid,
+           |    ROW_NUMBER() OVER (PARTITION BY q.id
+           |      ORDER BY ${dist("q.vq", "c.cv")}, c.cid) AS rn
+           |  FROM q, c${i - 1}f c) WHERE rn = 1),
+           |u$i AS (SELECT cid, dim,
+           |    CAST(SUM(vq[dim]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+           |  FROM a$i, (SELECT unnest(generate_series(1, 64)) AS dim)
+           |  GROUP BY cid, dim),
+           |n$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid),
+           |c${i}f AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+           |  FROM c${i - 1}f p LEFT JOIN n$i n USING (cid))""".stripMargin
+      val rounds = (1 to KmIters).map(round_).mkString(",\n")
+      s"""WITH q AS (SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+         |      AS vq
+         |  FROM embeddings),
+         |c0f AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)
+         |      AS cid, vq AS cv
+         |  FROM (SELECT id, vq FROM q ORDER BY id LIMIT $KmK)),
+         |$rounds,
+         |cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+         |        FROM a$KmIters GROUP BY cid)
+         |SELECT c.cid, COALESCE(cnt.n_members, 0) AS n_members,
+         |  array_to_string(c.cv, ',') AS centroid
+         |FROM c${KmIters}f c LEFT JOIN cnt USING (cid)
+         |ORDER BY c.cid""".stripMargin
     },
 
     "q_calibration_bins" -> {

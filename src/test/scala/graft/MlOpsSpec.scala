@@ -163,6 +163,29 @@ class MlOpsSpec extends SparkSpec {
     assert(total == comp.size, s"accounting covers $total of ${comp.size}")
   }
 
+  test("kmeans lloyd: members partition the corpus, result is " +
+      "partitioning-invariant, clusters separate a bimodal fixture") {
+    import graft.operators.KMeansLloyd
+    // bimodal fixture: two tight integer clusters far apart
+    val vecs = ((0 until 20).map(i => (i.toLong,
+        Array.fill(4)(0.001f * (i % 3)))) ++
+      (20 until 40).map(i => (i.toLong,
+        Array.fill(4)(5.0f + 0.001f * (i % 3))))).toDF("vec_id", "embedding")
+    val out = KMeansLloyd.summary(vecs, col("vec_id"), col("embedding"),
+      k = 2, iters = 3).collect()
+    assert(out.map(_.getAs[Long]("n_members")).sum == 40)
+    // the two modes land in different clusters with equal mass
+    assert(out.map(_.getAs[Long]("n_members")).toSet == Set(20L))
+    // repartitioning must not change a single byte of the result
+    val skewed = KMeansLloyd.summary(vecs.repartition(7), col("vec_id"),
+      col("embedding"), k = 2, iters = 3).collect()
+    assert(out.map(_.toString).sameElements(skewed.map(_.toString)))
+    // and the gate query over the corpus accounts for every vector
+    val gate = SparkEntry.queries("q_kmeans_lloyd")(spark, sf).collect()
+    val n = graft.sources.Tables.load(spark, sf, "embeddings").count()
+    assert(gate.map(_.getAs[Long]("n_members")).sum == n)
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
