@@ -226,8 +226,15 @@ object MlOps extends QueryPack {
     // scores: the zero bin spans (−1000, 1000), documented). One token
     // aggregate + one bin aggregate; nothing leaves the cluster.
     "q_calibration_bins" -> ((s, dir) => {
+      // spread before the token fan-out: a few-MB documents file is one
+      // split, and the per-token hash work would otherwise run in a
+      // single task (the Bootstrap/novelty lesson)
+      val parts = s.sessionState.conf.numShufflePartitions
       val scored = docs(s, dir)
         .select(col("doc_id"), (col("n_chars") >= 400).as("pos"),
+          col("text"))
+        .repartition(parts)
+        .select(col("doc_id"), col("pos"),
           explode(tokens(normalizeText(col("text")))).as("token"))
         .groupBy(col("doc_id"), col("pos"), col("token"))
         .agg(count(lit(1)).as("tf"))
