@@ -194,6 +194,65 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("Cohen's kappa formula is bounded and hits ±1e6/0 on canonical " +
+      "labelings (driver-side, random confusion tables)") {
+    // the exact integer closed form used by q_cohen_kappa, replayed in
+    // BigInt: κ ∈ [−10⁶, 10⁶], κ = 10⁶ iff perfect agreement with both
+    // classes present, κ = 0 for independent marginals
+    def kappa(tp: Long, fp: Long, fn: Long, tn: Long): Option[Long] = {
+      val n = tp + fp + fn + tn
+      val e = BigInt(tp + fp) * (tp + fn) + BigInt(fn + tn) * (fp + tn)
+      val den = BigInt(n) * n - e
+      if (den == 0) None
+      else Some((BigInt(1000000) * (BigInt(n) * (tp + tn) - e) / den).toLong)
+    }
+    val cell = Gen.chooseNum(0L, 500L)
+    val tables = samples(for {
+      a <- cell; b <- cell; c <- cell; d <- cell
+    } yield (a, b, c, d), 200).filter(t =>
+      t._1 + t._2 + t._3 + t._4 > 0)
+    tables.foreach { case (tp, fp, fn, tn) =>
+      kappa(tp, fp, fn, tn).foreach { k =>
+        assert(k >= -1000000L && k <= 1000000L, s"κ out of range: $k")
+      }
+    }
+    assert(kappa(7, 0, 0, 13).contains(1000000L), "perfect agreement")
+    // independent marginals: rows proportional (10,30 / 20,60): κ = 0
+    assert(kappa(10, 30, 20, 60).contains(0L), "independence")
+    // perfect disagreement on balanced marginals: κ = −1e6
+    assert(kappa(0, 10, 10, 0).contains(-1000000L), "perfect disagreement")
+  }
+
+  test("simhash signature bits flip with vector negation (batched)") {
+    // sign⟨−v, h⟩ = −sign⟨v, h⟩: negating a vector with no zero dots
+    // complements all 16 signature bits — a structural check that the
+    // quantized dot really drives every bit
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1000, 1000)
+      .map(_ / 250.0f + 0.002f)) // offset avoids exact-zero dots
+    val vs = samples(vec, 40).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }
+    val df = vs.toDF("vec_id", "embedding")
+    val both = df.unionByName(df.select((col("vec_id") + 1000L).as("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding")))
+    // drive through the gate query's machinery via a temp dir write
+    val dir = java.nio.file.Files.createTempDirectory("graft_simneg")
+    both.coalesce(1).write.parquet(dir.resolve("tmp").toString)
+    val part = java.nio.file.Files.list(dir.resolve("tmp")).toArray
+      .map(_.toString).find(_.endsWith(".parquet")).get
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      dir.resolve("embeddings.parquet"))
+    val sigs = SparkEntry.queries("q_embed_simhash")(spark, dir.toString)
+      .select(col("vec_id"), col("sig")).as[(Long, Long)].collect().toMap
+    vs.foreach { case (id, v) =>
+      // a zero dot quantizes to bit=1 on both v and −v; tolerate only
+      // exact complements OR bits where the dot is zero — with the
+      // +0.002 offset, exact complement is the overwhelming case
+      val s = sigs(id); val sn = sigs(id + 1000L)
+      assert((s ^ sn) == 0xFFFFL || java.lang.Long.bitCount(s ^ sn) >= 14,
+        s"vec $id: sig $s vs negated $sn — bits did not flip")
+    }
+  }
+
   test("st_envelope always bounds st_points (batched over random linestrings)") {
     val coords = Gen.listOfN(6,
       Gen.chooseNum(-179.0, 179.0).flatMap(x =>
