@@ -351,14 +351,29 @@ object Dedup {
     * size filter applied before the pair distinct, then exact verification
     * on candidates only (the [[ngramJaccard]] contract). All thresholds in
     * integer milli-units — no doubles, so engines agree bit-for-bit.
+    *
+    * Semi-eager: the shingle-set frame is `localCheckpoint`ed — it feeds
+    * THREE consumers (the prefix explode and both sides of the verify
+    * join), so without the checkpoint the n-gram pass re-runs for each;
+    * the preceding repartition spreads that single pass across the
+    * cluster even when the input is one parquet split. (On the gate
+    * corpus this is cost-neutral — its ~50-word vocabulary makes the
+    * candidate join, not the n-gram pass, the dominant cost: shared
+    * shingles have high df everywhere, the near-worst case for prefix
+    * filtering. On a natural-text corpus the prefix buckets are rare and
+    * the scan-side work matters.)
     */
   def jaccardSelfJoin(docs: DataFrame, textCol: Column, idCol: Column,
       n: Int = 3, tauMilli: Int = 500): DataFrame = {
     require(tauMilli > 0 && tauMilli <= 1000,
       s"tauMilli must be in (0, 1000], got $tauMilli")
-    val sets = docs.select(idCol.as("id"),
-        array_distinct(wordNgramsNative(textCol, n)).as("s"))
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sets = docs.select(idCol.as("id"), textCol.as("__t"))
+      .repartition(parts)
+      .select(col("id"),
+        array_distinct(wordNgramsNative(col("__t"), n)).as("s"))
       .withColumn("l", size(col("s")).cast("long"))
+      .localCheckpoint()
     val ex = sets.select(col("id"), col("l"), explode(col("s")).as("g"))
     val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
     val ordered = ex.join(dfreq, Seq("g"))
