@@ -209,6 +209,49 @@ object MlOps extends QueryPack {
 
     "q_ngram_novelty" -> ((s, dir) => ngramNovelty(s, dir)),
 
+    // A/B experiment readout over the events table: users split by a
+    // deterministic hash of user_id (the assignment any experimentation
+    // system replays), conversion = "power purchaser" (≥ 14 purchase
+    // events — a threshold that splits users near the median at every
+    // SF, so the 2×2 table is non-degenerate and χ² is defined).
+    // Output per variant: exposed users, converters, rate in micro-units
+    // — plus the same exact-integer χ² statistic as q_chi2/q_token_chi2
+    // on the 2×2 (variant × converted) table, attached to both rows so
+    // the readout is one self-contained frame. All integer arithmetic
+    // (DECIMAL(38,0)/HUGEINT products); one user-keyed aggregate, one
+    // 2-row rollup.
+    "q_ab_experiment" -> ((s, dir) => {
+      val users = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)) >= 14, 1L).otherwise(0L)
+          .as("converted"))
+        .select(
+          pmod(hash32(concat(lit("ab:"), col("user_id").cast("string"))),
+            lit(2L)).as("variant"),
+          col("converted"))
+      val cells = users.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+      val tot = cells.agg(
+        sum(when(col("variant") === 0, col("n_conv"))).as("a"),
+        sum(when(col("variant") === 0, col("n_users") - col("n_conv")))
+          .as("b"),
+        sum(when(col("variant") === 1, col("n_conv"))).as("c"),
+        sum(when(col("variant") === 1, col("n_users") - col("n_conv")))
+          .as("d"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("variant"), col("n_users"), col("n_conv"),
+          expr("(1000000 * n_conv) div n_users").as("rate_micro"),
+          expr(
+            """CAST((1000000 * CAST(a + b + c + d AS DECIMAL(38,0))
+              |  * CAST(a * d - b * c AS DECIMAL(38,0))
+              |  * CAST(a * d - b * c AS DECIMAL(38,0)))
+              | div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d)
+              |      * (a + c) * (b + d), 0) AS BIGINT)""".stripMargin)
+            .as("chi2_micro"))
+        .orderBy(col("variant"))
+    }),
+
     // Distributed Lloyd k-means, 3 exact integer rounds over the full
     // corpus (operators/KMeansLloyd — assignment is a codegen'd literal-
     // centroid expression, update one (K×dim)-key aggregate per round;
@@ -535,6 +578,37 @@ object MlOps extends QueryPack {
          |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
          |ORDER BY pd.doc_id""".stripMargin
     },
+
+    "q_ab_experiment" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+         |      ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS converted
+         |  FROM events GROUP BY 1),
+         |v AS (SELECT
+         |    ${sqlHash32("'ab:' || CAST(user_id AS VARCHAR)")} % 2
+         |      AS variant,
+         |    converted FROM u),
+         |cells AS (SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(converted) AS BIGINT) AS n_conv
+         |  FROM v GROUP BY 1),
+         |tot AS (SELECT
+         |    CAST(SUM(CASE WHEN variant = 0 THEN n_conv END) AS BIGINT)
+         |      AS a,
+         |    CAST(SUM(CASE WHEN variant = 0 THEN n_users - n_conv END)
+         |      AS BIGINT) AS b,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN n_conv END) AS BIGINT)
+         |      AS c,
+         |    CAST(SUM(CASE WHEN variant = 1 THEN n_users - n_conv END)
+         |      AS BIGINT) AS d
+         |  FROM cells)
+         |SELECT cells.variant, cells.n_users, cells.n_conv,
+         |  (1000000 * cells.n_conv) // cells.n_users AS rate_micro,
+         |  CAST((1000000 * CAST(a + b + c + d AS HUGEINT)
+         |    * CAST(a * d - b * c AS HUGEINT)
+         |    * CAST(a * d - b * c AS HUGEINT))
+         |   // NULLIF(CAST(a + b AS HUGEINT) * (c + d)
+         |        * (a + c) * (b + d), 0) AS BIGINT) AS chi2_micro
+         |FROM cells, tot ORDER BY cells.variant""".stripMargin,
 
     "q_kmeans_lloyd" -> {
       // squared integer distance between the vq list and a centroid list

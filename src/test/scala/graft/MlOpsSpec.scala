@@ -186,6 +186,23 @@ class MlOpsSpec extends SparkSpec {
     assert(gate.map(_.getAs[Long]("n_members")).sum == n)
   }
 
+  test("q_ab_experiment: variants partition users, chi2 symmetric across " +
+      "both rows") {
+    // chi2 is NULL when the 2×2 table is degenerate (e.g. every user
+    // converts at tiny SF — a zero marginal) — read it nullable
+    val out = SparkEntry.queries("q_ab_experiment")(spark, sf)
+      .as[(Long, Long, Long, Long, Option[Long])].collect()
+    assert(out.map(_._1).toSeq.sorted == Seq(0L, 1L))
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(out.map(_._2).sum == users, "every user in exactly one variant")
+    out.foreach { case (_, n, conv, rate, _) =>
+      assert(conv <= n && rate == 1000000L * conv / n)
+    }
+    // the chi2 statistic is a property of the whole table — equal rows
+    assert(out.map(_._5).distinct.length == 1)
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
