@@ -63,9 +63,21 @@ object KMeansLloyd {
         .select(col("id"), col("vq"), col("cid"))
     }
 
+    // Superseded checkpoint rounds are released eagerly (the [[PageRank]]
+    // discipline) — GC-deferred cleanup would pin O(iters) corpus-sized
+    // block sets in executor storage for the whole job.
+    def releaseBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
     var last: DataFrame = null
     (1 to iters).foreach { _ =>
+      val prev = last
       last = assigned().localCheckpoint()
+      if (prev != null) releaseBlocks(prev)
       val upd = last
         .select(col("cid"), posexplode(col("vq")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
@@ -79,6 +91,9 @@ object KMeansLloyd {
       }
       cents = next
     }
+    // the returned assignment derives from `last` only; the quantized
+    // projection's blocks are no longer needed
+    releaseBlocks(q)
     (last.select(col("id"), col("cid")), cents)
   }
 

@@ -76,9 +76,14 @@ object Analytic extends QueryPack {
     // order) yields the 1-based global rank + total count, from which the
     // tile is closed-form: the first n%k tiles hold n/k+1 rows, the rest
     // n/k — exactly SQL NTILE's distribution.
+    // NULL contract: the rank frame drops NULL values structurally, so
+    // the NOT NULL filter is explicit on BOTH sides — TPC-H declares
+    // c_acctbal NOT NULL, but a corpus shape change must not silently
+    // shrink this result vs the oracle.
     "q_window_ntile" -> ((s, dir) => {
       val ranked = graft.operators.Percentiles.globalRanksTieBroken(
-        t(s, dir, "customer"), lit(1), col("c_acctbal"), col("c_custkey"))
+        t(s, dir, "customer").filter(col("c_acctbal").isNotNull),
+        lit(1), col("c_acctbal"), col("c_custkey"))
       ranked.select(col("tie").as("c_custkey"),
           col("value").as("c_acctbal"),
           expr("""CASE WHEN rank <= (n % 4) * (n div 4 + 1)
@@ -296,7 +301,8 @@ object Analytic extends QueryPack {
     "q_window_ntile" ->
       """SELECT c_custkey, c_acctbal,
         |  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer WHERE c_acctbal IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_topk_per_group" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (

@@ -139,12 +139,18 @@ object MlOps extends QueryPack {
         .crossJoin(broadcast(tot))
         .filter(col("a") + col("b") >= 25 && col("a") + col("b") < col("n"))
         .select(col("token"), col("a"), col("b"),
+          // ad−bc is computed with a DECIMAL factor FIRST, so the products
+          // widen before they can wrap a 64-bit long (the file contract);
+          // NULLIF guards the degenerate all-one-label corpus where a
+          // marginal is zero (Spark div would NULL, DuckDB // would throw)
           expr(
             """CAST((1000000 * CAST(n AS DECIMAL(38,0))
-              |  * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS DECIMAL(38,0))
-              |  * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS DECIMAL(38,0)))
-              | div (CAST(a + b AS DECIMAL(38,0)) * (n - a - b)
-              |      * (CAST(n_pos AS DECIMAL(38,0))) * (n - n_pos))
+              |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
+              |     - CAST(b AS DECIMAL(38,0)) * (n_pos - a))
+              |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
+              |     - CAST(b AS DECIMAL(38,0)) * (n_pos - a)))
+              | div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (n - a - b)
+              |      * (CAST(n_pos AS DECIMAL(38,0))) * (n - n_pos), 0)
               | AS BIGINT)""".stripMargin).as("chi2_micro"))
         .orderBy(col("chi2_micro").desc, col("token"))
         .limit(20)
@@ -159,7 +165,10 @@ object MlOps extends QueryPack {
     // |corpus|², same posture as the MinHash path. Output: each vector's
     // signature + its bucket population (the skew observability number).
     "q_embed_simhash" -> ((s, dir) => {
-      val signed = signedEmbeddings(s, dir).select(col("vec_id"), col("sig"))
+      // checkpointed: the signature scan feeds both the census and the
+      // join probe side — without it the 16-plane pass runs twice
+      val signed = signedEmbeddings(s, dir)
+        .select(col("vec_id"), col("sig")).localCheckpoint()
       val buckets = signed.groupBy(col("sig"))
         .agg(count(lit(1)).as("bucket_n"))
       signed.join(broadcast(buckets), Seq("sig"))
@@ -186,20 +195,8 @@ object MlOps extends QueryPack {
     // cap bounds any bucket's pair work at cap²/2. Inactive at gate scale
     // (max observed bucket 51 < 128), so the oracle encodes the same cap.
     "q_embed_neardup_lsh" -> ((s, dir) => {
-      val signed = signedEmbeddings(s, dir).localCheckpoint()
-      // ≤ 2^16 rows by construction — broadcastable bucket census
-      val buckets = signed.groupBy(col("sig"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= EmbedMaxBucket)
-      val capped = signed.join(broadcast(buckets), Seq("sig"))
-      val probeKeys = array((0 until SimhashBits)
-        .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
-      val probes = capped.select(col("vec_id").as("id_a"),
-        col("embedding").as("va"), explode(probeKeys).as("psig"))
-      val index = capped.select(col("vec_id").as("id_b"),
-        col("embedding").as("vb"), col("sig").as("psig"))
-      probes.join(index, Seq("psig"))
-        .filter(col("id_a") < col("id_b"))
+      val (_, pairs) = cappedSimhashPairs(s, dir, carryEmbedding = true)
+      pairs
         .select(col("id_a"), col("id_b"),
           round(graft.operators.Similarity.cosine(col("va"), col("vb")), 6)
             .as("cos6"))
@@ -244,8 +241,8 @@ object MlOps extends QueryPack {
           expr("(1000000 * n_conv) div n_users").as("rate_micro"),
           expr(
             """CAST((1000000 * CAST(a + b + c + d AS DECIMAL(38,0))
-              |  * CAST(a * d - b * c AS DECIMAL(38,0))
-              |  * CAST(a * d - b * c AS DECIMAL(38,0)))
+              |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+              |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c))
               | div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d)
               |      * (a + c) * (b + d), 0) AS BIGINT)""".stripMargin)
             .as("chi2_micro"))
@@ -269,21 +266,12 @@ object MlOps extends QueryPack {
     // scores: the zero bin spans (−1000, 1000), documented). One token
     // aggregate + one bin aggregate; nothing leaves the cluster.
     "q_calibration_bins" -> ((s, dir) => {
-      // spread before the token fan-out: a few-MB documents file is one
-      // split, and the per-token hash work would otherwise run in a
-      // single task (the Bootstrap/novelty lesson)
-      val parts = s.sessionState.conf.numShufflePartitions
-      val scored = docs(s, dir)
-        .select(col("doc_id"), (col("n_chars") >= 400).as("pos"),
-          col("text"))
-        .repartition(parts)
-        .select(col("doc_id"), col("pos"),
-          explode(tokens(normalizeText(col("text")))).as("token"))
-        .groupBy(col("doc_id"), col("pos"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
-        .groupBy(col("doc_id"), col("pos"))
-        .agg(sum(col("tf") * col("w")).as("score_milli"))
+      // the score comes from THE shared toy-model definition
+      // ([[PipelineOps.toyModelScores]]) — the calibration readout can
+      // never drift from the model whose keep decision it calibrates
+      val scored = PipelineOps.toyModelScores(
+        docs(s, dir).select(col("doc_id"),
+          (col("n_chars") >= 400).as("pos"), col("text")))
       scored
         .select(expr("score_milli div 1000").as("bin"), col("pos"))
         .groupBy(col("bin"))
@@ -311,10 +299,13 @@ object MlOps extends QueryPack {
           pairs.select(col("id_a"), col("id_b")),
           d.select(col("doc_id")))
         .select(col("id").as("doc_id"), col("component"))
+      // seedComps grows with the corpus (~1/97 of docs), so no forced
+      // broadcast — a plain left join lets AQE broadcast only when it
+      // fits (unlike the genuinely bounded censuses elsewhere)
       val seedComps = comps.filter(col("doc_id") % 97 === 0)
         .select(col("component")).distinct()
-      val flagged = comps.join(broadcast(seedComps
-          .withColumn("dropped", lit(true))), Seq("component"), "left")
+      val flagged = comps.join(seedComps
+          .withColumn("dropped", lit(true)), Seq("component"), "left")
         .select(col("doc_id"),
           coalesce(col("dropped"), lit(false)).as("dropped"))
       val langs = docs(s, dir).select(col("doc_id").as("base_id"),
@@ -336,19 +327,8 @@ object MlOps extends QueryPack {
     // The components machinery is the same audited large-star/small-star
     // path the text dedup uses; label counting adds one keyed aggregate.
     "q_label_propagate" -> ((s, dir) => {
-      val signed = signedEmbeddings(s, dir).localCheckpoint()
-      val buckets = signed.groupBy(col("sig"))
-        .agg(count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") <= EmbedMaxBucket)
-      val capped = signed.join(broadcast(buckets), Seq("sig"))
-      val probeKeys = array((0 until SimhashBits)
-        .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
-      val pairs = capped
-        .select(col("vec_id").as("id_a"), explode(probeKeys).as("psig"))
-        .join(capped.select(col("vec_id").as("id_b"),
-          col("sig").as("psig")), Seq("psig"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
+      val (signed, rawPairs) = cappedSimhashPairs(s, dir)
+      val pairs = rawPairs.select(col("id_a"), col("id_b"))
       val comps = Components.connectedComponents(pairs,
         signed.select(col("vec_id")))
         .select(col("id").as("vec_id"), col("component"))
@@ -424,6 +404,43 @@ object MlOps extends QueryPack {
         expr("(1000 * coalesce(n_novel, 0)) div n_grams")
           .as("novelty_milli"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The ONE capped multiprobe candidate contract shared by every
+    * signature-graph consumer (retrieval, label propagation): the
+    * checkpointed signed frame plus the Hamming-≤1 pair frame
+    * (id_a < id_b; columns va/vb carried when `carryEmbedding`).
+    * Candidates come from a 17-key probe explode equi-joined on the exact
+    * signature — work Σ|bucket|·probes, never |corpus|² — with vectors in
+    * buckets above [[EmbedMaxBucket]] excluded from BOTH sides (the
+    * [[graft.operators.Dedup.minhashPairs]] skew discipline; a 10×
+    * clustered corpus grew same-sig pairs ×105 uncapped). A probe-radius
+    * or cap change here changes every consumer AND is mirrored once in
+    * each oracle — never hand-synchronized across queries. */
+  private def cappedSimhashPairs(s: SparkSession, dir: String,
+      carryEmbedding: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val signed = signedEmbeddings(s, dir).localCheckpoint()
+    // ≤ 2^16 rows by construction — broadcastable bucket census
+    val buckets = signed.groupBy(col("sig"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= EmbedMaxBucket)
+    val capped = signed.join(broadcast(buckets), Seq("sig"))
+    val probeKeys = array((0 until SimhashBits)
+      .map(j => col("sig").bitwiseXOR(lit(1L << j))) :+ col("sig"): _*)
+    val (probeCols, indexCols) =
+      if (carryEmbedding)
+        (Seq(col("vec_id").as("id_a"), col("embedding").as("va"),
+          explode(probeKeys).as("psig")),
+          Seq(col("vec_id").as("id_b"), col("embedding").as("vb"),
+            col("sig").as("psig")))
+      else
+        (Seq(col("vec_id").as("id_a"), explode(probeKeys).as("psig")),
+          Seq(col("vec_id").as("id_b"), col("sig").as("psig")))
+    val pairs = capped.select(probeCols: _*)
+      .join(capped.select(indexCols: _*), Seq("psig"))
+      .filter(col("id_a") < col("id_b"))
+    (signed, pairs)
   }
 
   /** (vec_id, embedding, sig): the shared signature frame for the two
@@ -510,10 +527,12 @@ object MlOps extends QueryPack {
          |  FROM d GROUP BY 1)
          |SELECT token, a, b,
          |  CAST((1000000 * CAST(n AS HUGEINT)
-         |    * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS HUGEINT)
-         |    * CAST(a * (n - n_pos - b) - b * (n_pos - a) AS HUGEINT))
-         |   // (CAST(a + b AS HUGEINT) * (n - a - b)
-         |      * CAST(n_pos AS HUGEINT) * (n - n_pos))
+         |    * (CAST(a AS HUGEINT) * (n - n_pos - b)
+         |       - CAST(b AS HUGEINT) * (n_pos - a))
+         |    * (CAST(a AS HUGEINT) * (n - n_pos - b)
+         |       - CAST(b AS HUGEINT) * (n_pos - a)))
+         |   // NULLIF(CAST(a + b AS HUGEINT) * (n - a - b)
+         |      * CAST(n_pos AS HUGEINT) * (n - n_pos), 0)
          |   AS BIGINT) AS chi2_micro
          |FROM c, tot
          |WHERE a + b >= 25 AND a + b < n
@@ -604,8 +623,8 @@ object MlOps extends QueryPack {
          |SELECT cells.variant, cells.n_users, cells.n_conv,
          |  (1000000 * cells.n_conv) // cells.n_users AS rate_micro,
          |  CAST((1000000 * CAST(a + b + c + d AS HUGEINT)
-         |    * CAST(a * d - b * c AS HUGEINT)
-         |    * CAST(a * d - b * c AS HUGEINT))
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
          |   // NULLIF(CAST(a + b AS HUGEINT) * (c + d)
          |        * (a + c) * (b + d), 0) AS BIGINT) AS chi2_micro
          |FROM cells, tot ORDER BY cells.variant""".stripMargin,
@@ -624,7 +643,7 @@ object MlOps extends QueryPack {
            |  FROM q, c${i - 1}f c) WHERE rn = 1),
            |u$i AS (SELECT cid, dim,
            |    CAST(SUM(vq[dim]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
-           |  FROM a$i, (SELECT unnest(generate_series(1, 64)) AS dim)
+           |  FROM a$i, (SELECT unnest(generate_series(1, $EmbedDim)) AS dim)
            |  GROUP BY cid, dim),
            |n$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid),
            |c${i}f AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv

@@ -27,6 +27,31 @@ object PipelineOps extends QueryPack {
   private val evalPred = col("doc_id") % 97 === 0
   private val sqlEvalPred = "doc_id % 97 = 0"
 
+  /** THE toy linear quality model (fasttext-style): score = Σ tf(token) ·
+    * w(token) with w a pure hash function of the token — shared by
+    * `q_quality_model` and the calibration readout
+    * ([[MlOps q_calibration_bins]]), so the model has exactly ONE
+    * definition. Input must carry (doc_id, text) plus any passthrough
+    * columns, which survive into the per-doc output alongside
+    * (n_tokens, score_milli). The narrow base is repartitioned before
+    * the token fan-out — the hash work is many× the scan and a few-MB
+    * corpus file is one split. */
+  def toyModelScores(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val parts = d.sparkSession.sessionState.conf.numShufflePartitions
+    val passthrough = d.columns.filterNot(c => c == "doc_id" || c == "text")
+    val keyCols = col("doc_id") +: passthrough.map(col)
+    d.repartition(parts)
+      .select(keyCols :+
+        explode(tokens(normalizeText(col("text")))).as("token"): _*)
+      .groupBy(keyCols :+ col("token"): _*)
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
+      .groupBy(keyCols: _*)
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("w")).as("score_milli"))
+  }
+
   // PII patterns — deliberately lookaround-free and ASCII so the IDENTICAL
   // pattern string runs under Java regex (engine) and RE2 (oracle).
   private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -463,20 +488,11 @@ object PipelineOps extends QueryPack {
     // the dot product exactly replayable cross-engine (float dot
     // products are not bit-stable at gate thresholds); keep = score ≥ 0
     // is the filter decision a pipeline would act on.
-    "q_quality_model" -> ((s, dir) => {
-      docs(s, dir)
-        .select(col("doc_id"),
-          explode(tokens(normalizeText(col("text")))).as("token"))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("w", pmod(hash32(col("token")), lit(1000)) - 500)
-        .groupBy(col("doc_id"))
-        .agg(sum(col("tf")).as("n_tokens"),
-          sum(col("tf") * col("w")).as("score_milli"))
+    "q_quality_model" -> ((s, dir) =>
+      PipelineOps.toyModelScores(docs(s, dir))
         .select(col("doc_id"), col("n_tokens"), col("score_milli"),
           (col("score_milli") >= 0).as("keep"))
-        .orderBy(col("doc_id"))
-    }),
+        .orderBy(col("doc_id"))),
 
     // Length-bucket binning — the dynamic-batching prep step: pad-to-
     // bucket batching wastes (bucket − len) tokens per doc, so the loader
