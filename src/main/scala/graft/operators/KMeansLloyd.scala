@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   * join — K×dim longs live in the plan), then ONE (K × dim)-key
   * aggregate; the collected update is a K×dim model artifact (a few KB),
   * the [[Similarity.ivfTrainKMeans]] pattern. Nothing driver-side grows
-  * with the corpus. 64-bit bound: per-dim sums are |members| · 2²² —
-  * route through DECIMAL(38,0) past ~2⁴¹ members per cluster.
+  * with the corpus. Per-dim sums run through DECIMAL(38,0)
+  * UNCONDITIONALLY — a long sum would wrap silently past ~2⁴¹ members
+  * per cluster (|members| · 2²² per-dim magnitude) while the oracle's
+  * HUGEINT stays exact, returning wrong centroids with a green-looking
+  * plan; the decimal route is exact to 10³⁸ and costs nothing on a
+  * K×dim aggregate.
   */
 object KMeansLloyd {
 
@@ -81,13 +85,18 @@ object KMeansLloyd {
       val upd = last
         .select(col("cid"), posexplode(col("vq")).as(Seq("dim", "v")))
         .groupBy(col("cid"), col("dim"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .agg(sum(col("v").cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = cents.map(_.clone())
       upd.foreach { r =>
-        // Long '/' truncates toward zero — identical to Spark `div` and
-        // DuckDB `//` (verified incl. negatives)
-        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2) / r.getLong(3)
+        // BigInt '/' truncates toward zero — identical to DuckDB `//`
+        // (verified incl. negatives); the decimal sum is exact to 10³⁸
+        // where a long would have wrapped at ~2⁴¹ members per cluster
+        val s = r.getDecimal(2).toBigInteger
+        next(r.getLong(0).toInt)(r.getInt(1)) =
+          s.divide(java.math.BigInteger.valueOf(r.getLong(3))).longValueExact()
       }
       cents = next
     }

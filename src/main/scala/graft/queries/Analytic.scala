@@ -79,7 +79,12 @@ object Analytic extends QueryPack {
     // NULL contract: the rank frame drops NULL values structurally, so
     // the NOT NULL filter is explicit on BOTH sides — TPC-H declares
     // c_acctbal NOT NULL, but a corpus shape change must not silently
-    // shrink this result vs the oracle.
+    // shrink this result vs the oracle. This is a DELIBERATE restriction
+    // vs SQL NTILE (which ranks NULL rows, NULLS LAST by default): with
+    // the filter mirrored in the oracle the gate cannot detect the
+    // divergence, so it is pinned here instead. Supporting nullable
+    // order keys = rank the NULL rows as one appended bucket after the
+    // non-NULL tiles (a second count + union), not a global window.
     "q_window_ntile" -> ((s, dir) => {
       val ranked = graft.operators.Percentiles.globalRanksTieBroken(
         t(s, dir, "customer").filter(col("c_acctbal").isNotNull),

@@ -30,11 +30,24 @@ object MlOps extends QueryPack {
     * together. */
   private def withMutants(s: SparkSession, dir: String) = {
     val d = docs(s, dir)
-    d.select(col("doc_id"), col("text"))
+    // The +1e6 offset is only injective while every base id is below it;
+    // a corpus that grew past the offset would silently alias a REAL
+    // document as some other document's mutant (and `% 1000000` would
+    // mis-recover the base) — with engine and oracle sharing the
+    // convention, parity would stay green while the accounting is wrong.
+    // So the base id is guarded row-by-row: growth past the offset fails
+    // the job loudly instead. No extra pass — the guard rides the scan.
+    val guardedId = when(col("doc_id") < MutantOffset, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit(s"withMutants: doc_id "), col("doc_id").cast("string"),
+        lit(s" >= mutant-id offset $MutantOffset — offset no longer injective"))))
+    d.select(guardedId.as("doc_id"), col("text"))
       .unionByName(d.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (guardedId + MutantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text")))
   }
+
+  private val MutantOffset = 1000000L
 
   private val sqlWithMutants =
     """(SELECT doc_id, text FROM documents
@@ -140,17 +153,25 @@ object MlOps extends QueryPack {
         .filter(col("a") + col("b") >= 25 && col("a") + col("b") < col("n"))
         .select(col("token"), col("a"), col("b"),
           // ad−bc is computed with a DECIMAL factor FIRST, so the products
-          // widen before they can wrap a 64-bit long (the file contract);
-          // NULLIF guards the degenerate all-one-label corpus where a
-          // marginal is zero (Spark div would NULL, DuckDB // would throw)
+          // widen before they can wrap a 64-bit long, and the division is
+          // STAGED: (ad−bc)² is divided by the document-frequency marginals
+          // before the ×10⁶N factor, so no intermediate exceeds
+          // DECIMAL(38,0)/HUGEINT until N ≈ 6×10⁹ docs (the unstaged
+          // numerator 10⁶·N·(ad−bc)² wrapped at N ≈ 4×10⁶ — far below the
+          // 100 TB posture). The inner divisor is > 0 by the df filter
+          // (25 ≤ a+b < n); NULLIF guards the degenerate all-one-label
+          // corpus where a label marginal is zero (Spark div would NULL,
+          // DuckDB // would throw). The staged floor costs < 10⁶·N /
+          // (n_pos·(n−n_pos)) micro-units — sub-ppm for any balanced
+          // corpus, and the oracle floors identically.
           expr(
             """CAST((1000000 * CAST(n AS DECIMAL(38,0))
-              |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
-              |     - CAST(b AS DECIMAL(38,0)) * (n_pos - a))
-              |  * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
-              |     - CAST(b AS DECIMAL(38,0)) * (n_pos - a)))
-              | div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (n - a - b)
-              |      * (CAST(n_pos AS DECIMAL(38,0))) * (n - n_pos), 0)
+              |  * (((CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
+              |       - CAST(b AS DECIMAL(38,0)) * (n_pos - a))
+              |      * (CAST(a AS DECIMAL(38,0)) * (n - n_pos - b)
+              |         - CAST(b AS DECIMAL(38,0)) * (n_pos - a)))
+              |     div (CAST(a + b AS DECIMAL(38,0)) * (n - a - b))))
+              | div NULLIF(CAST(n_pos AS DECIMAL(38,0)) * (n - n_pos), 0)
               | AS BIGINT)""".stripMargin).as("chi2_micro"))
         .orderBy(col("chi2_micro").desc, col("token"))
         .limit(20)
@@ -239,12 +260,16 @@ object MlOps extends QueryPack {
       cells.crossJoin(broadcast(tot))
         .select(col("variant"), col("n_users"), col("n_conv"),
           expr("(1000000 * n_conv) div n_users").as("rate_micro"),
+          // staged like q_token_chi2: (ad−bc)² div the variant marginals
+          // FIRST, then ×10⁶N div the conversion marginals — exact in
+          // DECIMAL(38,0) to N ≈ 6×10⁹ users (unstaged wrapped at ~4×10⁶)
           expr(
             """CAST((1000000 * CAST(a + b + c + d AS DECIMAL(38,0))
-              |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
-              |  * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c))
-              | div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d)
-              |      * (a + c) * (b + d), 0) AS BIGINT)""".stripMargin)
+              |  * (((CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c)
+              |      * (CAST(a AS DECIMAL(38,0)) * d - CAST(b AS DECIMAL(38,0)) * c))
+              |     div NULLIF(CAST(a + b AS DECIMAL(38,0)) * (c + d), 0)))
+              | div NULLIF(CAST(a + c AS DECIMAL(38,0)) * (b + d), 0)
+              | AS BIGINT)""".stripMargin)
             .as("chi2_micro"))
         .orderBy(col("variant"))
     }),
@@ -527,12 +552,12 @@ object MlOps extends QueryPack {
          |  FROM d GROUP BY 1)
          |SELECT token, a, b,
          |  CAST((1000000 * CAST(n AS HUGEINT)
-         |    * (CAST(a AS HUGEINT) * (n - n_pos - b)
-         |       - CAST(b AS HUGEINT) * (n_pos - a))
-         |    * (CAST(a AS HUGEINT) * (n - n_pos - b)
-         |       - CAST(b AS HUGEINT) * (n_pos - a)))
-         |   // NULLIF(CAST(a + b AS HUGEINT) * (n - a - b)
-         |      * CAST(n_pos AS HUGEINT) * (n - n_pos), 0)
+         |    * ((CAST(a AS HUGEINT) * (n - n_pos - b)
+         |        - CAST(b AS HUGEINT) * (n_pos - a))
+         |       * (CAST(a AS HUGEINT) * (n - n_pos - b)
+         |          - CAST(b AS HUGEINT) * (n_pos - a))
+         |       // (CAST(a + b AS HUGEINT) * (n - a - b))))
+         |   // NULLIF(CAST(n_pos AS HUGEINT) * (n - n_pos), 0)
          |   AS BIGINT) AS chi2_micro
          |FROM c, tot
          |WHERE a + b >= 25 AND a + b < n
@@ -623,10 +648,11 @@ object MlOps extends QueryPack {
          |SELECT cells.variant, cells.n_users, cells.n_conv,
          |  (1000000 * cells.n_conv) // cells.n_users AS rate_micro,
          |  CAST((1000000 * CAST(a + b + c + d AS HUGEINT)
-         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
-         |    * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c))
-         |   // NULLIF(CAST(a + b AS HUGEINT) * (c + d)
-         |        * (a + c) * (b + d), 0) AS BIGINT) AS chi2_micro
+         |    * ((CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |       * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |       // NULLIF(CAST(a + b AS HUGEINT) * (c + d), 0)))
+         |   // NULLIF(CAST(a + c AS HUGEINT) * (b + d), 0)
+         |   AS BIGINT) AS chi2_micro
          |FROM cells, tot ORDER BY cells.variant""".stripMargin,
 
     "q_kmeans_lloyd" -> {
@@ -642,7 +668,7 @@ object MlOps extends QueryPack {
            |      ORDER BY ${dist("q.vq", "c.cv")}, c.cid) AS rn
            |  FROM q, c${i - 1}f c) WHERE rn = 1),
            |u$i AS (SELECT cid, dim,
-           |    CAST(SUM(vq[dim]) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+           |    CAST(SUM(vq[dim]) // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS m
            |  FROM a$i, (SELECT unnest(generate_series(1, $EmbedDim)) AS dim)
            |  GROUP BY cid, dim),
            |n$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid),

@@ -203,6 +203,24 @@ class MlOpsSpec extends SparkSpec {
     assert(out.map(_._5).distinct.length == 1)
   }
 
+  // Mutant fixture for the id-aliasing hazard (ADVICE r8): a corpus with
+  // doc_id at/past the +1e6 mutant offset would silently alias a real doc
+  // as a mutant on BOTH engine and oracle — the guard must fail loudly
+  // instead of letting the parity gate stay green over wrong accounting.
+  test("withMutants guard: doc_id past the offset fails loudly") {
+    val tmp = java.nio.file.Files.createTempDirectory("mutant-guard").toString
+    graft.sources.Tables.load(spark, sf, "documents")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ex = intercept[Throwable] {
+      graft.queries.MlOps.defs("q_fold_assign")(spark, tmp).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(ex).contains("mutant-id offset"),
+      s"expected the offset guard to fire, got: ${messages(ex).take(500)}")
+  }
+
   test("q_token_chi2 plans top-20 as TakeOrderedAndProject with broadcast " +
       "totals (no vocab collect)") {
     val p = SparkEntry.queries("q_token_chi2")(spark, sf)
