@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * IVF cuts the scanned corpus to the `nprobe` nearest partitions per query:
   * corpus is assigned to centroids once (one narrow pass + small broadcast
   * join), queries only scan matching buckets. At 100 TB the bucket
-  * assignment is the partitioning key — co-locate by `centroid_id` and the
-  * probe join becomes partition-pruned.
+  * assignment is the partitioning key — co-locate by `centroid_id`
+  * ([[ivfWritePartitioned]]) and the probe becomes a partition-pruned
+  * scan ([[ivfTopKPruned]]; plan- and gate-asserted by LlmOpsSpec and
+  * q_sim_ivf_pruned — not just a scaladoc claim).
   */
 object Similarity {
 
@@ -232,6 +234,52 @@ object Similarity {
     TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("id").as("neighbor_id"), col("score"),
         col("rank"))
+  }
+
+  /** The 100 TB IVF layout: the assigned corpus written with one
+    * directory per coarse cell (`centroid_id=<cid>/part-*.parquet`).
+    * Co-locating by cell is what turns the probe join into a
+    * partition-pruned scan — see [[ivfTopKPruned]], which reads back
+    * exactly nprobe-ish of nlist directories. */
+  def ivfWritePartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(path)
+
+  /** The distinct coarse cells the probe set touches: ≤ |Q|·nprobe ids —
+    * a bounded model-artifact-sized list (the same collect posture as the
+    * quantizer itself), NOT a data-plane collect. Public so the pruning
+    * spec can assert the scanned directory set equals this list. */
+  def ivfProbeCells(queries: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Long] =
+    queries
+      .select(explode(nearestCentroids(col(vecCol), centroids, nprobe))
+        .as("centroid_id"))
+      .distinct().collect().map(_.getLong(0)).sorted
+
+  /** [[ivfTopKWith]] over a centroid-partitioned corpus read
+    * ([[ivfWritePartitioned]] layout): the probe cells are pushed into
+    * the scan as a STATIC partition filter, so the parquet source lists
+    * and reads only the probed directories — `PartitionFilters:
+    * [centroid_id IN (...)]` in the plan, nprobe/nlist of the data off
+    * disk instead of a full scan with a post-hoc join. Results are
+    * identical to the unpartitioned path (same probe set, same buckets,
+    * same ordering contract) — gate-pinned by q_sim_ivf_pruned.
+    *
+    * The filter references ONLY the partition column, so pruning happens
+    * at file listing (Catalyst evaluates it against the partition values
+    * — a cast inserted by the int-inferred partition column is fine);
+    * the broadcast probe join then runs over the already-pruned scan. */
+  def ivfTopKPruned(queries: DataFrame, assignedPartitioned: DataFrame,
+      centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = ivfProbeCells(queries, centroids, nprobe, idCol, vecCol)
+    val pruned = assignedPartitioned
+      .filter(col("centroid_id").isin(cells.map(java.lang.Long.valueOf).toSeq: _*))
+      // the read-back partition column type is inference-dependent
+      // (int for small cell ids) — normalize AFTER the pruning filter
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    ivfTopKWith(queries, pruned, centroids, nprobe, k, idCol, vecCol)
   }
 
   // -- int8 quantization (embedding storage compression) ---------------------

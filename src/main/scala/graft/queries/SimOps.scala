@@ -77,6 +77,34 @@ object SimOps extends QueryPack {
         .orderBy(col("query_id"))
     }),
 
+    // The partition-pruned IVF probe — the claim at the center of the
+    // 100 TB ANN story, exercised for real: the assigned corpus is
+    // WRITTEN in the centroid-partitioned layout, read back, and probed
+    // through the static partition filter (PartitionFilters in the scan,
+    // asserted in LlmOpsSpec); the gate pins the pruned path returning
+    // EXACTLY the unpartitioned path's results, per query. The layout
+    // write is a scratch artifact (tmp, overwritten per run) — the
+    // operator under test is the pruned READ, not the write.
+    "q_sim_ivf_pruned" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val model = Similarity.ivfTrainKMeans(e, nlist = 16)
+      val assigned = Similarity.ivfAssignWith(e, model)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.ivfWritePartitioned(assigned, path)
+      val part = s.read.parquet(path)
+      val qs = e.filter(col("vec_id") < 10)
+      val pruned = Similarity.ivfTopKPruned(qs, part, model, nprobe = 8, k = 3)
+      val mem = Similarity.ivfTopKWith(qs, assigned, model, nprobe = 8, k = 3)
+      // per-query exact set equality of (neighbor, score, rank)
+      val diff = pruned.exceptAll(mem).unionAll(mem.exceptAll(pruned))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("__n"))
+      qs.select(col("vec_id").as("query_id")).join(diff, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("__n"), lit(0L)) === 0L).as("pruned_matches"))
+        .orderBy(col("query_id"))
+    }),
+
     // Two-stage quantized ANN: int8-dequantized approximate ranking to a
     // 32-deep shortlist (map-side pruned), exact rescoring of the
     // shortlist only — the int8 storage flow end to end.
@@ -185,6 +213,14 @@ object SimOps extends QueryPack {
     // true top-3" — so the expected value is literally `true` per query.
     "q_sim_ivf" ->
       """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
+
+    // The pruned-layout contract is engine-side set equality vs the
+    // unpartitioned probe; the oracle pins `true` per query, so a layout
+    // or pruning regression (lost bucket, type-coerced filter dropping
+    // rows) fails the gate loudly.
+    "q_sim_ivf_pruned" ->
+      """SELECT vec_id AS query_id, true AS pruned_matches
         |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id""".stripMargin,
 
     "q_sim_topk" -> {

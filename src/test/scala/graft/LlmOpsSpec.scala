@@ -148,26 +148,46 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("IVF probe over centroid-partitioned storage prunes partitions") {
-    // the 100 TB claim behind ivfTopK's scaladoc, demonstrated: store the
-    // assigned corpus partitioned by centroid_id and the probe's bucket
-    // filter becomes a partition filter on the scan — nprobe/nlist of the
-    // data read, not a full pass
+    // the 100 TB claim behind ivfTopK's scaladoc, demonstrated END TO END
+    // on the composed operator: write the assigned corpus in the
+    // ivfWritePartitioned layout, run ivfTopKPruned over the read, and
+    // assert (1) the probe-cell filter reaches the scan as a
+    // PartitionFilter, (2) the scan touches ONLY the probed directories,
+    // (3) results are identical to the unpartitioned ivfTopKWith path.
     val model = Similarity.ivfTrainKMeans(emb, nlist = 8)
     val assigned = Similarity.ivfAssignWith(emb, model)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
-    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    Similarity.ivfWritePartitioned(assigned, dir)
     val back = spark.read.parquet(dir)
-    val probed = back.filter(col("centroid_id").isin(0L, 1L))
-    val p = probed.queryExecution
+    val queries = emb.filter(col("vec_id") < 10)
+    val pruned = Similarity.ivfTopKPruned(queries, back, model,
+      nprobe = 2, k = 3)
+
+    // (1) the bucket restriction is a partition filter, not a post-scan one
+    val p = pruned.queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(p.linesIterator.exists(l =>
-        l.contains("PartitionFilters") && l.contains("centroid_id")),
+        l.contains("PartitionFilters") && l.contains("centroid_id") &&
+          l.contains("IN")),
       s"probe filter did not reach the partition level:\n$p")
-    // and the pruned scan returns exactly the unpartitioned filter's rows
-    val a = probed.select(col("vec_id")).as[Long].collect().sorted
-    val b = assigned.filter(col("centroid_id").isin(0L, 1L))
-      .select(col("vec_id")).as[Long].collect().sorted
-    assert(a.nonEmpty && a.sameElements(b))
+
+    // (2) only the probed cells' directories are listed/read
+    val cells = Similarity.ivfProbeCells(queries, model, nprobe = 2)
+    assert(cells.length < 8, "probe set must not cover every cell")
+    val scannedDirs = back
+      .filter(col("centroid_id").isin(cells.map(java.lang.Long.valueOf).toSeq: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+      .map(_.replaceAll("/[^/]*$", "")).distinct.sorted
+    assert(scannedDirs.length <= cells.length,
+      s"scan touched ${scannedDirs.mkString(",")} for cells ${cells.mkString(",")}")
+    assert(scannedDirs.forall(d => cells.exists(c => d.endsWith(s"centroid_id=$c"))),
+      s"scanned a non-probed directory: ${scannedDirs.mkString(",")}")
+
+    // (3) pruned ≡ unpartitioned, bit for bit
+    val mem = Similarity.ivfTopKWith(queries, assigned, model, nprobe = 2, k = 3)
+      .collect().map(_.toString).sorted
+    val got = pruned.collect().map(_.toString).sorted
+    assert(got.nonEmpty && got.sameElements(mem))
   }
 
   test("quantized two-stage ANN: exact at full shortlist, high recall at 32") {
