@@ -32,22 +32,87 @@ object EventStreams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream of the events table (the file source wants a
+  /** The stream-source seam: WHERE events come from is a declarative
+    * (format, options, path, schema, decode) value, and every operator
+    * downstream of [[readSource]] consumes the one canonical frame
+    * (event_id, ts: TimestampType, user_id, event_type, value, props).
+    * Moving a deployment from the file source to Kafka (or any connector)
+    * is a spec swap — ZERO plan changes; the decode arm is an ordinary
+    * DataFrame transform, so it is testable without the connector on the
+    * classpath (StreamingSpec drives [[decodeKafkaEvents]] with a batch
+    * frame in Kafka's wire schema). */
+  final case class SourceSpec(
+      format: String,
+      options: Map[String, String] = Map.empty,
+      path: Option[String] = None,
+      schema: Option[StructType] = None,
+      decode: DataFrame => DataFrame = identity)
+
+  /** Materialize a [[SourceSpec]] as an unbounded canonical events frame. */
+  def readSource(spark: SparkSession, spec: SourceSpec): DataFrame = {
+    var r = spark.readStream.format(spec.format)
+    spec.schema.foreach(s => r = r.schema(s))
+    r = r.options(spec.options)
+    spec.decode(spec.path.fold(r.load())(r.load))
+  }
+
+  /** File-source spec over the events table (the file source wants a
     * directory; the glob filter selects the events file from the corpus).
     * The ts declaration follows the batch reader's observed schema, then
     * normalizes to TimestampType through the same arm as the batch source
     * ([[graft.sources.Tables.normalizeEventTs]]) — long-ns, µs-NTZ, and
     * plain-timestamp corpora all yield a watermarkable TimestampType ts. */
-  def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
+  def fileEventsSource(spark: SparkSession, sfDir: String): SourceSpec = {
     val batchTs = graft.sources.Tables
       .loadRaw(spark, sfDir, "events").schema("ts").dataType
-    val stream = spark.readStream
-      .schema(StructType(rawSchema.map(f =>
-        if (f.name == "ts") f.copy(dataType = batchTs) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    graft.sources.Tables.normalizeEventTs(stream)
+    SourceSpec(
+      format = "parquet",
+      options = Map("pathGlobFilter" -> "events.parquet"),
+      path = Some(sfDir),
+      schema = Some(StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = batchTs) else f))),
+      decode = graft.sources.Tables.normalizeEventTs)
   }
+
+  /** Kafka drop-in for the same seam. REQUIRES the spark-sql-kafka-0-10
+    * connector jar on the classpath (org.apache.spark:spark-sql-kafka-0-10_2.13
+    * at the matching Spark version) — this container does not ship it, so
+    * `readSource` on this spec fails at `load()` with a
+    * DATA_SOURCE_NOT_FOUND; everything else (the spec value, the decode
+    * plan, every downstream operator) is connector-independent and tested.
+    * Wire contract: each record's `value` is a JSON object in
+    * [[rawSchema]] shape (ts = epoch NANOS, mirroring the parquet raw
+    * layout), the standard debezium-less event-bus framing. */
+  def kafkaEventsSource(bootstrapServers: String, topic: String,
+      startingOffsets: String = "earliest"): SourceSpec =
+    SourceSpec(
+      format = "kafka",
+      options = Map(
+        "kafka.bootstrap.servers" -> bootstrapServers,
+        "subscribe" -> topic,
+        "startingOffsets" -> startingOffsets),
+      decode = decodeKafkaEvents)
+
+  /** Kafka wire bytes → canonical events frame: value JSON parsed against
+    * [[rawSchema]], then the shared ts-normalization arm. A pure plan
+    * transform — no connector dependency — so the decode is spec-asserted
+    * against a batch frame in Kafka's (key, value, topic, partition,
+    * offset, timestamp, timestampType) schema. Undecodable records
+    * surface as NULL event_ids (from_json's contract) rather than
+    * failing the stream; route them to a dead-letter sink in production
+    * via `.filter(col("event_id").isNull)` on the same frame. */
+  def decodeKafkaEvents(raw: DataFrame): DataFrame =
+    graft.sources.Tables.normalizeEventTs(raw
+      .select(from_json(col("value").cast("string"), rawSchema).as("e"))
+      .select(col("e.event_id").as("event_id"), col("e.ts").as("ts"),
+        col("e.user_id").as("user_id"),
+        col("e.event_type").as("event_type"),
+        col("e.value").as("value"), col("e.props").as("props")))
+
+  /** The default reader every gate query uses: the file spec through the
+    * same seam Kafka would use. */
+  def readEvents(spark: SparkSession, sfDir: String): DataFrame =
+    readSource(spark, fileEventsSource(spark, sfDir))
 
   /** Tumbling-window aggregate per event type. The watermark bounds state
     * eviction in append/update mode (the unbounded-source posture); the
