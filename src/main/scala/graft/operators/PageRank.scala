@@ -30,10 +30,15 @@ import org.apache.spark.sql.functions._
   * Scale posture: one out-weight aggregation up front; per iteration, one
   * key-partitioned join of the (node, rank) table to the edge list plus
   * one sum by destination — the standard distributed PageRank step, edges
-  * never materialize on the driver. Rounds are `localCheckpoint`ed with
-  * eager release of the superseded round (the [[Components]] pattern —
-  * GC-deferred cleanup would retain O(iters) rank tables in executor
-  * storage). Node count comes from ONE `count()` of the node dimension
+  * never materialize on the driver. Rounds are `localCheckpoint`ed every
+  * `checkpointEvery`-th iteration (not every round: each eager
+  * checkpoint is a full job barrier, and on a fast graph the scheduler
+  * latency of 10 barriers dominated the bench — measured 2× the quiet
+  * envelope; between checkpoints the rounds stay one lazy composed plan,
+  * so `ceil(iters/k)` barriers bound both lineage depth and job count),
+  * with eager release of the superseded checkpoint (the [[Components]]
+  * pattern — GC-deferred cleanup would retain O(iters/k) rank tables in
+  * executor storage). Node count comes from ONE `count()` of the node dimension
   * (driver-side scalar, not a data collect). 64-bit bound: r·w stays
   * under 2^63 while `total · max(W_out)` does; past that (trillion-edge
   * graphs) route the product through DECIMAL(38,0) in both engines.
@@ -48,8 +53,10 @@ object PageRank {
     *         this holds on sink-bearing graphs too)
     */
   def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
-      total: Long = 1000000000000L, dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+      total: Long = 1000000000000L, dampingPct: Int = 85,
+      checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 &&
+      checkpointEvery >= 1)
     val n = nodes.count()
     require(n > 0, "empty node set")
     val base = (total * (100 - dampingPct)) / (100L * n)
@@ -71,12 +78,15 @@ object PageRank {
       }
 
     var cur = nodes.select(col("id"), lit(total / n).as("r")).localCheckpoint()
-    (1 to iters).foreach { _ =>
+    // the checkpoint currently anchoring `cur`'s lineage — only released
+    // once a NEWER checkpoint has truncated the lineage above it
+    var anchor = cur
+    (1 to iters).foreach { i =>
       val inc = ew.join(cur, col("src") === col("id"))
         .select(col("dst"), expr("(r * w) div wout").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
       val joined = nodes.join(inc, col("id") === col("dst"), "left")
-      val next = (if (hasDangling) {
+      val next = if (hasDangling) {
         // this round's dangling mass: a 1-row aggregate, broadcast-attached
         val dmass = cur.join(dangling, col("id") === col("did"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
@@ -90,10 +100,17 @@ object PageRank {
         joined.select(col("id"),
           (lit(base) +
             expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
-            .as("r")))
-        .localCheckpoint()
-      releaseBlocks(cur)
-      cur = next
+            .as("r"))
+      // materialization barrier only every k-th round (and the final
+      // round, so the working frames below can be released eagerly); the
+      // rounds in between compose lazily on the last checkpoint —
+      // ceil(iters/k) barriers instead of iters.
+      cur = if (i % checkpointEvery == 0 || i == iters) {
+        val c = next.localCheckpoint()
+        releaseBlocks(anchor)
+        anchor = c
+        c
+      } else next
     }
     releaseBlocks(ew)
     releaseBlocks(dangling)

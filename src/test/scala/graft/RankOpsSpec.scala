@@ -30,6 +30,19 @@ class RankOpsSpec extends SparkSpec {
       s"total $total")
   }
 
+  test("pagerank: checkpoint cadence never changes the result") {
+    // the every-k-rounds barrier is pure scheduling — rank values must be
+    // bit-identical whether every round, every 3rd, or none checkpoint
+    val edges = Seq((0L, 1L, 2L), (1L, 2L, 1L), (2L, 0L, 3L), (2L, 3L, 1L))
+      .toDF("src", "dst", "w")
+    val nodes = (0L to 4L).toDF("id") // node 4 isolated, node 3 dangling
+    def run(k: Int) = PageRank.ranks(edges, nodes, iters = 7,
+      checkpointEvery = k).as[(Long, Long)].collect().toMap
+    val every = run(1)
+    assert(every == run(3) && every == run(100),
+      s"cadence changed ranks: ${run(3)} vs $every")
+  }
+
   test("pagerank: a node every edge points at outranks the spokes") {
     // star: 0..6 -> 7 plus 7 -> 0 (no dangling node)
     val edges = ((0L until 7).map(i => (i, 7L, 1L)) :+ ((7L, 0L, 1L)))
