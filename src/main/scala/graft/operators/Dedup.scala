@@ -172,32 +172,49 @@ object Dedup {
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def simhashNearDupPairs(df: DataFrame, textCol: Column, idCol: Column,
       maxHamming: Int = 3, maxBucket: Int = 4096,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    hammingBandPairs(simhashSketches(df, textCol, idCol),
+      col("id"), col("simhash"), maxHamming, maxBucket, drops)
+
+  /** Pigeonhole bit-band near-dup pairs over ANY 64-bit sketch column —
+    * the machinery behind [[simhashNearDupPairs]], reusable by every
+    * Hamming-space family (text SimHash, embedding SimHash, image dHash):
+    * split the sketch into `maxHamming` + 1 bit-bands; two sketches within
+    * `maxHamming` bits agree exactly on ≥ 1 band, so banding is an EXACT
+    * candidate generator and the popcount filter removes false positives.
+    * One shuffle on an 8-byte band key; the [[cappedBucketPairs]] skew cap
+    * bounds degenerate buckets (recall 1.0 only while `drops` stays 0 —
+    * see [[simhashNearDupPairs]]).
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def hammingBandPairs(sketches: DataFrame, idCol: Column, sketchCol: Column,
+      maxHamming: Int = 3, maxBucket: Int = 4096,
       drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nBands = maxHamming + 1
-    val sk = simhashSketches(df, textCol, idCol)
+    val sk = sketches.select(idCol.as("id"), sketchCol.as("sketch"))
     // band b covers bits [64b/n, 64(b+1)/n) — key = (band | bits), one
     // long: for n ≥ 2 every band is ≤ 32 bits so the tag at bit 32 is
     // collision-free; n == 1 (Hamming 0) is whole-sketch equality, so the
     // sketch itself is the key
     val bandKeys =
-      if (nBands == 1) Seq(col("simhash"))
+      if (nBands == 1) Seq(col("sketch"))
       else (0 until nBands).map { b =>
         val lo = 64 * b / nBands
         val width = 64 * (b + 1) / nBands - lo
         lit(b.toLong << 32).bitwiseOR(
-          shiftrightunsigned(col("simhash"), lo)
+          shiftrightunsigned(col("sketch"), lo)
             .bitwiseAND(lit((1L << width) - 1)))
       }
-    val banded = sk.select(col("id"), col("simhash"),
+    val banded = sk.select(col("id"), col("sketch"),
       explode(array(bandKeys: _*)).as("band_key"))
     // popcount filter BEFORE distinct() — see minhashPairs for why this
     // ordering and dedup form (and not a band filter or dropDuplicates)
-    cappedBucketPairs(banded, "simhash", maxBucket, drops)
+    cappedBucketPairs(banded, "sketch", maxBucket, drops)
       .drop("band_key")
       .withColumn("hamming",
-        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))).cast("int"))
+        bit_count(col("sketch_a").bitwiseXOR(col("sketch_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // (id_a, id_b, sketches, hamming): pair-functions
       .select(col("id_a"), col("id_b"), col("hamming"))

@@ -293,6 +293,50 @@ object Multimodal {
       lit("AVI ".getBytes(ascii)), hdrl, movi)
   }
 
+  /** Wrap payload bytes in a REAL 24-bit bottom-up BMP of `width`×`height`
+    * gray pixels, the image analogue of [[wavFromText]]/[[aviFromText]]:
+    * pixel (x, y) — top-down raster order — has gray level equal to payload
+    * byte `(y*width + x) mod len` (wraparound keeps any non-empty payload
+    * valid). Entirely column expressions; any standards-correct decoder
+    * (including JDK imageio) recovers exactly those gray levels, so an
+    * arithmetic oracle can predict what a REAL decode must produce.
+    * Intended for small thumbnails (the expression unrolls width×height
+    * pixel slices — keep w·h ≲ a few hundred). */
+  def bmpFromBytes(data: Column, width: Int, height: Int): Column = {
+    require(width > 0 && height > 0 && width * height <= 1024,
+      s"bmpFromBytes unrolls w*h pixel expressions; got ${width}x$height")
+    val rowPad = (4 - (width * 3) % 4) % 4
+    val rowSize = width * 3 + rowPad
+    val imgSize = rowSize * height
+    val byteAt = (idx: Int) =>
+      data.substr(pmod(lit(idx.toLong), length(data)) + 1, lit(1))
+    // file rows run bottom-up: file row r carries image row y = H-1-r
+    val rows = (height - 1) to 0 by -1 map { y =>
+      val px = (0 until width).map { x =>
+        val b = byteAt(y * width + x)
+        concat(b, b, b) // BGR, all equal for gray
+      }
+      val row = concat(px: _*)
+      if (rowPad == 0) row
+      else concat(row, lit(Array.fill[Byte](rowPad)(0)))
+    }
+    concat(
+      lit("BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
+      leBytes(lit(54 + imgSize), 4), // file size
+      leBytes(lit(0), 4),            // reserved
+      leBytes(lit(54), 4),           // pixel-array offset
+      leBytes(lit(40), 4),           // BITMAPINFOHEADER size
+      leBytes(lit(width), 4),
+      leBytes(lit(height), 4),       // positive = bottom-up rows
+      leBytes(lit(1), 2),            // planes
+      leBytes(lit(24), 2),           // bits per pixel
+      leBytes(lit(0), 4),            // BI_RGB, uncompressed
+      leBytes(lit(imgSize), 4),
+      leBytes(lit(2835), 4), leBytes(lit(2835), 4), // 72 dpi
+      leBytes(lit(0), 4), leBytes(lit(0), 4),       // palette counts
+      concat(rows: _*))
+  }
+
   case class AudioMeta(media_id: Long, n_bytes: Long, sample_rate: Int,
       channels: Int, n_frames: Long, duration_ms: Long)
 

@@ -178,6 +178,53 @@ object SimOps extends QueryPack {
         .toDF()
         .orderBy(col("media_id"))),
 
+    // REAL image decode + perceptual hash end to end, the raster analogue
+    // of q_media_audio: the image rows' text payloads become genuine
+    // 9×8-gray BMP files inside the engine (bmpFromBytes, pure column
+    // expressions), then the batch pass decodes them through JDK imageio
+    // and computes the 64-bit dHash from the decoded raster. The oracle
+    // predicts both 32-bit halves from the payload-byte arithmetic the BMP
+    // spec pins — values only a standards-correct image write AND a real
+    // decode AND a correct gradient hash all reproduce.
+    "q_image_dhash" -> ((s, dir) => {
+      val imgs = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+        .filter(col("kind") === "image")
+        .withColumn("data", Multimodal.bmpFromBytes(col("data"),
+          graft.operators.ImageHash.GridW, graft.operators.ImageHash.GridH))
+      graft.operators.ImageHash.sketchTable(s, imgs, col("media_id"),
+          col("data")).toDF()
+        .select(col("id").as("media_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Image near-duplicate pairs via dHash banding — multimodal dedup as
+    // first-class as text dedup: the image corpus plus one planted
+    // variant per image (byte 4 of the payload overwritten, i.e. a few
+    // pixels retouched) runs decode → dHash → pigeonhole Hamming banding
+    // (Dedup.hammingBandPairs; never all-pairs). A retouched pixel flips
+    // ≤ 2 gradient bits, and wraparound re-use of the payload can touch a
+    // second pixel, so every planted pair sits within Hamming 4 and the
+    // EXACT banding must surface it; the oracle is the uncapped all-pairs
+    // Hamming join over the same arithmetic-predicted sketches.
+    "q_image_neardup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 4), lit("z"),
+          col("text").substr(lit(6), length(col("text")))).as("text"))
+      val media = base.unionByName(variants)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.bmpFromBytes(encode(col("text"), "UTF-8"),
+            graft.operators.ImageHash.GridW,
+            graft.operators.ImageHash.GridH).as("data"))
+      graft.operators.ImageHash.nearDupPairs(s, media, col("media_id"),
+          col("data"), maxHamming = 4, maxBucket = 65536)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Distributed Gram matrix X'X over the embedding corpus — the
     // covariance/PCA prep step. Each row expands to its d(d+1)/2 upper-
     // triangle products NARROWLY (a generated array, no self-join on the
@@ -348,6 +395,67 @@ object SimOps extends QueryPack {
         |  (1 + octet_length(encode(text)) % 240) * 40 AS duration_ms
         |FROM documents WHERE doc_id % 3 = 2
         |ORDER BY media_id""".stripMargin,
+
+    // dHash arithmetic the BMP layout pins: pixel (x, y) of the 9×8 gray
+    // thumbnail is payload byte (y*9+x) mod len, gray of (b,b,b) is b
+    // exactly under the 299/587/114 integer luma, and bit y*8+x compares
+    // horizontally adjacent pixels. Emitted as two 32-bit halves so the
+    // oracle never shifts into BIGINT's sign bit.
+    "q_image_dhash" ->
+      """WITH bits AS (
+        |  SELECT doc_id AS media_id, y*8 + x AS pos,
+        |    CASE WHEN ascii(substr(text,
+        |           CAST((y*9 + x) % length(text) AS INT) + 1, 1)) >
+        |         ascii(substr(text,
+        |           CAST((y*9 + x + 1) % length(text) AS INT) + 1, 1))
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(0, 7)) AS yy(y),
+        |    LATERAL unnest(generate_series(0, 7)) AS xx(x)
+        |  WHERE doc_id % 3 = 0)
+        |SELECT media_id,
+        |  CAST(SUM(CASE WHEN pos >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+        |    AS BIGINT) AS dhash_hi,
+        |  CAST(SUM(CASE WHEN pos < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+        |    AS BIGINT) AS dhash_lo
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // Uncapped all-pairs Hamming join over the same predicted sketches —
+    // the exact baseline the banded engine path must reproduce verbatim.
+    "q_image_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 4) || 'z' || substr(text, 6)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT doc_id, y*8 + x AS pos,
+        |    CASE WHEN ascii(substr(text,
+        |           CAST((y*9 + x) % length(text) AS INT) + 1, 1)) >
+        |         ascii(substr(text,
+        |           CAST((y*9 + x + 1) % length(text) AS INT) + 1, 1))
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM corpus,
+        |    LATERAL unnest(generate_series(0, 7)) AS yy(y),
+        |    LATERAL unnest(generate_series(0, 7)) AS xx(x)),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_gram" ->
       """WITH x AS (SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS v
