@@ -25,11 +25,26 @@ import graft.functions.GeoFunctions._
   * Cell size trades shuffle width against refinement fan-in: ~the median
   * polygon envelope size is right; at 100 TB make it a config and bucket
   * both sides by cell for a shuffle-free co-located join.
+  *
+  * **Coordinate-frame envelope (explicit):** [[st_contains]] and the grid
+  * blocking are PLANAR — coordinates are treated as a flat x/y plane, the
+  * frame the reference inherits from PostGIS's non-geography operators
+  * (from-ground-up.js:73-90) and the correct one for the ATES fixtures
+  * (projected/local-extent data). At global lon/lat scale two boundary
+  * cases break planarity: polygons crossing the ±180° antimeridian (the
+  * stored ring spans numerically "backwards" and planar ray casting reads
+  * it inside-out) and polygons enclosing a pole (every meridian crosses
+  * the boundary an odd number of times; no planar parity is right).
+  * [[st_contains_geo]] handles the antimeridian by re-centering; pole
+  * caps remain out of scope for ray casting in lon/lat and need a
+  * spherical-winding predicate — `SpatialJoinSpec` pins both boundaries.
   */
 object SpatialJoin {
 
   /** Even-odd point-in-geometry test: count ray crossings over every ring
-    * of the geometry (works for Polygon with holes and MultiPolygon). */
+    * of the geometry (works for Polygon with holes and MultiPolygon).
+    * PLANAR — see the object scaladoc for the validity envelope; use
+    * [[st_contains_geo]] for lon/lat data that may cross ±180°. */
   def st_contains(g: Column, x: Column, y: Column): Column = {
     val rings = flatten(g.getField("coordinates")) // rank-4 → list of rings
     val crossings = aggregate(
@@ -44,6 +59,39 @@ object SpatialJoin {
           val yj = element_at(element_at(ring, i + 1), 2)
           ((yi > y) =!= (yj > y)) &&
             (x < (xj - xi) * (y - yi) / (yj - yi) + xi)
+        })))
+    crossings % 2 === 1
+  }
+
+  /** Antimeridian-safe even-odd containment for lon/lat geometries: every
+    * longitude is re-centered on the polygon's first vertex via the
+    * wrap-to-(−180, 180] map `Δ ↦ ((Δ + 180) mod 360) − 180`, which makes
+    * a ring that crosses ±180° numerically continuous again, then the
+    * planar ray cast of [[st_contains]] runs in that frame. Exact for any
+    * geometry whose total longitude span is < 180° (crossing the seam or
+    * not) — beyond that the re-centered vertices can themselves straddle
+    * the wrap point. Pole-enclosing rings are NOT handled (no lon/lat
+    * parity is — see the object scaladoc); `SpatialJoinSpec` pins that
+    * boundary. Same codegen'd higher-order-function shape as
+    * [[st_contains]]: drop-in as the refinement predicate of
+    * [[pointsInPolygons]] when the corpus is global. */
+  def st_contains_geo(g: Column, lon: Column, lat: Column): Column = {
+    val rings = flatten(g.getField("coordinates"))
+    val ref = element_at(element_at(element_at(rings, 1), 1), 1)
+    def recenter(l: Column): Column = pmod(l - ref + lit(180.0), lit(360.0)) - 180.0
+    val xr = recenter(lon)
+    val crossings = aggregate(
+      rings,
+      lit(0),
+      (acc, ring) => acc + size(filter(
+        sequence(lit(1), size(ring) - 1),
+        i => {
+          val xi = recenter(element_at(element_at(ring, i), 1))
+          val yi = element_at(element_at(ring, i), 2)
+          val xj = recenter(element_at(element_at(ring, i + 1), 1))
+          val yj = element_at(element_at(ring, i + 1), 2)
+          ((yi > lat) =!= (yj > lat)) &&
+            (xr < (xj - xi) * (lat - yi) / (yj - yi) + xi)
         })))
     crossings % 2 === 1
   }

@@ -87,6 +87,29 @@ object Geo extends QueryPack {
         .orderBy(col("c_custkey"), col("box_id"))
     }),
 
+    // Antimeridian-safe containment (round 9): customers mapped onto the
+    // globe by key arithmetic, tested against a literal rectangle CROSSING
+    // ±180° with st_contains_geo (recentered ray cast). The oracle
+    // replays the identical wrap-to-(−180,180] arithmetic and the strict
+    // recentered bbox (the rectangle is axis-aligned, so even-odd
+    // containment ≡ the strict range test) — a wrong recentering or a
+    // biased boundary comparison on either engine fails the hash. All
+    // values are exact binary fractions (.5 offsets), so no comparison
+    // can tie: lon grid is integral, bounds are half-integral.
+    "q_geo_seam" -> ((s, dir) => {
+      val seam =
+        """{"type":"Polygon","coordinates":[[[170.5,-9.5],[-170.5,-9.5],
+          |[-170.5,9.5],[170.5,9.5],[170.5,-9.5]]]}""".stripMargin
+          .replace("\n", "")
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+          (col("c_custkey") * 13 % 140 - 70).cast("double").as("lat"))
+        .filter(SpatialJoin.st_contains_geo(
+          st_geomfromgeojson(lit(seam)), col("lon"), col("lat")))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Grid-blocked ε-distance self-join on supplier points — the spatial
     // "within distance" operator; oracle is the all-pairs filter (supplier
     // is small enough for an exact n² oracle).
@@ -140,6 +163,21 @@ object Geo extends QueryPack {
     "q_geo_spatial" ->
       s"""SELECT c_custkey, box_id FROM (${SpatialBoxes.sqlPredicates})
          |ORDER BY c_custkey, box_id""".stripMargin,
+
+    // the rectangle's recentered frame: ref = 170.5 (first vertex), so
+    // lon 170.5 → 0 and −170.5 → 19; strict bounds because the ray cast
+    // uses strict comparisons and no point sits on a boundary
+    "q_geo_seam" ->
+      """WITH p AS (SELECT c_custkey,
+        |    CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) AS lon,
+        |    CAST(c_custkey * 13 % 140 - 70 AS DOUBLE) AS lat
+        |  FROM customer),
+        |r AS (SELECT c_custkey, lon, lat,
+        |    ((lon - 170.5 + 180) % 360 + 360) % 360 - 180 AS xr
+        |  FROM p)
+        |SELECT c_custkey, lon, lat FROM r
+        |WHERE xr > 0 AND xr < 19 AND lat > -9.5 AND lat < 9.5
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_geo_distance" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

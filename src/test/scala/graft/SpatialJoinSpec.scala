@@ -85,4 +85,79 @@ class SpatialJoinSpec extends SparkSpec {
           col("y") > col("e.ymin") && col("y") < col("e.ymax")).as("bbox"))
     assert(both.filter(col("exact") =!= col("bbox")).count() == 0)
   }
+
+  // ---- coordinate-frame envelope (round 9): the planar predicate's
+  // ---- boundary of validity, pinned per the SpatialJoin scaladoc ----
+
+  test("antimeridian: st_contains_geo is right across the ±180° seam " +
+    "where planar st_contains reads the ring inside-out") {
+    // a 20°-wide rectangle crossing the antimeridian: lon 170° → −170°
+    val seam =
+      """{"type":"Polygon","coordinates":[
+        |[[170.0,-10.0],[-170.0,-10.0],[-170.0,10.0],[170.0,10.0],
+        |  [170.0,-10.0]]]}""".stripMargin
+    val df = Seq(
+      (179.0, 0.0, true),    // inside, east of the seam
+      (-179.0, 0.0, true),   // inside, west of the seam
+      (160.0, 0.0, false),   // west of the rectangle
+      (-160.0, 5.0, false),  // east of the rectangle
+      (0.0, 0.0, false))     // far side of the planet
+      .toDF("lon", "lat", "expected")
+      .select(st_geomfromgeojson(lit(seam)).as("g"), col("lon"), col("lat"),
+        col("expected"))
+    val wrongGeo = df.filter(SpatialJoin.st_contains_geo(
+      col("g"), col("lon"), col("lat")) =!= col("expected"))
+    assert(wrongGeo.count() == 0, "st_contains_geo wrong at the seam")
+    // the planar predicate sees lon spanning [−170, 170] — a 340°-wide
+    // rectangle covering the WRONG side of the planet. Pin the inside-out
+    // reading so the envelope documented in the scaladoc stays honest.
+    val planar = df.select(col("lon"), col("lat"), col("expected"),
+      SpatialJoin.st_contains(col("g"), col("lon"), col("lat")).as("p"))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)),
+        (r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(planar((179.0, 0.0))._2 == false,
+      "planar unexpectedly right at the seam — envelope doc is stale")
+    assert(planar((0.0, 0.0))._2 == true,
+      "planar unexpectedly right on the far side — envelope doc is stale")
+  }
+
+  test("st_contains_geo ≡ st_contains on non-wrapping geometries " +
+    "(incl. holes and multipolygons)") {
+    val donut =
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],
+        |[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}""".stripMargin
+    val mp =
+      """{"type":"MultiPolygon","coordinates":[
+        |[[[20.0,20.0],[22.0,20.0],[22.0,22.0],[20.0,22.0],[20.0,20.0]]],
+        |[[[30.0,30.0],[32.0,30.0],[32.0,32.0],[30.0,32.0],[30.0,30.0]]]]}""".stripMargin
+    val grid = for {
+      gj <- Seq(donut, mp); x <- -2 to 34 by 3; y <- -2 to 34 by 3
+    } yield (gj, x.toDouble + 0.5, y.toDouble + 0.5)
+    val df = grid.toDF("gj", "x", "y")
+      .select(st_geomfromgeojson(col("gj")).as("g"), col("x"), col("y"))
+    val diff = df.filter(
+      SpatialJoin.st_contains_geo(col("g"), col("x"), col("y")) =!=
+        SpatialJoin.st_contains(col("g"), col("x"), col("y")))
+    assert(diff.count() == 0,
+      "geo and planar predicates diverge off the seam")
+  }
+
+  test("pole cap: lon/lat ray casting CANNOT see a pole-enclosing ring " +
+    "— pinned as out of scope (needs a spherical-winding predicate)") {
+    val cap = // ring at 80°N all the way around: geodesically a polar cap
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,80.0],[90.0,80.0],[180.0,80.0],[-90.0,80.0],[0.0,80.0]]]}""".stripMargin
+    val df = Seq((0.0, 85.0)).toDF("lon", "lat")
+      .select(st_geomfromgeojson(lit(cap)).as("g"), col("lon"), col("lat"))
+    // (0, 85) is inside the cap on the sphere; both parities return false
+    // because every lat-85 ray crosses the lat-80 boundary an even number
+    // of times in the planar reading. THIS IS THE DOCUMENTED LIMIT — if
+    // an implementation change ever makes these true, the scaladoc
+    // envelope (and this pin) must be rewritten together.
+    assert(df.filter(SpatialJoin.st_contains(
+      col("g"), col("lon"), col("lat"))).count() == 0)
+    assert(df.filter(SpatialJoin.st_contains_geo(
+      col("g"), col("lon"), col("lat"))).count() == 0)
+  }
 }
