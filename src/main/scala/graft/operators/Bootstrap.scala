@@ -14,11 +14,17 @@ import graft.functions.TextFunctions
   * so every replicate is just a weighted aggregation and all B of them
   * run in ONE grouped pass over a bounded ×B fan-out.
   *
-  * Weights are DETERMINISTIC in the data: the portable md5-derived
-  * [[graft.functions.TextFunctions.hash32]] of (key, replicate) maps
-  * through fixed integer Poisson(1) CDF thresholds (scaled to 2^32, the
-  * same literals in the DuckDB oracle), so re-runs, repartitions and
-  * engine swaps reproduce the exact replicate means bit-for-bit. The
+  * Weights are DETERMINISTIC in the data: ONE portable md5-derived
+  * [[graft.functions.TextFunctions.hash32]] per ROW, scrambled per
+  * replicate by a 32-bit integer finisher ([[mix32]] — xorshift-multiply
+  * rounds whose products stay under 2^63, so DuckDB BIGINT replays them
+  * without HUGEINT), mapped through fixed integer Poisson(1) CDF
+  * thresholds (scaled to 2^32, the same literals in the DuckDB oracle).
+  * Re-runs, repartitions and engine swaps reproduce the exact replicate
+  * means bit-for-bit. One md5 per row — not per (row × replicate): the
+  * ×B fan-out carries only integer arithmetic, which cut the stage's CPU
+  * ~8× and its first-run JIT-warmup penalty with it (measured rep-1
+  * 7.0 s → see PERF.md round 9). The
   * per-replicate mean routes its decimal sum through the string render
   * (correctly-rounded double at any magnitude), and the CI bounds are
   * order statistics of the B sorted means — a bounded collect, no
@@ -30,6 +36,20 @@ object Bootstrap {
     * (total tail probability 8.3e-5). */
   private val Thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
     4213413783L, 4279248373L, 4292415291L, 4294609777L)
+
+  /** Per-replicate 32-bit scramble of a per-row hash: u ↦
+    * finish(u + b·2654435761). The finisher is two xorshift-multiply
+    * rounds (lowbias32-family constants chosen < 2^31 so every product of
+    * a 32-bit value stays < 2^63 — exact in Spark longs AND DuckDB
+    * BIGINT, no unsigned/HUGEINT games). Replayed literally by the
+    * oracle SQL; change both together or parity dies. */
+  def mix32(u0: Column, b: Column): Column = {
+    val mask = lit(0xFFFFFFFFL)
+    def mul(x: Column, c: Long) = (x * c).bitwiseAND(mask)
+    def xs(x: Column, s: Int) = x.bitwiseXOR(shiftrightunsigned(x, s))
+    val seeded = (u0 + b * 2654435761L).bitwiseAND(mask)
+    xs(mul(xs(mul(xs(seeded, 16), 2146121005L), 15), 1935781271L), 16)
+  }
 
   /** One-row result (n, b, mean_full, ci_lo, ci_hi): the full-data mean
     * of `valueCol` plus the [loIdx, hiIdx] order-statistic bootstrap CI
@@ -53,10 +73,10 @@ object Bootstrap {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val means = base
       .repartition(parts)
-      .select(col("__k"), col("__v"),
+      .withColumn("__u0", TextFunctions.hash32(col("__k"))) // BEFORE fan-out
+      .select(col("__u0"), col("__v"),
         explode(sequence(lit(0), lit(b - 1))).as("__b"))
-      .withColumn("__u", TextFunctions.hash32(
-        concat(col("__k"), lit(":"), col("__b").cast("string"))))
+      .withColumn("__u", mix32(col("__u0"), col("__b")))
       .withColumn("__w", weight)
       .filter(col("__w") > 0)
       .groupBy(col("__b"))

@@ -323,15 +323,25 @@ object QualityOps extends QueryPack {
         |FROM (SELECT * FROM st WHERE s = 1) x,
         |     (SELECT * FROM st WHERE s = 0) y""".stripMargin,
 
-    // Same deterministic hash → Poisson(1) weight chain, value-grid
-    // free: the thresholds are the identical 2^32-scaled CDF literals.
+    // Same deterministic weight chain, value-grid free: ONE md5 per row,
+    // the per-replicate mix32 scramble replayed literally (seed + two
+    // xorshift-multiply rounds, all products < 2^63 so BIGINT is exact),
+    // thresholds the identical 2^32-scaled CDF literals.
     "q_bootstrap_ci" ->
-      """WITH e AS (SELECT b.b,
-        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' ||
-        |      CAST(b.b AS VARCHAR)), 1, 8))::BIGINT AS u,
+      """WITH base AS (SELECT
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      AS u0,
         |    o_totalprice AS v
-        |  FROM orders, LATERAL unnest(generate_series(0, 199)) AS b(b)
-        |  WHERE o_totalprice IS NOT NULL),
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |e AS (SELECT b, v, xor(t3, t3 // 65536) AS u FROM (
+        |  SELECT b, v,
+        |    (xor(t2, t2 // 32768) * 1935781271) % 4294967296 AS t3 FROM (
+        |    SELECT b, v,
+        |      (xor(t1, t1 // 65536) * 2146121005) % 4294967296 AS t2 FROM (
+        |      SELECT b.b AS b, v,
+        |        (u0 + b.b * 2654435761) % 4294967296 AS t1
+        |      FROM base,
+        |        LATERAL unnest(generate_series(0, 199)) AS b(b))))),
         |w AS (SELECT b,
         |    CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
         |         WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
