@@ -225,6 +225,48 @@ object SimOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // REAL audio decode + energy fingerprint end to end — the audio leg
+    // of multimodal dedup (image leg: q_image_dhash): audio rows become
+    // genuine RIFF/WAVE files inside the engine (wavFromText), the batch
+    // pass decodes the PCM through JDK javax.sound and hashes the
+    // 65-block absolute-amplitude envelope gradient. The oracle predicts
+    // both 32-bit halves from the byte arithmetic the WAV spec pins
+    // (sample i = payload bytes 2i, 2i+1 little-endian; ASCII payloads
+    // keep every sample positive so abs is the identity there).
+    "q_audio_fingerprint" -> ((s, dir) => {
+      val wavs = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+        .filter(col("kind") === "audio")
+        .withColumn("data", Multimodal.wavFromText(col("data")))
+      graft.operators.AudioHash.sketchTable(s, wavs, col("media_id"),
+          col("data")).toDF()
+        .select(col("id").as("media_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Audio near-duplicate pairs via energy-hash banding: the audio
+    // corpus plus one planted variant per clip (payload byte 9
+    // overwritten — one PCM sample retouched; with short clips the
+    // clamped overlapping blocks spread one sample across ~3 blocks, so
+    // a planted pair sits within Hamming 8) runs decode → hash →
+    // pigeonhole banding (Dedup.hammingBandPairs; never all-pairs).
+    // Oracle: uncapped all-pairs Hamming join over predicted sketches.
+    "q_audio_neardup" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 8), lit("z"),
+          col("text").substr(lit(10), length(col("text")))).as("text"))
+      val media = base.unionByName(variants)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.wavFromText(encode(col("text"), "UTF-8")).as("data"))
+      graft.operators.AudioHash.nearDupPairs(s, media, col("media_id"),
+          col("data"), maxHamming = 8, maxBucket = 65536)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Distributed Gram matrix X'X over the embedding corpus — the
     // covariance/PCA prep step. Each row expands to its d(d+1)/2 upper-
     // triangle products NARROWLY (a generated array, no self-join on the
@@ -455,6 +497,75 @@ object SimOps extends QueryPack {
         |    AS INT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Energy-hash arithmetic the WAV layout pins: frame i is payload
+    // bytes 2i/2i+1 little-endian (ASCII text ⇒ every sample positive ⇒
+    // abs = identity), 65 clamped blocks, bit j compares adjacent block
+    // sums. Same hi/lo split as q_image_dhash.
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id AS media_id, text,
+        |    (length(text) - length(text) % 2) // 2 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |blk AS (SELECT media_id, j.j AS j, text,
+        |    LEAST((j.j * n) // 65, n - 1) AS x0,
+        |    GREATEST(LEAST((j.j * n) // 65, n - 1) + 1,
+        |             ((j.j + 1) * n) // 65) AS x1
+        |  FROM d, LATERAL unnest(generate_series(0, 64)) AS j(j)),
+        |e AS (SELECT media_id, j,
+        |    SUM(ascii(substr(text, 2*i.i + 1, 1)) +
+        |        256 * ascii(substr(text, 2*i.i + 2, 1))) AS e
+        |  FROM blk, LATERAL unnest(generate_series(x0, x1 - 1)) AS i(i)
+        |  GROUP BY media_id, j),
+        |bits AS (SELECT a.media_id, a.j AS pos,
+        |    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b ON a.media_id = b.media_id AND b.j = a.j + 1
+        |  WHERE a.j < 64)
+        |SELECT media_id,
+        |  CAST(SUM(CASE WHEN pos >= 32
+        |    THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+        |    AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN pos < 32
+        |    THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+        |    AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    "q_audio_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    substr(text, 1, 8) || 'z' || substr(text, 10)
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |d AS (SELECT doc_id, text,
+        |    (length(text) - length(text) % 2) // 2 AS n FROM corpus),
+        |blk AS (SELECT doc_id, j.j AS j, text,
+        |    LEAST((j.j * n) // 65, n - 1) AS x0,
+        |    GREATEST(LEAST((j.j * n) // 65, n - 1) + 1,
+        |             ((j.j + 1) * n) // 65) AS x1
+        |  FROM d, LATERAL unnest(generate_series(0, 64)) AS j(j)),
+        |e AS (SELECT doc_id, j,
+        |    SUM(ascii(substr(text, 2*i.i + 1, 1)) +
+        |        256 * ascii(substr(text, 2*i.i + 2, 1))) AS e
+        |  FROM blk, LATERAL unnest(generate_series(x0, x1 - 1)) AS i(i)
+        |  GROUP BY doc_id, j),
+        |bits AS (SELECT a.doc_id, a.j AS pos,
+        |    CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.j = a.j + 1
+        |  WHERE a.j < 64),
+        |h AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_gram" ->
