@@ -29,6 +29,28 @@ object BehaviorOps extends QueryPack {
   private val SessionGapUs = 12L * 3600 * 1000000
 
   override def defs: Map[String, Q] = Map(
+    // CDC apply / upsert compaction (round 9): the event log read as a
+    // change stream — per key, the LATEST change wins (ts, then event_id
+    // as the deterministic tiebreak), and a delete tombstone (synthetic
+    // op: every 10th event) removes the key from the compacted state.
+    // This is the MERGE-into-snapshot primitive of an incremental
+    // warehouse; one key-partitioned window, no global sort, the plan a
+    // 100 TB compaction job needs.
+    "q_cdc_apply" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_id") % 10 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("op") === "U")
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("us").as("last_us"), col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Cohort retention: users bucketed by first-seen day (cohort),
     // activity days expressed as offsets from the cohort day, distinct
     // users per (cohort, offset) cell. Day indices are integer floor-divs
@@ -570,6 +592,15 @@ object BehaviorOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH c AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, event_id AS last_event_id, us AS last_us, value
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
     "q_cohort_retention" ->
       s"""WITH f AS (SELECT user_id,
          |             MIN(epoch_us(ts)) // $DayUs AS cohort_d

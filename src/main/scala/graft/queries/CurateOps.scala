@@ -260,6 +260,26 @@ object CurateOps extends QueryPack {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // Entity resolution across two catalogs (round 9): the part catalog
+    // vs a dirty feed (each name's 4th char overwritten — a typo that by
+    // the pigeonhole guarantee never touches BOTH the 3-char prefix and
+    // the 3-char suffix, so multi-key blocking catches every pair).
+    // Blocking semantics are part of the declared contract — the oracle
+    // replays the same (prefix OR suffix) candidate rule plus the exact
+    // levenshtein verify, so the gate pins both stages.
+    "q_entity_match" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") < 1000)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val dirty = base.select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 3), lit("x"),
+          col("name").substr(lit(5), length(col("name")))).as("name"))
+      graft.operators.EntityResolution.blockedMatch(
+          base, col("id"), col("name"), dirty, col("id"), col("name"),
+          maxEdit = 1, maxKey = 4096)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Crawl-delta snapshot diff: the incremental-ingest primitive — what
     // changed between yesterday's corpus and today's, by id and content
     // hash. One full-outer co-partitioned join on the id; text never
@@ -473,6 +493,20 @@ object CurateOps extends QueryPack {
          |  AND a.doc_id < b.doc_id
          |WHERE levenshtein(a.p, b.p) <= 20
          |ORDER BY id1, id2""".stripMargin,
+
+    "q_entity_match" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name AS name
+        |  FROM part WHERE p_partkey < 1000),
+        |dirty AS (SELECT id + 1000000 AS id,
+        |    substr(name, 1, 3) || 'x' || substr(name, 5) AS name
+        |  FROM base)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM base a JOIN dirty b ON
+        |  (substr(a.name, 1, 3) = substr(b.name, 1, 3) OR
+        |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
+        |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),

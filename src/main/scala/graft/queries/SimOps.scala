@@ -225,6 +225,31 @@ object SimOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // k-NN label transfer (round 9): predict each probe embedding's
+    // language by majority vote of its 5 nearest labeled neighbors
+    // (labels from the aligned documents table) — the semi-supervised
+    // labeling primitive of a training-data pipeline. Probes broadcast,
+    // corpus streams (the bruteForceTopK shape); the 100-row neighbor
+    // frame then joins the label dim and a per-query vote window picks
+    // the winner (ties to the alphabetically smallest label).
+    "q_knn_label" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nn = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20), k = 5)
+      val labels = Tables.load(s, dir, "documents")
+        .select(col("doc_id").as("neighbor_id"), col("lang"))
+      val votes = nn.join(labels, "neighbor_id")
+        .groupBy(col("query_id"), col("lang"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("lang"))
+      votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), col("lang").as("pred_lang"), col("votes"))
+        .orderBy(col("query_id"))
+    }),
+
     // REAL audio decode + energy fingerprint end to end — the audio leg
     // of multimodal dedup (image leg: q_image_dhash): audio rows become
     // genuine RIFF/WAVE files inside the engine (wavFromText), the batch
@@ -498,6 +523,26 @@ object SimOps extends QueryPack {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_knn_label" -> {
+      val cos = sqlCosine("q.embedding", "c.embedding")
+      s"""WITH nn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cos, 6) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id >= 20
+         |    WHERE q.vec_id < 20)
+         |  WHERE rank <= 5),
+         |v AS (SELECT query_id, d.lang, COUNT(*) AS votes
+         |  FROM nn JOIN documents d ON d.doc_id = nn.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, lang AS pred_lang, votes FROM (
+         |  SELECT query_id, lang, votes, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY votes DESC, lang) AS rn
+         |  FROM v)
+         |WHERE rn = 1 ORDER BY query_id""".stripMargin
+    },
 
     // Energy-hash arithmetic the WAV layout pins: frame i is payload
     // bytes 2i/2i+1 little-endian (ASCII text ⇒ every sample positive ⇒

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def matchPairs(left: Seq[(Long, String)],
+      right: Seq[(Long, String)], maxKey: Int = 4096): Set[(Long, Long)] =
+    EntityResolution.blockedMatch(
+      left.toDF("id", "name"), col("id"), col("name"),
+      right.toDF("id", "name"), col("id"), col("name"),
+      maxEdit = 1, maxKey = maxKey)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+
+  test("pigeonhole recall: every 1-edit variant of a name ≥ 7 chars is " +
+    "caught, at every edit position and for ins/del too") {
+    val name = "abcdefgh"
+    val subs = (0 until name.length).map(p =>
+      name.updated(p, if (name(p) == 'z') 'y' else 'z'))
+    val dels = (0 until name.length).map(p =>
+      name.substring(0, p) + name.substring(p + 1))
+    val ins = (0 to name.length).map(p =>
+      name.substring(0, p) + "z" + name.substring(p))
+    val variants = (subs ++ dels ++ ins).zipWithIndex
+      .map { case (n, i) => (1000L + i, n) }
+    val found = matchPairs(Seq((1L, name)), variants)
+    for ((vid, vname) <- variants)
+      assert(found.contains((1L, vid)),
+        s"1-edit variant '$vname' missed — pigeonhole guarantee broken")
+  }
+
+  test("boundary of validity: a middle substitution on a 5-char name " +
+    "breaks BOTH blocking keys and is missed — pinned as documented") {
+    // len 5: position 3 sits in the prefix (1-3) AND the suffix (3-5)
+    val found = matchPairs(Seq((1L, "abcde")), Seq((2L, "abzde")))
+    assert(!found.contains((1L, 2L)),
+      "5-char middle edit unexpectedly caught — blocking doc is stale")
+    // len 6: prefix (1-3) and suffix (4-6) are disjoint — always caught
+    val found6 = (0 until 6).forall { p =>
+      matchPairs(Seq((1L, "abcdef")),
+        Seq((2L, "abcdef".updated(p, 'z')))).contains((1L, 2L))
+    }
+    assert(found6, "6-char substitutions must all be caught")
+  }
+
+  test("heavy-key census: a degenerate block is dropped whole; a planted " +
+    "pair in a light block survives") {
+    val boiler = (0 until 3000).map(i => (i.toLong, "the same product name"))
+    val left = boiler :+ (100000L, "unique widget")
+    val right = (0 until 3000).map(i => (i + 500000L, "the same product name")) :+
+      (200000L, "unique widgex")
+    val found = matchPairs(left, right, maxKey = 256)
+    assert(found == Set((100000L, 200000L)),
+      s"expected only the planted pair to survive the cap, got ${found.size}")
+  }
+}
