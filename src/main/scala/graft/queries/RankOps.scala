@@ -116,6 +116,23 @@ object RankOps extends QueryPack {
       e0.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // k-core decomposition (round 9) over the co-purchase graph: peel
+    // vertices of degree < 80 for up to 8 synchronous rounds (6 reach
+    // the fixpoint at gate scale; rounds are part of the declared
+    // semantics, so the 8-round unrolled oracle matches whether or not
+    // the peel converged). Output: core vertices + within-core degree.
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      graft.operators.KCore.kCore(e0, k = 80, maxRounds = 8)
+        .select(col("x"), col("d").cast("long").as("d"))
+        .orderBy(col("x"))
+    }),
+
     // Association rules over the same baskets: pair support, per-item
     // support, and lift in exact integer micro-units. The lift numerator
     // and denominator go through DECIMAL(38,0) products before the
@@ -149,6 +166,32 @@ object RankOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // 8 unrolled synchronous peels — identical recurrence to the engine's
+    // KCore loop (the q_pagerank unrolled-oracle pattern).
+    "q_kcore" -> {
+      val k = 80
+      // every CTE MATERIALIZED: unmaterialized, DuckDB inlines e_{r-1}
+      // into each of e_r's three references — exponential plan growth
+      // that exhausts file handles on the base scan by round 8
+      val rounds = (1 to 8).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT x, COUNT(*) AS d FROM (
+           |  SELECT u AS x FROM e${r - 1}
+           |  UNION ALL SELECT v FROM e${r - 1}) GROUP BY x),
+           |k$r AS MATERIALIZED (SELECT x FROM d$r WHERE d >= $k),
+           |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+           |  WHERE u IN (SELECT x FROM k$r)
+           |    AND v IN (SELECT x FROM k$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |$rounds
+         |SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+         |  SELECT u AS x FROM e8 UNION ALL SELECT v FROM e8)
+         |GROUP BY x HAVING COUNT(*) >= $k ORDER BY x""".stripMargin
+    },
+
     "q_pagerank" -> {
       val pre =
         """WITH e0 AS (
