@@ -110,6 +110,33 @@ object StreamOps extends QueryPack {
         .orderBy(col("stage"))
     }),
 
+    // Streaming CDC compaction (round 9): the event log as a live change
+    // stream, latest-change-wins per key with delete tombstones — the
+    // streaming twin of q_cdc_apply. Latest-wins is ONE streaming
+    // aggregation: max over the (us, event_id, …) struct (the unique
+    // prefix makes lexicographic max = "latest"), state is one struct
+    // per key — exactly what a 100 TB continuous compaction keeps.
+    // Tombstone filtering happens on the drained result; the oracle is
+    // the identical batch SQL (stream/batch equivalence).
+    "q_stream_cdc" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"),
+          when(col("event_id") % 10 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+      val latest = ev.groupBy(col("user_id"))
+        .agg(max(struct(col("us"), col("event_id"), col("op"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_id").as("last_event_id"),
+          col("m.us").as("last_us"), col("m.op").as("op"),
+          col("m.value").as("value"))
+      EventStreams.runToResult(s, latest, qn("stream_cdc"))
+        .filter(col("op") === "U")
+        .select(col("user_id"), col("last_event_id"), col("last_us"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming dedup: the doubled source must reduce back to the original
     // cardinality. Emits per-type counts of the deduped stream.
     "q_stream_dedup" -> ((s, dir) => {
@@ -123,6 +150,17 @@ object StreamOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // identical to q_cdc_apply's batch oracle — THE stream/batch
+    // equivalence contract for the compaction
+    "q_stream_cdc" ->
+      """WITH c AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, event_id AS last_event_id, us AS last_us, value
+        |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
     // same hash gate as the batch sampling oracles (md5-derived, portable)
     "q_stream_corpus" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
