@@ -117,10 +117,11 @@ object RankOps extends QueryPack {
     }),
 
     // k-core decomposition (round 9) over the co-purchase graph: peel
-    // vertices of degree < 80 for up to 8 synchronous rounds (6 reach
-    // the fixpoint at gate scale; rounds are part of the declared
-    // semantics, so the 8-round unrolled oracle matches whether or not
-    // the peel converged). Output: core vertices + within-core degree.
+    // vertices of degree < 60 for up to 8 synchronous rounds (the core
+    // transition is steep on this graph — k=60 keeps a nonempty core at
+    // every gate scale, 2 rounds to fixpoint; rounds are part of the
+    // declared semantics, so the 8-round unrolled oracle matches whether
+    // or not the peel converged). Output: core vertices + degree.
     "q_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -128,7 +129,7 @@ object RankOps extends QueryPack {
           col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
-      graft.operators.KCore.kCore(e0, k = 80, maxRounds = 8)
+      graft.operators.KCore.kCore(e0, k = 60, maxRounds = 8)
         .select(col("x"), col("d").cast("long").as("d"))
         .orderBy(col("x"))
     }),
@@ -169,7 +170,7 @@ object RankOps extends QueryPack {
     // 8 unrolled synchronous peels — identical recurrence to the engine's
     // KCore loop (the q_pagerank unrolled-oracle pattern).
     "q_kcore" -> {
-      val k = 80
+      val k = 60
       // every CTE MATERIALIZED: unmaterialized, DuckDB inlines e_{r-1}
       // into each of e_r's three references — exponential plan growth
       // that exhausts file handles on the base scan by round 8

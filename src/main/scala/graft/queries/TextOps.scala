@@ -251,6 +251,35 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-representative selection (round 9): the dedup output
+    // stage a pipeline actually ships — per near-dup cluster keep ONE
+    // document (longest text, ties to the smallest id) and account for
+    // the rest. Window is PARTITIONED by component (never global);
+    // everything upstream is the oracled cluster machinery.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val d = withMutants(docs(s, dir))
+      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      val comp = graft.operators.Components.connectedComponents(
+          pairs.select(col("id_a"), col("id_b")),
+          d.select(col("doc_id")))
+        .select(col("id").as("doc_id"), col("component"))
+      val sized = comp.join(
+        d.select(col("doc_id"), length(col("text")).as("nc")), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component"))
+        .orderBy(col("nc").desc, col("doc_id"))
+      sized
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("n_docs", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("component"))))
+        .filter(col("__rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_id"),
+          col("nc").cast("long").as("n_chars"), col("n_docs"))
+        .orderBy(col("component"))
+    }),
+
     // Training-mix capstone: the full corpus-to-batches pipeline under ONE
     // oracle — stratified hash-gate sampling (per-language rates) → LSH
     // near-dup drop on the SAMPLE → token-budget packing per language →
@@ -522,6 +551,45 @@ object TextOps extends QueryPack {
          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    // The cluster closure extended one window: representative per
+    // component by (longest text, smallest id), cluster size alongside.
+    "q_dedup_canonical" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      s"""WITH RECURSIVE corpus AS MATERIALIZED (
+         |  SELECT doc_id, text FROM $sqlWithMutants),
+         |sigs AS MATERIALIZED (
+         |  SELECT doc_id AS id, $sig AS sig FROM corpus),
+         |${sqlBandedCandidates(4, 4)},
+         |pairs AS MATERIALIZED (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
+         |        / 16 AS est_jaccard
+         |    FROM cand) WHERE est_jaccard >= 0.5),
+         |edges AS MATERIALIZED (
+         |  SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM corpus
+         |  UNION
+         |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+         |comp AS MATERIALIZED (
+         |  SELECT id AS doc_id, min(r) AS component
+         |  FROM reach GROUP BY id),
+         |sized AS (
+         |  SELECT c.component, c.doc_id, length(k.text) AS nc
+         |  FROM comp c JOIN corpus k USING (doc_id))
+         |SELECT component, doc_id AS canonical_id,
+         |  CAST(nc AS BIGINT) AS n_chars, n_docs
+         |FROM (
+         |  SELECT component, doc_id, nc,
+         |    ROW_NUMBER() OVER (PARTITION BY component
+         |      ORDER BY nc DESC, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY component) AS n_docs
+         |  FROM sized)
+         |WHERE rn = 1 ORDER BY component""".stripMargin
     },
 
     // The whole mix pipeline replayed in SQL: hash gate → banded LSH →
