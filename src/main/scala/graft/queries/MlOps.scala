@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions.{hash32, normalizeText, sqlHash32,
   sqlMinhashSignature, sqlBandedCandidates, sqlTokens, tokens}
 import graft.operators.{Components, Dedup}
@@ -238,6 +239,55 @@ object MlOps extends QueryPack {
     // the readout is one self-contained frame. All integer arithmetic
     // (DECIMAL(38,0)/HUGEINT products); one user-keyed aggregate, one
     // 2-row rollup.
+    // CUPED variance reduction (round 9): the experiment readout with
+    // pre-period covariate adjustment — Y' = Y − θ(X − E[X]) where X is
+    // each user's pre-period spend, Y the post-period spend, and
+    // θ = cov(X,Y)/var(X) pooled. Everything reduces to per-variant
+    // SUMS, so the adjusted means need no second per-user pass:
+    // mean_adj_v = Ȳ_v − θ(X̄_v − X̄). Co-moments are exact via the
+    // q_corr_regr discipline (per-user x/y are decimal-routed doubles,
+    // products cast DECIMAL(38,8) before the order-independent sum,
+    // string-routed back); the pre/post split is the integer midpoint of
+    // the corpus time range (broadcast 1-row).
+    "q_cuped" -> ((s, dir) => {
+      val d38 = DecimalType(38, 8)
+      def sRoute(c: org.apache.spark.sql.Column) =
+        c.cast("string").cast("double")
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(mid))
+        .groupBy(col("user_id"))
+        .agg(
+          sRoute(sum(when(col("us") < col("mid"), col("value"))
+            .otherwise(0.0).cast(DecimalType(18, 4)))).as("x"),
+          sRoute(sum(when(col("us") >= col("mid"), col("value"))
+            .otherwise(0.0).cast(DecimalType(18, 4)))).as("y"))
+        .withColumn("variant", pmod(hash32(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+      val g = per.agg(
+        count(lit(1)).as("n"),
+        sRoute(sum(col("x").cast(DecimalType(18, 4)))).as("sx"),
+        sRoute(sum(col("y").cast(DecimalType(18, 4)))).as("sy"),
+        sRoute(sum((col("x") * col("y")).cast(d38))).as("sxy"),
+        sRoute(sum((col("x") * col("x")).cast(d38))).as("sxx"))
+      val theta = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      per.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_users"),
+          sRoute(sum(col("x").cast(DecimalType(18, 4)))).as("sxv"),
+          sRoute(sum(col("y").cast(DecimalType(18, 4)))).as("syv"))
+        .crossJoin(broadcast(g))
+        .select(col("variant"), col("n_users"),
+          round(col("syv") / col("n_users"), 6).as("mean_y"),
+          round(col("syv") / col("n_users") -
+            theta * (col("sxv") / col("n_users") - col("sx") / col("n")), 6)
+            .as("mean_adj"),
+          round(theta, 6).as("theta"))
+        .orderBy(col("variant"))
+    }),
+
     "q_ab_experiment" -> ((s, dir) => {
       val users = Tables.load(s, dir, "events")
         .groupBy(col("user_id"))
@@ -622,6 +672,48 @@ object MlOps extends QueryPack {
          |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
          |ORDER BY pd.doc_id""".stripMargin
     },
+
+    // the identical sum-staging chain: decimal-routed per-user x/y,
+    // DECIMAL(38,8) products, string-routed doubles, same θ expression
+    // tree (n·sxy − sx·sy over n·sxx − sx·sx)
+    "q_cuped" ->
+      s"""WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+         |    AS mid FROM events),
+         |per AS (SELECT user_id,
+         |    CAST(CAST(SUM(CAST(CASE WHEN epoch_us(ts) < b.mid
+         |      THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS VARCHAR)
+         |      AS DOUBLE) AS x,
+         |    CAST(CAST(SUM(CAST(CASE WHEN epoch_us(ts) >= b.mid
+         |      THEN value ELSE 0.0 END AS DECIMAL(18,4))) AS VARCHAR)
+         |      AS DOUBLE) AS y
+         |  FROM events, b GROUP BY user_id),
+         |pv AS (SELECT user_id, x, y,
+         |    ${sqlHash32("'ab:' || CAST(user_id AS VARCHAR)")} % 2
+         |      AS variant FROM per),
+         |g AS (SELECT COUNT(*) AS n,
+         |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         |      AS sx,
+         |    CAST(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         |      AS sy,
+         |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS VARCHAR)
+         |      AS DOUBLE) AS sxy,
+         |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS VARCHAR)
+         |      AS DOUBLE) AS sxx
+         |  FROM pv),
+         |v AS (SELECT variant, COUNT(*) AS n_users,
+         |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         |      AS sxv,
+         |    CAST(CAST(SUM(CAST(y AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         |      AS syv
+         |  FROM pv GROUP BY variant)
+         |SELECT v.variant, v.n_users,
+         |  round(v.syv / v.n_users, 6) AS mean_y,
+         |  round(v.syv / v.n_users -
+         |    ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx)) *
+         |    (v.sxv / v.n_users - g.sx / g.n), 6) AS mean_adj,
+         |  round((g.n * g.sxy - g.sx * g.sy) /
+         |    (g.n * g.sxx - g.sx * g.sx), 6) AS theta
+         |FROM v, g ORDER BY v.variant""".stripMargin,
 
     "q_ab_experiment" ->
       s"""WITH u AS (SELECT user_id,
