@@ -89,4 +89,64 @@ object KsTest {
           sqrt((col("n_a") + col("n_b")).cast("double") / nm)).as("crit"))
       .withColumn("drift", col("d") > col("crit"))
   }
+
+  /** Keyed two-sample KS — one test per `keyCol` group, the per-feature /
+    * per-slice DRIFT MONITOR form ("which event types shifted between
+    * weeks?"). Same integer-exact statistic and the same value-bucketed
+    * rank machinery as [[twoSample]], with the key folded into the rank
+    * frame's group (so no per-key single-partition window exists even
+    * when one key holds most of the corpus — the scale posture that
+    * motivated the machinery in the first place).
+    *
+    * Output: one row per key — (key, n_a, n_b, d_num, d, crit, drift).
+    * Keys where either side is empty produce d = NULL via the 0-product
+    * guard rather than a division error. */
+  def twoSampleByKey(df: DataFrame, keyCol: Column, sideCol: Column,
+      valueCol: Column, idCol: Column): DataFrame = {
+    val base = df
+      .select(keyCol.as("__k"), sideCol.cast("int").as("__side"),
+        valueCol.as("__v"), idCol.as("__id"))
+      .filter(col("__v").isNotNull)
+
+    val counts = base.groupBy(col("__k")).agg(
+      sum(col("__side")).cast("long").as("n_a"),
+      (count(lit(1)) - sum(col("__side"))).cast("long").as("n_b"))
+
+    val sideRk = Percentiles
+      .globalRanksTieBroken(base, struct(col("__k"), col("__side")),
+        col("__v"), col("__id"))
+      .select(col("group.__k").as("__k"), col("group.__side").as("__side"),
+        col("value").as("__v"), col("tie").as("__id"), col("rank").as("r"))
+
+    val mergedRk = Percentiles
+      .globalRanksTieBroken(base, struct(col("__k")), col("__v"),
+        struct(col("__side"), col("__id")))
+      .select(col("group.__k").as("__k"), col("value").as("__v"),
+        col("tie.__side").as("__side"), col("tie.__id").as("__id"),
+        col("rank").as("k"))
+
+    val el = mergedRk.join(sideRk, Seq("__k", "__v", "__side", "__id"))
+      .join(counts, Seq("__k"))
+      .select(col("__k"), col("__v"), col("k"),
+        when(col("__side") === 1, col("r")).otherwise(col("k") - col("r"))
+          .as("i"),
+        when(col("__side") === 1, col("k") - col("r")).otherwise(col("r"))
+          .as("j"),
+        col("n_a"), col("n_b"))
+
+    val perValue = el.groupBy(col("__k"), col("__v"))
+      .agg(max_by(abs(col("i") * col("n_b") - col("j") * col("n_a")),
+        col("k")).as("dv"))
+
+    val nm = (col("n_a") * col("n_b")).cast("double")
+    perValue.groupBy(col("__k"))
+      .agg(max(col("dv")).cast("long").as("d_num"))
+      .join(counts, Seq("__k"))
+      .select(col("__k").as("key"), col("n_a"), col("n_b"), col("d_num"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("d_num").cast("double") / nm).as("d"),
+        when(col("n_a") > 0 && col("n_b") > 0, lit(1.358) *
+          sqrt((col("n_a") + col("n_b")).cast("double") / nm)).as("crit"))
+      .withColumn("drift", col("d") > col("crit"))
+  }
 }

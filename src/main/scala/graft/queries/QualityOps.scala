@@ -178,6 +178,25 @@ object QualityOps extends QueryPack {
         (abs(tStat) > 1.96).as("sig_05"))
     }),
 
+    // Per-slice distribution-drift monitor (round 9): one two-sample KS
+    // test PER EVENT TYPE between the first and second half of the
+    // corpus time range — "which event types' value distributions
+    // shifted?". The keyed KS machinery folds the key into the
+    // value-bucketed rank frame, so a dominant key never becomes a
+    // single-partition window.
+    "q_drift_ks" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_type"),
+        col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+      val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid"))
+      graft.operators.KsTest.twoSampleByKey(
+          ev.crossJoin(broadcast(mid)), col("event_type"),
+          col("us") >= col("mid"), col("value"), col("event_id"))
+        .select(col("key").as("event_type"), col("n_a"), col("n_b"),
+          col("d_num"), col("d"), col("crit"), col("drift"))
+        .orderBy(col("event_type"))
+    }),
+
     // Poisson-bootstrap 95% CI for the mean order total — B = 200
     // deterministic weighted replicates in one grouped pass; see
     // [[graft.operators.Bootstrap]].
@@ -322,6 +341,33 @@ object QualityOps extends QueryPack {
         |    AS sig_05
         |FROM (SELECT * FROM st WHERE s = 1) x,
         |     (SELECT * FROM st WHERE s = 0) y""".stripMargin,
+
+    // the q_ks_test prefix-sum oracle, partitioned by event type
+    "q_drift_ks" ->
+      """WITH b AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2
+        |    AS mid FROM events),
+        |a AS (SELECT event_type AS key, value AS v,
+        |    CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END AS s
+        |  FROM events, b WHERE value IS NOT NULL),
+        |nm AS (SELECT key, CAST(SUM(s) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS n_b FROM a GROUP BY key),
+        |g AS (SELECT key, v, CAST(SUM(s) AS BIGINT) AS a1,
+        |    CAST(COUNT(*) - SUM(s) AS BIGINT) AS b1 FROM a GROUP BY key, v),
+        |c AS (SELECT g.key,
+        |    SUM(a1) OVER (PARTITION BY g.key ORDER BY v) AS i,
+        |    SUM(b1) OVER (PARTITION BY g.key ORDER BY v) AS j,
+        |    nm.n_a, nm.n_b
+        |  FROM g JOIN nm ON nm.key = g.key),
+        |dn AS (SELECT key, CAST(MAX(ABS(i*n_b - j*n_a)) AS BIGINT) AS d_num
+        |  FROM c GROUP BY key)
+        |SELECT dn.key AS event_type, n_a, n_b, d_num,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS d,
+        |  1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
+        |    AS crit,
+        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) >
+        |    1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
+        |    AS drift
+        |FROM dn JOIN nm ON nm.key = dn.key ORDER BY event_type""".stripMargin,
 
     // Same deterministic weight chain, value-grid free: ONE md5 per row,
     // the per-replicate mix32 scramble replayed literally (seed + two

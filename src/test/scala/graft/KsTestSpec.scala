@@ -48,4 +48,24 @@ class KsTestSpec extends SparkSpec {
     }.max
     assert(na == n && nb == m && dnum == expected)
   }
+
+  test("keyed KS equals the unkeyed test run per key (incl. keys with " +
+    "ties and skewed sizes)") {
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      (key, n) <- Seq(("a", 300), ("b", 40), ("c", 700)); i <- 0 until n
+    } yield (key, rnd.nextInt(2), (rnd.nextInt(25) * 3).toDouble,
+      (key.hashCode.toLong << 20) + i)
+    val df = rows.toDF("key", "side", "v", "id")
+    val keyed = KsTest.twoSampleByKey(df, col("key"), col("side") === 1,
+        col("v"), col("id"))
+      .select(col("key"), col("n_a"), col("n_b"), col("d_num"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (k, a, b, d) => k -> ((a, b, d)) }.toMap
+    for (k <- Seq("a", "b", "c")) {
+      val single = row(KsTest.twoSample(df.filter(col("key") === k),
+        col("side") === 1, col("v"), col("id")))
+      assert(keyed(k) == single, s"key $k: keyed ${keyed(k)} != $single")
+    }
+  }
 }
