@@ -333,6 +333,22 @@ object CurateOps extends QueryPack {
     // from one domain can never straddle splits. n_sources per (split,
     // lang) pins the grouping; disjointness holds by construction since
     // a deterministic function assigns each source exactly one split.
+    // Quantile normalization (round 9): the rank-based feature transform
+    // (map each value to its within-group quantile) — per-language
+    // normalized rank of n_chars in integer milli-units, through the
+    // value-bucketed distributed rank frame (never a per-group
+    // single-partition window; tie-broken by doc_id, the declared
+    // semantics the oracle replays).
+    "q_quantile_norm" -> ((s, dir) => {
+      graft.operators.Percentiles.globalRanksTieBroken(
+          docs(s, dir).select(col("lang"), col("n_chars"), col("doc_id")),
+          col("lang"), col("n_chars"), col("doc_id"))
+        .select(col("group").as("lang"), col("tie").as("doc_id"),
+          col("value").as("n_chars"),
+          expr("CAST((1000 * rank) div n AS BIGINT)").as("qn_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_split_leakfree" -> ((s, dir) => {
       val bucket = pmod(hash32(col("source")), lit(10L))
       docs(s, dir)
@@ -539,6 +555,13 @@ object CurateOps extends QueryPack {
         |    / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
         |      / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 6) AS z
         |FROM documents JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
+
+    "q_quantile_norm" ->
+      """SELECT lang, doc_id, n_chars,
+        |  CAST((1000 * ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id))
+        |    // (COUNT(*) OVER (PARTITION BY lang)) AS BIGINT) AS qn_milli
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_split_leakfree" ->
       s"""WITH tagged AS (

@@ -239,6 +239,37 @@ object MlOps extends QueryPack {
     // the readout is one self-contained frame. All integer arithmetic
     // (DECIMAL(38,0)/HUGEINT products); one user-keyed aggregate, one
     // 2-row rollup.
+    // Leakage-free target encoding (round 9): the categorical-encoding
+    // guardrail — each (category, fold) cell is encoded by the target
+    // mean computed EXCLUDING that fold (out-of-fold), so the encoding a
+    // fold's eval rows see never contains their own targets. Plus the
+    // m=20-smoothed variant pulling sparse categories toward the global
+    // prior. All integer milli-units, products through DECIMAL(38,0)/
+    // HUGEINT (the chi2 staging discipline); category and global stats
+    // are tiny aggregates broadcast back over the (category, fold) grid.
+    "q_target_encode" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("source"),
+        pmod(hash32(concat(lit("fold:"), col("doc_id").cast("string"))),
+          lit(5L)).as("fold"),
+        col("n_chars"))
+      val cf = d.groupBy(col("source"), col("fold"))
+        .agg(count(lit(1)).as("n_cf"), sum(col("n_chars")).as("s_cf"))
+      val c = d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_c"), sum(col("n_chars")).as("s_c"))
+      val g = d.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      cf.join(broadcast(c), "source").crossJoin(broadcast(g))
+        .select(col("source"), col("fold"),
+          (col("n_c") - col("n_cf")).as("n_oof"),
+          expr("""CAST((1000 * CAST(s_c - s_cf AS DECIMAL(38,0)))
+                 | div NULLIF(n_c - n_cf, 0) AS BIGINT)""".stripMargin)
+            .as("enc_milli"),
+          expr("""CAST((1000 * (CAST(s_c - s_cf AS DECIMAL(38,0)) * n
+                 |  + 20 * CAST(s AS DECIMAL(38,0))))
+                 | div ((n_c - n_cf + 20) * CAST(n AS DECIMAL(38,0)))
+                 | AS BIGINT)""".stripMargin).as("enc_smooth_milli"))
+        .orderBy(col("source"), col("fold"))
+    }),
+
     // CUPED variance reduction (round 9): the experiment readout with
     // pre-period covariate adjustment — Y' = Y − θ(X − E[X]) where X is
     // each user's pre-period spend, Y the post-period spend, and
@@ -672,6 +703,28 @@ object MlOps extends QueryPack {
          |FROM pd LEFT JOIN nv ON nv.first_doc = pd.doc_id
          |ORDER BY pd.doc_id""".stripMargin
     },
+
+    "q_target_encode" ->
+      s"""WITH d AS (SELECT source,
+         |    ${sqlHash32("'fold:' || CAST(doc_id AS VARCHAR)")} % 5
+         |      AS fold, n_chars FROM documents),
+         |cf AS (SELECT source, fold, COUNT(*) AS n_cf,
+         |    CAST(SUM(n_chars) AS BIGINT) AS s_cf
+         |  FROM d GROUP BY 1, 2),
+         |c AS (SELECT source, COUNT(*) AS n_c,
+         |    CAST(SUM(n_chars) AS BIGINT) AS s_c
+         |  FROM d GROUP BY 1),
+         |g AS (SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS s
+         |  FROM d)
+         |SELECT cf.source, cf.fold, c.n_c - cf.n_cf AS n_oof,
+         |  CAST((1000 * CAST(c.s_c - cf.s_cf AS HUGEINT))
+         |    // NULLIF(c.n_c - cf.n_cf, 0) AS BIGINT) AS enc_milli,
+         |  CAST((1000 * (CAST(c.s_c - cf.s_cf AS HUGEINT) * g.n
+         |      + 20 * CAST(g.s AS HUGEINT)))
+         |    // ((c.n_c - cf.n_cf + 20) * CAST(g.n AS HUGEINT))
+         |    AS BIGINT) AS enc_smooth_milli
+         |FROM cf JOIN c USING (source), g
+         |ORDER BY cf.source, cf.fold""".stripMargin,
 
     // the identical sum-staging chain: decimal-routed per-user x/y,
     // DECIMAL(38,8) products, string-routed doubles, same θ expression
