@@ -116,7 +116,15 @@ object AudioHash {
 
   /** Near-duplicate audio pairs within `maxHamming` sketch bits via
     * [[Dedup.hammingBandPairs]] — never all-pairs. Undecodable rows
-    * (null sketch) are excluded. Output: (id_a, id_b, hamming). */
+    * (null sketch) are excluded. Output: (id_a, id_b, hamming).
+    *
+    * Band-width trade (measured ×4.6 at ×10 data, PERF.md round 9):
+    * pigeonhole banding at Hamming k uses k+1 bands of ~64/(k+1) bits,
+    * so large k means FEW distinct keys per band (k = 8 → ~2⁷) and
+    * bucket occupancy grows with corpus size — pair work inflates even
+    * though recall stays exact. At 100 TB either lower `maxHamming`
+    * (wider bands), pre-partition by a coarse content key, or lean on
+    * `maxBucket` + `drops` and accept the documented recall cut. */
   def nearDupPairs(spark: SparkSession, media: DataFrame, idCol: Column,
       dataCol: Column, maxHamming: Int = 6, maxBucket: Int = 4096,
       drops: Option[org.apache.spark.sql.Observation] = None): DataFrame =

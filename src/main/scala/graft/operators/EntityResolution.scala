@@ -55,8 +55,12 @@ object EntityResolution {
       .join(r.join(broadcast(heavy), Seq("__key"), "left_anti"), "__key")
       .drop("__key")
       .distinct() // a pair may share both keys; names are pair functions
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxEdit)
+      // threshold form: banded O(maxEdit·n) DP with early exit (−1 past
+      // the bound) instead of the full O(n²) matrix — the verify is the
+      // hot loop once blocking has done its job
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxEdit))
+      .filter(col("dist") >= 0 && col("dist") <= maxEdit)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 }
