@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import graft.operators.AsOfJoin
 import graft.sources.Tables
 
 /** Behavioral analytics over the event log (SURVEY §2.11 / §2.4
@@ -49,6 +50,36 @@ object BehaviorOps extends QueryPack {
         .select(col("user_id"), col("event_id").as("last_event_id"),
           col("us").as("last_us"), col("value"))
         .orderBy(col("user_id"))
+    }),
+
+    // Last-touch attribution (round 9): each purchase credits the most
+    // recent preceding view/click by the SAME user within 24h — the
+    // marketing-attribution join, expressed through the as-of operator
+    // (one shuffle + per-partition sort over |purchases|+|touches|,
+    // never the purchase×touch pair explosion the naive join-then-rank
+    // materializes; that explosion is exactly what the ORACLE does,
+    // which is fine at gate scale and is the point of the contrast).
+    "q_attribution" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"), col("us"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("us").as("touch_us"))
+      AsOfJoin(purchases, touches,
+          leftKey = purchases("user_id"), rightKey = touches("user_id"),
+          leftTime = purchases("us"), rightTime = touches("touch_us"),
+          rightPayload = Seq("touch_type", "touch_us"),
+          rightTieBreak = touches("touch_id"))
+        .select(col("value"),
+          when(col("_match.touch_us").isNotNull &&
+              col("us") - col("_match.touch_us") <= FunnelWindowUs,
+            col("_match.touch_type")).otherwise(lit("none")).as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Parity.dsum(col("value")).as("revenue"))
+        .orderBy(col("channel"))
     }),
 
     // Cohort retention: users bucketed by first-seen day (cohort),
@@ -592,6 +623,28 @@ object BehaviorOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // the naive pair-expansion form of the same as-of semantics: rank
+    // all qualifying touches per purchase, keep rank 1 — fine at gate
+    // scale, the thing the engine's sort-merge shape avoids at 100 TB
+    "q_attribution" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events),
+         |p AS (SELECT user_id, event_id, value, us FROM ev
+         |  WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_id AS touch_id,
+         |    event_type AS touch_type, us AS touch_us FROM ev
+         |  WHERE event_type IN ('view', 'click')),
+         |j AS (SELECT p.event_id, p.value, p.us, t.touch_type, t.touch_us,
+         |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+         |      ORDER BY t.touch_us DESC, t.touch_id DESC) AS rn
+         |  FROM p LEFT JOIN t
+         |    ON t.user_id = p.user_id AND t.touch_us <= p.us)
+         |SELECT CASE WHEN touch_us IS NOT NULL
+         |    AND us - touch_us <= $FunnelWindowUs
+         |    THEN touch_type ELSE 'none' END AS channel,
+         |  COUNT(*) AS n_purchases, ${Parity.sqlDsum("value")} AS revenue
+         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_cdc_apply" ->
       """WITH c AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
