@@ -116,4 +116,81 @@ object PageRank {
     releaseBlocks(dangling)
     cur.select(col("id"), col("r").as("rank_pico"))
   }
+
+  /** Personalized PageRank: teleport mass restarts at the SEED SET
+    * instead of uniformly — the "rank relative to these nodes" form
+    * (related-item discovery, seed-anchored influence). Same exact
+    * integer recurrence as [[ranks]] with N replaced by |S| and the
+    * teleport/dangling terms gated on seed membership:
+    *
+    *   r_0(v)     = [v ∈ S] · total div |S|
+    *   r_{k+1}(v) = [v ∈ S] · (total·(100−d)) div (100·|S|)
+    *                + (d · (Σ contrib + [v ∈ S] · D_k div |S|)) div 100
+    *
+    * Identical scale posture and checkpoint cadence as [[ranks]]; the
+    * seed set joins as a broadcast membership flag (seed sets are
+    * query-sized, not corpus-sized). */
+  def personalizedRanks(edges: DataFrame, nodes: DataFrame,
+      seeds: DataFrame, iters: Int, total: Long = 1000000000000L,
+      dampingPct: Int = 85, checkpointEvery: Int = 3): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 &&
+      checkpointEvery >= 1)
+    val sCount = seeds.count()
+    require(sCount > 0, "empty seed set")
+    val base = (total * (100 - dampingPct)) / (100L * sCount)
+
+    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    val ew = edges.join(outW, Seq("src")).localCheckpoint()
+    val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
+      .select(col("id").as("did")).localCheckpoint()
+    val hasDangling = !dangling.isEmpty
+    val seedFlag = nodes
+      .join(broadcast(seeds.select(col("id").as("sid"))),
+        col("id") === col("sid"), "left")
+      .select(col("id"), col("sid").isNotNull.as("is_seed"))
+      .localCheckpoint()
+
+    def releaseBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+
+    var cur = seedFlag.select(col("id"),
+      when(col("is_seed"), lit(total / sCount)).otherwise(0L).as("r"))
+      .localCheckpoint()
+    var anchor = cur
+    (1 to iters).foreach { i =>
+      val inc = ew.join(cur, col("src") === col("id"))
+        .select(col("dst"), expr("(r * w) div wout").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
+      val joined = seedFlag.join(inc, col("id") === col("dst"), "left")
+      val next = if (hasDangling) {
+        val dmass = cur.join(dangling, col("id") === col("did"))
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
+        joined.crossJoin(broadcast(dmass))
+          .select(col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(0L) +
+              expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
+                s" + (CASE WHEN is_seed THEN dmass div $sCount" +
+                s" ELSE CAST(0 AS BIGINT) END))) div 100"))
+              .as("r"))
+      } else
+        joined.select(col("id"),
+          (when(col("is_seed"), lit(base)).otherwise(0L) +
+            expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
+            .as("r"))
+      cur = if (i % checkpointEvery == 0 || i == iters) {
+        val c = next.localCheckpoint()
+        releaseBlocks(anchor)
+        anchor = c
+        c
+      } else next
+    }
+    releaseBlocks(ew)
+    releaseBlocks(dangling)
+    releaseBlocks(seedFlag)
+    cur.select(col("id"), col("r").as("rank_pico"))
+  }
 }

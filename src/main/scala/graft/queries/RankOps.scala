@@ -37,6 +37,29 @@ object RankOps extends QueryPack {
       PageRank.ranks(edges, nodes, iters = Iters).orderBy(col("id"))
     }),
 
+    // Personalized PageRank (round 9): teleport restarts at region-0
+    // nations — "influence relative to these seeds" on the same trade
+    // graph, same exact integer recurrence with N → |S| and the
+    // teleport/dangling terms gated on seed membership.
+    "q_ppr" -> ((s, dir) => {
+      val edges = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nation = t(s, dir, "nation")
+      val nodes = nation.select(col("n_nationkey").as("id"))
+      val seeds = nation.filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey").as("id"))
+      PageRank.personalizedRanks(edges, nodes, seeds, iters = Iters)
+        .orderBy(col("id"))
+    }),
+
     // Retrieval-quality eval: the int8-dequantized cosine retriever's
     // top-20 scored against the exact cosine top-5 ground truth, per
     // probe — recall@5 plus MRR of the true nearest neighbor, both in
@@ -217,6 +240,46 @@ object RankOps extends QueryPack {
            |             + (SELECT COALESCE(SUM(r), 0) FROM r${k - 1}
            |                WHERE id NOT IN (SELECT src FROM ow))
            |               // (SELECT COUNT(*) FROM n))) // 100 AS r
+           |  FROM n LEFT JOIN e2 ON e2.dst = n.id
+           |  LEFT JOIN r${k - 1} p ON p.id = e2.src
+           |  GROUP BY n.id)""".stripMargin
+      }
+      (pre +: its).mkString(",\n") +
+        s"\nSELECT id, CAST(r AS BIGINT) AS rank_pico FROM r$Iters ORDER BY id"
+    },
+
+    // the q_pagerank unroll with seed-gated teleport/dangling terms
+    "q_ppr" -> {
+      val pre =
+        """WITH e0 AS (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    COUNT(*) AS w
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout
+          |       FROM e0 GROUP BY 1),
+          |e2 AS (SELECT e0.src, e0.dst, e0.w, ow.wout
+          |       FROM e0 JOIN ow USING (src)),
+          |n AS (SELECT n_nationkey AS id FROM nation),
+          |sd AS (SELECT n_nationkey AS id FROM nation WHERE n_regionkey = 0),
+          |r0 AS (SELECT id, CASE WHEN id IN (SELECT id FROM sd)
+          |    THEN 1000000000000 // (SELECT COUNT(*) FROM sd)
+          |    ELSE 0 END AS r FROM n)""".stripMargin
+      val its = (1 to Iters).map { k =>
+        s"""r$k AS (
+           |  SELECT n.id,
+           |    (CASE WHEN n.id IN (SELECT id FROM sd)
+           |       THEN (1000000000000 * 15)
+           |         // (100 * (SELECT COUNT(*) FROM sd))
+           |       ELSE 0 END)
+           |    + (85 * (COALESCE(SUM((p.r * e2.w) // e2.wout), 0)
+           |       + (CASE WHEN n.id IN (SELECT id FROM sd)
+           |          THEN (SELECT COALESCE(SUM(r), 0) FROM r${k - 1}
+           |                WHERE id NOT IN (SELECT src FROM ow))
+           |            // (SELECT COUNT(*) FROM sd)
+           |          ELSE 0 END))) // 100 AS r
            |  FROM n LEFT JOIN e2 ON e2.dst = n.id
            |  LEFT JOIN r${k - 1} p ON p.id = e2.src
            |  GROUP BY n.id)""".stripMargin

@@ -102,4 +102,23 @@ class RankOpsSpec extends SparkSpec {
       assert(mrr > 0L, s"probe $q true NN absent from candidate top-20")
     }
   }
+
+  test("personalized pagerank degenerates to uniform pagerank when the " +
+    "seed set is every node; seeds outrank non-seeds on a cycle") {
+    val (edges, nodes) = cycle(8)
+    val uniform = PageRank.ranks(edges, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val allSeeds = PageRank.personalizedRanks(edges, nodes, nodes, iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(uniform == allSeeds,
+      "S = V must reproduce the uniform recurrence exactly")
+    // single seed on the cycle: rank decays with distance from the seed
+    val oneSeed = PageRank.personalizedRanks(edges, nodes,
+        Seq(0L).toDF("id"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(oneSeed(0L) > oneSeed(4L),
+      s"seed should outrank the antipode: $oneSeed")
+    assert(oneSeed(1L) > oneSeed(4L),
+      "mass should decay along the cycle away from the seed")
+  }
 }
