@@ -251,6 +251,23 @@ object TextOps extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // Boilerplate-prefix removal (round 9): 3 of every 4 docs get a
+    // per-source crawler banner glued on in-engine; the operator must
+    // detect each source's dominant 5-token prefix (75% coverage ≥ the
+    // 60% bar), strip exactly the bannered docs, and leave the clean
+    // quarter alone. The oracle replays detection + strip in SQL.
+    "q_boilerplate" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        when(col("doc_id") % 4 =!= 0,
+          concat(lit("terms of service for "), col("source"), lit(" "),
+            col("text"))).otherwise(col("text")).as("text"))
+      graft.operators.Boilerplate.stripCommonPrefix(d, col("source"),
+          col("doc_id"), col("text"), k = 5, minCoverMilli = 600)
+        .select(col("grp").as("source"), col("id").as("doc_id"),
+          col("stripped"), col("n_tokens_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Canonical-representative selection (round 9): the dedup output
     // stage a pipeline actually ships — per near-dup cluster keep ONE
     // document (longest text, ties to the smallest id) and account for
@@ -551,6 +568,34 @@ object TextOps extends QueryPack {
          |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
          |SELECT id AS doc_id, min(r) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_boilerplate" -> {
+      val toks = graft.functions.TextFunctions.sqlTokens("text")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CASE WHEN doc_id % 4 != 0
+         |      THEN 'terms of service for ' || source || ' ' || text
+         |      ELSE text END AS text
+         |  FROM documents),
+         |b AS (SELECT doc_id, source,
+         |    array_to_string(($toks)[1:5], ' ') AS pfx,
+         |    len($toks) AS ntok
+         |  FROM d),
+         |c AS (SELECT source, pfx, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |t AS (SELECT source, COUNT(*) AS n FROM b GROUP BY 1),
+         |ch AS (SELECT source, pfx AS boiler_pfx FROM (
+         |    SELECT c.source, c.pfx, c.c, t.n,
+         |      ROW_NUMBER() OVER (PARTITION BY c.source
+         |        ORDER BY c.c DESC, c.pfx) AS rn
+         |    FROM c JOIN t USING (source))
+         |  WHERE rn = 1 AND c * 1000 >= n * 600)
+         |SELECT b.source, b.doc_id,
+         |  (ch.boiler_pfx IS NOT NULL AND b.pfx = ch.boiler_pfx)
+         |    AS stripped,
+         |  CASE WHEN ch.boiler_pfx IS NOT NULL AND b.pfx = ch.boiler_pfx
+         |    THEN GREATEST(b.ntok - 5, 0) ELSE b.ntok END
+         |    AS n_tokens_after
+         |FROM b LEFT JOIN ch USING (source) ORDER BY doc_id""".stripMargin
     },
 
     // The cluster closure extended one window: representative per
