@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Multimodal, Similarity}
@@ -16,6 +16,16 @@ object SimOps extends QueryPack {
 
   private def emb(s: SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
+
+  /** The +10⁶ planted-variant offset is only injective while every base
+    * id stays below it — the same row-level loud guard as
+    * `MlOps.withMutants` (ADVICE r8), so corpus growth past the offset
+    * fails the job instead of silently aliasing a real document as
+    * another's variant on BOTH engine and oracle. Rides the scan. */
+  private def guardedVariantId(id: Column): Column =
+    when(id < 1000000L, id).otherwise(raise_error(concat(
+      lit("planted-variant offset no longer injective: doc_id "),
+      id.cast("string"), lit(" >= 1000000"))))
 
   /** Deterministic left-fold cosine in DuckDB, cast to double per element —
     * mirrors [[Similarity.cosine]]. */
@@ -211,7 +221,7 @@ object SimOps extends QueryPack {
     "q_image_neardup" -> ((s, dir) => {
       val base = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), col("text"))
+        .select(guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
       val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("text"), 1, 4), lit("z"),
           col("text").substr(lit(6), length(col("text")))).as("text"))
@@ -280,7 +290,7 @@ object SimOps extends QueryPack {
     "q_audio_neardup" -> ((s, dir) => {
       val base = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 1)
-        .select(col("doc_id"), col("text"))
+        .select(guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
       val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("text"), 1, 8), lit("z"),
           col("text").substr(lit(10), length(col("text")))).as("text"))

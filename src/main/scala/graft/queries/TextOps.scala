@@ -21,11 +21,18 @@ object TextOps extends QueryPack {
     Tables.load(s, dir, "documents")
 
   /** documents ∪ mutated copy (id+1000000, text + " zzmutant"). */
-  private def withMutants(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("text"))
+  private def withMutants(d: DataFrame): DataFrame = {
+    // row-level loud guard on the +1e6 offset's injectivity — the
+    // MlOps.withMutants discipline (ADVICE r8), applied to this copy too
+    val guardedId = when(col("doc_id") < 1000000L, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("withMutants: doc_id "), col("doc_id").cast("string"),
+        lit(" >= mutant-id offset 1000000 — offset no longer injective"))))
+    d.select(guardedId.as("doc_id"), col("text"))
       .unionByName(d.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (guardedId + 1000000L).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text")))
+  }
 
   private val sqlWithMutants =
     """(SELECT doc_id, text FROM documents
