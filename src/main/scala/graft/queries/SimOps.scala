@@ -302,6 +302,37 @@ object SimOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Multimodal-pipeline capstone (round 9): the corpus becomes REAL
+    // media files in-engine (BMP / WAV / AVI per kind), images run
+    // decode → dHash → banded near-dup with the higher id of each pair
+    // dropped, and the per-kind rollup accounts items / container bytes
+    // / drops — the media analogue of q_pipeline_full, composing pieces
+    // that are each individually oracled.
+    "q_media_pipeline" -> ((s, dir) => {
+      val m0 = Multimodal.mediaFromDocuments(Tables.load(s, dir, "documents"))
+      val media = m0.withColumn("data",
+        when(col("kind") === "image",
+          Multimodal.bmpFromBytes(col("data"),
+            graft.operators.ImageHash.GridW, graft.operators.ImageHash.GridH))
+          .when(col("kind") === "audio", Multimodal.wavFromText(col("data")))
+          .otherwise(Multimodal.aviFromText(col("data"),
+            lit(1) + pmod(length(col("data")), lit(240)),
+            lit(16) + pmod(length(col("data")), lit(640)),
+            lit(16) + pmod(length(col("data")) * 7, lit(480)))))
+      val pairs = graft.operators.ImageHash.nearDupPairs(s,
+        media.filter(col("kind") === "image"), col("media_id"), col("data"),
+        maxHamming = 4, maxBucket = 65536)
+      val drops = pairs.select(col("id_b").as("media_id")).distinct()
+        .withColumn("__dropped", lit(1))
+      media.join(drops, Seq("media_id"), "left")
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(length(col("data"))).cast("long").as("n_bytes"),
+          sum(when(col("__dropped").isNotNull, 1L).otherwise(0L))
+            .as("n_dropped"))
+        .orderBy(col("kind"))
+    }),
+
     // Distributed Gram matrix X'X over the embedding corpus — the
     // covariance/PCA prep step. Each row expands to its d(d+1)/2 upper-
     // triangle products NARROWLY (a generated array, no self-join on the
@@ -533,6 +564,50 @@ object SimOps extends QueryPack {
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // container sizes the specs pin (BMP 9×8/24bpp = 54 + 28·8 = 278;
+    // WAV = 44 + aligned payload; AVI = 108 + aligned payload) + the
+    // image-dhash pair arithmetic deciding the drops
+    "q_media_pipeline" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |    octet_length(encode(text)) AS len, text
+        |  FROM documents),
+        |sz AS (SELECT media_id, kind,
+        |    CASE kind WHEN 'image' THEN 278
+        |      WHEN 'audio' THEN 44 + len - len % 2
+        |      ELSE 108 + len - len % 2 END AS n_bytes
+        |  FROM m),
+        |bits AS (
+        |  SELECT doc_id, y*8 + x AS pos,
+        |    CASE WHEN ascii(substr(text,
+        |           CAST((y*9 + x) % length(text) AS INT) + 1, 1)) >
+        |         ascii(substr(text,
+        |           CAST((y*9 + x + 1) % length(text) AS INT) + 1, 1))
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM documents,
+        |    LATERAL unnest(generate_series(0, 7)) AS yy(y),
+        |    LATERAL unnest(generate_series(0, 7)) AS xx(x)
+        |  WHERE doc_id % 3 = 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN pos >= 32
+        |      THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END)
+        |      AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN pos < 32
+        |      THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END)
+        |      AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id),
+        |dr AS (SELECT DISTINCT b.doc_id AS media_id
+        |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    <= 4)
+        |SELECT kind, COUNT(*) AS n_items,
+        |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+        |  CAST(SUM(CASE WHEN dr.media_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped
+        |FROM sz LEFT JOIN dr USING (media_id)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
 
     "q_knn_label" -> {
       val cos = sqlCosine("q.embedding", "c.embedding")
