@@ -93,8 +93,12 @@ object AudioHash {
         }
       } finally in.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal, not just the two documented types: a NULL payload NPEs
+      // in the ByteArrayInputStream constructor, and sound-stack parsers
+      // throw RuntimeExceptions on malformed containers — one bad row
+      // must yield the null sketch, never kill the pass (the
+      // [[ImageHash.dhashBytes]] contract)
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Sketch of raw encoded bytes: real decode → energy hash. */

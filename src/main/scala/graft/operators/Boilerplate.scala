@@ -23,11 +23,19 @@ import graft.functions.TextFunctions
   */
 object Boilerplate {
 
-  /** Output: (grp, id, stripped, n_tokens_after). */
+  /** Output: (grp, id, stripped, n_tokens_after).
+    *
+    * `minSupport` demands FREQUENCY evidence on top of coverage: a
+    * single-document group trivially "covers" 100% with its own prefix,
+    * and stripping on that evidence mutilates the document — boilerplate
+    * is only boilerplate when ≥ `minSupport` documents repeat it. */
   def stripCommonPrefix(df: DataFrame, groupCol: Column, idCol: Column,
-      textCol: Column, k: Int = 4, minCoverMilli: Long = 600): DataFrame = {
+      textCol: Column, k: Int = 4, minCoverMilli: Long = 600,
+      minSupport: Long = 2): DataFrame = {
     require(k >= 1 && minCoverMilli >= 1 && minCoverMilli <= 1000,
       s"need k >= 1 and coverage in (0, 1000], got k=$k cover=$minCoverMilli")
+    require(minSupport >= 2,
+      s"minSupport must be >= 2 (one doc is never boilerplate evidence)")
     val toks = TextFunctions.tokens(textCol)
     val base = df.select(groupCol.as("grp"), idCol.as("id"),
       concat_ws(" ", slice(toks, 1, k)).as("pfx"),
@@ -39,7 +47,8 @@ object Boilerplate {
     val chosen = counts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .join(totals, "grp")
-      .filter(col("c") * 1000 >= col("n") * minCoverMilli)
+      .filter(col("c") * 1000 >= col("n") * minCoverMilli &&
+        col("c") >= minSupport)
       .select(col("grp"), col("pfx").as("boiler_pfx"))
     base.join(broadcast(chosen), Seq("grp"), "left")
       .withColumn("stripped",

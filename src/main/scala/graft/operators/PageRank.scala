@@ -54,68 +54,9 @@ object PageRank {
     */
   def ranks(edges: DataFrame, nodes: DataFrame, iters: Int,
       total: Long = 1000000000000L, dampingPct: Int = 85,
-      checkpointEvery: Int = 3): DataFrame = {
-    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 &&
-      checkpointEvery >= 1)
-    val n = nodes.count()
-    require(n > 0, "empty node set")
-    val base = (total * (100 - dampingPct)) / (100L * n)
-
-    val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
-    val ew = edges.join(outW, Seq("src")).localCheckpoint()
-    // dangling = nodes with no out-edges; a static vertex-sized set. When
-    // it is empty (every node emits), the per-iteration dangling-mass
-    // aggregate is pure overhead — one cheap static check skips it.
-    val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
-      .select(col("id").as("did")).localCheckpoint()
-    val hasDangling = !dangling.isEmpty
-
-    def releaseBlocks(df: DataFrame): Unit =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          lr.rdd.unpersist(blocking = false)
-        case _ => ()
-      }
-
-    var cur = nodes.select(col("id"), lit(total / n).as("r")).localCheckpoint()
-    // the checkpoint currently anchoring `cur`'s lineage — only released
-    // once a NEWER checkpoint has truncated the lineage above it
-    var anchor = cur
-    (1 to iters).foreach { i =>
-      val inc = ew.join(cur, col("src") === col("id"))
-        .select(col("dst"), expr("(r * w) div wout").as("contrib"))
-        .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
-      val joined = nodes.join(inc, col("id") === col("dst"), "left")
-      val next = if (hasDangling) {
-        // this round's dangling mass: a 1-row aggregate, broadcast-attached
-        val dmass = cur.join(dangling, col("id") === col("did"))
-          .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
-        joined.crossJoin(broadcast(dmass))
-          .select(col("id"),
-            (lit(base) +
-              expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
-                s" + dmass div $n)) div 100"))
-              .as("r"))
-      } else
-        joined.select(col("id"),
-          (lit(base) +
-            expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
-            .as("r"))
-      // materialization barrier only every k-th round (and the final
-      // round, so the working frames below can be released eagerly); the
-      // rounds in between compose lazily on the last checkpoint —
-      // ceil(iters/k) barriers instead of iters.
-      cur = if (i % checkpointEvery == 0 || i == iters) {
-        val c = next.localCheckpoint()
-        releaseBlocks(anchor)
-        anchor = c
-        c
-      } else next
-    }
-    releaseBlocks(ew)
-    releaseBlocks(dangling)
-    cur.select(col("id"), col("r").as("rank_pico"))
-  }
+      checkpointEvery: Int = 3): DataFrame =
+    core(edges, nodes, seeds = None, iters, total, dampingPct,
+      checkpointEvery)
 
   /** Personalized PageRank: teleport mass restarts at the SEED SET
     * instead of uniformly — the "rank relative to these nodes" form
@@ -132,23 +73,43 @@ object PageRank {
     * query-sized, not corpus-sized). */
   def personalizedRanks(edges: DataFrame, nodes: DataFrame,
       seeds: DataFrame, iters: Int, total: Long = 1000000000000L,
-      dampingPct: Int = 85, checkpointEvery: Int = 3): DataFrame = {
+      dampingPct: Int = 85, checkpointEvery: Int = 3): DataFrame =
+    core(edges, nodes, Some(seeds), iters, total, dampingPct,
+      checkpointEvery)
+
+  /** The one shared recurrence behind [[ranks]] and [[personalizedRanks]]
+    * (RankOpsSpec pins that S = V reproduces the uniform result exactly,
+    * and previously the checkpoint-cadence fix had to be hand-copied into
+    * two bodies). `seeds = None` is the uniform path: the membership flag
+    * is a literal `true` that constant-folds away, so no seed broadcast
+    * and no extra join exist in the uniform plan; `Some(seeds)` joins the
+    * (query-sized) seed set as a broadcast flag and gates the teleport
+    * and dangling terms on it, with the teleport denominator = |S|. */
+  private def core(edges: DataFrame, nodes: DataFrame,
+      seeds: Option[DataFrame], iters: Int, total: Long,
+      dampingPct: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 &&
       checkpointEvery >= 1)
-    val sCount = seeds.count()
-    require(sCount > 0, "empty seed set")
-    val base = (total * (100 - dampingPct)) / (100L * sCount)
+    val denom = seeds.map(_.count()).getOrElse(nodes.count())
+    require(denom > 0, "empty node/seed set")
+    val base = (total * (100 - dampingPct)) / (100L * denom)
 
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = edges.join(outW, Seq("src")).localCheckpoint()
+    // dangling = nodes with no out-edges; a static vertex-sized set. When
+    // it is empty (every node emits), the per-iteration dangling-mass
+    // aggregate is pure overhead — one cheap static check skips it.
     val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
       .select(col("id").as("did")).localCheckpoint()
     val hasDangling = !dangling.isEmpty
-    val seedFlag = nodes
-      .join(broadcast(seeds.select(col("id").as("sid"))),
-        col("id") === col("sid"), "left")
-      .select(col("id"), col("sid").isNotNull.as("is_seed"))
-      .localCheckpoint()
+    val flagged = seeds match {
+      case Some(sds) => nodes
+        .join(broadcast(sds.select(col("id").as("sid"))),
+          col("id") === col("sid"), "left")
+        .select(col("id"), col("sid").isNotNull.as("is_seed"))
+        .localCheckpoint()
+      case None => nodes.select(col("id"), lit(true).as("is_seed"))
+    }
 
     def releaseBlocks(df: DataFrame): Unit =
       df.queryExecution.analyzed match {
@@ -157,23 +118,26 @@ object PageRank {
         case _ => ()
       }
 
-    var cur = seedFlag.select(col("id"),
-      when(col("is_seed"), lit(total / sCount)).otherwise(0L).as("r"))
+    var cur = flagged.select(col("id"),
+      when(col("is_seed"), lit(total / denom)).otherwise(0L).as("r"))
       .localCheckpoint()
+    // the checkpoint currently anchoring `cur`'s lineage — only released
+    // once a NEWER checkpoint has truncated the lineage above it
     var anchor = cur
     (1 to iters).foreach { i =>
       val inc = ew.join(cur, col("src") === col("id"))
         .select(col("dst"), expr("(r * w) div wout").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("inc"))
-      val joined = seedFlag.join(inc, col("id") === col("dst"), "left")
+      val joined = flagged.join(inc, col("id") === col("dst"), "left")
       val next = if (hasDangling) {
+        // this round's dangling mass: a 1-row aggregate, broadcast-attached
         val dmass = cur.join(dangling, col("id") === col("did"))
           .agg(coalesce(sum(col("r")), lit(0L)).as("dmass"))
         joined.crossJoin(broadcast(dmass))
           .select(col("id"),
             (when(col("is_seed"), lit(base)).otherwise(0L) +
               expr(s"($dampingPct * (coalesce(inc, CAST(0 AS BIGINT))" +
-                s" + (CASE WHEN is_seed THEN dmass div $sCount" +
+                s" + (CASE WHEN is_seed THEN dmass div $denom" +
                 s" ELSE CAST(0 AS BIGINT) END))) div 100"))
               .as("r"))
       } else
@@ -181,6 +145,10 @@ object PageRank {
           (when(col("is_seed"), lit(base)).otherwise(0L) +
             expr(s"($dampingPct * coalesce(inc, CAST(0 AS BIGINT))) div 100"))
             .as("r"))
+      // materialization barrier only every k-th round (and the final
+      // round, so the working frames below can be released eagerly); the
+      // rounds in between compose lazily on the last checkpoint —
+      // ceil(iters/k) barriers instead of iters.
       cur = if (i % checkpointEvery == 0 || i == iters) {
         val c = next.localCheckpoint()
         releaseBlocks(anchor)
@@ -190,7 +158,7 @@ object PageRank {
     }
     releaseBlocks(ew)
     releaseBlocks(dangling)
-    releaseBlocks(seedFlag)
+    seeds.foreach(_ => releaseBlocks(flagged))
     cur.select(col("id"), col("r").as("rank_pico"))
   }
 }

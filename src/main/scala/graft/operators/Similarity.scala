@@ -251,7 +251,7 @@ object Similarity {
     * spec can assert the scanned directory set equals this list. */
   def ivfProbeCells(queries: DataFrame,
       centroids: Seq[(Long, Array[Float])], nprobe: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Long] =
+      vecCol: String = "embedding"): Array[Long] =
     queries
       .select(explode(nearestCentroids(col(vecCol), centroids, nprobe))
         .as("centroid_id"))
@@ -273,7 +273,7 @@ object Similarity {
   def ivfTopKPruned(queries: DataFrame, assignedPartitioned: DataFrame,
       centroids: Seq[(Long, Array[Float])], nprobe: Int, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cells = ivfProbeCells(queries, centroids, nprobe, idCol, vecCol)
+    val cells = ivfProbeCells(queries, centroids, nprobe, vecCol)
     val pruned = assignedPartitioned
       .filter(col("centroid_id").isin(cells.map(java.lang.Long.valueOf).toSeq: _*))
       // the read-back partition column type is inference-dependent

@@ -38,17 +38,14 @@ object MlOps extends QueryPack {
     // convention, parity would stay green while the accounting is wrong.
     // So the base id is guarded row-by-row: growth past the offset fails
     // the job loudly instead. No extra pass — the guard rides the scan.
-    val guardedId = when(col("doc_id") < MutantOffset, col("doc_id"))
-      .otherwise(raise_error(concat(
-        lit(s"withMutants: doc_id "), col("doc_id").cast("string"),
-        lit(s" >= mutant-id offset $MutantOffset — offset no longer injective"))))
+    val guardedId = Parity.guardedVariantId(col("doc_id"))
     d.select(guardedId.as("doc_id"), col("text"))
       .unionByName(d.select(
         (guardedId + MutantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text")))
   }
 
-  private val MutantOffset = 1000000L
+  private val MutantOffset = Parity.VariantOffset
 
   private val sqlWithMutants =
     """(SELECT doc_id, text FROM documents

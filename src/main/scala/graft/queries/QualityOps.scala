@@ -361,12 +361,15 @@ object QualityOps extends QueryPack {
         |dn AS (SELECT key, CAST(MAX(ABS(i*n_b - j*n_a)) AS BIGINT) AS d_num
         |  FROM c GROUP BY key)
         |SELECT dn.key AS event_type, n_a, n_b, d_num,
-        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) AS d,
-        |  1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
-        |    AS crit,
-        |  CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) >
-        |    1.358 * SQRT(CAST(n_a+n_b AS DOUBLE) / CAST(n_a*n_b AS DOUBLE))
-        |    AS drift
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) END AS d,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN 1.358 * SQRT(CAST(n_a+n_b AS DOUBLE)
+        |      / CAST(n_a*n_b AS DOUBLE)) END AS crit,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN CAST(d_num AS DOUBLE) / CAST(n_a*n_b AS DOUBLE) >
+        |      1.358 * SQRT(CAST(n_a+n_b AS DOUBLE)
+        |        / CAST(n_a*n_b AS DOUBLE)) END AS drift
         |FROM dn JOIN nm ON nm.key = dn.key ORDER BY event_type""".stripMargin,
 
     // Same deterministic weight chain, value-grid free: ONE md5 per row,

@@ -54,4 +54,17 @@ object Parity {
 
   def sqlCollectSorted(expr: String, sep: String = "|"): String =
     s"ARRAY_TO_STRING(LIST_SORT(LIST($expr)), '$sep')"
+
+  /** Planted-variant id fixtures use `id + VariantOffset`; that is only
+    * injective while every base id stays below the offset. This row-level
+    * guard (shared by every fixture site — one definition, one bound)
+    * fails the job loudly on corpus growth past the offset instead of
+    * silently aliasing a real row as another's variant while engine and
+    * oracle stay green together. Rides the scan; no extra pass. */
+  val VariantOffset: Long = 1000000L
+
+  def guardedVariantId(id: Column): Column =
+    when(id < VariantOffset, id).otherwise(raise_error(concat(
+      lit("planted-variant offset no longer injective: id "),
+      id.cast("string"), lit(s" >= $VariantOffset"))))
 }

@@ -17,15 +17,6 @@ object SimOps extends QueryPack {
   private def emb(s: SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
 
-  /** The +10⁶ planted-variant offset is only injective while every base
-    * id stays below it — the same row-level loud guard as
-    * `MlOps.withMutants` (ADVICE r8), so corpus growth past the offset
-    * fails the job instead of silently aliasing a real document as
-    * another's variant on BOTH engine and oracle. Rides the scan. */
-  private def guardedVariantId(id: Column): Column =
-    when(id < 1000000L, id).otherwise(raise_error(concat(
-      lit("planted-variant offset no longer injective: doc_id "),
-      id.cast("string"), lit(" >= 1000000"))))
 
   /** Deterministic left-fold cosine in DuckDB, cast to double per element —
     * mirrors [[Similarity.cosine]]. */
@@ -99,7 +90,13 @@ object SimOps extends QueryPack {
       val e = emb(s, dir)
       val model = Similarity.ivfTrainKMeans(e, nlist = 16)
       val assigned = Similarity.ivfAssignWith(e, model)
+      // scratch layout is keyed by SESSION as well as corpus: a fixed
+      // dir-hash path races two concurrent JVMs on a shared tmpdir (one
+      // overwrite deletes files mid-read in the other) and String
+      // hashCode collisions alias different corpora — the Spark app id
+      // is unique per session, so each process owns its layout
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout_" +
+        s.sparkContext.applicationId + "_" +
         java.lang.Integer.toHexString(dir.hashCode)
       Similarity.ivfWritePartitioned(assigned, path)
       val part = s.read.parquet(path)
@@ -221,8 +218,8 @@ object SimOps extends QueryPack {
     "q_image_neardup" -> ((s, dir) => {
       val base = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 0)
-        .select(guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
-      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(Parity.guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(substring(col("text"), 1, 4), lit("z"),
           col("text").substr(lit(6), length(col("text")))).as("text"))
       val media = base.unionByName(variants)
@@ -290,8 +287,8 @@ object SimOps extends QueryPack {
     "q_audio_neardup" -> ((s, dir) => {
       val base = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 1)
-        .select(guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
-      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        .select(Parity.guardedVariantId(col("doc_id")).as("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(substring(col("text"), 1, 8), lit("z"),
           col("text").substr(lit(10), length(col("text")))).as("text"))
       val media = base.unionByName(variants)
@@ -508,7 +505,9 @@ object SimOps extends QueryPack {
     // thumbnail is payload byte (y*9+x) mod len, gray of (b,b,b) is b
     // exactly under the 299/587/114 integer luma, and bit y*8+x compares
     // horizontally adjacent pixels. Emitted as two 32-bit halves so the
-    // oracle never shifts into BIGINT's sign bit.
+    // oracle never shifts into BIGINT's sign bit. Char-indexed substr is
+    // byte-accurate ONLY on an ASCII corpus — the assumption is pinned
+    // loudly by CorpusContractSpec ("documents.text is pure ASCII").
     "q_image_dhash" ->
       """WITH bits AS (
         |  SELECT doc_id AS media_id, y*8 + x AS pos,

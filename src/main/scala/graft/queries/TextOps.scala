@@ -22,15 +22,11 @@ object TextOps extends QueryPack {
 
   /** documents ∪ mutated copy (id+1000000, text + " zzmutant"). */
   private def withMutants(d: DataFrame): DataFrame = {
-    // row-level loud guard on the +1e6 offset's injectivity — the
-    // MlOps.withMutants discipline (ADVICE r8), applied to this copy too
-    val guardedId = when(col("doc_id") < 1000000L, col("doc_id"))
-      .otherwise(raise_error(concat(
-        lit("withMutants: doc_id "), col("doc_id").cast("string"),
-        lit(" >= mutant-id offset 1000000 — offset no longer injective"))))
+    // shared row-level injectivity guard (Parity.guardedVariantId)
+    val guardedId = Parity.guardedVariantId(col("doc_id"))
     d.select(guardedId.as("doc_id"), col("text"))
       .unionByName(d.select(
-        (guardedId + 1000000L).as("doc_id"),
+        (guardedId + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text")))
   }
 
@@ -595,7 +591,7 @@ object TextOps extends QueryPack {
          |      ROW_NUMBER() OVER (PARTITION BY c.source
          |        ORDER BY c.c DESC, c.pfx) AS rn
          |    FROM c JOIN t USING (source))
-         |  WHERE rn = 1 AND c * 1000 >= n * 600)
+         |  WHERE rn = 1 AND c * 1000 >= n * 600 AND c >= 2)
          |SELECT b.source, b.doc_id,
          |  (ch.boiler_pfx IS NOT NULL AND b.pfx = ch.boiler_pfx)
          |    AS stripped,

@@ -84,9 +84,12 @@ class AudioHashSpec extends SparkSpec {
       assert(d > 8, s"signals $i/$j unexpectedly close: $d bits")
     }
     val sk = AudioHash.sketchTable(spark,
-      Seq((1L, "not audio".getBytes("UTF-8"))).toDF("id", "data"),
-      col("id"), col("data")).collect()
-    assert(sk.head.ahash.isEmpty, "garbage bytes must sketch to null")
+      Seq((1L, "not audio".getBytes("UTF-8")),
+        (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "data"),
+      col("id"), col("data")).collect().sortBy(_.id)
+    assert(sk(0).ahash.isEmpty, "garbage bytes must sketch to null")
+    assert(sk(1).ahash.isEmpty,
+      "a NULL payload must sketch to null, not crash the pass")
   }
 
   test("banded near-dup pairs: recall 1.0 on planted retouches and exact " +

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Boilerplate
+
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(String, Long, String)]): Map[Long, (Boolean, Long)] =
+    Boilerplate.stripCommonPrefix(rows.toDF("src", "id", "text"),
+        col("src"), col("id"), col("text"), k = 3, minCoverMilli = 600)
+      .select(col("id"), col("stripped"), col("n_tokens_after"))
+      .as[(Long, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("a banner shared by most of a source is stripped; the clean " +
+    "minority and other sources are untouched") {
+    val rows =
+      (1L to 8L).map(i => ("a", i, s"legal notice banner unique body $i")) ++
+        Seq(("a", 9L, "just a clean page nine")) ++
+        (10L to 12L).map(i => ("b", i, s"page $i of totally different text"))
+    val out = run(rows)
+    for (i <- 1L to 8L) assert(out(i) == ((true, 3L)), s"doc $i: ${out(i)}")
+    assert(out(9L)._1 == false && out(9L)._2 == 5L)
+    // source b: three docs, no shared 3-token prefix → nothing stripped
+    for (i <- 10L to 12L) assert(!out(i)._1, s"doc $i wrongly stripped")
+  }
+
+  test("a single-document group is NEVER stripped — its own prefix " +
+    "trivially covers 100% but carries zero frequency evidence " +
+    "(minSupport)") {
+    val out = run(Seq(("solo", 1L, "my one and only document text")))
+    assert(out(1L) == ((false, 6L)),
+      s"single doc mutilated as boilerplate: ${out(1L)}")
+  }
+}

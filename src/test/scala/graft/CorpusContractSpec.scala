@@ -84,4 +84,20 @@ class CorpusContractSpec extends SparkSpec {
     assert(Tables.load(spark, sf, "events").schema("ts").dataType == TimestampType)
     assert(EventStreams.readEvents(spark, sf).schema("ts").dataType == TimestampType)
   }
+
+  test("documents.text is pure ASCII — the byte-=-char contract the " +
+    "image/audio hash oracles index by") {
+    // q_image_dhash / q_audio_fingerprint (and their pair/pipeline
+    // variants) hash UTF-8 BYTES in the engine but predict via
+    // character-positional ascii(substr(...)) in DuckDB; those agree
+    // only while every text is single-byte. A corpus regeneration that
+    // introduces multi-byte characters must fail HERE, loudly, not as
+    // an inscrutable hash mismatch in the media gates.
+    val nonAscii = Tables.load(spark, sf, "documents")
+      .filter(length(encode(col("text"), "UTF-8")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents carry multi-byte characters — the media-gate " +
+        "oracles' char-indexed arithmetic no longer matches byte hashing")
+  }
 }

@@ -94,9 +94,12 @@ class ImageHashSpec extends SparkSpec {
       assert(d > 8, s"images $i/$j unexpectedly close: $d bits")
     }
     val sk = ImageHash.sketchTable(spark,
-      Seq((1L, "not an image".getBytes("UTF-8"))).toDF("id", "data"),
-      col("id"), col("data")).collect()
-    assert(sk.head.dhash.isEmpty, "garbage bytes must sketch to null")
+      Seq((1L, "not an image".getBytes("UTF-8")),
+        (2L, null.asInstanceOf[Array[Byte]])).toDF("id", "data"),
+      col("id"), col("data")).collect().sortBy(_.id)
+    assert(sk(0).dhash.isEmpty, "garbage bytes must sketch to null")
+    assert(sk(1).dhash.isEmpty,
+      "a NULL payload must sketch to null, not crash the pass")
   }
 
   test("banded near-dup pairs: recall 1.0 on planted retouches and exact " +

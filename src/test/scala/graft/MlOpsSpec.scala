@@ -217,7 +217,7 @@ class MlOpsSpec extends SparkSpec {
     }
     def messages(t: Throwable): String =
       if (t == null) "" else t.toString + messages(t.getCause)
-    assert(messages(ex).contains("mutant-id offset"),
+    assert(messages(ex).contains("offset no longer injective"),
       s"expected the offset guard to fire, got: ${messages(ex).take(500)}")
   }
 
