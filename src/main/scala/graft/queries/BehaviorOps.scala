@@ -52,6 +52,32 @@ object BehaviorOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Mergeable-sketch rollup (round 9): daily HLL sketches of distinct
+    // users per event type, UNIONED up to weekly estimates — the
+    // pre-aggregation pattern that answers any date-range distinct
+    // count at 100 TB without rescanning raw events (a distinct-count
+    // is not re-aggregable, a sketch is). The gate pins the merged
+    // estimate within 5% of the exact weekly distinct (DataSketches
+    // HLL at default lgK is ~1.6% RSE, and sketch content is
+    // insertion-order independent, so the boolean is deterministic);
+    // the oracle computes the exact side and expects merge_ok = true.
+    "q_sketch_rollup" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_type"), col("user_id"),
+        expr(s"unix_micros(ts) div $DayUs").as("d"))
+      val daily = e.groupBy(col("event_type"), col("d"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily.groupBy(col("event_type"),
+          expr("d div 7").as("wk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+      val exact = e.groupBy(col("event_type"), expr("d div 7").as("wk"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      exact.join(weekly, Seq("event_type", "wk"))
+        .select(col("event_type"), col("wk"), col("exact_users"),
+          (abs(col("__est") - col("exact_users")).cast("double") <=
+            col("exact_users").cast("double") * 0.05 + 5.0).as("merge_ok"))
+        .orderBy(col("event_type"), col("wk"))
+    }),
+
     // Last-touch attribution (round 9): each purchase credits the most
     // recent preceding view/click by the SAME user within 24h — the
     // marketing-attribution join, expressed through the as-of operator
@@ -623,6 +649,12 @@ object BehaviorOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_sketch_rollup" ->
+      s"""SELECT event_type,
+         |  (epoch_us(ts) // $DayUs) // 7 AS wk,
+         |  COUNT(DISTINCT user_id) AS exact_users, true AS merge_ok
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // the naive pair-expansion form of the same as-of semantics: rank
     // all qualifying touches per purchase, keep rank 1 — fine at gate
     // scale, the thing the engine's sort-merge shape avoids at 100 TB
