@@ -52,6 +52,34 @@ object BehaviorOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time-weighted average (round 9): each event's value is held until
+    // the user's next event, and the average weights by holding
+    // duration — the TWAP/telemetry aggregation where a plain mean
+    // over-counts bursts. One user-partitioned lead window; products
+    // value·Δt are per-row IEEE doubles cast DECIMAL(38,6) before the
+    // order-independent sum (the established exactness chain); a user
+    // whose holds all have zero duration yields NULL, not 0/0.
+    "q_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val holds = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("value"),
+          (col("nxt") - col("us")).as("dt"))
+      holds.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_holds"),
+          sum((col("value") * col("dt")).cast(DecimalType(38, 6)))
+            .cast("string").cast("double").as("__num"),
+          sum(col("dt")).as("__den"))
+        .select(col("user_id"), col("n_holds"),
+          when(col("__den") > 0,
+            round(col("__num") / col("__den").cast("double"), 6)).as("twap"))
+        .orderBy(col("user_id"))
+    }),
+
     // Mergeable-sketch rollup (round 9): daily HLL sketches of distinct
     // users per event type, UNIONED up to weekly estimates — the
     // pre-aggregation pattern that answers any date-range distinct
@@ -649,6 +677,20 @@ object BehaviorOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us,
+        |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS nxt
+        |  FROM events),
+        |h AS (SELECT user_id, value, nxt - us AS dt FROM e
+        |  WHERE nxt IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_holds,
+        |  CASE WHEN CAST(SUM(dt) AS BIGINT) > 0 THEN
+        |    round(CAST(CAST(SUM(CAST(value * dt AS DECIMAL(38,6)))
+        |        AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6) END AS twap
+        |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_sketch_rollup" ->
       s"""SELECT event_type,
          |  (epoch_us(ts) // $DayUs) // 7 AS wk,
