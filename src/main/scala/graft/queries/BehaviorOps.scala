@@ -52,6 +52,37 @@ object BehaviorOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Time-to-convert (round 9): per A/B variant, the median and p90
+    // seconds from a user's first view to their first subsequent
+    // purchase within the 24h funnel window — the latency readout of
+    // the funnel. Exact DISC percentiles through the distributed rank
+    // frame (bit-portable actual data values, never a per-variant
+    // single-partition window).
+    "q_time_to_convert" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .filter(col("us") > col("t_view") &&
+          col("us") <= col("t_view") + FunnelWindowUs)
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_buy"))
+      val deltas = p.join(v, Seq("user_id"))
+        .select(
+          pmod(graft.functions.TextFunctions.hash32(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+            .as("variant"),
+          expr("(t_buy - t_view) div 1000000").as("secs"))
+      val pct = graft.operators.Percentiles.exactDisc(deltas,
+        col("variant"), col("secs"),
+        ratios = Seq((1, 2), (9, 10)), outNames = Seq("p50_s", "p90_s"))
+      deltas.groupBy(col("variant")).agg(count(lit(1)).as("n_converted"))
+        .join(pct.select(col("group").as("variant"), col("p50_s"),
+          col("p90_s")), Seq("variant"))
+        .orderBy(col("variant"))
+    }),
+
     // Time-weighted average (round 9): each event's value is held until
     // the user's next event, and the average weights by holding
     // duration — the TWAP/telemetry aggregation where a plain mean
@@ -677,6 +708,31 @@ object BehaviorOps extends QueryPack {
   )
 
   override def oracle: Map[String, String] = Map(
+    // exactDisc rank = ceil(n·p); value at that rank is tie-invariant
+    "q_time_to_convert" -> {
+      val variant = graft.functions.TextFunctions
+        .sqlHash32("'ab:' || CAST(user_id AS VARCHAR)")
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |v AS (SELECT user_id, MIN(us) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |p AS (SELECT e.user_id, MIN(e.us) AS t_buy
+         |  FROM e JOIN v ON v.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us > v.t_view
+         |    AND e.us <= v.t_view + $FunnelWindowUs
+         |  GROUP BY 1),
+         |d AS (SELECT $variant % 2 AS variant,
+         |    (t_buy - t_view) // 1000000 AS secs
+         |  FROM p JOIN v USING (user_id)),
+         |r AS (SELECT variant, secs,
+         |    ROW_NUMBER() OVER (PARTITION BY variant ORDER BY secs) AS rn,
+         |    COUNT(*) OVER (PARTITION BY variant) AS n FROM d)
+         |SELECT variant, MAX(n) AS n_converted,
+         |  MAX(CASE WHEN rn = (n + 1) // 2 THEN secs END) AS p50_s,
+         |  MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN secs END) AS p90_s
+         |FROM r GROUP BY variant ORDER BY variant""".stripMargin
+    },
+
     "q_twap" ->
       """WITH e AS (SELECT user_id, value, epoch_us(ts) AS us,
         |    LEAD(epoch_us(ts)) OVER (PARTITION BY user_id

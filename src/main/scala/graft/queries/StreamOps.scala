@@ -137,6 +137,21 @@ object StreamOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Streaming top-k (round 9): sort + limit over a complete-mode
+    // streaming aggregate — the continuously-maintained leaderboard.
+    // Spark only admits sort/limit in complete mode (the whole result
+    // re-emits per trigger), which is exactly the bounded-output shape
+    // a leaderboard needs; deterministic tie-break on the key.
+    "q_stream_topk" -> ((s, dir) => {
+      val board = EventStreams.readEvents(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("value")).as("total"))
+        .orderBy(col("n").desc, col("event_type"))
+        .limit(3)
+      EventStreams.runToResult(s, board, qn("stream_topk"))
+        .orderBy(col("n").desc, col("event_type"))
+    }),
+
     // Streaming dedup: the doubled source must reduce back to the original
     // cardinality. Emits per-type counts of the deduped stream.
     "q_stream_dedup" -> ((s, dir) => {
@@ -160,6 +175,12 @@ object StreamOps extends QueryPack {
         |        ORDER BY us DESC, event_id DESC) AS rn FROM c)
         |SELECT user_id, event_id AS last_event_id, us AS last_us, value
         |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
+    "q_stream_topk" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  ${sqlDsum("value")} AS total
+         |FROM events GROUP BY 1
+         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
 
     // same hash gate as the batch sampling oracles (md5-derived, portable)
     "q_stream_corpus" ->
