@@ -301,6 +301,40 @@ object Analytic3 extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Robust outlier screen (round 9): the modified z-score — flag rows
+    // where |x − median| > 3 · 1.4826 · MAD, the outlier rule that a
+    // mean/stddev screen cannot run on heavy-tailed data (the outliers
+    // corrupt the very moments that define them; the median/MAD pair is
+    // 50%-breakdown robust). Thresholds ride the q_mad machinery
+    // (exact-DISC medians over the rank frame, broadcast back); the
+    // comparison 1000·|x−m| > 1779·mad keeps the z0·1.4826 constant in
+    // integer milli-units so both engines evaluate the identical IEEE
+    // product pair. The gate uses z0 = 1.2 (not the classic 3.5): the
+    // synthetic prices are uniform, where the modified z tops out near
+    // 1.35 — the gate pins the screen's arithmetic, and a cut that
+    // selects nothing pins nothing. Output: per-group count + extremes.
+    "q_robust_outliers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      val med = graft.operators.Percentiles.exactDisc(
+          li, col("g"), col("v"), Seq((1, 2)), Seq("m"))
+        .select(col("group").as("g"), col("m"))
+      val dev = li.join(broadcast(med), Seq("g"))
+        .select(col("g"), col("v"), col("m"),
+          abs(col("v") - col("m")).as("dv"))
+      val mad = graft.operators.Percentiles.exactDisc(
+          dev, col("g"), col("dv"), Seq((1, 2)), Seq("mad"))
+        .select(col("group").as("g"), col("mad"))
+      dev.join(broadcast(mad), Seq("g"))
+        .filter(col("dv") * 1000.0 > col("mad") * 1779.0)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("v")).as("min_outlier"), max(col("v")).as("max_outlier"))
+        .select(col("g").as("l_returnflag"), col("n_outliers"),
+          col("min_outlier"), col("max_outlier"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Gini concentration coefficient per return flag, from the
     // distributed global-rank frame (Percentiles.globalRanks — no
     // per-group single-partition window). Gini = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
@@ -609,6 +643,28 @@ object Analytic3 extends QueryPack {
         |        FROM r2 JOIN n1 USING (g) GROUP BY 1)
         |SELECT med.g AS l_returnflag, med.m AS median, mad.mad AS mad
         |FROM med JOIN mad USING (g) ORDER BY 1""".stripMargin,
+
+    "q_robust_outliers" ->
+      """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
+        |           FROM lineitem),
+        |n1 AS (SELECT g, COUNT(*) AS n FROM v GROUP BY 1),
+        |r1 AS (SELECT g, v,
+        |         row_number() OVER (PARTITION BY g ORDER BY v) AS rk
+        |       FROM v),
+        |med AS (SELECT r1.g, MIN(v) FILTER (WHERE rk = (n + 1) // 2) AS m
+        |        FROM r1 JOIN n1 USING (g) GROUP BY 1),
+        |d AS (SELECT v.g, v.v, abs(v.v - med.m) AS dv
+        |      FROM v JOIN med USING (g)),
+        |r2 AS (SELECT g, dv,
+        |         row_number() OVER (PARTITION BY g ORDER BY dv) AS rk
+        |       FROM d),
+        |mad AS (SELECT r2.g, MIN(dv) FILTER (WHERE rk = (n + 1) // 2) AS mad
+        |        FROM r2 JOIN n1 USING (g) GROUP BY 1)
+        |SELECT d.g AS l_returnflag, COUNT(*) AS n_outliers,
+        |  MIN(d.v) AS min_outlier, MAX(d.v) AS max_outlier
+        |FROM d JOIN mad USING (g)
+        |WHERE d.dv * 1000.0 > mad.mad * 1779.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_gini" ->
       """WITH v AS (SELECT l_returnflag AS g, l_extendedprice AS v
