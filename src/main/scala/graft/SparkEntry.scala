@@ -11,7 +11,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     Relational,
     Analytic,
     Functions,
@@ -36,12 +36,26 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
+  /** Fails loudly if two packs declare the same gate-query key. A silent
+    * `toMap` collision lets one pack shadow another's implementation AND
+    * oracle while the gate stays green (the shadowing pair is internally
+    * consistent) — the shadowed query becomes dead code that coverage
+    * accounting still counts. Found once (q_histogram, round 9); this
+    * assertion kills the class.
+    */
+  private def mergeUnique[V](kvs: Seq[(String, V)], what: String): Map[String, V] = {
+    val dups = kvs.groupBy(_._1).filter(_._2.size > 1).keys.toSeq.sorted
+    require(dups.isEmpty,
+      s"duplicate gate-query $what key(s) across packs: ${dups.mkString(", ")}")
+    kvs.toMap
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.defs).toMap
+    mergeUnique(packs.flatMap(_.defs), "impl")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracle).toMap
+    mergeUnique(packs.flatMap(_.oracle), "oracle")
 }

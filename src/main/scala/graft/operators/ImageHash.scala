@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Image perceptual-hash (dHash) near-duplicate detection — the multimodal
-  * analogue of text SimHash dedup (SURVEY §2.11/§2.15; the reference
+  * analogue of text SimHash dedup (SURVEY §2.11; the reference
   * delegates all raster work to external tools, nearest surface
   * `from-ground-up.js:73-90`'s PostGIS delegation pattern).
   *

@@ -214,7 +214,7 @@ object Analytic3 extends QueryPack {
     // rounded in every engine) then an exact floor, so bucket assignment
     // is bit-portable; the whole query is a single map-side-combinable
     // aggregation over the scan, no second pass for bounds.
-    "q_histogram" -> ((s, dir) =>
+    "q_histogram_orders" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(floor(col("o_totalprice") / 25000.0).as("bucket"))
         .agg(count(lit(1)).as("n"),
@@ -588,7 +588,7 @@ object Analytic3 extends QueryPack {
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
-    "q_histogram" ->
+    "q_histogram_orders" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
         |  COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,

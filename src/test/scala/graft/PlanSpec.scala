@@ -16,6 +16,22 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  test("registry: no pack shadows another pack's gate query or oracle") {
+    // Every pack's defs/oracle are Maps, so intra-pack duplicates are
+    // impossible; cross-pack collisions are the silent-shadowing class
+    // (one pack's impl+oracle pair wins, the other becomes dead code with
+    // the gate still green). mergeUnique raises on collision — this test
+    // both exercises that guard and pins the count arithmetic.
+    val implKeys = SparkEntry.packs.flatMap(_.defs.keys)
+    val oracleKeys = SparkEntry.packs.flatMap(_.oracle.keys)
+    assert(SparkEntry.queries.size === implKeys.size,
+      "pack impl keys collide across packs")
+    assert(SparkEntry.oracleSql.size === oracleKeys.size,
+      "pack oracle keys collide across packs")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without impls: $orphans")
+  }
+
   test("q_scan_project: filter pushed to parquet, schema pruned to 3 columns") {
     val p = plan("q_scan_project")
     assert(p.contains("PushedFilters") && p.contains("LessThan(l_orderkey,100)"),
