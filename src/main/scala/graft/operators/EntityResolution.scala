@@ -35,22 +35,44 @@ object EntityResolution {
 
   /** Blocked fuzzy match of `left` names against `right` names.
     * Output: (id_a, id_b, dist), dist = levenshtein ≤ `maxEdit`, one row
-    * per matched pair regardless of how many keys it shared. Keys whose
-    * occupancy exceeds `maxKey` on EITHER side are dropped whole (census
-    * is ≤ distinct-key-count rows, broadcast). */
+    * per matched pair regardless of how many keys it shared.
+    *
+    * Two drop rules, both whole-key (census is ≤ distinct-key-count rows,
+    * materialized once and broadcast to both anti-joins):
+    *  - occupancy > `maxKey` on EITHER side (bounds shuffle skew);
+    *  - left·right occupancy PRODUCT > `maxKeyPairs` (ADVICE r9: a key
+    *    sitting just under `maxKey` on both sides still admits ~maxKey²
+    *    verify pairs — 16.7M at the 4096 default — so the per-side cap
+    *    alone bounds the blowup only quadratically; the product cap
+    *    bounds the actual pair volume per key directly).
+    * Pass `drops` to observe the dropped-key count in-flight (the
+    * [[Dedup]] observable-drop discipline); it is available as soon as
+    * this method returns, because the census is materialized here. */
   def blockedMatch(left: DataFrame, idL: Column, nameL: Column,
       right: DataFrame, idR: Column, nameR: Column,
-      maxEdit: Int = 1, maxKey: Int = 4096): DataFrame = {
+      maxEdit: Int = 1, maxKey: Int = 4096,
+      maxKeyPairs: Long = 1L << 22,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxEdit >= 0, s"maxEdit must be >= 0, got $maxEdit")
     require(maxKey > 0, s"maxKey must be > 0, got $maxKey")
+    require(maxKeyPairs > 0, s"maxKeyPairs must be > 0, got $maxKeyPairs")
     val l = left.select(idL.as("id_a"), nameL.as("name_a"),
       explode(blockingKeys(nameL)).as("__key"))
     val r = right.select(idR.as("id_b"), nameR.as("name_b"),
       explode(blockingKeys(nameR)).as("__key"))
-    val heavy = l.groupBy(col("__key")).count()
-      .unionByName(r.groupBy(col("__key")).count())
-      .filter(col("count") > maxKey)
-      .select(col("__key")).distinct()
+    val census = l.groupBy(col("__key")).agg(count(lit(1)).as("cl"))
+      .join(r.groupBy(col("__key")).agg(count(lit(1)).as("cr")),
+        Seq("__key"), "full_outer")
+      .select(col("__key"),
+        coalesce(col("cl"), lit(0L)).as("cl"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+      .filter(col("cl") > maxKey || col("cr") > maxKey ||
+        col("cl") * col("cr") > maxKeyPairs)
+      .select(col("__key"))
+    // materialize ONCE (also fires the observation) so the two anti-joins
+    // below reuse the small result instead of recomputing the census
+    val heavy = drops.fold(census)(o =>
+      census.observe(o, count(lit(1)).as("dropped_keys"))).localCheckpoint()
     l.join(broadcast(heavy), Seq("__key"), "left_anti")
       .join(r.join(broadcast(heavy), Seq("__key"), "left_anti"), "__key")
       .drop("__key")

@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   *  3. edge restriction = two left-semi joins (u-side, v-side).
   * Each round `localCheckpoint`s the shrinking edge list (the
   * [[Components]] discipline: truncate the lineage, keep the iteration's
-  * input materialized) and the fixpoint test is one count per round.
+  * input materialized), releases the superseded round's checkpoint blocks
+  * once the new one is materialized (the [[PageRank]] anchor/release
+  * discipline — at most one edge-list copy resident), and the fixpoint
+  * test is one count per round.
   *
   * ROUNDS ARE PART OF THE DECLARED SEMANTICS for oracle parity: with
   * `maxRounds` = R the result equals "R synchronous peels" — reaching
@@ -37,6 +40,18 @@ object KCore {
       e.select(col("u").as("x"))
         .unionAll(e.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    // ADVICE r9: each round's localCheckpoint pins an edge-list copy in
+    // the block manager; without release, up to maxRounds corpus-sized
+    // copies stay resident for the session. Adopt [[PageRank]]'s
+    // anchor/release discipline: once e2.count() has MATERIALIZED the new
+    // checkpoint (so nothing downstream can re-read the old one), drop
+    // the superseded round's blocks.
+    def releaseBlocks(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var e = edges.select(col("u"), col("v")).localCheckpoint()
     var prev = e.count()
     var round = 0
@@ -48,6 +63,7 @@ object KCore {
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
       val n = e2.count()
+      releaseBlocks(e)
       converged = n == prev
       prev = n
       e = e2

@@ -90,10 +90,6 @@ object PageRank {
       dampingPct: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100 &&
       checkpointEvery >= 1)
-    val denom = seeds.map(_.count()).getOrElse(nodes.count())
-    require(denom > 0, "empty node/seed set")
-    val base = (total * (100 - dampingPct)) / (100L * denom)
-
     val outW = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     val ew = edges.join(outW, Seq("src")).localCheckpoint()
     // dangling = nodes with no out-edges; a static vertex-sized set. When
@@ -102,14 +98,26 @@ object PageRank {
     val dangling = nodes.join(outW, col("id") === col("src"), "left_anti")
       .select(col("id").as("did")).localCheckpoint()
     val hasDangling = !dangling.isEmpty
+    // Seed hygiene (ADVICE r9): a duplicate seed id would fan node rows
+    // out through the membership join (duplicate output rows per node),
+    // and ids absent from `nodes` would inflate the teleport denominator
+    // — both silent corruptions. `distinct()` kills the fan-out, and the
+    // denominator is counted from the FLAGGED frame (seeds ∩ nodes after
+    // dedup), so stray ids change nothing.
     val flagged = seeds match {
       case Some(sds) => nodes
-        .join(broadcast(sds.select(col("id").as("sid"))),
+        .join(broadcast(sds.select(col("id").as("sid")).distinct()),
           col("id") === col("sid"), "left")
         .select(col("id"), col("sid").isNotNull.as("is_seed"))
         .localCheckpoint()
       case None => nodes.select(col("id"), lit(true).as("is_seed"))
     }
+    val denom = seeds match {
+      case Some(_) => flagged.filter(col("is_seed")).count()
+      case None    => nodes.count()
+    }
+    require(denom > 0, "empty node/seed set (or no seed present in nodes)")
+    val base = (total * (100 - dampingPct)) / (100L * denom)
 
     def releaseBlocks(df: DataFrame): Unit =
       df.queryExecution.analyzed match {

@@ -100,4 +100,20 @@ class CorpusContractSpec extends SparkSpec {
       s"$nonAscii documents carry multi-byte characters — the media-gate " +
         "oracles' char-indexed arithmetic no longer matches byte hashing")
   }
+
+  test("documents.text has length >= 2 — the degenerate-payload floor the " +
+    "media-hash oracles assume") {
+    // ADVICE r9: on a text of length <= 1 the engine's synthetic media
+    // decode yields NULL hash halves (empty sample array / pmod-by-zero)
+    // while the DuckDB oracles' byte arithmetic degrades to a 0 hash
+    // (n=0 makes x0=-1, ascii('') paths) — a silent cross-engine split.
+    // Both oracles assume length >= 2; pin it here so a regenerated
+    // corpus with an empty/1-char doc fails loudly at the contract, not
+    // as an inscrutable media-gate hash mismatch.
+    val tooShort = Tables.load(spark, sf, "documents")
+      .filter(length(col("text")) < 2).count()
+    assert(tooShort == 0L,
+      s"$tooShort documents have text shorter than 2 chars — the media " +
+        "fingerprint oracles' degenerate-payload behavior diverges there")
+  }
 }

@@ -55,4 +55,28 @@ class EntityResolutionSpec extends SparkSpec {
     assert(found == Set((100000L, 200000L)),
       s"expected only the planted pair to survive the cap, got ${found.size}")
   }
+
+  test("product cap: a key under maxKey on BOTH sides but over the " +
+    "left*right pair budget is dropped whole, observably") {
+    // 100 × 100 = 10,000 pairs from one key — both sides well under the
+    // per-side cap (4096), so only the ADVICE-r9 product cap catches it.
+    val boiler = (0 until 100).map(i => (i.toLong, "boilerplate name"))
+    val left = boiler :+ (100000L, "unique widget")
+    val right = (0 until 100).map(i => (i + 500000L, "boilerplate name")) :+
+      (200000L, "unique widgex")
+    val obs = org.apache.spark.sql.Observation("er_drops")
+    val found = EntityResolution.blockedMatch(
+        left.toDF("id", "name"), col("id"), col("name"),
+        right.toDF("id", "name"), col("id"), col("name"),
+        maxEdit = 1, maxKey = 4096, maxKeyPairs = 5000L, drops = Some(obs))
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(found == Set((100000L, 200000L)),
+      s"expected only the planted pair to survive the product cap, got $found")
+    // both of the boilerplate name's keys (prefix + suffix) are dropped
+    assert(obs.get("dropped_keys").asInstanceOf[Long] == 2L,
+      s"expected 2 dropped keys observed, got ${obs.get("dropped_keys")}")
+    // same corpus under a roomy budget: the boilerplate block survives
+    val roomy = matchPairs(left, right)
+    assert(roomy.size == 100 * 100 + 1, s"roomy budget: got ${roomy.size}")
+  }
 }

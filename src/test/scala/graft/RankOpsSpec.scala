@@ -121,4 +121,26 @@ class RankOpsSpec extends SparkSpec {
     assert(oneSeed(1L) > oneSeed(4L),
       "mass should decay along the cycle away from the seed")
   }
+
+  test("personalized pagerank: duplicate seed ids and ids absent from " +
+    "nodes change nothing (ADVICE r9 seed hygiene)") {
+    val (edges, nodes) = cycle(8)
+    val clean = PageRank.personalizedRanks(edges, nodes,
+        Seq(0L, 3L).toDF("id"), iters = 5)
+      .as[(Long, Long)].collect()
+    // duplicates would fan out node rows + inflate the teleport
+    // denominator; stray ids (99, 100) would inflate it too
+    val dirty = PageRank.personalizedRanks(edges, nodes,
+        Seq(0L, 0L, 3L, 3L, 3L, 99L, 100L).toDF("id"), iters = 5)
+      .as[(Long, Long)].collect()
+    assert(dirty.length == clean.length, "seed fan-out duplicated node rows")
+    assert(dirty.toMap == clean.toMap,
+      "dirty seed set must yield the identical ranks")
+    // a seed set with NO id present in nodes must fail loudly, not
+    // divide by a phantom denominator
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedRanks(edges, nodes,
+        Seq(99L).toDF("id"), iters = 2).collect()
+    }
+  }
 }
