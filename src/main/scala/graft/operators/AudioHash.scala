@@ -31,7 +31,7 @@ object AudioHash {
 
   val Blocks = 65 // 65 block energies → 64 adjacent comparisons
 
-  case class AudioSketch(id: Long, ahash: Option[Long])
+  case class AudioSketch(id: Long, ahash: Option[Long], nSamples: Option[Int])
 
   /** Absolute-amplitude block sums over a 16-bit PCM sample array:
     * block j sums samples [⌊j·n/65⌋, ⌊(j+1)·n/65⌋) (clamped to at least
@@ -105,8 +105,11 @@ object AudioHash {
   def ahashBytes(data: Array[Byte]): Option[Long] =
     decodeSamples(data).filter(_.nonEmpty).map(energyHash64)
 
-  /** Sketch table (id, ahash) over binary audio payloads: narrow
-    * `mapPartitions` batch decode, nullable sketch for undecodable rows. */
+  /** Sketch table (id, ahash, nSamples) over binary audio payloads:
+    * narrow `mapPartitions` batch decode, nullable sketch for undecodable
+    * rows. `nSamples` (clip length in samples) is the coarse content key
+    * the banding stage pre-partitions on — it falls out of the decode for
+    * free. */
   def sketchTable(spark: SparkSession, media: DataFrame, idCol: Column,
       dataCol: Column): Dataset[AudioSketch] = {
     import spark.implicits._
@@ -114,7 +117,10 @@ object AudioHash {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // one decoder context per partition would be initialized here
-        rows.map { case (id, data) => AudioSketch(id, ahashBytes(data)) }
+        rows.map { case (id, data) =>
+          val s = decodeSamples(data).filter(_.nonEmpty)
+          AudioSketch(id, s.map(energyHash64), s.map(_.length))
+        }
       }
   }
 
@@ -122,18 +128,25 @@ object AudioHash {
     * [[Dedup.hammingBandPairs]] — never all-pairs. Undecodable rows
     * (null sketch) are excluded. Output: (id_a, id_b, hamming).
     *
-    * Band-width trade (measured ×4.6 at ×10 data, PERF.md round 9):
-    * pigeonhole banding at Hamming k uses k+1 bands of ~64/(k+1) bits,
-    * so large k means FEW distinct keys per band (k = 8 → ~2⁷) and
-    * bucket occupancy grows with corpus size — pair work inflates even
-    * though recall stays exact. At 100 TB either lower `maxHamming`
-    * (wider bands), pre-partition by a coarse content key, or lean on
-    * `maxBucket` + `drops` and accept the documented recall cut. */
+    * DECLARED SEMANTICS: pairs are same-length clips (equal sample
+    * count) within `maxHamming` bits. The length restriction is standard
+    * duration blocking — the retouch/re-encode/gain edits this detector
+    * targets all preserve sample count — and it is what keeps the
+    * banding stage linear: pigeonhole banding at Hamming k uses k+1
+    * bands of ~64/(k+1) bits, so at k = 8 a band has only ~2⁷ distinct
+    * keys and bucket occupancy grows with corpus size (measured ×4.6 at
+    * ×10 data, PERF.md round 9, before this fix). Folding the clip
+    * length into the band key multiplies the key space by the number of
+    * distinct lengths and returns occupancy to corpus-shape-independent
+    * scaling. For cross-length matching (trims, resampling), lower
+    * `maxHamming` and call [[Dedup.hammingBandPairs]] with
+    * `groupCol = None` explicitly. */
   def nearDupPairs(spark: SparkSession, media: DataFrame, idCol: Column,
       dataCol: Column, maxHamming: Int = 6, maxBucket: Int = 4096,
       drops: Option[org.apache.spark.sql.Observation] = None): DataFrame =
     Dedup.hammingBandPairs(
       sketchTable(spark, media, idCol, dataCol).toDF()
         .filter(col("ahash").isNotNull),
-      col("id"), col("ahash"), maxHamming, maxBucket, drops)
+      col("id"), col("ahash"), maxHamming, maxBucket, drops,
+      groupCol = Some(col("nSamples")))
 }

@@ -186,14 +186,28 @@ object Dedup {
     * bounds degenerate buckets (recall 1.0 only while `drops` stays 0 —
     * see [[simhashNearDupPairs]]).
     *
+    * `groupCol` (optional) is a coarse CONTENT-KEY PRE-PARTITION folded
+    * into every band key: pairs form only within equal group values, and
+    * the declared semantics become "within `maxHamming` bits AND same
+    * group". Why it exists: at large `maxHamming` the pigeonhole bands
+    * are narrow (k = 8 → ~7-bit bands, ~2⁷ distinct keys per band), so
+    * bucket occupancy — and pair work — grows LINEARLY with corpus size
+    * no matter how the corpus is distributed over sketch space. A group
+    * key with g effective values multiplies the key space by g and cuts
+    * expected occupancy by g. The group rides INSIDE the shuffle key as a
+    * struct field (exact equality by construction — no hash-collision
+    * caveat), so the stage still costs one shuffle.
+    *
     * Output: (id_a, id_b, hamming), id_a < id_b. */
   def hammingBandPairs(sketches: DataFrame, idCol: Column, sketchCol: Column,
       maxHamming: Int = 3, maxBucket: Int = 4096,
-      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      drops: Option[org.apache.spark.sql.Observation] = None,
+      groupCol: Option[Column] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming must be in [0, 64), got $maxHamming")
     val nBands = maxHamming + 1
-    val sk = sketches.select(idCol.as("id"), sketchCol.as("sketch"))
+    val sk = sketches.select((Seq(idCol.as("id"), sketchCol.as("sketch")) ++
+      groupCol.map(_.as("__grp"))): _*)
     // band b covers bits [64b/n, 64(b+1)/n) — key = (band | bits), one
     // long: for n ≥ 2 every band is ≤ 32 bits so the tag at bit 32 is
     // collision-free; n == 1 (Hamming 0) is whole-sketch equality, so the
@@ -207,8 +221,14 @@ object Dedup {
           shiftrightunsigned(col("sketch"), lo)
             .bitwiseAND(lit((1L << width) - 1)))
       }
-    val banded = sk.select(col("id"), col("sketch"),
-      explode(array(bandKeys: _*)).as("band_key"))
+    val rawBanded = sk.withColumn("__raw_key",
+      explode(array(bandKeys: _*)))
+    val banded = groupCol match {
+      case Some(_) => rawBanded.select(col("id"), col("sketch"),
+        struct(col("__grp"), col("__raw_key")).as("band_key"))
+      case None => rawBanded.select(col("id"), col("sketch"),
+        col("__raw_key").as("band_key"))
+    }
     // popcount filter BEFORE distinct() — see minhashPairs for why this
     // ordering and dedup form (and not a band filter or dropDuplicates)
     cappedBucketPairs(banded, "sketch", maxBucket, drops)

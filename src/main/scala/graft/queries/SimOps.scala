@@ -282,8 +282,12 @@ object SimOps extends QueryPack {
     // overwritten — one PCM sample retouched; with short clips the
     // clamped overlapping blocks spread one sample across ~3 blocks, so
     // a planted pair sits within Hamming 8) runs decode → hash →
-    // pigeonhole banding (Dedup.hammingBandPairs; never all-pairs).
-    // Oracle: uncapped all-pairs Hamming join over predicted sketches.
+    // pigeonhole banding (Dedup.hammingBandPairs; never all-pairs),
+    // DURATION-BLOCKED: pairs are same-sample-count clips (round 10 —
+    // the clip length folds into the band key, which is what keeps
+    // band-bucket occupancy flat as the corpus grows at maxHamming = 8).
+    // Oracle: uncapped all-pairs Hamming join over predicted sketches
+    // with the same equal-length condition.
     "q_audio_neardup" -> ((s, dir) => {
       val base = Tables.load(s, dir, "documents")
         .filter(col("doc_id") % 3 === 1)
@@ -694,6 +698,8 @@ object SimOps extends QueryPack {
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
         |    AS INT) AS hamming
         |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |JOIN d da ON da.doc_id = a.doc_id
+        |JOIN d db ON db.doc_id = b.doc_id AND db.n = da.n
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 

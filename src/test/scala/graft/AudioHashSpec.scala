@@ -107,12 +107,37 @@ class AudioHashSpec extends SparkSpec {
       assert(found.contains((i.toLong, i + 1000L)),
         s"planted pair ($i, ${i + 1000}) missed by banding")
     val sk = AudioHash.sketchTable(spark, media, col("media_id"),
-      col("data")).collect().map(s => (s.id, s.ahash.get))
+      col("data")).collect().map(s => (s.id, s.ahash.get, s.nSamples.get))
+    // brute force mirrors the DECLARED semantics: same sample count AND
+    // within the Hamming bound (duration blocking is part of the contract)
     val brute = (for {
-      (ia, ha) <- sk; (ib, hb) <- sk if ia < ib
+      (ia, ha, na) <- sk; (ib, hb, nb) <- sk if ia < ib && na == nb
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
     } yield (ia, ib, d)).toSet
     assert(pairs.toSet == brute,
       s"banded pairs != brute force (${pairs.length} vs ${brute.size})")
+  }
+
+  test("duration blocking: identical content at different clip lengths " +
+    "does not pair (the declared same-length contract), and the length " +
+    "key leaves same-length recall untouched") {
+    // plant a same-sketch different-length case: amplitude striped by
+    // envelope-block parity (block j is all-1000 or all-100 by j % 2), so
+    // every block comparison is decided by parity with a ~50× margin at
+    // EITHER length — the hash is length-invariant by construction even
+    // though block SIZES differ (61 vs 62 samples at n=4000, ~30/31 at
+    // n=2000)
+    def striped(n: Int): Array[Int] =
+      Array.tabulate(n)(i => if ((i * AudioHash.Blocks / n) % 2 == 0) 1000 else 100)
+    val s1 = striped(4000)
+    val s2 = striped(2000)
+    val media = Seq((1L, wav(s1)), (2L, wav(s2))).toDF("media_id", "data")
+    assert(AudioHash.energyHash64(s1) == AudioHash.energyHash64(s2),
+      "fixture broken: striped clips should share a sketch")
+    val pairs = AudioHash.nearDupPairs(spark, media, col("media_id"),
+      col("data"), maxHamming = 8).collect()
+    assert(pairs.isEmpty,
+      s"different-length clips paired despite duration blocking: " +
+        pairs.mkString(", "))
   }
 }
