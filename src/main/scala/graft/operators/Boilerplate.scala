@@ -18,8 +18,12 @@ import graft.functions.TextFunctions
   *
   * Scale posture: one (group, prefix) aggregate over k-token fingerprints
   * (never full text), a per-group rank window PARTITIONED by group, and
-  * the chosen-prefix dimension — ≤ one row per group — broadcasts back
-  * onto the corpus. Text itself only moves in the final narrow strip.
+  * the chosen-prefix dimension — ≤ one row per group — joins back onto
+  * the corpus SIZE-GATED: broadcast while the group count fits
+  * `maxBroadcastGroups`, shuffle join above it (sources-as-groups is
+  * broadcast-sized; groups-as-URL-prefixes at 100 TB is not, and an
+  * unconditional broadcast would OOM the driver there). Text itself only
+  * moves in the final narrow strip.
   */
 object Boilerplate {
 
@@ -31,18 +35,24 @@ object Boilerplate {
     * is only boilerplate when ≥ `minSupport` documents repeat it. */
   def stripCommonPrefix(df: DataFrame, groupCol: Column, idCol: Column,
       textCol: Column, k: Int = 4, minCoverMilli: Long = 600,
-      minSupport: Long = 2): DataFrame = {
+      minSupport: Long = 2, maxBroadcastGroups: Long = 1L << 20): DataFrame = {
     require(k >= 1 && minCoverMilli >= 1 && minCoverMilli <= 1000,
       s"need k >= 1 and coverage in (0, 1000], got k=$k cover=$minCoverMilli")
     require(minSupport >= 2,
       s"minSupport must be >= 2 (one doc is never boilerplate evidence)")
+    require(maxBroadcastGroups >= 0,
+      s"maxBroadcastGroups must be >= 0, got $maxBroadcastGroups")
     val toks = TextFunctions.tokens(textCol)
     val base = df.select(groupCol.as("grp"), idCol.as("id"),
       concat_ws(" ", slice(toks, 1, k)).as("pfx"),
       size(toks).cast("long").as("ntok"))
     val counts = base.groupBy(col("grp"), col("pfx"))
       .agg(count(lit(1)).as("c"))
+    // materialized once: the count() below gates the join strategy and the
+    // final plan reuses the same frame instead of re-aggregating
     val totals = base.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nGroups = totals.count()
     val w = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("pfx"))
     val chosen = counts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -50,7 +60,12 @@ object Boilerplate {
       .filter(col("c") * 1000 >= col("n") * minCoverMilli &&
         col("c") >= minSupport)
       .select(col("grp"), col("pfx").as("boiler_pfx"))
-    base.join(broadcast(chosen), Seq("grp"), "left")
+    // size gate (ADVICE/verdict r9): the chosen dim is ≤ 1 row per group,
+    // so GROUP COUNT is its exact size bound — broadcast under the
+    // threshold, key-partitioned shuffle join above it
+    val chosenDim =
+      if (nGroups <= maxBroadcastGroups) broadcast(chosen) else chosen
+    base.join(chosenDim, Seq("grp"), "left")
       .withColumn("stripped",
         col("boiler_pfx").isNotNull && col("pfx") === col("boiler_pfx"))
       .select(col("grp"), col("id"), col("stripped"),

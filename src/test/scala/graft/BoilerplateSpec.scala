@@ -33,4 +33,38 @@ class BoilerplateSpec extends SparkSpec {
     assert(out(1L) == ((false, 6L)),
       s"single doc mutilated as boilerplate: ${out(1L)}")
   }
+
+  test("size-gated dim join: broadcast under maxBroadcastGroups, shuffle " +
+    "join above — identical results either way") {
+    val rows =
+      (1L to 8L).map(i => ("a", i, s"legal notice banner unique body $i")) ++
+        (10L to 12L).map(i => ("b", i, s"page $i of totally different text"))
+    def strip(maxGroups: Long) =
+      Boilerplate.stripCommonPrefix(rows.toDF("src", "id", "text"),
+        col("src"), col("id"), col("text"), k = 3, minCoverMilli = 600,
+        maxBroadcastGroups = maxGroups)
+    def finalJoinPlan(maxGroups: Long): String =
+      strip(maxGroups).queryExecution.executedPlan.toString
+    // tiny test data would auto-broadcast by stats either way — disable
+    // the threshold so ONLY the operator's explicit hint decides, which
+    // is the regime that holds at real scale
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      // 2 groups ≤ 1M → the dim joins broadcast (the explicit hint)
+      assert(finalJoinPlan(1L << 20).contains("BroadcastHashJoin"),
+        "under the gate the chosen-prefix dim must broadcast")
+      // gate at 1 forces the scale path: a key-partitioned shuffle join
+      val big = finalJoinPlan(1L)
+      assert(!big.contains("BroadcastHashJoin") &&
+        (big.contains("SortMergeJoin") || big.contains("ShuffledHashJoin")),
+        s"over the gate the dim join must shuffle, plan:\n$big")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    // same rows, same verdicts, both regimes
+    def collectOut(maxGroups: Long) =
+      strip(maxGroups).select(col("id"), col("stripped"),
+        col("n_tokens_after")).as[(Long, Boolean, Long)].collect().toSet
+    assert(collectOut(1L << 20) == collectOut(1L),
+      "join strategy changed the result")
+  }
 }
