@@ -137,6 +137,28 @@ object StreamOps extends QueryPack {
         .orderBy(col("user_id"))
     }),
 
+    // Bounded-state streaming CDC (round 10): the TTL-evicting twin of
+    // q_stream_cdc — per-key state is one struct with an event-time TTL;
+    // when the watermark passes last-activity + 6h the key emits its
+    // settled compaction and its state is REMOVED (state holds only
+    // TTL-recent keys, never full key history). On the drained bounded
+    // source the final watermark is max(ts) − 1h, so the oracle is the
+    // same latest-wins batch SQL RESTRICTED to keys settled before that
+    // horizon — the window-restricted stream/batch equivalence pin.
+    "q_stream_cdc_ttl" -> ((s, dir) => {
+      val ev = EventStreams.readEvents(s, dir)
+        .select(col("ts"), col("user_id"), col("event_id"), col("value"),
+          when(col("event_id") % 10 === 0, lit("D"))
+            .otherwise(lit("U")).as("op"))
+      val compacted = EventStreams.cdcCompactTtl(s, ev)
+      EventStreams.runToResult(s, compacted, qn("stream_cdc_ttl"),
+          mode = "append")
+        .filter(col("op") === "U")
+        .select(col("user_id"), col("last_event_id"), col("last_us"),
+          col("value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Streaming top-k (round 9): sort + limit over a complete-mode
     // streaming aggregate — the continuously-maintained leaderboard.
     // Spark only admits sort/limit in complete mode (the whole result
@@ -175,6 +197,21 @@ object StreamOps extends QueryPack {
         |        ORDER BY us DESC, event_id DESC) AS rn FROM c)
         |SELECT user_id, event_id AS last_event_id, us AS last_us, value
         |FROM r WHERE rn = 1 AND op = 'U' ORDER BY user_id""".stripMargin,
+
+    // same latest-wins SQL as q_stream_cdc, window-restricted to keys
+    // whose TTL (6h past last activity, ms-floored like Spark's timeout
+    // arithmetic) expired before the final watermark (max ts − 1h, ms)
+    "q_stream_cdc_ttl" ->
+      """WITH c AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |wm AS (SELECT (MAX(us) // 1000) - 3600000 AS wm_ms FROM c),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY us DESC, event_id DESC) AS rn FROM c)
+        |SELECT user_id, event_id AS last_event_id, us AS last_us, value
+        |FROM r, wm
+        |WHERE rn = 1 AND op = 'U' AND (us // 1000) + 21600000 < wm_ms
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_topk" ->
       s"""SELECT event_type, COUNT(*) AS n,

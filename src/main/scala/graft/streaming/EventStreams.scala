@@ -208,6 +208,71 @@ object EventStreams {
       }.toDF()
   }
 
+  /** `ts` rides along only because the event-time-timeout check requires
+    * the WATERMARKED COLUMN itself in the stateful operator's input — the
+    * projection below cannot drop it even though `us` carries the same
+    * instant. */
+  case class CdcRow(user_id: Long, event_id: Long, value: Double,
+    us: Long, op: String, ts: java.sql.Timestamp)
+  case class CdcCompact(user_id: Long, last_event_id: Long, last_us: Long,
+    op: String, value: Double)
+
+  /** BOUNDED-STATE streaming CDC compaction — the state-evicting twin of
+    * the latest-wins aggregate behind `q_stream_cdc` (which keeps one
+    * struct per key FOREVER; correct for a compaction view, but state
+    * grows with key cardinality without bound on an open-ended stream).
+    *
+    * Here the per-key state is one compacted struct with an event-time
+    * TTL: when the watermark passes `last activity + ttlMs`, the key
+    * EMITS its final compacted record and its state is REMOVED
+    * (`flatMapGroupsWithState` + `EventTimeTimeout`). State at any moment
+    * = only keys active within the TTL horizon — the settled-key
+    * emission a downstream sink can treat as immutable, and the shape
+    * whose state a 100 TB stream can actually hold.
+    *
+    * Input `changes` must carry (ts, user_id, event_id, value, op).
+    * Latest-wins order is (us, event_id) — the same unique prefix as the
+    * batch twin, so the emitted record per key is identical to
+    * `q_cdc_apply`'s for that key. Late stragglers whose TTL target
+    * already passed the watermark evict on the next trigger (the timeout
+    * timestamp is clamped forward — Spark rejects timestamps behind the
+    * watermark). */
+  def cdcCompactTtl(spark: SparkSession, changes: DataFrame,
+      ttlMs: Long = 6L * 3600 * 1000,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    require(ttlMs > 0, s"ttlMs must be > 0, got $ttlMs")
+    changes.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"), col("op"), col("ts"))
+      .as[CdcRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcCompact, CdcCompact](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[CdcRow], state: GroupState[CdcCompact]) =>
+          if (state.hasTimedOut) {
+            val settled = state.get
+            state.remove()
+            Iterator(settled)
+          } else {
+            var best = state.getOption
+              .map(s => CdcCompact(user, s.last_event_id, s.last_us, s.op,
+                s.value))
+              .orNull
+            rows.foreach { r =>
+              if (best == null || r.us > best.last_us ||
+                  (r.us == best.last_us && r.event_id > best.last_event_id))
+                best = CdcCompact(user, r.event_id, r.us, r.op, r.value)
+            }
+            val next = best
+            state.update(next)
+            state.setTimeoutTimestamp(math.max(next.last_us / 1000 + ttlMs,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
   /** Run a (bounded) streaming DataFrame to completion into an in-memory
     * table and return the materialized result — the harness form of "start
     * the query, let the source drain, read the sink". The memory-sink view

@@ -182,6 +182,42 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("TTL CDC compaction: a key settles (emits once, state removed) " +
+    "only after the watermark passes last-activity + TTL; active keys " +
+    "hold exactly one struct and emit nothing") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two changes early on day 1 — watermark passes its TTL
+    // user 2: changes near the end — TTL target is past the final
+    //         watermark, so it must NOT emit (still live state at stop)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcttl").toString
+    Seq(
+      (ts("2024-06-01 00:00:00"), 1L, 11L, 1.0, "U"),
+      (ts("2024-06-01 01:00:00"), 1L, 12L, 2.5, "U"),
+      (ts("2024-06-03 10:59:00"), 2L, 22L, 7.0, "U"),
+      // watermark driver: final watermark = 12:00 − 1h = 11:00
+      (ts("2024-06-03 12:00:00"), 3L, 31L, 4.0, "U"))
+      .toDF("ts", "user_id", "event_id", "value", "op")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("ts timestamp, user_id long, event_id long, value double, op string")
+      .parquet(dir)
+    val out = EventStreams.runToResult(spark,
+        EventStreams.cdcCompactTtl(spark, stream), "spec_cdc_ttl",
+        mode = "append")
+      .select(col("user_id"), col("last_event_id"), col("last_us"),
+        col("value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    // final watermark = 06-03 12:00 − 1h = 11:00.
+    // user 1 TTL target: 06-01 01:00 + 6h = 07:00 on 06-01 → settled,
+    //   emits its LATEST change (event 12)
+    // user 2 TTL target: 06-03 10:59 + 6h → next day → live, silent
+    // user 3 drove the watermark; its own TTL target is 18:00 → live
+    assert(out.map(_._1).toSeq == Seq(1L),
+      s"exactly the settled key must emit, got ${out.toSeq}")
+    assert(out.head._2 == 12L && out.head._4 == 2.5,
+      s"settled key must emit its latest-wins compaction: ${out.head}")
+  }
+
   test("rate source drains to a deterministic result and repeats exactly") {
     // the unbounded drain stops on committed source rows; the value bound
     // makes any extra batch a no-op, so two runs must agree bit-for-bit
