@@ -60,6 +60,17 @@ object EntityResolution {
       explode(blockingKeys(nameL)).as("__key"))
     val r = right.select(idR.as("id_b"), nameR.as("name_b"),
       explode(blockingKeys(nameR)).as("__key"))
+    verifyPairs(cappedKeyJoin(l, r, maxKey, maxKeyPairs, drops), maxEdit)
+  }
+
+  /** Census-capped inner equi-join on `__key` — the shared blocking-join
+    * core of [[blockedMatch]] and [[qgramMatch]]. Both drop rules (per-side
+    * occupancy, left·right product) apply whole-key; the census is
+    * materialized once and broadcast to both anti-joins; `drops` observes
+    * the dropped-key count. */
+  private def cappedKeyJoin(l: DataFrame, r: DataFrame, maxKey: Int,
+      maxKeyPairs: Long,
+      drops: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val census = l.groupBy(col("__key")).agg(count(lit(1)).as("cl"))
       .join(r.groupBy(col("__key")).agg(count(lit(1)).as("cr")),
         Seq("__key"), "full_outer")
@@ -76,13 +87,82 @@ object EntityResolution {
     l.join(broadcast(heavy), Seq("__key"), "left_anti")
       .join(r.join(broadcast(heavy), Seq("__key"), "left_anti"), "__key")
       .drop("__key")
-      .distinct() // a pair may share both keys; names are pair functions
-      // threshold form: banded O(maxEdit·n) DP with early exit (−1 past
-      // the bound) instead of the full O(n²) matrix — the verify is the
-      // hot loop once blocking has done its job
+  }
+
+  /** Exact-verify stage shared by both blockers: dedup candidates (a pair
+    * may share several keys; names are pair functions), then threshold
+    * levenshtein — banded O(maxEdit·n) DP with early exit (−1 past the
+    * bound) instead of the full O(n²) matrix. */
+  private def verifyPairs(cands: DataFrame, maxEdit: Int): DataFrame =
+    cands.distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxEdit))
       .filter(col("dist") >= 0 && col("dist") <= maxEdit)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+
+  /** Positional-free q-gram array of a name (distinct grams; the whole
+    * name when shorter than `q`). */
+  private def qgrams(name: String, q: Int): Column =
+    when(length(col(name)) < q, array(col(name)))
+      .otherwise(array_distinct(expr(
+        s"transform(sequence(0, length($name) - $q), i -> substring($name, i + 1, $q))")))
+
+  /** Blocked fuzzy match honest at ANY `maxEdit` — the k-key
+    * generalization of [[blockedMatch]] (which is pigeonhole-exact only
+    * for maxEdit = 1 on names ≥ 7 chars). Ed-Join-style q-gram prefix
+    * filtering:
+    *
+    *  - one edit destroys at most `q` distinct q-gram types, so
+    *    ed(a, b) ≤ k ⇒ |grams(a) \ grams(b)| ≤ k·q;
+    *  - under a SHARED global ordering of grams (document frequency
+    *    ascending, then gram — rare grams first), that overlap bound
+    *    forces the (k·q + 1)-prefixes of both gram lists to intersect
+    *    (prefix-filtering principle, same machinery as the PPJoin text
+    *    self-join);
+    *  - so joining on the k·q + 1 RAREST grams of each name is a
+    *    LOSSLESS candidate generator at edit distance k — declared
+    *    semantics are simply "all pairs within `maxEdit`", with the
+    *    census caps as the only (observable) recall cut.
+    *
+    * Scale posture: gram df census is gram-type-bounded (≤ |charset|^q
+    * rows) and broadcast; the per-name rank window partitions by name id
+    * (never a global sort); the candidate join rides [[cappedKeyJoin]]
+    * with both drop rules; a length-difference ≤ `maxEdit` filter prunes
+    * before the levenshtein verify. */
+  def qgramMatch(left: DataFrame, idL: Column, nameL: Column,
+      right: DataFrame, idR: Column, nameR: Column,
+      maxEdit: Int = 2, q: Int = 2, maxKey: Int = 4096,
+      maxKeyPairs: Long = 1L << 22,
+      drops: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxEdit >= 1, s"maxEdit must be >= 1, got $maxEdit")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val keep = maxEdit * q + 1
+    // two-step: the gram expr references the alias, which must resolve
+    // against a child projection, not laterally within one select
+    val lg = left.select(idL.as("id_a"), nameL.as("name_a"))
+      .select(col("id_a"), col("name_a"), explode(qgrams("name_a", q)).as("g"))
+    val rg = right.select(idR.as("id_b"), nameR.as("name_b"))
+      .select(col("id_b"), col("name_b"), explode(qgrams("name_b", q)).as("g"))
+    // SHARED order: df over both sides together, ties by gram — both
+    // prefixes must be taken under the same total order for the
+    // intersection guarantee to hold
+    // materialized once: gram-type-bounded (≤ |charset|^q rows), and the
+    // prefix pipeline below is evaluated several times (census + join)
+    val dfOrder = lg.select(col("g")).unionAll(rg.select(col("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    def prefix(ex: DataFrame, id: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(id)).orderBy(col("df"), col("g"))
+      ex.join(broadcast(dfOrder), "g")
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= keep)
+        .drop("df", "__rk")
+        .withColumnRenamed("g", "__key")
+    }
+    val cands = cappedKeyJoin(prefix(lg, "id_a"), prefix(rg, "id_b"),
+        maxKey, maxKeyPairs, drops)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxEdit)
+    verifyPairs(cands, maxEdit)
   }
 }

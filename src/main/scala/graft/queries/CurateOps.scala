@@ -280,6 +280,30 @@ object CurateOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Entity resolution at maxEdit = 2 (round 10): the k-key-honest
+    // blocker — Ed-Join q-gram prefix filtering (k·q + 1 rarest bigrams
+    // per name under a shared df-ascending order) is LOSSLESS at edit
+    // distance 2, where the prefix/suffix pigeonhole of q_entity_match
+    // would silently lose recall. The dirty feed applies TWO edits per
+    // name (4th char overwritten + 12th char deleted — substitution AND
+    // deletion, the shift case positional blocking can't see), so the
+    // oracle is the plain all-pairs levenshtein ≤ 2 join: blocking is
+    // not part of the declared semantics here, exactly because it is
+    // recall-exact.
+    "q_entity_match2" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "part")
+        .filter(col("p_partkey") < 1000)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val dirty = base.select((col("id") + 1000000L).as("id"),
+        concat(substring(col("name"), 1, 3), lit("x"),
+          col("name").substr(lit(5), lit(7)),
+          col("name").substr(lit(13), length(col("name")))).as("name"))
+      graft.operators.EntityResolution.qgramMatch(
+          base, col("id"), col("name"), dirty, col("id"), col("name"),
+          maxEdit = 2, q = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Crawl-delta snapshot diff: the incremental-ingest primitive — what
     // changed between yesterday's corpus and today's, by id and content
     // hash. One full-outer co-partitioned join on the id; text never
@@ -522,6 +546,18 @@ object CurateOps extends QueryPack {
         |  (substr(a.name, 1, 3) = substr(b.name, 1, 3) OR
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_entity_match2" ->
+      """WITH base AS (SELECT p_partkey AS id, p_name AS name
+        |  FROM part WHERE p_partkey < 1000),
+        |dirty AS (SELECT id + 1000000 AS id,
+        |    substr(name, 1, 3) || 'x' || substr(name, 5, 7)
+        |      || substr(name, 13) AS name
+        |  FROM base)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM base a JOIN dirty b ON levenshtein(a.name, b.name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_corpus_diff" ->

@@ -79,4 +79,52 @@ class EntityResolutionSpec extends SparkSpec {
     val roomy = matchPairs(left, right)
     assert(roomy.size == 100 * 100 + 1, s"roomy budget: got ${roomy.size}")
   }
+
+  test("qgram blocking at maxEdit=2: recall 1.0 on planted 2-edit " +
+    "variants (sub+sub, sub+del, ins+sub, del+del — incl. the shift " +
+    "cases positional blocking misses), equals brute force") {
+    val name = "monochrome lavender widget"
+    def sub(s: String, p: Int) = s.updated(p, if (s(p) == 'z') 'y' else 'z')
+    def del(s: String, p: Int) = s.substring(0, p) + s.substring(p + 1)
+    def ins(s: String, p: Int) = s.substring(0, p) + "q" + s.substring(p)
+    val variants = Seq(
+      sub(sub(name, 1), 20), sub(sub(name, 4), 5), sub(del(name, 2), 10),
+      del(sub(name, 15), 0), ins(sub(name, 12), 3), del(del(name, 8), 17),
+      ins(ins(name, 0), 25), del(ins(name, 6), 22), sub(name, 13),
+      del(name, 7), ins(name, 19), name)
+      .zipWithIndex.map { case (n, i) => (1000L + i, n) }
+    // decoys: similar-looking but > 2 edits away
+    val decoys = Seq((5000L, "monochrome lavender gasket plus"),
+      (5001L, "polychrome cavendish widget"))
+    val out = EntityResolution.qgramMatch(
+        Seq((1L, name)).toDF("id", "name"), col("id"), col("name"),
+        (variants ++ decoys).toDF("id", "name"), col("id"), col("name"),
+        maxEdit = 2, q = 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Int)].collect()
+    val found = out.map(p => (p._1, p._2)).toSet
+    for ((vid, vname) <- variants)
+      assert(found.contains((1L, vid)),
+        s"2-edit variant '$vname' missed — qgram prefix filter lost recall")
+    // brute force over the same corpus pins exactness (no extras either)
+    val brute = (variants ++ decoys).flatMap { case (vid, vname) =>
+      val d = levenshteinDist(name, vname)
+      if (d <= 2) Some((1L, vid)) else None
+    }.toSet
+    assert(found == brute, s"qgram pairs != brute force: $found vs $brute")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
 }
