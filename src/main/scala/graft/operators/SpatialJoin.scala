@@ -36,8 +36,10 @@ import graft.functions.GeoFunctions._
   * it inside-out) and polygons enclosing a pole (every meridian crosses
   * the boundary an odd number of times; no planar parity is right).
   * [[st_contains_geo]] handles the antimeridian by re-centering; pole
-  * caps remain out of scope for ray casting in lon/lat and need a
-  * spherical-winding predicate — `SpatialJoinSpec` pins both boundaries.
+  * caps stay out of scope for ray casting in lon/lat (they need a
+  * spherical-winding predicate) but are GUARDED: [[st_contains_geo]]
+  * raises on pole-adjacent geometry instead of returning planar nonsense
+  * — `SpatialJoinSpec` pins both boundaries.
   */
 object SpatialJoin {
 
@@ -70,16 +72,43 @@ object SpatialJoin {
     * planar ray cast of [[st_contains]] runs in that frame. Exact for any
     * geometry whose total longitude span is < 180° (crossing the seam or
     * not) — beyond that the re-centered vertices can themselves straddle
-    * the wrap point. Pole-enclosing rings are NOT handled (no lon/lat
-    * parity is — see the object scaladoc); `SpatialJoinSpec` pins that
-    * boundary. Same codegen'd higher-order-function shape as
+    * the wrap point. Same codegen'd higher-order-function shape as
     * [[st_contains]]: drop-in as the refinement predicate of
-    * [[pointsInPolygons]] when the corpus is global. */
+    * [[pointsInPolygons]] when the corpus is global.
+    *
+    * POLE GUARD (round 10): instead of silently returning planar nonsense
+    * on the one residual out-of-envelope family, the predicate RAISES
+    * when a geometry is pole-adjacent, detected two ways:
+    *  - true pole enclosure at ANY latitude — the ring's wrapped
+    *    longitude deltas wind to ±360° (a cap crosses every meridian; no
+    *    planar parity is right for it);
+    *  - any vertex with |lat| ≥ [[PoleGuardLat]] — within ~0.1° of a
+    *    pole the re-centering envelope (total lon span < 180°) collapses
+    *    even for non-enclosing rings.
+    * The reference inherits CRS-aware geodesic containment from PostGIS
+    * (from-ground-up.js:73-90), where pole caps are simply valid; this
+    * engine's planar predicate turns the same inputs into a LOUD error
+    * rather than a wrong answer. `SpatialJoinSpec` pins both triggers and
+    * that sub-guard high-latitude rings still evaluate. */
   def st_contains_geo(g: Column, lon: Column, lat: Column): Column = {
     val rings = flatten(g.getField("coordinates"))
     val ref = element_at(element_at(element_at(rings, 1), 1), 1)
-    def recenter(l: Column): Column = pmod(l - ref + lit(180.0), lit(360.0)) - 180.0
+    def wrap(d: Column): Column = pmod(d + lit(180.0), lit(360.0)) - 180.0
+    def recenter(l: Column): Column = wrap(l - ref)
     val xr = recenter(lon)
+    val poleAdjacent = aggregate(
+      rings,
+      lit(false),
+      (acc, ring) => {
+        val winding = aggregate(
+          sequence(lit(1), size(ring) - 1),
+          lit(0.0),
+          (a, i) => a + wrap(element_at(element_at(ring, i + 1), 1) -
+            element_at(element_at(ring, i), 1)))
+        val nearPole = array_max(
+          transform(ring, p => abs(element_at(p, 2)))) >= lit(PoleGuardLat)
+        acc || abs(winding) > lit(180.0) || nearPole
+      })
     val crossings = aggregate(
       rings,
       lit(0),
@@ -93,8 +122,18 @@ object SpatialJoin {
           ((yi > lat) =!= (yj > lat)) &&
             (xr < (xj - xi) * (lat - yi) / (yj - yi) + xi)
         })))
-    crossings % 2 === 1
+    when(poleAdjacent, raise_error(lit(
+      "st_contains_geo: pole-adjacent geometry (ring winds around a pole " +
+        s"or touches |lat| >= $PoleGuardLat); planar lon/lat containment " +
+        "is undefined there - project to a polar CRS or use a spherical " +
+        "predicate")).cast("boolean"))
+      .otherwise(crossings % 2 === 1)
   }
+
+  /** Latitude beyond which [[st_contains_geo]] refuses to evaluate — the
+    * re-centering construction's numerical envelope collapses within
+    * ~0.1° of the poles. */
+  val PoleGuardLat = 89.9
 
   private def cellId(cx: Column, cy: Column): Column =
     concat_ws(":", cx.cast("long"), cy.cast("long"))

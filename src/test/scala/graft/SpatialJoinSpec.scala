@@ -143,21 +143,52 @@ class SpatialJoinSpec extends SparkSpec {
       "geo and planar predicates diverge off the seam")
   }
 
-  test("pole cap: lon/lat ray casting CANNOT see a pole-enclosing ring " +
-    "— pinned as out of scope (needs a spherical-winding predicate)") {
+  test("pole cap: planar st_contains cannot see a pole-enclosing ring " +
+    "(documented limit); st_contains_geo RAISES on it instead of " +
+    "returning planar nonsense") {
     val cap = // ring at 80°N all the way around: geodesically a polar cap
       """{"type":"Polygon","coordinates":[
         |[[0.0,80.0],[90.0,80.0],[180.0,80.0],[-90.0,80.0],[0.0,80.0]]]}""".stripMargin
     val df = Seq((0.0, 85.0)).toDF("lon", "lat")
       .select(st_geomfromgeojson(lit(cap)).as("g"), col("lon"), col("lat"))
-    // (0, 85) is inside the cap on the sphere; both parities return false
+    // (0, 85) is inside the cap on the sphere; planar parity reads false
     // because every lat-85 ray crosses the lat-80 boundary an even number
-    // of times in the planar reading. THIS IS THE DOCUMENTED LIMIT — if
-    // an implementation change ever makes these true, the scaladoc
-    // envelope (and this pin) must be rewritten together.
+    // of times. THIS IS THE DOCUMENTED PLANAR LIMIT for st_contains.
     assert(df.filter(SpatialJoin.st_contains(
       col("g"), col("lon"), col("lat"))).count() == 0)
-    assert(df.filter(SpatialJoin.st_contains_geo(
-      col("g"), col("lon"), col("lat"))).count() == 0)
+    // the geo variant detects the ±360° longitude winding and refuses
+    val e = intercept[Exception] {
+      df.filter(SpatialJoin.st_contains_geo(
+        col("g"), col("lon"), col("lat"))).count()
+    }
+    assert(e.getMessage.contains("pole-adjacent") ||
+      Option(e.getCause).exists(_.getMessage.contains("pole-adjacent")),
+      s"expected the pole guard to fire, got: ${e.getMessage}")
+  }
+
+  test("pole guard: a vertex at |lat| >= 89.9 raises even without " +
+    "winding; a high-latitude NON-polar ring still evaluates") {
+    // small triangle touching 89.95°N — no pole enclosure (winding 0),
+    // but inside the numerical collapse zone: must raise
+    val touching =
+      """{"type":"Polygon","coordinates":[
+        |[[10.0,89.0],[11.0,89.95],[12.0,89.0],[10.0,89.0]]]}""".stripMargin
+    val dfT = Seq((11.0, 89.2)).toDF("lon", "lat")
+      .select(st_geomfromgeojson(lit(touching)).as("g"), col("lon"), col("lat"))
+    val e = intercept[Exception] {
+      dfT.filter(SpatialJoin.st_contains_geo(
+        col("g"), col("lon"), col("lat"))).count()
+    }
+    assert(e.getMessage.contains("pole-adjacent") ||
+      Option(e.getCause).exists(_.getMessage.contains("pole-adjacent")))
+    // just below the guard: normal evaluation, point inside
+    val below =
+      """{"type":"Polygon","coordinates":[
+        |[[10.0,89.0],[11.0,89.8],[12.0,89.0],[10.0,89.0]]]}""".stripMargin
+    val dfB = Seq((11.0, 89.2)).toDF("lon", "lat")
+      .select(st_geomfromgeojson(lit(below)).as("g"), col("lon"), col("lat"))
+    assert(dfB.filter(SpatialJoin.st_contains_geo(
+      col("g"), col("lon"), col("lat"))).count() == 1,
+      "sub-guard high-latitude ring must still evaluate normally")
   }
 }
