@@ -492,7 +492,60 @@ object Analytic3 extends QueryPack {
     // scale shape.
     "q_skyline" -> ((s, dir) =>
       graft.operators.Skyline.pareto2d(t(s, dir, "lineitem"),
-        col("l_extendedprice"), col("l_quantity")))
+        col("l_extendedprice"), col("l_quantity"))),
+
+    // Incremental view maintenance (round 10): the materialized-aggregate
+    // refresh a warehouse runs instead of full recompute — partial
+    // aggregates over the frozen base and the fresh delta MERGE by
+    // re-aggregation (counts add, decimal sums add, min/max fold), which
+    // is exactly the algebraic property that makes the maintenance valid.
+    // The gate's oracle is the FULL flat recompute, so equality IS the
+    // incremental-merge correctness proof. Count and sum stay exact
+    // (long / DECIMAL(18,2)); at 100 TB the base partials would be the
+    // stored view and only the delta is scanned.
+    "q_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"), col("o_totalprice").as("p"),
+        col("o_orderdate").as("d"))
+      def partial(df: DataFrame): DataFrame = df.groupBy(col("pri"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p").cast(DecimalType(18, 2))).as("tot"),
+          min(col("p")).as("lo"), max(col("p")).as("hi"))
+      val cut = lit("1996-01-01")
+      val base = partial(o.filter(col("d") < cut))
+      val delta = partial(o.filter(col("d") >= cut))
+      base.unionByName(delta)
+        .groupBy(col("pri"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("tot")).cast("double").as("total"),
+          min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        .orderBy(col("pri"))
+    }),
+
+    // Salted skewed join (round 10): the manual skew-breaker for the
+    // regime AQE cannot fix alone (one fact key carrying ~95% of rows
+    // joined to a small dim): the fact side gets a deterministic salt in
+    // [0, S), the dim side replicates each row S times via explode, and
+    // the join key becomes (k, salt) — the hot key's rows spread over S
+    // reducers instead of one. Result is aggregated per dim group and
+    // must equal the UNSALTED join (the oracle), pinning that salting is
+    // pure parallelism, never semantics.
+    "q_salted_join" -> ((s, dir) => {
+      val S = 8
+      val fact = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 20 < 19, lit(1L))
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_extendedprice").as("v"),
+        pmod(col("l_orderkey") + col("l_linenumber"), lit(S)).as("salt"))
+      val dim = s.range(0, 100).select(col("id").as("k"),
+        (col("id") * 7 % 13).as("grp"))
+      val salted = dim.withColumn("salt",
+        explode(sequence(lit(0), lit(S - 1)).cast("array<bigint>")))
+      fact.join(salted, Seq("k", "salt"))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), Parity.dsum(col("v")).as("total"))
+        .orderBy(col("grp"))
+    })
   )
 
   override def oracle: Map[String, String] = Map(
@@ -781,6 +834,27 @@ object Analytic3 extends QueryPack {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
         |      FROM g)
         |SELECT x, gy AS y FROM f WHERE pm IS NULL OR gy > pm
-        |ORDER BY x""".stripMargin
+        |ORDER BY x""".stripMargin,
+
+    // flat full recompute — equality with the engine's base+delta merge
+    // is the incremental-maintenance correctness proof
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority AS pri, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the UNSALTED join — salting must be invisible in the result
+    "q_salted_join" -> {
+      s"""WITH fact AS (SELECT
+         |    CASE WHEN l_orderkey % 20 < 19 THEN 1
+         |         ELSE l_orderkey % 100 END AS k,
+         |    l_extendedprice AS v FROM lineitem),
+         |dim AS (SELECT g AS k, (g * 7) % 13 AS grp
+         |        FROM generate_series(0, 99) t(g))
+         |SELECT grp, COUNT(*) AS n, ${Parity.sqlDsum("v")} AS total
+         |FROM fact JOIN dim USING (k)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

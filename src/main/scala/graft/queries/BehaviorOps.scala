@@ -704,6 +704,90 @@ object BehaviorOps extends QueryPack {
         .groupBy(col("r_q"), col("f_q"), col("m_q"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
+
+    // Audience segment overlap (round 10): users bucketed into behavioral
+    // segments (here: the event types they performed), then every segment
+    // pair's intersection size and Jaccard — the audience-overlap matrix
+    // behind campaign targeting and dedup of lookalike lists. Shape: the
+    // distinct (user, segment) membership list self-joins on user with
+    // segA < segB — fan-out per user is bounded by the segment count
+    // (≤ C(5,2) = 10 pairs/user here), never user × user; segment sizes
+    // are a broadcast dim; Jaccard in exact micro-units.
+    "q_segment_overlap" -> ((s, dir) => {
+      val m = events(s, dir)
+        .select(col("user_id"), col("event_type").as("seg")).distinct()
+      val sizes = m.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val inter = m.as("a").join(m.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.seg") < col("b.seg"))
+        .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(broadcast(sizes.select(col("seg").as("seg_a"),
+          col("n").as("n_a"))), Seq("seg_a"))
+        .join(broadcast(sizes.select(col("seg").as("seg_b"),
+          col("n").as("n_b"))), Seq("seg_b"))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          expr("(1000000 * n_both) div (n_a + n_b - n_both)")
+            .as("jaccard_micro"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
+    // Difference-in-differences (round 10): the workhorse causal
+    // estimator when assignment isn't randomized — compare the treated
+    // group's before/after change against the control group's, removing
+    // shared time trends. Treatment = odd user_id, period split at a
+    // fixed calendar boundary (2024-01-16). One grouped pass produces
+    // the four cell means (exact decimal sums / counts — the davg
+    // discipline), and the DID is arithmetic on those four doubles, so
+    // both engines agree to the bit.
+    "q_diff_in_diff" -> ((s, dir) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      val cells = events(s, dir)
+        .select((col("user_id") % 2 === 1).as("treated"),
+          (col("ts") >= cut).as("post"), col("value"))
+        .groupBy(col("treated"), col("post"))
+        .agg(Parity.davg(col("value")).as("mean_value"),
+          count(lit(1)).as("n"))
+      val one = cells.groupBy().agg(
+        max(when(col("treated") && col("post"), col("mean_value")))
+          .as("t_post"),
+        max(when(col("treated") && !col("post"), col("mean_value")))
+          .as("t_pre"),
+        max(when(!col("treated") && col("post"), col("mean_value")))
+          .as("c_post"),
+        max(when(!col("treated") && !col("post"), col("mean_value")))
+          .as("c_pre"))
+      one.select(col("t_pre"), col("t_post"), col("c_pre"), col("c_post"),
+        ((col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre")))
+          .as("did"))
+    }),
+
+    // Event debounce (round 10): collapse bursts — per (user, type),
+    // events chained by ≤ 5s inter-event gaps form ONE burst, and only
+    // the burst's first event is kept (the telemetry dedup every event
+    // pipeline runs before counting anything). The chain rule is the
+    // session_window gap rule, so kept = one event per 5s-gap session:
+    // one lag window marks burst starts, one aggregate counts raw vs
+    // kept — a single key-partitioned window, no iteration.
+    "q_debounce" -> ((s, dir) => {
+      val gapUs = 5000000L
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val marked = events(s, dir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("__prev", lag(col("us"), 1).over(w))
+        .withColumn("__new_burst",
+          (col("__prev").isNull ||
+            col("us") - col("__prev") > gapUs).cast("long"))
+      marked
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(col("__new_burst")).as("n_kept"))
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
 
@@ -1160,6 +1244,45 @@ object BehaviorOps extends QueryPack {
          |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
          |  CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_users
          |FROM rr JOIN fr USING (user_id) JOIN mr USING (user_id)
-         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_segment_overlap" ->
+      """WITH m AS (SELECT DISTINCT user_id, event_type AS seg FROM events),
+        |sz AS (SELECT seg, COUNT(*) AS n FROM m GROUP BY 1),
+        |iv AS (SELECT a.seg AS seg_a, b.seg AS seg_b, COUNT(*) AS n_both
+        |       FROM m a JOIN m b
+        |         ON a.user_id = b.user_id AND a.seg < b.seg
+        |       GROUP BY 1, 2)
+        |SELECT seg_a, seg_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  (1000000 * n_both) // (sa.n + sb.n - n_both) AS jaccard_micro
+        |FROM iv JOIN sz sa ON sa.seg = iv.seg_a
+        |        JOIN sz sb ON sb.seg = iv.seg_b
+        |ORDER BY seg_a, seg_b""".stripMargin,
+
+    "q_diff_in_diff" -> {
+      def m(t: String, p: String) =
+        s"""(SELECT ${Parity.sqlDavg("value")} FROM events
+           | WHERE (user_id % 2 = 1) = $t
+           |   AND (ts >= TIMESTAMP '2024-01-16') = $p)""".stripMargin
+      s"""SELECT
+         |  ${m("true", "false")} AS t_pre,
+         |  ${m("true", "true")} AS t_post,
+         |  ${m("false", "false")} AS c_pre,
+         |  ${m("false", "true")} AS c_post,
+         |  (${m("true", "true")} - ${m("true", "false")})
+         |    - (${m("false", "true")} - ${m("false", "false")}) AS did""".stripMargin
+    },
+
+    "q_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, event_type, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 5000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -186,6 +186,38 @@ object RankOps extends QueryPack {
             .as("lift_micro"))
         .orderBy(col("lift_micro").desc, col("u"), col("v"))
         .limit(20)
+    }),
+
+    // Item-item co-occurrence cosine (round 10): the collaborative-
+    // filtering similarity behind "customers also bought" — items as
+    // sets of baskets, cos(a,b) = co / √(n_a·n_b). The statistic stays
+    // EXACT by squaring away the roots: cos²_micro = co²·10⁶ div
+    // (n_a·n_b), a pure 128-bit-integer rational (monotone in cosine
+    // since all terms are positive, so ranking by cos² IS ranking by
+    // cosine). Same bounded pair machinery as q_basket_rules — per-
+    // basket self-join, never item×item; counts-dim broadcasts; top-20
+    // plans as TakeOrderedAndProject.
+    "q_item_cosine" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val items = li.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      pairs
+        .join(broadcast(items.select(col("i").as("u"), col("c").as("nu"))),
+          Seq("u"))
+        .join(broadcast(items.select(col("i").as("v"), col("c").as("nv"))),
+          Seq("v"))
+        .select(col("u"), col("v"), col("co"), col("nu"), col("nv"),
+          expr("""CAST((CAST(1000000 AS DECIMAL(38,0)) * co * co) div
+                 (CAST(nu AS DECIMAL(38,0)) * nv) AS BIGINT)""")
+            .as("cos2_micro"))
+        .orderBy(col("cos2_micro").desc, col("u"), col("v"))
+        .limit(20)
     })
   )
 
@@ -367,6 +399,19 @@ object RankOps extends QueryPack {
         |  CAST((CAST(1000000 AS HUGEINT) * pr.c2 * (SELECT n FROM n))
         |    // (CAST(cu.c AS HUGEINT) * cv.c) AS BIGINT) AS lift_micro
         |FROM pr JOIN it cu ON cu.i = pr.u JOIN it cv ON cv.i = pr.v
-        |ORDER BY lift_micro DESC, u, v LIMIT 20""".stripMargin
+        |ORDER BY lift_micro DESC, u, v LIMIT 20""".stripMargin,
+
+    "q_item_cosine" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |it AS (SELECT pk AS i, COUNT(*) AS c FROM li GROUP BY 1),
+        |pr AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS co
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.u, pr.v, pr.co, cu.c AS nu, cv.c AS nv,
+        |  CAST((CAST(1000000 AS HUGEINT) * pr.co * pr.co)
+        |    // (CAST(cu.c AS HUGEINT) * cv.c) AS BIGINT) AS cos2_micro
+        |FROM pr JOIN it cu ON cu.i = pr.u JOIN it cv ON cv.i = pr.v
+        |ORDER BY cos2_micro DESC, u, v LIMIT 20""".stripMargin
   )
 }

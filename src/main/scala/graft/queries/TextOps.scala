@@ -36,7 +36,7 @@ object TextOps extends QueryPack {
       | SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
       | FROM documents)""".stripMargin
 
-  override def defs: Map[String, Q] = Map(
+  override def defs: Map[String, Q] = Map[String, Q](
     // Per-language readability profile: mean sentence length (tokens per
     // terminator run, approximated by terminator CHARS — a pure length
     // difference, no split-semantics disagreement between engines) and a
@@ -431,6 +431,31 @@ object TextOps extends QueryPack {
           Seq((1, 2), (9, 10)), Seq("w_p50", "w_p90"))
         .select(col("group").as("lang"), col("w_p50"), col("w_p90"))
         .orderBy(col("lang")))
+  ) ++ Map[String, Q](
+
+    // LM-coverage quality score (round 10): per-doc fraction of token
+    // bigrams that are COMMON in the corpus (global count ≥ 3) — the
+    // model-based quality signal of the curation stack (a doc whose
+    // transitions the corpus LM has never seen is noise or novelty;
+    // either way it is flagged before training). Log-free by design:
+    // coverage is a pure count ratio in milli-units, so the gate stays
+    // bit-exact where a real NLL score would drown in cross-engine float
+    // logs. Shape: one bigram explode, one global count agg, one shuffle
+    // join back on the bigram key, one per-doc agg — all key-partitioned.
+    "q_lm_score" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"),
+          explode(tokenBigrams(col("text"))).as("b"))
+        .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      val counts = bg.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c"))
+      bg.join(counts, Seq("t1", "t2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c") >= 3, 1L).otherwise(0L)).as("n_common"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_common"),
+          expr("(1000 * n_common) div n_bigrams").as("coverage_milli"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   private def sqlToks(expr: String) = sqlTokens(expr)
@@ -813,6 +838,27 @@ object TextOps extends QueryPack {
          |SELECT t.lang,
          |  MIN(v) FILTER (WHERE cw >= (tw * 1 + 1) // 2) AS w_p50,
          |  MIN(v) FILTER (WHERE cw >= (tw * 9 + 9) // 10) AS w_p90
-         |FROM c JOIN t USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM c JOIN t USING (lang) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // positional bigrams over the same normalized tokenization the
+    // engine's tokenBigrams uses; docs with < 2 tokens have no bigram
+    // and are absent on both sides by construction
+    "q_lm_score" -> {
+      val toks = sqlToks(sqlNorm("text"))
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token,
+         |             generate_subscripts($toks, 1) AS pos
+         |             FROM documents),
+         |bg AS (SELECT a.doc_id, a.token AS t1, b.token AS t2
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |c AS (SELECT t1, t2, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN c.c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_common,
+         |  CAST((1000 * SUM(CASE WHEN c.c >= 3 THEN 1 ELSE 0 END))
+         |    // COUNT(*) AS BIGINT) AS coverage_milli
+         |FROM bg JOIN c USING (t1, t2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }
