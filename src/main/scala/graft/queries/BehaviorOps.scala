@@ -788,6 +788,38 @@ object BehaviorOps extends QueryPack {
         .agg(count(lit(1)).as("n_raw"),
           sum(col("__new_burst")).as("n_kept"))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // Linear multi-touch attribution (round 10): the fairness complement
+    // of q_attribution's last-touch — every view/click in the 24h window
+    // before a purchase shares the credit EQUALLY. Exact arithmetic:
+    // purchase value fixed at 4 decimals (×10⁴ integer), per-touch credit
+    // = (v·10⁶) div n_touches — integer floor both engines replay.
+    // Shape: a user-keyed band join (touch in (purchase − 24h, purchase)),
+    // per-purchase touch count via a window partitioned BY PURCHASE (never
+    // a global or per-user-history partition), channel rollup. Purchases
+    // with no in-window touch carry no credit and are absent (declared).
+    "q_attribution_linear" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("value"), unix_micros(col("ts")).as("us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v_i"), col("us"))
+      val touches = e.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_type").as("channel"),
+          col("us").as("tus"))
+      val j = purchases.join(touches, Seq("user_id"))
+        .filter(col("tus") < col("us") &&
+          col("us") - col("tus") <= FunnelWindowUs)
+      val w = Window.partitionBy(col("p_id"))
+      j.withColumn("__n", count(lit(1)).over(w))
+        .select(col("channel"),
+          expr("(v_i * 1000000) div __n").as("credit"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit")).as("credit_sum"))
+        .orderBy(col("channel"))
     })
   )
 
@@ -1283,6 +1315,22 @@ object BehaviorOps extends QueryPack {
         |SELECT user_id, event_type, COUNT(*) AS n_raw,
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 5000000
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_attribution_linear" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+         |    epoch_us(ts) AS us FROM events),
+         |p AS (SELECT user_id, event_id AS p_id,
+         |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v_i,
+         |    us FROM e WHERE event_type = 'purchase'),
+         |t AS (SELECT user_id, event_type AS channel, us AS tus
+         |  FROM e WHERE event_type IN ('view', 'click')),
+         |j AS (SELECT p.p_id, p.v_i, t.channel
+         |  FROM p JOIN t ON p.user_id = t.user_id
+         |    AND t.tus < p.us AND p.us - t.tus <= $FunnelWindowUs),
+         |n AS (SELECT p_id, COUNT(*) AS n FROM j GROUP BY 1)
+         |SELECT channel, COUNT(*) AS n_touches,
+         |  CAST(SUM((j.v_i * 1000000) // n.n) AS BIGINT) AS credit_sum
+         |FROM j JOIN n USING (p_id) GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

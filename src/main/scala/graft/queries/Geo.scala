@@ -119,7 +119,31 @@ object Geo extends QueryPack {
           x = col("s_acctbal"), y = col("s_nationkey").cast("double") * 100.0,
           idCol = col("s_suppkey"),
           radius = 500.0, cellSize = 500.0)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Density clustering (round 10): DBSCAN's core move — ε-neighbor
+    // edges, then transitive closure — as a composition of two existing
+    // distributed operators: grid-blocked ε-distance self-join
+    // (SpatialJoin.pointsWithinDistance — 3×3 cell blocks, never n²) into
+    // star-contraction connected components (operators/Components). A
+    // point with no ≤ε neighbor is NOISE and absent (the DBSCAN
+    // convention); output is each cluster (min-id representative) with
+    // its size. The oracle replays the identical float distance predicate
+    // (the q_geo_distance expression) and a recursive-CTE closure.
+    "q_geo_cluster" -> ((s, dir) => {
+      val edges = graft.operators.SpatialJoin.pointsWithinDistance(
+          t(s, dir, "supplier"),
+          x = col("s_acctbal"), y = col("s_nationkey").cast("double") * 100.0,
+          idCol = col("s_suppkey"),
+          radius = 500.0, cellSize = 500.0)
+        .select(col("id_a").as("u"), col("id_b").as("v"))
+      val nodes = edges.select(col("u").as("id"))
+        .unionAll(edges.select(col("v").as("id")))
+      graft.operators.Components.connectedComponents(edges, nodes)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy(col("component"))
+    })
   )
 
   /** (id, xmin, ymin, xmax, ymax) — bounds chosen off any data value. */
@@ -186,6 +210,25 @@ object Geo extends QueryPack {
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE sqrt(power(a.s_acctbal - b.s_acctbal, 2) +
         |  power(a.s_nationkey * 100.0 - b.s_nationkey * 100.0, 2)) <= 500.0
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_geo_cluster" ->
+      """WITH RECURSIVE e0 AS MATERIALIZED (
+        |  SELECT a.s_suppkey AS u, b.s_suppkey AS v
+        |  FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |  WHERE sqrt(power(a.s_acctbal - b.s_acctbal, 2) +
+        |    power(a.s_nationkey * 100.0 - b.s_nationkey * 100.0, 2))
+        |    <= 500.0),
+        |edges AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |nodes AS MATERIALIZED (SELECT DISTINCT u AS id FROM edges),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+        |comp AS MATERIALIZED (
+        |  SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+        |SELECT component, COUNT(*) AS n_points
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

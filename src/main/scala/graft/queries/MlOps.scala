@@ -451,6 +451,42 @@ object MlOps extends QueryPack {
           col("label").cast("long").as("majority_label"),
           col("cnt").as("n_majority"))
         .orderBy(col("component"))
+    }),
+
+    // Purged time-series K-fold with embargo (round 10): the split
+    // guardrail for temporally-correlated data — fold membership by day
+    // range, and TRAINING additionally excludes an embargo of 1 day on
+    // each side of the validation block (rows adjacent in time to
+    // validation leak label information through autocorrelation; purging
+    // them is the finance-standard fix). Everything is integer day
+    // arithmetic on the (broadcast 1-row) corpus time bounds; each row
+    // classifies against all K folds via a broadcast fold dim. Guards on
+    // rel±1 keep the fold-of-day map inside [0, n_days) — Spark div
+    // truncates toward zero while the oracle's // floors, and they only
+    // agree on non-negatives.
+    "q_purged_split" -> ((s, dir) => {
+      val K = 5
+      val e = Tables.load(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      val bounds = e.agg(min(col("d")).as("min_d"),
+        (max(col("d")) - min(col("d")) + 1).as("n_days"))
+      val folds = s.range(0, K).select(col("id").as("f"))
+      val rows = e.crossJoin(broadcast(bounds))
+        .withColumn("rel", col("d") - col("min_d"))
+        .crossJoin(broadcast(folds))
+        .withColumn("fd", expr(s"(rel * $K) div n_days"))
+        .withColumn("is_val", col("fd") === col("f"))
+        .withColumn("is_embargo", !col("is_val") &&
+          ((col("rel") > 0 &&
+            expr(s"((rel - 1) * $K) div n_days") === col("f")) ||
+           (col("rel") < col("n_days") - 1 &&
+            expr(s"((rel + 1) * $K) div n_days") === col("f"))))
+      rows.groupBy(col("f"))
+        .agg(sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("is_embargo"), 1L).otherwise(0L)).as("n_embargo"),
+          sum(when(!col("is_val") && !col("is_embargo"), 1L)
+            .otherwise(0L)).as("n_train"))
+        .orderBy(col("f"))
     })
   )
 
@@ -563,6 +599,28 @@ object MlOps extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q_purged_split" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d FROM events),
+        |b AS (SELECT MIN(d) AS min_d, MAX(d) - MIN(d) + 1 AS n_days
+        |      FROM e),
+        |r AS (SELECT d - min_d AS rel, n_days FROM e, b),
+        |x AS (SELECT rel, n_days, f.f AS f,
+        |    (rel * 5) // n_days AS fd,
+        |    CASE WHEN (rel * 5) // n_days = f.f THEN 1 ELSE 0 END AS is_val
+        |  FROM r CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS f) f),
+        |y AS (SELECT f, is_val,
+        |    CASE WHEN is_val = 0 AND (
+        |        (rel > 0 AND ((rel - 1) * 5) // n_days = f)
+        |     OR (rel < n_days - 1 AND ((rel + 1) * 5) // n_days = f))
+        |      THEN 1 ELSE 0 END AS is_embargo
+        |  FROM x)
+        |SELECT CAST(f AS BIGINT) AS f,
+        |  CAST(SUM(is_val) AS BIGINT) AS n_val,
+        |  CAST(SUM(is_embargo) AS BIGINT) AS n_embargo,
+        |  CAST(SUM(CASE WHEN is_val = 0 AND is_embargo = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_train
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_fold_assign" -> {
       val sig = sqlMinhashSignature(
         graft.functions.TextFunctions.sqlWordNgrams("text", 3), 16)
