@@ -301,6 +301,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("q_salted_join: under a non-broadcastable dim the join keys on " +
+      "(k, salt) — the hot key fans out over the salt range instead of " +
+      "one reducer; at gate size the dim simply broadcasts") {
+    // at fixture size Spark rightly auto-broadcasts the 800-row dim (no
+    // shuffle at all — also asserted); salting is FOR the regime where
+    // the dim cannot broadcast, so pin that shape with the threshold off
+    assert(plan("q_salted_join").contains("BroadcastHashJoin"),
+      "gate-size plan should broadcast the replicated dim")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val p = plan("q_salted_join")
+      val partitionings =
+        "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toSeq
+      assert(partitionings.exists(s => s.contains("k") && s.contains("salt")),
+        s"join exchange does not include the salt:\n$p")
+      assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew markers in the " +
       "final adaptive plan)") {
     // The runtime half of the skew story (q_agg_salted is the plan-time
