@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Multimodal, Similarity}
@@ -345,23 +345,69 @@ object SimOps extends QueryPack {
     // decimal on ~1 in 10⁷ values. Integer micro-unit sums carry the
     // exact oracle; `gram` is the one closing IEEE division.
     "q_embed_gram" -> ((s, dir) =>
-      emb(s, dir)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(embedding) - 1), i ->
-            |  transform(sequence(i, size(embedding) - 1), j ->
-            |    struct(i AS i, j AS j,
-            |      CAST(element_at(embedding, i + 1) AS DOUBLE) *
-            |      CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))
-            |""".stripMargin)).as("c"))
-        .select(col("c.i").cast("long").as("i"),
-          col("c.j").cast("long").as("j"),
-          floor(col("c.p") * 1000000).as("pm"))
-        .groupBy(col("i"), col("j"))
-        .agg(sum(col("pm")).cast("long").as("gram_micro"))
+      gramMicro(s, dir)
         .withColumn("gram",
           col("gram_micro").cast("double") / 1000000.0)
-        .orderBy(col("i"), col("j")))
+        .orderBy(col("i"), col("j"))),
+
+    // Top principal component (round 10): PCA's leading eigenvector by
+    // POWER ITERATION on the micro-integer Gram matrix — four unrolled
+    // rounds of w ← G·v, v ← sign(w)·((|w|·10⁶) div max|w|), all exact
+    // integers so both engines replay the identical trajectory (the sign
+    // split keeps truncating-div ≡ flooring-div; the one float in the
+    // whole query is the Gram's per-row micro floor that q_embed_gram
+    // already pins). The DISTRIBUTED work is the Gram scan; the d-vector
+    // iteration on the collected d(d+1)/2 triangle is a bounded model
+    // artifact (the KMeansLloyd/centroid discipline — d = 64 here, and
+    // at 100 TB the Gram is still d², not corpus-sized).
+    "q_pca_power" -> ((s, dir) => {
+      import s.implicits._
+      val tri = gramMicro(s, dir).collect()
+      val d = tri.map(_.getLong(0)).max.toInt + 1
+      val g = Array.ofDim[Long](d, d)
+      tri.foreach { r =>
+        val (i, j, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+        g(i)(j) = v; g(j)(i) = v
+      }
+      var v = Array.fill(d)(1000000L)
+      (1 to 4).foreach { _ =>
+        // BigInt accumulation: at corpus scale |G| grows with N and
+        // Σ_j G·v can pass 2⁶³ — d² BigInt adds on the driver are free
+        val w = Array.tabulate(d) { i =>
+          var acc = BigInt(0)
+          var j = 0
+          while (j < d) { acc += BigInt(g(i)(j)) * v(j); j += 1 }
+          acc
+        }
+        val m = w.map(_.abs).max
+        require(m > 0, "zero Gram matrix — no principal direction")
+        v = w.map(x =>
+          (if (x < 0) -1L else 1L) * ((x.abs * 1000000) / m).toLong)
+      }
+      v.zipWithIndex.map { case (l, i) => (i.toLong, l) }.toSeq
+        .toDF("dim", "loading_micro")
+        .orderBy(col("dim"))
+    })
   )
+
+  /** Upper-triangle Gram X'X in exact micro units — per-row floored
+    * products summed as longs (the tie-free cross-engine rounding the
+    * q_embed_gram oracle replays); shared by the Gram readout and the
+    * power-iteration PCA. */
+  private def gramMicro(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1), i ->
+          |  transform(sequence(i, size(embedding) - 1), j ->
+          |    struct(i AS i, j AS j,
+          |      CAST(element_at(embedding, i + 1) AS DOUBLE) *
+          |      CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))
+          |""".stripMargin)).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"),
+        floor(col("c.p") * 1000000).as("pm"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("pm")).cast("long").as("gram_micro"))
 
   override def oracle: Map[String, String] = Map(
     // The IVF result is recall@3 vs brute force, computed engine-side;
@@ -712,6 +758,41 @@ object SimOps extends QueryPack {
         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i)
         |SELECT i, j, CAST(SUM(pm) AS BIGINT) AS gram_micro,
         |  CAST(SUM(pm) AS DOUBLE) / 1000000.0 AS gram
-        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical integer trajectory, 4 rounds unrolled (MATERIALIZED
+    // per the iterative-CTE discipline); HUGEINT staging for |w|·10⁶,
+    // sign split so // on the non-negative |w| matches the engine's
+    // truncating div
+    "q_pca_power" -> {
+      def round(k: Int) =
+        s"""w$k AS MATERIALIZED (
+           |  SELECT g.i AS i, SUM(CAST(g.g AS HUGEINT) * v${k - 1}.v) AS w
+           |  FROM g JOIN v${k - 1} ON v${k - 1}.i = g.j GROUP BY 1),
+           |m$k AS (SELECT MAX(ABS(w)) AS m FROM w$k),
+           |v$k AS MATERIALIZED (
+           |  SELECT i, (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+           |    * ((ABS(w) * 1000000) // m) AS v FROM w$k, m$k)""".stripMargin
+      s"""WITH x AS (SELECT vec_id, u.i, CAST(embedding[u.i] AS DOUBLE) AS v
+         |           FROM embeddings, LATERAL
+         |           unnest(generate_series(1, len(embedding))) AS u(i)),
+         |p AS (SELECT a.i - 1 AS i, b.i - 1 AS j,
+         |        CAST(FLOOR(a.v * b.v * 1000000) AS BIGINT) AS pm
+         |      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i),
+         |gt AS MATERIALIZED (
+         |  SELECT i, j, CAST(SUM(pm) AS BIGINT) AS g
+         |  FROM p GROUP BY 1, 2),
+         |g AS MATERIALIZED (
+         |  SELECT i, j, g FROM gt
+         |  UNION ALL SELECT j, i, g FROM gt WHERE i < j),
+         |v0 AS MATERIALIZED (
+         |  SELECT DISTINCT i, CAST(1000000 AS HUGEINT) AS v FROM g),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT i AS dim, CAST(v AS BIGINT) AS loading_micro
+         |FROM v4 ORDER BY dim""".stripMargin
+    }
   )
 }
