@@ -820,6 +820,35 @@ object BehaviorOps extends QueryPack {
         .agg(count(lit(1)).as("n_touches"),
           sum(col("credit")).as("credit_sum"))
         .orderBy(col("channel"))
+    }),
+
+    // Interval concurrency (round 10): peak simultaneous active users per
+    // day — the classical sweep-line over interval boundaries, fully
+    // distributed because the day partitions the sweep. Each (user, day)
+    // activity interval [first, last] emits a +1 start and a −1 end
+    // boundary; running sum ordered (t, starts-before-ends, user) makes
+    // touching intervals count as concurrent and the order within ties
+    // irrelevant to the max. One grouped min/max pass + one day-keyed
+    // window — never a global sort.
+    "q_concurrency" -> ((s, dir) => {
+      val iv = events(s, dir)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div $DayUs").as("d"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+      val bounds = iv.select(col("d"), col("s").as("t"),
+          lit(1L).as("delta"), col("user_id"))
+        .unionByName(iv.select(col("d"), col("e").as("t"),
+          lit(-1L).as("delta"), col("user_id")))
+      val w = Window.partitionBy(col("d"))
+        .orderBy(col("t"), col("delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("run", sum(col("delta")).over(w))
+        .groupBy(col("d"))
+        .agg(max(col("run")).as("max_concurrent"),
+          count(lit(1)).as("n_boundaries"))
+        .orderBy(col("d"))
     })
   )
 
@@ -1331,6 +1360,20 @@ object BehaviorOps extends QueryPack {
          |n AS (SELECT p_id, COUNT(*) AS n FROM j GROUP BY 1)
          |SELECT channel, COUNT(*) AS n_touches,
          |  CAST(SUM((j.v_i * 1000000) // n.n) AS BIGINT) AS credit_sum
-         |FROM j JOIN n USING (p_id) GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM j JOIN n USING (p_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_concurrency" ->
+      s"""WITH iv AS (SELECT user_id,
+         |    epoch_us(ts) // $DayUs AS d,
+         |    MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+         |  FROM events GROUP BY user_id, epoch_us(ts) // $DayUs),
+         |b AS (SELECT d, s AS t, 1 AS delta, user_id FROM iv
+         |      UNION ALL SELECT d, e, -1, user_id FROM iv),
+         |r AS (SELECT d, SUM(delta) OVER (PARTITION BY d
+         |        ORDER BY t, delta DESC, user_id
+         |        ROWS UNBOUNDED PRECEDING) AS run FROM b)
+         |SELECT d, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+         |  COUNT(*) AS n_boundaries
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

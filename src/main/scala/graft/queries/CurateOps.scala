@@ -304,6 +304,29 @@ object CurateOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Group-median imputation (round 10): the ML-prep null fill — missing
+    // n_chars (synthesized deterministically: every 13th doc) takes its
+    // language's exact discrete median of the NON-null values. Median via
+    // the distributed rank frame (Percentiles.exactDisc — bit-portable
+    // actual data values), imputed thresholds broadcast back; was_imputed
+    // keeps the fill auditable (the imputation-mask column every serious
+    // feature pipeline carries).
+    "q_impute_median" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")).as("nc"))
+      val med = graft.operators.Percentiles.exactDisc(
+          d.filter(col("nc").isNotNull), col("lang"), col("nc"),
+          Seq((1, 2)), Seq("med"))
+        .select(col("group").as("lang"), col("med"))
+      d.join(broadcast(med), Seq("lang"))
+        .select(col("doc_id"),
+          coalesce(col("nc"), col("med")).cast("long")
+            .as("n_chars_imputed"),
+          col("nc").isNull.as("was_imputed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Crawl-delta snapshot diff: the incremental-ingest primitive — what
     // changed between yesterday's corpus and today's, by id and content
     // hash. One full-outer co-partitioned join on the id; text never
@@ -547,6 +570,23 @@ object CurateOps extends QueryPack {
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_impute_median" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS nc
+        |  FROM documents),
+        |r AS (SELECT lang, nc, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY nc) AS rk
+        |      FROM d WHERE nc IS NOT NULL),
+        |n AS (SELECT lang, COUNT(*) AS n FROM d
+        |      WHERE nc IS NOT NULL GROUP BY 1),
+        |m AS (SELECT r.lang, MIN(nc) FILTER (WHERE rk = (n + 1) // 2)
+        |        AS med
+        |      FROM r JOIN n USING (lang) GROUP BY 1)
+        |SELECT doc_id, CAST(COALESCE(nc, med) AS BIGINT)
+        |    AS n_chars_imputed,
+        |  nc IS NULL AS was_imputed
+        |FROM d JOIN m USING (lang) ORDER BY doc_id""".stripMargin,
 
     "q_entity_match2" ->
       """WITH base AS (SELECT p_partkey AS id, p_name AS name

@@ -455,6 +455,28 @@ object TextOps extends QueryPack {
         .select(col("doc_id"), col("n_bigrams"), col("n_common"),
           expr("(1000 * n_common) div n_bigrams").as("coverage_milli"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Phrase search (round 10): find every document containing the
+    // corpus's MOST FREQUENT two-word phrase, with occurrence counts —
+    // the positional-index probe an IR stack runs for quoted queries
+    // (adjacency, not bag-of-words; q_inverted_index is the term-level
+    // sibling). The probe phrase is derived in-query (top bigram by
+    // count, ties lexicographic) so the gate needs no corpus knowledge;
+    // its top-1 plans as TakeOrderedAndProject and broadcasts.
+    "q_phrase_search" -> ((s, dir) => {
+      val bg = docs(s, dir).select(col("doc_id"),
+          explode(tokenBigrams(col("text"))).as("b"))
+        .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      val top = bg.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2"))
+        .limit(1)
+        .select(col("t1"), col("t2"))
+      bg.join(broadcast(top), Seq("t1", "t2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -858,6 +880,21 @@ object TextOps extends QueryPack {
          |  CAST((1000 * SUM(CASE WHEN c.c >= 3 THEN 1 ELSE 0 END))
          |    // COUNT(*) AS BIGINT) AS coverage_milli
          |FROM bg JOIN c USING (t1, t2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_phrase_search" -> {
+      val toks = sqlToks(sqlNorm("text"))
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token,
+         |             generate_subscripts($toks, 1) AS pos
+         |             FROM documents),
+         |bg AS (SELECT a.doc_id, a.token AS t1, b.token AS t2
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         |top AS (SELECT t1, t2 FROM bg GROUP BY 1, 2
+         |        ORDER BY COUNT(*) DESC, t1, t2 LIMIT 1)
+         |SELECT doc_id, COUNT(*) AS n_occurrences
+         |FROM bg JOIN top USING (t1, t2)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
