@@ -849,6 +849,28 @@ object BehaviorOps extends QueryPack {
         .agg(max(col("run")).as("max_concurrent"),
           count(lit(1)).as("n_boundaries"))
         .orderBy(col("d"))
+    }),
+
+    // Day-of-week seasonal adjustment (round 10): the deseasonalization
+    // every ops dashboard needs before an anomaly screen — daily revenue
+    // totals, the day-of-week baseline (mean of that weekday's totals),
+    // and the residual. Exactness: totals are decimal-routed sums, the
+    // baseline is the davg quotient of those exact totals, and the
+    // residual subtracts two bit-identical doubles — so all three
+    // columns hash-match cross-engine with zero float drift. One daily
+    // aggregate + one 7-row broadcast join.
+    "q_seasonal_adjust" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(expr(s"unix_micros(ts) div $DayUs").as("d"), col("value"))
+        .groupBy(col("d"))
+        .agg(Parity.dsum(col("value")).as("total"))
+        .withColumn("dow", pmod(col("d"), lit(7)))
+      val dowMean = daily.groupBy(col("dow"))
+        .agg(Parity.davg(col("total")).as("dow_mean"))
+      daily.join(broadcast(dowMean), Seq("dow"))
+        .select(col("d"), col("dow"), col("total"), col("dow_mean"),
+          (col("total") - col("dow_mean")).as("resid"))
+        .orderBy(col("d"))
     })
   )
 
@@ -1374,6 +1396,16 @@ object BehaviorOps extends QueryPack {
          |        ROWS UNBOUNDED PRECEDING) AS run FROM b)
          |SELECT d, CAST(MAX(run) AS BIGINT) AS max_concurrent,
          |  COUNT(*) AS n_boundaries
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_seasonal_adjust" ->
+      s"""WITH daily AS (SELECT epoch_us(ts) // $DayUs AS d,
+         |    ${Parity.sqlDsum("value")} AS total
+         |  FROM events GROUP BY 1),
+         |dm AS (SELECT d % 7 AS dow, ${Parity.sqlDavg("total")} AS dow_mean
+         |       FROM daily GROUP BY 1)
+         |SELECT d, d % 7 AS dow, total, dow_mean,
+         |  total - dow_mean AS resid
+         |FROM daily JOIN dm ON dm.dow = d % 7 ORDER BY d""".stripMargin
   )
 }

@@ -218,6 +218,68 @@ object RankOps extends QueryPack {
             .as("cos2_micro"))
         .orderBy(col("cos2_micro").desc, col("u"), col("v"))
         .limit(20)
+    }),
+
+    // Resource-allocation link prediction (round 10): score candidate
+    // item links by Σ over shared baskets of 1/|basket| (Zhou et al.'s
+    // RA index — the EXACT-arithmetic cousin of Adamic-Adar, whose log
+    // would drown in cross-engine floats; here every term is the integer
+    // 10⁶ div basket_size). A hub basket contributes little to each of
+    // its pairs by construction — the degree discount that makes RA beat
+    // raw co-occurrence at link prediction. Same bounded basket-pair
+    // machinery; top-20 as TakeOrderedAndProject.
+    "q_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val bsz = li.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.ok").as("ok"), col("a.pk").as("u"),
+          col("b.pk").as("v"))
+        .join(bsz, Seq("ok"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("co"),
+          sum(expr("1000000 div bs")).as("ra_micro"))
+        .filter(col("co") >= 2)
+        .orderBy(col("ra_micro").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
+    // Bounded BFS (round 10): 3-hop breadth-first traversal from a seed
+    // set over the co-purchase graph — the "related within k clicks"
+    // primitive. Three unrolled frontier rounds, each one keyed semi-join
+    // (neighbors of the frontier) + anti-joins against everything seen —
+    // never a driver-side frontier, never a broadcast of a corpus-sized
+    // set. Hop count is part of the declared semantics (the unrolled
+    // oracle replays exactly 3 rounds).
+    "q_bfs_hops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val e0 = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+        .localCheckpoint()
+      val seeds = e.select(col("u").as("id")).distinct()
+        .filter(col("id") < 10)
+      def expand(frontier: DataFrame, seen: DataFrame): DataFrame =
+        e.join(frontier.select(col("id").as("u")), Seq("u"), "left_semi")
+          .select(col("v").as("id")).distinct()
+          .join(seen, Seq("id"), "left_anti")
+      val h1 = expand(seeds, seeds).localCheckpoint()
+      val s1 = seeds.unionAll(h1)
+      val h2 = expand(h1, s1).localCheckpoint()
+      val s2 = s1.unionAll(h2)
+      val h3 = expand(h2, s2).localCheckpoint()
+      def lvl(df: DataFrame, hop: Int) = df
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("id")), lit(0L)).as("id_sum"))
+        .select(lit(hop).cast("long").as("hop"), col("n"), col("id_sum"))
+      lvl(seeds, 0).unionByName(lvl(h1, 1))
+        .unionByName(lvl(h2, 2)).unionByName(lvl(h3, 3))
+        .orderBy(col("hop"))
     })
   )
 
@@ -412,6 +474,55 @@ object RankOps extends QueryPack {
         |  CAST((CAST(1000000 AS HUGEINT) * pr.co * pr.co)
         |    // (CAST(cu.c AS HUGEINT) * cv.c) AS BIGINT) AS cos2_micro
         |FROM pr JOIN it cu ON cu.i = pr.u JOIN it cv ON cv.i = pr.v
-        |ORDER BY cos2_micro DESC, u, v LIMIT 20""".stripMargin
+        |ORDER BY cos2_micro DESC, u, v LIMIT 20""".stripMargin,
+
+    "q_link_predict" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |b AS (SELECT ok, COUNT(*) AS bs FROM li GROUP BY 1),
+        |pr AS (SELECT a.ok AS ok, a.pk AS u, c.pk AS v
+        |       FROM li a JOIN li c ON a.ok = c.ok AND a.pk < c.pk)
+        |SELECT u, v, COUNT(*) AS co,
+        |  CAST(SUM(1000000 // bs) AS BIGINT) AS ra_micro
+        |FROM pr JOIN b USING (ok) GROUP BY 1, 2
+        |HAVING COUNT(*) >= 2
+        |ORDER BY ra_micro DESC, u, v LIMIT 20""".stripMargin,
+
+    "q_bfs_hops" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e0 AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v FROM li a
+        |  JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+        |e AS MATERIALIZED (
+        |  SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        |seeds AS MATERIALIZED (
+        |  SELECT DISTINCT u AS id FROM e WHERE u < 10),
+        |h1 AS MATERIALIZED (
+        |  SELECT DISTINCT v AS id FROM e
+        |  WHERE u IN (SELECT id FROM seeds)
+        |    AND v NOT IN (SELECT id FROM seeds)),
+        |s1 AS MATERIALIZED (
+        |  SELECT id FROM seeds UNION ALL SELECT id FROM h1),
+        |h2 AS MATERIALIZED (
+        |  SELECT DISTINCT v AS id FROM e
+        |  WHERE u IN (SELECT id FROM h1)
+        |    AND v NOT IN (SELECT id FROM s1)),
+        |s2 AS MATERIALIZED (
+        |  SELECT id FROM s1 UNION ALL SELECT id FROM h2),
+        |h3 AS MATERIALIZED (
+        |  SELECT DISTINCT v AS id FROM e
+        |  WHERE u IN (SELECT id FROM h2)
+        |    AND v NOT IN (SELECT id FROM s2))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS hop, COUNT(*) AS n,
+        |    CAST(COALESCE(SUM(id), 0) AS BIGINT) AS id_sum FROM seeds
+        |  UNION ALL SELECT CAST(1 AS BIGINT), COUNT(*),
+        |    CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM h1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*),
+        |    CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM h2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*),
+        |    CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM h3)
+        |ORDER BY hop""".stripMargin
   )
 }
