@@ -124,6 +124,14 @@ object EntityResolution {
     *    semantics are simply "all pairs within `maxEdit`", with the
     *    census caps as the only (observable) recall cut.
     *
+    * VALIDITY ENVELOPE: the theorem needs each name to HAVE q-grams, so
+    * it holds for names of length ≥ `q`. A shorter name has zero
+    * q-grams; it blocks on its whole text as a fallback key, which only
+    * an identical short name shares — a sub-`q` name within `maxEdit`
+    * of a LONGER name is missed (spec-pinned boundary, same posture as
+    * [[blockedMatch]]'s ≤ 6-char pin). At q = 2 this affects only
+    * 1-char names.
+    *
     * Scale posture: gram df census is gram-type-bounded (≤ |charset|^q
     * rows) and broadcast; the per-name rank window partitions by name id
     * (never a global sort); the candidate join rides [[cappedKeyJoin]]

@@ -114,6 +114,21 @@ class EntityResolutionSpec extends SparkSpec {
     assert(found == brute, s"qgram pairs != brute force: $found vs $brute")
   }
 
+  test("qgram boundary of validity: a sub-q name (zero q-grams) pairs " +
+    "only with an identical short name — pinned as documented") {
+    // "a" vs "abc": edit distance 2 ≤ maxEdit, but "a" has no bigram to
+    // share — missed, per the documented |name| >= q envelope
+    val out = EntityResolution.qgramMatch(
+        Seq((1L, "a")).toDF("id", "name"), col("id"), col("name"),
+        Seq((2L, "abc"), (3L, "a")).toDF("id", "name"),
+        col("id"), col("name"), maxEdit = 2, q = 2)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(!out.contains((1L, 2L)),
+      "sub-q name unexpectedly paired with a longer name — envelope doc is stale")
+    assert(out.contains((1L, 3L)),
+      "identical short names must still pair via the whole-name fallback key")
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val dp = Array.tabulate(a.length + 1)(i => i)
     for (j <- 1 to b.length) {
