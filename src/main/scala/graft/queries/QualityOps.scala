@@ -230,6 +230,29 @@ object QualityOps extends QueryPack {
           expr("(1000000 * tp) div nullif(tp + fn, 0)").as("recall_micro"),
           expr("(2000000 * tp) div nullif(2*tp + fp + fn, 0)").as("f1_micro"))
         .orderBy(col("lang"))
+    }),
+
+    // Join-key skew report (round 10): the pre-flight check a pipeline
+    // runs BEFORE choosing a join strategy — per candidate key column,
+    // its cardinality and the hottest key's row share in ppm (the number
+    // that decides broadcast vs shuffle vs salt vs AQE-skew). One
+    // group-count per column (each a map-side-combinable aggregate);
+    // the per-column summaries are 1-row unions.
+    "q_skew_report" -> ((s, dir) => {
+      def one(name: String): DataFrame =
+        t(s, dir, "lineitem")
+          .groupBy(col(name).cast("string").as("v"))
+          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_count"),
+            sum(col("c")).as("total"))
+          .select(lit(name).as("column_name"), col("n_distinct"),
+            col("top_count").cast("long").as("top_count"),
+            expr("(top_count * 1000000) div total").cast("long")
+              .as("top_share_ppm"))
+      one("l_orderkey").unionByName(one("l_partkey"))
+        .unionByName(one("l_suppkey")).unionByName(one("l_returnflag"))
+        .orderBy(col("column_name"))
     })
   )
 
@@ -432,6 +455,22 @@ object QualityOps extends QueryPack {
          |  (1000000 * tp) // NULLIF(tp + fn, 0) AS recall_micro,
          |  (2000000 * tp) // NULLIF(2*tp + fp + fn, 0) AS f1_micro
          |FROM c ORDER BY lang""".stripMargin
+    },
+
+    "q_skew_report" -> {
+      def one(name: String) =
+        s"""SELECT '$name' AS column_name,
+           |  COUNT(*) AS n_distinct,
+           |  CAST(MAX(c) AS BIGINT) AS top_count,
+           |  CAST((MAX(c) * 1000000) // SUM(c) AS BIGINT) AS top_share_ppm
+           |FROM (SELECT CAST($name AS VARCHAR) AS v, COUNT(*) AS c
+           |      FROM lineitem GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("l_orderkey")}
+         |UNION ALL ${one("l_partkey")}
+         |UNION ALL ${one("l_suppkey")}
+         |UNION ALL ${one("l_returnflag")})
+         |ORDER BY column_name""".stripMargin
     }
   )
 }

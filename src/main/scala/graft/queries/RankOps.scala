@@ -280,6 +280,32 @@ object RankOps extends QueryPack {
       lvl(seeds, 0).unionByName(lvl(h1, 1))
         .unionByName(lvl(h2, 2)).unionByName(lvl(h3, 3))
         .orderBy(col("hop"))
+    }),
+
+    // Frequent 3-itemsets (round 10): the Apriori step past pair rules —
+    // item triples co-occurring in ≥ 2 baskets, top-20 by support. The
+    // triple explode is bounded per basket (C(|basket|, 3); TPC-H
+    // baskets are ≤ 7 lines, so ≤ 35 triples each) and every join is a
+    // basket-keyed equi-join — candidate volume is Σ C(nᵢ,3), never a
+    // cross of the item set.
+    "q_itemsets3" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a")
+        .join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .join(li.as("c"),
+          col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"),
+          col("c.pk").as("z"))
+        .agg(count(lit(1)).as("support"))
+        // no minimum-support cut: at larger scale factors co-occurrence
+        // dilutes and a support ≥ 2 gate would return an empty (vacuous)
+        // result — top-20 with the full deterministic tie order is the
+        // scale-stable readout
+        .orderBy(col("support").desc, col("x"), col("y"), col("z"))
+        .limit(20)
     })
   )
 
@@ -523,6 +549,16 @@ object RankOps extends QueryPack {
         |    CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM h2
         |  UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*),
         |    CAST(COALESCE(SUM(id), 0) AS BIGINT) FROM h3)
-        |ORDER BY hop""".stripMargin
+        |ORDER BY hop""".stripMargin,
+
+    "q_itemsets3" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem)
+        |SELECT a.pk AS x, b.pk AS y, c.pk AS z, COUNT(*) AS support
+        |FROM li a
+        |JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3
+        |ORDER BY support DESC, x, y, z LIMIT 20""".stripMargin
   )
 }
