@@ -304,6 +304,21 @@ object CurateOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Class-balanced resampling weights (round 10): the standard
+    // inverse-frequency weight total/(k·n_class) per class in exact
+    // micro-units — what a loss function or sampler multiplies in to
+    // undo class imbalance. One group count + a broadcast 1-row total.
+    "q_class_weights" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = counts.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("k"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          expr("(total * 1000000) div (k * n_docs)").as("weight_micro"))
+        .orderBy(col("lang"))
+    }),
+
     // Group-median imputation (round 10): the ML-prep null fill — missing
     // n_chars (synthesized deterministically: every 13th doc) takes its
     // language's exact discrete median of the NON-null values. Median via
@@ -570,6 +585,15 @@ object CurateOps extends QueryPack {
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_class_weights" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |    COUNT(*) AS k FROM c)
+        |SELECT lang, n_docs,
+        |  (total * 1000000) // (k * n_docs) AS weight_micro
+        |FROM c, t ORDER BY lang""".stripMargin,
 
     "q_impute_median" ->
       """WITH d AS (SELECT doc_id, lang,

@@ -487,6 +487,33 @@ object MlOps extends QueryPack {
           sum(when(!col("is_val") && !col("is_embargo"), 1L)
             .otherwise(0L)).as("n_train"))
         .orderBy(col("f"))
+    }),
+
+    // Deterministic negative sampling (round 10): contrastive-pair
+    // generation — K pseudo-random negatives per document via a
+    // Weyl-style stride over the GLOBAL RANK FRAME (rank built by the
+    // distributed value-bucketed ranker, never a single-partition
+    // window; the stride constant is the Knuth multiplier so consecutive
+    // docs get scattered negatives). All integer modular arithmetic —
+    // ((rank−1)·2654435761 + k·40503) mod n — products stay < 2⁶³ to
+    // corpus sizes of ~3×10⁹ docs; rare self-collisions are dropped
+    // (declared: UP TO K negatives each).
+    "q_negative_sample" -> ((s, dir) => {
+      val K = 2
+      val ranks = graft.operators.Percentiles.globalRanksTieBroken(
+          Tables.load(s, dir, "documents"), lit(0), col("doc_id"),
+          col("doc_id"))
+        .select(col("tie").as("doc_id"), col("rank"), col("n"))
+      val negs = ranks
+        .select(col("doc_id"), col("rank"), col("n"),
+          explode(sequence(lit(1), lit(K))).as("k"))
+        .withColumn("neg_rank",
+          expr("((rank - 1) * 2654435761 + k * 40503) % n + 1"))
+        .filter(col("neg_rank") =!= col("rank"))
+      negs.join(ranks.select(col("rank").as("neg_rank"),
+          col("doc_id").as("neg_id")), Seq("neg_rank"))
+        .select(col("doc_id"), col("k").cast("long").as("k"), col("neg_id"))
+        .orderBy(col("doc_id"), col("k"))
     })
   )
 
@@ -599,6 +626,20 @@ object MlOps extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
+    "q_negative_sample" ->
+      """WITH r AS (SELECT doc_id,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rank,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents),
+        |g AS (SELECT doc_id, k.k AS k, rank, n,
+        |    ((rank - 1) * 2654435761 + k.k * 40503) % n + 1 AS neg_rank
+        |  FROM r CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) k)
+        |SELECT g.doc_id AS doc_id, CAST(g.k AS BIGINT) AS k,
+        |  r2.doc_id AS neg_id
+        |FROM g JOIN r r2 ON r2.rank = g.neg_rank
+        |WHERE g.neg_rank != g.rank
+        |ORDER BY g.doc_id, g.k""".stripMargin,
+
     "q_purged_split" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d FROM events),
         |b AS (SELECT MIN(d) AS min_d, MAX(d) - MIN(d) + 1 AS n_days

@@ -350,6 +350,32 @@ object SimOps extends QueryPack {
           col("gram_micro").cast("double") / 1000000.0)
         .orderBy(col("i"), col("j"))),
 
+    // Hard-negative mining (round 10): for each probe, the most-similar
+    // neighbors whose LABEL DIFFERS (here: language) — the pairs that
+    // actually teach a contrastive model, as opposed to q_negative_sample's
+    // uniform strides. Composes the broadcast-probe brute-force top-k
+    // with two label joins and a per-probe window; top-3 mismatched
+    // neighbors per probe by similarity rank.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nn = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        k = 20)
+      val langs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rank"))
+      nn.join(langs.select(col("doc_id").as("query_id"),
+          col("lang").as("q_lang")), Seq("query_id"))
+        .join(langs.select(col("doc_id").as("neighbor_id"),
+          col("lang").as("n_lang")), Seq("neighbor_id"))
+        .filter(col("q_lang") =!= col("n_lang"))
+        .withColumn("hard_rank", row_number().over(w).cast("long"))
+        .filter(col("hard_rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("hard_rank"))
+        .orderBy(col("query_id"), col("hard_rank"))
+    }),
+
     // Top principal component (round 10): PCA's leading eigenvector by
     // POWER ITERATION on the micro-integer Gram matrix — four unrolled
     // rounds of w ← G·v, v ← sign(w)·((|w|·10⁶) div max|w|), all exact
@@ -435,6 +461,30 @@ object SimOps extends QueryPack {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_hard_negatives" -> {
+      val cos = sqlCosine("q.embedding", "c.embedding")
+      s"""WITH nn AS (
+         |  SELECT query_id, neighbor_id, score, rank FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round($cos, 6) AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cos, 6) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 20),
+         |h AS (SELECT nn.query_id, nn.neighbor_id, nn.score,
+         |    ROW_NUMBER() OVER (PARTITION BY nn.query_id
+         |      ORDER BY nn.rank) AS hard_rank
+         |  FROM nn
+         |  JOIN documents ql ON ql.doc_id = nn.query_id
+         |  JOIN documents nl ON nl.doc_id = nn.neighbor_id
+         |  WHERE ql.lang != nl.lang)
+         |SELECT query_id, neighbor_id, score,
+         |  CAST(hard_rank AS BIGINT) AS hard_rank
+         |FROM h WHERE hard_rank <= 3
+         |ORDER BY query_id, hard_rank""".stripMargin
     },
 
     "q_sim_neardup" -> {
