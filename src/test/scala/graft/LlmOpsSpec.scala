@@ -112,6 +112,27 @@ class LlmOpsSpec extends SparkSpec {
       s"only $planted mutant pairs within Hamming 7")
   }
 
+  test("grouped banding (groupCol): a constant group reproduces the " +
+    "ungrouped pairs exactly; distinct groups partition the pair set") {
+    val sk = Dedup.simhashSketches(
+      docs.select(col("doc_id"), col("text")), col("text"), col("doc_id"))
+    def pairs(grp: Option[org.apache.spark.sql.Column]) =
+      Dedup.hammingBandPairs(sk, col("id"), col("simhash"),
+          maxHamming = 7, groupCol = grp)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .as[(Long, Long, Int)].collect().toSet
+    val ungrouped = pairs(None)
+    // constant group: the struct key adds a constant field — same pairs
+    assert(pairs(Some(lit(1L))) == ungrouped,
+      "constant group must be a no-op on the pair set")
+    // group = id parity: only same-parity pairs may survive, and they
+    // must be exactly the same-parity subset of the ungrouped pairs
+    val byParity = pairs(Some(pmod(col("id"), lit(2))))
+    val expected = ungrouped.filter { case (a, b, _) => a % 2 == b % 2 }
+    assert(byParity == expected,
+      s"parity-grouped pairs diverge: ${byParity.size} vs ${expected.size}")
+  }
+
   test("IVF top-k recall vs brute force") {
     val queries = emb.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(queries, emb, k = 3)
