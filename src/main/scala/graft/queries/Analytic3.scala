@@ -522,6 +522,35 @@ object Analytic3 extends QueryPack {
         .orderBy(col("pri"))
     }),
 
+    // Percent-of-parent (round 10): each nation's revenue share within
+    // its region in exact ppm — the hierarchy-ratio primitive every
+    // rollup report needs beside the rollup itself. Revenue is held in
+    // integer CENTS (o_totalprice has 2 decimals, so ×100 through
+    // DECIMAL is exact); region totals re-aggregate from the nation rows
+    // (one pass over orders) and broadcast back; the share is one
+    // 128-bit integer division.
+    "q_pct_of_parent" -> ((s, dir) => {
+      val nat = t(s, dir, "orders")
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation").select(col("n_nationkey"),
+          col("n_name"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region").select(col("r_regionkey"),
+          col("r_name"))), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(DecimalType(38, 0))).as("rev_cents"))
+      val reg = nat.groupBy(col("r_name"))
+        .agg(sum(col("rev_cents")).as("reg_cents"))
+      nat.join(broadcast(reg), Seq("r_name"))
+        .select(col("r_name"), col("n_name"),
+          col("rev_cents").cast("long").as("rev_cents"),
+          expr("CAST((rev_cents * 1000000) div reg_cents AS BIGINT)")
+            .as("share_ppm"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // Salted skewed join (round 10): the manual skew-breaker for the
     // regime AQE cannot fix alone (one fact key carrying ~95% of rows
     // joined to a small dim): the fact side gets a deterministic salt in
@@ -843,6 +872,23 @@ object Analytic3 extends QueryPack {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pct_of_parent" ->
+      """WITH nat AS (SELECT r.r_name, n.n_name,
+        |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS DECIMAL(38,0))) AS BIGINT) AS rev_cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |reg AS (SELECT r_name, SUM(rev_cents) AS reg_cents
+        |        FROM nat GROUP BY 1)
+        |SELECT nat.r_name, n_name, rev_cents,
+        |  CAST((CAST(rev_cents AS HUGEINT) * 1000000) // reg_cents
+        |    AS BIGINT) AS share_ppm
+        |FROM nat JOIN reg ON reg.r_name = nat.r_name
+        |ORDER BY nat.r_name, n_name""".stripMargin,
 
     // the UNSALTED join — salting must be invisible in the result
     "q_salted_join" -> {

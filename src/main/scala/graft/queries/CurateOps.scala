@@ -304,6 +304,44 @@ object CurateOps extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Training-data release capstone (round 10): the end-of-pipeline
+    // composition a data release runs — quality gate (the scale-invariant
+    // length band; a corpus-frequency gate like LM coverage saturates as
+    // data grows) → per-language class-balance weights over the
+    // SURVIVORS → deterministic negative-pair generation over the
+    // survivor rank frame (the q_negative_sample arithmetic) → one
+    // per-language release manifest. Every stage is individually oracled
+    // elsewhere; this pins the composition.
+    "q_release_pipeline" -> ((s, dir) => {
+      val pass = docs(s, dir)
+        .filter(col("n_chars").between(100, 2000))
+        .select(col("doc_id"), col("lang"))
+      val ranks = graft.operators.Percentiles.globalRanksTieBroken(
+          pass, lit(0), col("doc_id"), col("doc_id"))
+        .select(col("tie").as("doc_id"), col("rank"), col("n"))
+      val negs = ranks
+        .select(col("doc_id"), col("rank"), col("n"),
+          explode(sequence(lit(1), lit(2))).as("k"))
+        .withColumn("neg_rank",
+          expr("((rank - 1) * 2654435761 + k * 40503) % n + 1"))
+        .filter(col("neg_rank") =!= col("rank"))
+      val perLang = pass.groupBy(col("lang")).agg(count(lit(1)).as("n_pass"))
+      val tot = perLang.agg(sum(col("n_pass")).as("total"),
+        count(lit(1)).as("k"))
+      val negPerLang = negs
+        .join(pass, Seq("doc_id"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_neg"))
+      docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(perLang, Seq("lang"), "left")
+        .join(negPerLang, Seq("lang"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+          coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+          expr("(total * 1000000) div (k * n_pass)").as("weight_micro"))
+        .orderBy(col("lang"))
+    }),
+
     // Class-balanced resampling weights (round 10): the standard
     // inverse-frequency weight total/(k·n_class) per class in exact
     // micro-units — what a loss function or sampler multiplies in to
@@ -585,6 +623,31 @@ object CurateOps extends QueryPack {
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_release_pipeline" ->
+      """WITH pass AS (SELECT doc_id, lang FROM documents
+        |  WHERE n_chars BETWEEN 100 AND 2000),
+        |r AS (SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rank,
+        |    COUNT(*) OVER () AS n
+        |  FROM pass),
+        |negs AS (SELECT r.doc_id, r.lang
+        |  FROM r CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS k) k
+        |  WHERE ((rank - 1) * 2654435761 + k.k * 40503) % n + 1 != rank),
+        |pl AS (SELECT lang, COUNT(*) AS n_pass FROM pass GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_pass) AS BIGINT) AS total,
+        |    COUNT(*) AS k FROM pl),
+        |nl AS (SELECT lang, COUNT(*) AS n_neg FROM negs GROUP BY 1),
+        |d AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT d.lang, d.n_docs,
+        |  COALESCE(pl.n_pass, 0) AS n_pass,
+        |  COALESCE(nl.n_neg, 0) AS n_neg,
+        |  (t.total * 1000000) // (t.k * pl.n_pass) AS weight_micro
+        |FROM d
+        |LEFT JOIN pl ON pl.lang = d.lang
+        |LEFT JOIN nl ON nl.lang = d.lang
+        |CROSS JOIN t
+        |ORDER BY d.lang""".stripMargin,
 
     "q_class_weights" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs
