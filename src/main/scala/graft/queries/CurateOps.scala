@@ -206,6 +206,71 @@ object CurateOps extends QueryPack {
         .limit(20)
     }),
 
+    // Skip-gram PMI (round 10): collocation mining with a window — token
+    // pairs co-occurring within 3 positions (not just adjacent), the
+    // co-occurrence statistic word-vector training actually uses. The
+    // positional pair join is doc-keyed and the window bounds fan-out at
+    // 3 rows per token; PMI in exact micro-units with 128-bit staging
+    // (c2·n·10⁶ passes 2⁶³ once corpora reach ~10⁷ tokens).
+    "q_skipgram_pmi" -> ((s, dir) => {
+      val tok = docs(s, dir).select(col("doc_id"),
+        posexplode(tokens(normalizeText(col("text"))))
+          .as(Seq("pos", "token")))
+      val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val pairs = tok.as("a").join(tok.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") > col("a.pos") &&
+            col("b.pos") <= col("a.pos") + 3)
+        .groupBy(col("a.token").as("t1"), col("b.token").as("t2"))
+        .agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      pairs
+        .join(uni.select(col("token").as("t1"), col("c").as("ca")), Seq("t1"))
+        .join(uni.select(col("token").as("t2"), col("c").as("cb")), Seq("t2"))
+        .crossJoin(broadcast(tot))
+        .select(col("t1"), col("t2"), col("c2"),
+          expr("""CAST((CAST(c2 AS DECIMAL(38,0)) * n * 1000000) div
+                 (CAST(ca AS DECIMAL(38,0)) * cb) AS BIGINT)""")
+            .as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
+        .limit(20)
+    }),
+
+    // Balanced interleave sample (round 10): the "fair head" eval-set
+    // draw — rank docs WITHIN each language (distributed rank frame),
+    // take the per-language head, and interleave round-robin (rank, then
+    // language) so no language dominates any prefix of the sample. Plans
+    // as TakeOrderedAndProject over the rank-frame output.
+    "q_interleave_sample" -> ((s, dir) => {
+      graft.operators.Percentiles.globalRanksTieBroken(
+          docs(s, dir), col("lang"), col("doc_id"), col("doc_id"))
+        .select(col("group").as("lang"), col("tie").as("doc_id"),
+          col("rank").cast("long").as("rank"))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"), col("lang"))
+        .limit(50)
+    }),
+
+    // Vocabulary growth / Heaps-law curve (round 10): distinct vocabulary
+    // size after the first N documents, at 5 prefix checkpoints — the
+    // corpus statistic that says whether more data still buys new
+    // vocabulary. Per-doc DISTINCT tokens explode once; the 5-row
+    // checkpoint dim broadcast-joins on doc_id < cp (≤ 5× fan-out);
+    // one multi-distinct aggregate per checkpoint.
+    "q_vocab_growth" -> ((s, dir) => {
+      import s.implicits._
+      val cps = Seq(100L, 200L, 300L, 400L, 500L).toDF("cp")
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(array_distinct(tokens(normalizeText(col("text")))))
+          .as("token"))
+      tok.join(broadcast(cps), col("doc_id") < col("cp"))
+        .groupBy(col("cp"))
+        .agg(countDistinct(col("token")).as("vocab"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cp"))
+    }),
+
     // Bigram language model as next-token predictor: train the argmax
     // table (most frequent next token per prefix, per language) and score
     // it against the corpus it was trained on — the classic LM-quality
@@ -623,6 +688,45 @@ object CurateOps extends QueryPack {
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_skipgram_pmi" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token,
+         |             generate_subscripts($sqlToks, 1) AS pos
+         |             FROM documents),
+         |uni AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n FROM tok),
+         |pr AS (SELECT a.token AS t1, b.token AS t2, COUNT(*) AS c2
+         |       FROM tok a JOIN tok b
+         |         ON a.doc_id = b.doc_id
+         |         AND b.pos > a.pos AND b.pos <= a.pos + 3
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT t1, t2, c2,
+         |  CAST((CAST(c2 AS HUGEINT) * (SELECT n FROM tot) * 1000000)
+         |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS pmi_micro
+         |FROM pr JOIN uni u1 ON u1.token = pr.t1
+         |JOIN uni u2 ON u2.token = pr.t2
+         |ORDER BY pmi_micro DESC, t1, t2 LIMIT 20""".stripMargin,
+
+    "q_interleave_sample" ->
+      """SELECT lang, doc_id, rank FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 20
+        |ORDER BY rank, lang LIMIT 50""".stripMargin,
+
+    "q_vocab_growth" -> {
+      val toks = sqlToks
+      s"""WITH tok AS (SELECT DISTINCT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toks) AS token FROM documents)),
+         |cp AS (SELECT 100 * g.g AS cp
+         |       FROM (SELECT unnest(generate_series(1, 5)) AS g) g)
+         |SELECT CAST(cp AS BIGINT) AS cp,
+         |  COUNT(DISTINCT token) AS vocab,
+         |  COUNT(DISTINCT doc_id) AS n_docs
+         |FROM tok JOIN cp ON doc_id < cp
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_release_pipeline" ->
       """WITH pass AS (SELECT doc_id, lang FROM documents
