@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.TextFunctions._
 import graft.operators.{Sessionize, Similarity, TopK}
 import graft.sources.Tables
@@ -204,6 +205,52 @@ object CurateOps extends QueryPack {
           expr("(c2 * n * 1000000) div (ca * cb)").as("pmi_micro"))
         .orderBy(col("pmi_micro").desc, col("t1"), col("t2"))
         .limit(20)
+    }),
+
+    // Fingerprint key-collision clustering (round 10): the OpenRefine
+    // "cluster & edit" move — names that normalize to the same
+    // SORTED-TOKEN fingerprint (case/whitespace/word-order insensitive)
+    // are spelling variants of one entity. TPC-H part names never
+    // collide naturally, so every 7th part plants an UPPERCASED,
+    // word-REVERSED variant (the two transforms the fingerprint is
+    // supposed to erase; the shared variant-offset guard keeps the id
+    // injective). One narrow fingerprint projection + one group; only
+    // colliding groups (≥ 2 distinct raw spellings) surface, with the
+    // lexicographically smallest spelling as the canonical suggestion.
+    "q_key_collision" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"))
+      val variants = base.filter(col("p_partkey") % 7 === 0)
+        .select((Parity.guardedVariantId(col("p_partkey"))
+            + Parity.VariantOffset).as("p_partkey"),
+          upper(array_join(reverse(tokens(col("p_name"))), " "))
+            .as("p_name"))
+      val parts = base.unionByName(variants)
+      val fp = parts.select(col("p_partkey"), col("p_name"),
+        array_join(array_sort(array_distinct(
+          tokens(normalizeText(col("p_name"))))), " ").as("fp"))
+      fp.groupBy(col("fp"))
+        .agg(countDistinct(col("p_name")).as("n_spellings"),
+          count(lit(1)).as("n_rows"),
+          min(col("p_name")).as("canonical"))
+        .filter(col("n_spellings") >= 2)
+        .orderBy(col("fp"))
+    }),
+
+    // Daily quantile bands (round 10): exact p10/p50/p90 of event values
+    // per day — the percentile ribbon behind every latency/revenue
+    // dashboard, through the distributed rank frame (group = day; never
+    // a per-day single-partition window). Values are compared in exact
+    // micro-units to keep the DISC picks bit-portable.
+    "q_daily_bands" -> ((s, dir) => {
+      val e = Tables.load(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("d"),
+          (col("value").cast(DecimalType(18, 4)) * 10000)
+            .cast("long").as("v"))
+      graft.operators.Percentiles.exactDisc(e, col("d"), col("v"),
+          Seq((1, 10), (1, 2), (9, 10)), Seq("p10", "p50", "p90"))
+        .select(col("group").as("d"), col("p10"), col("p50"), col("p90"))
+        .orderBy(col("d"))
     }),
 
     // Skip-gram PMI (round 10): collocation mining with a window — token
@@ -688,6 +735,38 @@ object CurateOps extends QueryPack {
         |   substr(reverse(a.name), 1, 3) = substr(reverse(b.name), 1, 3))
         |  AND levenshtein(a.name, b.name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_key_collision" -> {
+      val nameToks = sqlTokens(sqlNormalizeText("p_name"))
+      val rawToks = sqlTokens("p_name")
+      s"""WITH corpus AS (SELECT p_partkey, p_name FROM part
+         |  UNION ALL
+         |  SELECT p_partkey + 1000000,
+         |    upper(array_to_string(list_reverse($rawToks), ' '))
+         |  FROM part WHERE p_partkey % 7 = 0),
+         |fp AS (SELECT p_partkey, p_name,
+         |    array_to_string(list_sort(list_distinct($nameToks)), ' ')
+         |      AS fp
+         |  FROM corpus)
+         |SELECT fp, COUNT(DISTINCT p_name) AS n_spellings,
+         |  COUNT(*) AS n_rows, MIN(p_name) AS canonical
+         |FROM fp GROUP BY 1
+         |HAVING COUNT(DISTINCT p_name) >= 2
+         |ORDER BY fp""".stripMargin
+    },
+
+    "q_daily_bands" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events),
+        |r AS (SELECT d, v,
+        |    ROW_NUMBER() OVER (PARTITION BY d ORDER BY v) AS rk FROM e),
+        |n AS (SELECT d, COUNT(*) AS n FROM e GROUP BY 1)
+        |SELECT r.d AS d,
+        |  MIN(v) FILTER (WHERE rk = (n * 1 + 9) // 10) AS p10,
+        |  MIN(v) FILTER (WHERE rk = (n * 1 + 1) // 2) AS p50,
+        |  MIN(v) FILTER (WHERE rk = (n * 9 + 9) // 10) AS p90
+        |FROM r JOIN n USING (d) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_skipgram_pmi" ->
       s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS token,
