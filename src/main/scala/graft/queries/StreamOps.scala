@@ -46,6 +46,20 @@ object StreamOps extends QueryPack {
           qn("stream_join"), mode = "append")
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // LEFT OUTER stream-stream join (round 10): conversion-or-not per
+    // view — matches emit like the inner form; unmatched views emit with
+    // nulls only at join-state EVICTION (v_ts + 10min below the
+    // watermark), so the drained result is the batch left join RESTRICTED
+    // on its null side to views older than (final watermark − 10min).
+    // The oracle replays both legs with the same ms-floored watermark
+    // arithmetic as q_stream_cdc_ttl; the global watermark is the min of
+    // the two sides' (max event-time − 30min).
+    "q_stream_join_outer" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.viewPurchaseJoinOuter(EventStreams.readEvents(s, dir)),
+          qn("stream_join_outer"), mode = "append")
+        .orderBy(col("view_id"), col("purchase_id"))),
+
     // Streaming corpus ingest: the documents table as a file-source stream
     // through the front of the cleaning pipeline — deterministic hash-gate
     // sampling (the gate is stateless, so it composes with streaming
@@ -290,6 +304,31 @@ object StreamOps extends QueryPack {
          |             ('error','ops')) AS d(event_type, stage)
          |  ON e.event_type = d.event_type
          |GROUP BY d.stage ORDER BY stage""".stripMargin,
+
+    "q_stream_join_outer" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(epoch_us(ts)) // 1000 FROM v),
+        |                    (SELECT MAX(epoch_us(ts)) // 1000 FROM p))
+        |         - 1800000 AS wm_ms),
+        |m AS (SELECT v.user_id, v.event_id AS view_id,
+        |    p.event_id AS purchase_id,
+        |    epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000
+        |      AS lag_seconds
+        |  FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+        |    AND p.ts <= v.ts + INTERVAL 10 MINUTE),
+        |um AS (SELECT v.user_id, v.event_id AS view_id,
+        |    CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS lag_seconds
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = v.user_id AND p.ts > v.ts
+        |        AND p.ts <= v.ts + INTERVAL 10 MINUTE)
+        |    AND (epoch_us(v.ts) // 1000) + 600000 < wm.wm_ms)
+        |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "q_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

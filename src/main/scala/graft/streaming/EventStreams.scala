@@ -178,6 +178,38 @@ object EventStreams {
         (col("p_ts").cast("long") - col("v_ts").cast("long")).as("lag_seconds"))
   }
 
+  /** LEFT OUTER stream-stream join — [[viewPurchaseJoin]]'s
+    * conversion-or-not form: every view emits, matched views immediately
+    * with their purchase, UNMATCHED views with nulls once the watermark
+    * proves no purchase can still arrive (the join-state eviction point,
+    * v_ts + joinWindow below the watermark). This is the distinct outer-
+    * join capability of Structured Streaming — unmatched-side emission is
+    * WATERMARK-GATED, so on a drained bounded source the nulls cover
+    * exactly the views older than (final watermark − joinWindow); views
+    * younger than that horizon with no match are still held in state and
+    * absent (the oracle replays that horizon). */
+  def viewPurchaseJoinOuter(events: DataFrame,
+      joinWindow: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"),
+        col("purchase_id"),
+        (col("p_ts").cast("long") - col("v_ts").cast("long"))
+          .as("lag_seconds"))
+  }
+
   /** Stream-static join: enrich the stream against a batch dimension.
     * The static side broadcasts (it is re-read per micro-batch, so keep it
     * dimension-sized); no state store is involved — this is the streaming
