@@ -350,6 +350,29 @@ object SimOps extends QueryPack {
           col("gram_micro").cast("double") / 1000000.0)
         .orderBy(col("i"), col("j"))),
 
+    // k-NN regression (round 10): predict a numeric target (doc length)
+    // as the exact decimal mean of the 5 nearest neighbors' targets — the
+    // embedding-quality probe (if neighbors' lengths predict a doc's
+    // length, the embedding carries length structure; the absolute error
+    // column is the readout). Broadcast-probe brute-force top-k + one
+    // target join + one per-probe aggregate.
+    "q_knn_regress" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val nn = Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e,
+        k = 5)
+      val target = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      nn.join(target.select(col("doc_id").as("neighbor_id"),
+          col("n_chars").as("nv")), Seq("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(Parity.davg(col("nv")).as("pred"))
+        .join(target.select(col("doc_id").as("query_id"),
+          col("n_chars").as("actual")), Seq("query_id"))
+        .select(col("query_id"), col("actual"), col("pred"),
+          abs(col("pred") - col("actual").cast("double")).as("abs_err"))
+        .orderBy(col("query_id"))
+    }),
+
     // Hard-negative mining (round 10): for each probe, the most-similar
     // neighbors whose LABEL DIFFERS (here: language) — the pairs that
     // actually teach a contrastive model, as opposed to q_negative_sample's
@@ -461,6 +484,26 @@ object SimOps extends QueryPack {
          |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_knn_regress" -> {
+      val cos = sqlCosine("q.embedding", "c.embedding")
+      s"""WITH nn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($cos, 6) DESC, c.vec_id) AS rank
+         |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |    WHERE q.vec_id < 10)
+         |  WHERE rank <= 5),
+         |p AS (SELECT nn.query_id,
+         |    ${Parity.sqlDavg("d.n_chars")} AS pred
+         |  FROM nn JOIN documents d ON d.doc_id = nn.neighbor_id
+         |  GROUP BY 1)
+         |SELECT p.query_id, d2.n_chars AS actual, p.pred,
+         |  ABS(p.pred - CAST(d2.n_chars AS DOUBLE)) AS abs_err
+         |FROM p JOIN documents d2 ON d2.doc_id = p.query_id
+         |ORDER BY p.query_id""".stripMargin
     },
 
     "q_hard_negatives" -> {

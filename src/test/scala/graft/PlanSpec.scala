@@ -321,6 +321,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q_item_cosine / q_link_predict: count dims broadcast; pair " +
+      "generation is a basket-keyed equi-join, never a cartesian") {
+    for (name <- Seq("q_item_cosine", "q_link_predict")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$name: count dims should broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$name: cartesian in the pair join:\n$p")
+    }
+  }
+
+  test("BFS frontier expansion is a keyed semi-join + anti-join, never " +
+      "a cartesian (the q_bfs_hops round shape — per-round localCheckpoints " +
+      "hide it from the gate query's final plan, so pin the round itself)") {
+    import org.apache.spark.sql.functions._
+    val li = SparkEntry.queries("q_scan_project")(spark, sf).sparkSession
+      .read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val e0 = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+    val seeds = e.select(col("u").as("id")).distinct().filter(col("id") < 10)
+    val round = e.join(seeds.select(col("id").as("u")), Seq("u"), "left_semi")
+      .select(col("v").as("id")).distinct()
+      .join(seeds, Seq("id"), "left_anti")
+    val p = round.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"cartesian in BFS round:\n$p")
+    assert(p.contains("LeftSemi"), s"no semi-join frontier expansion:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti-join seen-set exclusion:\n$p")
+  }
+
   test("AQE splits a skewed shuffle join at runtime (skew markers in the " +
       "final adaptive plan)") {
     // The runtime half of the skew story (q_agg_salted is the plan-time
