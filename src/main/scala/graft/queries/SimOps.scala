@@ -350,6 +350,37 @@ object SimOps extends QueryPack {
           col("gram_micro").cast("double") / 1000000.0)
         .orderBy(col("i"), col("j"))),
 
+    // Embedding drift monitor (round 10): per-language squared distance
+    // between the centroids of two corpus halves (vec_id parity as the
+    // deterministic split) — the model-ops check that an embedding
+    // refresh or a new crawl slice hasn't moved the representation. All
+    // cross-engine-sensitive arithmetic is exact: per-(lang, dim, half)
+    // sums are per-row micro-floored then integer-summed, centroids are
+    // the integer-sum / count quotient of identical inputs, and the
+    // closing Σ(μ₁−μ₂)² is double arithmetic on bit-identical operands.
+    "q_embed_drift" -> ((s, dir) => {
+      val x = emb(s, dir)
+        .join(Tables.load(s, dir, "documents")
+          .select(col("doc_id").as("vec_id"), col("lang")), Seq("vec_id"))
+        .select(col("lang"), pmod(col("vec_id"), lit(2)).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("lang"), col("half"), col("dim"))
+        .agg(sum(floor(col("v").cast("double") * 1000000))
+          .cast("long").as("s_micro"), count(lit(1)).as("n"))
+        .select(col("lang"), col("half"), col("dim"),
+          (col("s_micro").cast("double") / col("n").cast("double") / 1e6)
+            .as("mu"))
+      val a = x.filter(col("half") === 0)
+        .select(col("lang"), col("dim"), col("mu").as("mu0"))
+      val b = x.filter(col("half") === 1)
+        .select(col("lang"), col("dim"), col("mu").as("mu1"))
+      a.join(b, Seq("lang", "dim"))
+        .groupBy(col("lang"))
+        .agg(Parity.dsum((col("mu0") - col("mu1")) *
+          (col("mu0") - col("mu1")), 12).as("drift_sq"))
+        .orderBy(col("lang"))
+    }),
+
     // k-NN regression (round 10): predict a numeric target (doc length)
     // as the exact decimal mean of the 5 nearest neighbors' targets — the
     // embedding-quality probe (if neighbors' lengths predict a doc's
@@ -485,6 +516,23 @@ object SimOps extends QueryPack {
          |  WHERE q.vec_id < 10)
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_embed_drift" ->
+      """WITH x AS (SELECT d.lang, e.vec_id % 2 AS half, u.i - 1 AS dim,
+        |    CAST(e.embedding[u.i] AS DOUBLE) AS v
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id,
+        |  LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)),
+        |m AS (SELECT lang, half, dim,
+        |    CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / COUNT(*) / 1000000.0 AS mu
+        |  FROM x GROUP BY 1, 2, 3),
+        |j AS (SELECT a.lang, a.mu AS mu0, b.mu AS mu1
+        |  FROM m a JOIN m b ON a.lang = b.lang AND a.dim = b.dim
+        |  WHERE a.half = 0 AND b.half = 1)
+        |SELECT lang,
+        |  CAST(SUM(CAST((mu0 - mu1) * (mu0 - mu1) AS DECIMAL(18,12)))
+        |    AS DOUBLE) AS drift_sq
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_knn_regress" -> {
       val cos = sqlCosine("q.embedding", "c.embedding")
