@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, BasketGraph}
 import graft.sources.Tables
 
 /** Behavioral analytics over the event log (SURVEY §2.11 / §2.4
@@ -711,17 +711,18 @@ object BehaviorOps extends QueryPack {
     // pair's intersection size and Jaccard — the audience-overlap matrix
     // behind campaign targeting and dedup of lookalike lists. Shape: the
     // distinct (user, segment) membership list self-joins on user with
-    // segA < segB — fan-out per user is bounded by the segment count
-    // (≤ C(5,2) = 10 pairs/user here), never user × user; segment sizes
-    // are a broadcast dim; Jaccard in exact micro-units.
+    // segA < segB — the per-user fan-out rides the census-capped
+    // BasketGraph pairing (≤ C(5,2) = 10 pairs/user here; a user in
+    // thousands of segments would drop whole with an observable count);
+    // segment sizes are a broadcast dim derived from the SAME capped
+    // membership; Jaccard in exact micro-units.
     "q_segment_overlap" -> ((s, dir) => {
       val m = events(s, dir)
         .select(col("user_id"), col("event_type").as("seg")).distinct()
-      val sizes = m.groupBy(col("seg")).agg(count(lit(1)).as("n"))
-      val inter = m.as("a").join(m.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.seg") < col("b.seg"))
-        .groupBy(col("a.seg").as("seg_a"), col("b.seg").as("seg_b"))
+      val c0 = BasketGraph.cappedItems(m, "user_id", "seg")
+      val sizes = c0.groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      val inter = BasketGraph.pairsOf(c0, "user_id", "seg")
+        .groupBy(col("u").as("seg_a"), col("v").as("seg_b"))
         .agg(count(lit(1)).as("n_both"))
       inter
         .join(broadcast(sizes.select(col("seg").as("seg_a"),

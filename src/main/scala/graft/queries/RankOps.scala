@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{PageRank, Similarity, TopK}
+import graft.operators.{BasketGraph, PageRank, Similarity, TopK}
 import graft.sources.Tables
 
 /** Graph ranking + retrieval evaluation (SURVEY §2.11 extensions): exact
@@ -114,10 +114,11 @@ object RankOps extends QueryPack {
     "q_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e0 = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
+      // census-capped basket pairing (operators/BasketGraph): oversized
+      // baskets drop whole with an observable count — pure parallelism
+      // control here (TPC-H baskets ≤ 7 ≪ the cap), a skew guard at scale
+      val e0 = BasketGraph.edges(li, "ok", "pk")
       val deg = e0.select(col("u").as("x"))
         .unionAll(e0.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -148,10 +149,8 @@ object RankOps extends QueryPack {
     "q_kcore" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e0 = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
+      val e0 = BasketGraph.edges(li, "ok", "pk")
       graft.operators.KCore.kCore(e0, k = 60, maxRounds = 8)
         .select(col("x"), col("d").cast("long").as("d"))
         .orderBy(col("x"))
@@ -167,11 +166,13 @@ object RankOps extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val n = li.agg(countDistinct(col("ok")).as("n"))
-      val items = li.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      // cap once, derive EVERY statistic (corpus size, item supports,
+      // pair supports) from the same dropped-whole basket set
+      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      val n = c0.agg(countDistinct(col("ok")).as("n"))
+      val items = c0.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
+      val pairs = BasketGraph.pairsOf(c0, "ok", "pk")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("c2"))
         .filter(col("c2") >= 2)
       pairs
@@ -201,10 +202,10 @@ object RankOps extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val items = li.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      val items = c0.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
+      val pairs = BasketGraph.pairsOf(c0, "ok", "pk")
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("co"))
         .filter(col("co") >= 2)
       pairs
@@ -232,11 +233,9 @@ object RankOps extends QueryPack {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      val bsz = li.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
-      li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.ok").as("ok"), col("a.pk").as("u"),
-          col("b.pk").as("v"))
+      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      val bsz = c0.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
+      BasketGraph.pairsOf(c0, "ok", "pk")
         .join(bsz, Seq("ok"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("co"),
@@ -256,10 +255,8 @@ object RankOps extends QueryPack {
     "q_bfs_hops" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val e0 = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
         .distinct()
+      val e0 = BasketGraph.edges(li, "ok", "pk")
       val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
       val seeds = e.select(col("u").as("id")).distinct()
@@ -285,20 +282,16 @@ object RankOps extends QueryPack {
     // Frequent 3-itemsets (round 10): the Apriori step past pair rules —
     // item triples co-occurring in ≥ 2 baskets, top-20 by support. The
     // triple explode is bounded per basket (C(|basket|, 3); TPC-H
-    // baskets are ≤ 7 lines, so ≤ 35 triples each) and every join is a
-    // basket-keyed equi-join — candidate volume is Σ C(nᵢ,3), never a
-    // cross of the item set.
+    // baskets are ≤ 7 lines, so ≤ 35 triples each — and BasketGraph's
+    // census cap bounds it at C(64, 3) even on a pathological basket)
+    // and every join is a basket-keyed equi-join — candidate volume is
+    // Σ C(nᵢ,3), never a cross of the item set.
     "q_itemsets3" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      li.as("a")
-        .join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .join(li.as("c"),
-          col("a.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
-        .groupBy(col("a.pk").as("x"), col("b.pk").as("y"),
-          col("c.pk").as("z"))
+      BasketGraph.triples(li, "ok", "pk")
+        .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).as("support"))
         // no minimum-support cut: at larger scale factors co-occurrence
         // dilutes and a support ≥ 2 gate would return an empty (vacuous)
