@@ -35,11 +35,12 @@ import graft.functions.GeoFunctions._
   * stored ring spans numerically "backwards" and planar ray casting reads
   * it inside-out) and polygons enclosing a pole (every meridian crosses
   * the boundary an odd number of times; no planar parity is right).
-  * [[st_contains_geo]] handles the antimeridian by re-centering; pole
-  * caps stay out of scope for ray casting in lon/lat (they need a
-  * spherical-winding predicate) but are GUARDED: [[st_contains_geo]]
-  * raises on pole-adjacent geometry instead of returning planar nonsense
-  * — `SpatialJoinSpec` pins both boundaries.
+  * [[st_contains_geo]] handles the antimeridian by re-centering and
+  * (round 11) routes pole-adjacent geometry to [[st_contains_sphere]],
+  * the meridian-ray winding predicate that answers for pole caps and
+  * polar annuli instead of raising; only genuinely degenerate input (an
+  * edge spanning exactly 180° of longitude, whose traversal direction is
+  * ambiguous) still raises — `SpatialJoinSpec` pins all three regimes.
   */
 object SpatialJoin {
 
@@ -76,9 +77,10 @@ object SpatialJoin {
     * [[st_contains]]: drop-in as the refinement predicate of
     * [[pointsInPolygons]] when the corpus is global.
     *
-    * POLE GUARD (round 10): instead of silently returning planar nonsense
-    * on the one residual out-of-envelope family, the predicate RAISES
-    * when a geometry is pole-adjacent, detected two ways:
+    * POLE ROUTING (round 11, replacing the round-10 refusal): geometry
+    * detected as pole-adjacent routes to [[st_contains_sphere]] — the
+    * meridian-ray winding predicate that is correct for pole caps and
+    * polar annuli — instead of raising. Detection is unchanged:
     *  - true pole enclosure at ANY latitude — the ring's wrapped
     *    longitude deltas wind to ±360° (a cap crosses every meridian; no
     *    planar parity is right for it);
@@ -87,9 +89,10 @@ object SpatialJoin {
     *    even for non-enclosing rings.
     * The reference inherits CRS-aware geodesic containment from PostGIS
     * (from-ground-up.js:73-90), where pole caps are simply valid; this
-    * engine's planar predicate turns the same inputs into a LOUD error
-    * rather than a wrong answer. `SpatialJoinSpec` pins both triggers and
-    * that sub-guard high-latitude rings still evaluate. */
+    * engine now answers the same inputs (`q_geo_pole` oracles the
+    * arithmetic). Only genuinely degenerate input — an edge spanning
+    * exactly 180° of longitude — still raises, from inside
+    * [[st_contains_sphere]]. `SpatialJoinSpec` pins all three regimes. */
   def st_contains_geo(g: Column, lon: Column, lat: Column): Column = {
     val rings = flatten(g.getField("coordinates"))
     val ref = element_at(element_at(element_at(rings, 1), 1), 1)
@@ -122,18 +125,82 @@ object SpatialJoin {
           ((yi > lat) =!= (yj > lat)) &&
             (xr < (xj - xi) * (lat - yi) / (yj - yi) + xi)
         })))
-    when(poleAdjacent, raise_error(lit(
-      "st_contains_geo: pole-adjacent geometry (ring winds around a pole " +
-        s"or touches |lat| >= $PoleGuardLat); planar lon/lat containment " +
-        "is undefined there - project to a polar CRS or use a spherical " +
-        "predicate")).cast("boolean"))
+    when(poleAdjacent, st_contains_sphere(g, lon, lat))
       .otherwise(crossings % 2 === 1)
   }
 
-  /** Latitude beyond which [[st_contains_geo]] refuses to evaluate — the
-    * re-centering construction's numerical envelope collapses within
-    * ~0.1° of the poles. */
+  /** Latitude beyond which [[st_contains_geo]] routes to the spherical
+    * meridian-ray predicate — the re-centering construction's numerical
+    * envelope collapses within ~0.1° of the poles. */
   val PoleGuardLat = 89.9
+
+  /** Pole-capable even-odd containment — the "bent meridian ray" test.
+    * Works for ANY lon/lat geometry (pole caps, polar annuli, seam
+    * crossers, ordinary polygons) with edges linear in lon/lat (each
+    * edge interpolated across its short longitude span — the same edge
+    * model as the rest of the planar family, NOT great circles):
+    *
+    *  1. Anchor `A` = the antipode of the geometry's first vertex,
+    *     DECLARED outside (the documented convention — any geometry
+    *     spanning less than a hemisphere satisfies it; PostGIS geography
+    *     resolves the same sphere-has-no-outside ambiguity with its
+    *     "polygon may not exceed half the globe" rule).
+    *  2. The test ray runs from `A` down its meridian to the south pole,
+    *     then up the point's meridian to `P` — a single path on the
+    *     sphere, so even-odd parity of boundary crossings along it
+    *     decides containment with no planar projection anywhere.
+    *  3. A crossing of meridian `m` is an edge whose per-edge recentered
+    *     longitudes straddle 0 within the edge's wrapped (< 180°) span;
+    *     its latitude is linear interpolation, counted when strictly
+    *     south of the ray's endpoint. Vertex touches count once (the
+    *     half-open `(a < 0) ≠ (e < 0)` convention); a meridian-parallel
+    *     edge (Δlon = 0) never crosses.
+    *
+    * Every operation is +, −, ×, ÷ and the wrap-to-[−180, 180) map — no
+    * trigonometry — so a SQL oracle replays it bit-for-bit (`q_geo_pole`
+    * does, on half-integer fixtures where every wrap is exact).
+    *
+    * DEGENERATE GUARD: an edge spanning exactly 180° of longitude has no
+    * defined short way around (`wrap` returns −180; east and west are
+    * equally valid) — the predicate raises on it rather than silently
+    * picking a side. Split such edges at an intermediate vertex. */
+  def st_contains_sphere(g: Column, lon: Column, lat: Column): Column = {
+    val rings = flatten(g.getField("coordinates"))
+    def wrap(d: Column): Column = pmod(d + lit(180.0), lit(360.0)) - 180.0
+    val first = element_at(element_at(rings, 1), 1)
+    val aLon = wrap(element_at(first, 1) + lit(180.0))
+    val aLat = -element_at(first, 2)
+    def southCrossings(mLon: Column, mLat: Column): Column = aggregate(
+      rings,
+      lit(0),
+      (acc, ring) => acc + size(filter(
+        sequence(lit(1), size(ring) - 1),
+        i => {
+          val xi = element_at(element_at(ring, i), 1)
+          val yi = element_at(element_at(ring, i), 2)
+          val xj = element_at(element_at(ring, i + 1), 1)
+          val yj = element_at(element_at(ring, i + 1), 2)
+          val a = wrap(xi - mLon)
+          val d = wrap(xj - xi)
+          val e = a + d
+          val latx = yi + (yj - yi) * (lit(0.0) - a) / d
+          ((a < 0) =!= (e < 0)) && (latx < mLat)
+        })))
+    val degenerate = aggregate(
+      rings,
+      lit(false),
+      (acc, ring) => acc || exists(
+        sequence(lit(1), size(ring) - 1),
+        i => wrap(element_at(element_at(ring, i + 1), 1) -
+          element_at(element_at(ring, i), 1)) === lit(-180.0)))
+    when(degenerate, raise_error(lit(
+      "st_contains_sphere: degenerate edge spanning exactly 180 degrees " +
+        "of longitude (no defined short way around) - split the edge at " +
+        "an intermediate vertex")).cast("boolean"))
+      .otherwise(
+        pmod(southCrossings(lon, lat) + southCrossings(aLon, aLat),
+          lit(2)) === 1)
+  }
 
   private def cellId(cx: Column, cy: Column): Column =
     concat_ws(":", cx.cast("long"), cy.cast("long"))

@@ -110,6 +110,30 @@ object Geo extends QueryPack {
         .orderBy(col("c_custkey"))
     }),
 
+    // Pole containment (round 11): customers mapped onto the globe, tested
+    // against two polar caps — a north cap and a south cap, each with a
+    // ZIGZAG boundary (vertex latitudes alternate) so the crossing-latitude
+    // interpolation genuinely decides membership, not a constant-latitude
+    // comparison. st_contains_geo detects the ±360° winding and routes to
+    // st_contains_sphere (the bent-meridian-ray even-odd test); the oracle
+    // replays the identical wrap / crossing / interpolation arithmetic in
+    // SQL, anchor term included — the reference inherits this case from
+    // PostGIS geography (from-ground-up.js:73-90), where pole caps are
+    // simply valid. All fixture values are half-integers (vertices) against
+    // integral point coordinates: every wrap is exact, no comparison ties.
+    "q_geo_pole" -> ((s, dir) => {
+      val pts = t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") * 7 % 360 - 180).cast("double").as("lon"),
+        (col("c_custkey") * 13 % 178 - 89).cast("double").as("lat"))
+      PoleCaps.caps.map { case (id, vs) =>
+        pts.filter(SpatialJoin.st_contains_geo(
+            st_geomfromgeojson(lit(PoleCaps.geojson(vs))),
+            col("lon"), col("lat")))
+          .select(lit(id).cast("int").as("cap_id"), col("c_custkey"),
+            col("lon"), col("lat"))
+      }.reduce(_.unionAll(_)).orderBy(col("cap_id"), col("c_custkey"))
+    }),
+
     // Grid-blocked ε-distance self-join on supplier points — the spatial
     // "within distance" operator; oracle is the all-pairs filter (supplier
     // is small enough for an exact n² oracle).
@@ -145,6 +169,39 @@ object Geo extends QueryPack {
         .orderBy(col("component"))
     })
   )
+
+  /** Two pole-enclosing zigzag rings: 8 vertices at half-integer
+    * longitudes 45° apart (the ring winds a full ±360°), latitudes
+    * alternating between two half-integer bands. Cap 1 encircles the
+    * north pole, cap 2 the south pole. The SQL edge list and anchor
+    * constants derive from the same vertex data, so engine and oracle
+    * replay identical arithmetic. */
+  private object PoleCaps {
+    private def ring(hi: Double, lo: Double): Seq[(Double, Double)] = {
+      val vs = (0 until 8).map(k =>
+        (-179.5 + 45.0 * k, if (k % 2 == 0) hi else lo))
+      vs :+ vs.head
+    }
+    val caps: Seq[(Int, Seq[(Double, Double)])] =
+      Seq(1 -> ring(80.5, 75.5), 2 -> ring(-70.5, -65.5))
+    def geojson(vs: Seq[(Double, Double)]): String =
+      s"""{"type":"Polygon","coordinates":[[${
+        vs.map { case (x, y) => s"[$x,$y]" }.mkString(",")}]]}"""
+    /** VALUES rows (cap_id, x1, y1, x2, y2) — one per directed edge. */
+    def sqlEdges: String = caps.flatMap { case (id, vs) =>
+      vs.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        s"($id, $x1, $y1, $x2, $y2)"
+      }
+    }.mkString(", ")
+    /** VALUES rows (cap_id, alon, alat) — the anchor (antipode of the
+      * first vertex), replaying st_contains_sphere's
+      * `wrap(lon0 + 180), -lat0` on the fixture constants. */
+    def sqlAnchors: String = caps.map { case (id, vs) =>
+      val (x0, y0) = vs.head
+      val aLon = ((x0 + 180 + 180) % 360 + 360) % 360 - 180
+      s"($id, $aLon, ${-y0})"
+    }.mkString(", ")
+  }
 
   /** (id, xmin, ymin, xmax, ymax) — bounds chosen off any data value. */
   private object SpatialBoxes {
@@ -202,6 +259,50 @@ object Geo extends QueryPack {
         |SELECT c_custkey, lon, lat FROM r
         |WHERE xr > 0 AND xr < 19 AND lat > -9.5 AND lat < 9.5
         |ORDER BY c_custkey""".stripMargin,
+
+    // replay of the bent-meridian-ray test: for each (point, cap), count
+    // ring-edge crossings of the point's meridian strictly south of the
+    // point, plus crossings of the anchor's meridian strictly south of the
+    // anchor; odd total = contained. aa/d replay the engine's
+    // wrap-to-[−180,180) map; the crossing latitude is the identical
+    // linear interpolation, same operation order.
+    "q_geo_pole" -> {
+      val crossBody =
+        """      ((aa < 0) <> (aa + d < 0))
+          |      AND y1 + (y2 - y1) * (0 - aa) / d < mlat""".stripMargin
+      s"""WITH p AS (SELECT c_custkey,
+         |    CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) AS lon,
+         |    CAST(c_custkey * 13 % 178 - 89 AS DOUBLE) AS lat
+         |  FROM customer),
+         |e(cap_id, x1, y1, x2, y2) AS (VALUES ${PoleCaps.sqlEdges}),
+         |anch(cap_id, alon, alat) AS (VALUES ${PoleCaps.sqlAnchors}),
+         |cx AS (
+         |  SELECT c_custkey, cap_id, COUNT(*) AS c FROM (
+         |    SELECT p.c_custkey, e.cap_id, e.y1, e.y2, p.lat AS mlat,
+         |      ((e.x1 - p.lon + 180) % 360 + 360) % 360 - 180 AS aa,
+         |      ((e.x2 - e.x1 + 180) % 360 + 360) % 360 - 180 AS d
+         |    FROM p, e)
+         |  WHERE
+         |$crossBody
+         |  GROUP BY 1, 2),
+         |ca AS (
+         |  SELECT cap_id, COUNT(*) AS c FROM (
+         |    SELECT a.cap_id, e.y1, e.y2, a.alat AS mlat,
+         |      ((e.x1 - a.alon + 180) % 360 + 360) % 360 - 180 AS aa,
+         |      ((e.x2 - e.x1 + 180) % 360 + 360) % 360 - 180 AS d
+         |    FROM anch a JOIN e ON e.cap_id = a.cap_id)
+         |  WHERE
+         |$crossBody
+         |  GROUP BY 1)
+         |SELECT CAST(pc.cap_id AS INTEGER) AS cap_id, pc.c_custkey,
+         |  pc.lon, pc.lat
+         |FROM (SELECT p.*, a.cap_id FROM p, anch a) pc
+         |LEFT JOIN cx ON cx.c_custkey = pc.c_custkey
+         |  AND cx.cap_id = pc.cap_id
+         |LEFT JOIN ca ON ca.cap_id = pc.cap_id
+         |WHERE (COALESCE(cx.c, 0) + COALESCE(ca.c, 0)) % 2 = 1
+         |ORDER BY cap_id, pc.c_custkey""".stripMargin
+    },
 
     "q_geo_distance" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

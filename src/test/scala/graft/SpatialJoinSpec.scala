@@ -144,44 +144,64 @@ class SpatialJoinSpec extends SparkSpec {
   }
 
   test("pole cap: planar st_contains cannot see a pole-enclosing ring " +
-    "(documented limit); st_contains_geo RAISES on it instead of " +
-    "returning planar nonsense") {
+    "(documented limit); st_contains_geo ANSWERS via the spherical " +
+    "meridian-ray predicate (round 11, replacing the round-10 refusal)") {
     val cap = // ring at 80°N all the way around: geodesically a polar cap
       """{"type":"Polygon","coordinates":[
         |[[0.0,80.0],[90.0,80.0],[180.0,80.0],[-90.0,80.0],[0.0,80.0]]]}""".stripMargin
-    val df = Seq((0.0, 85.0)).toDF("lon", "lat")
-      .select(st_geomfromgeojson(lit(cap)).as("g"), col("lon"), col("lat"))
-    // (0, 85) is inside the cap on the sphere; planar parity reads false
-    // because every lat-85 ray crosses the lat-80 boundary an even number
-    // of times. THIS IS THE DOCUMENTED PLANAR LIMIT for st_contains.
-    assert(df.filter(SpatialJoin.st_contains(
+    val df = Seq(
+      (0.0, 85.0, true),    // inside the cap
+      (120.0, 83.0, true),  // inside, other side of the pole
+      (0.0, 70.0, false),   // south of the boundary
+      (0.0, -85.0, false))  // opposite polar region
+      .toDF("lon", "lat", "expected")
+      .select(st_geomfromgeojson(lit(cap)).as("g"), col("lon"), col("lat"),
+        col("expected"))
+    // planar parity reads (0, 85) as outside because every lat-85 ray
+    // crosses the lat-80 boundary an even number of times. THIS IS THE
+    // DOCUMENTED PLANAR LIMIT for st_contains.
+    assert(df.filter(col("lat") === 85.0).filter(SpatialJoin.st_contains(
       col("g"), col("lon"), col("lat"))).count() == 0)
-    // the geo variant detects the ±360° longitude winding and refuses
-    val e = intercept[Exception] {
-      df.filter(SpatialJoin.st_contains_geo(
-        col("g"), col("lon"), col("lat"))).count()
-    }
-    assert(e.getMessage.contains("pole-adjacent") ||
-      Option(e.getCause).exists(_.getMessage.contains("pole-adjacent")),
-      s"expected the pole guard to fire, got: ${e.getMessage}")
+    // the geo variant detects the ±360° longitude winding and routes to
+    // st_contains_sphere, which answers correctly on all four probes
+    assert(df.filter(SpatialJoin.st_contains_geo(
+      col("g"), col("lon"), col("lat")) =!= col("expected")).count() == 0,
+      "st_contains_geo wrong on the polar cap")
   }
 
-  test("pole guard: a vertex at |lat| >= 89.9 raises even without " +
-    "winding; a high-latitude NON-polar ring still evaluates") {
-    // small triangle touching 89.95°N — no pole enclosure (winding 0),
-    // but inside the numerical collapse zone: must raise
+  test("polar annulus (cap with a hole around the pole): sphere predicate " +
+    "honors even-odd across both rings") {
+    val annulus = // band between 70°N and 85°N
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,70.0],[90.0,70.0],[180.0,70.0],[-90.0,70.0],[0.0,70.0]],
+        |[[0.0,85.0],[90.0,85.0],[180.0,85.0],[-90.0,85.0],[0.0,85.0]]]}""".stripMargin
+    val df = Seq(
+      (45.0, 75.0, true),   // in the band
+      (45.0, 88.0, false),  // in the hole (pole side)
+      (45.0, 60.0, false))  // south of the band
+      .toDF("lon", "lat", "expected")
+      .select(st_geomfromgeojson(lit(annulus)).as("g"), col("lon"),
+        col("lat"), col("expected"))
+    assert(df.filter(SpatialJoin.st_contains_sphere(
+      col("g"), col("lon"), col("lat")) =!= col("expected")).count() == 0,
+      "sphere predicate wrong on the polar annulus")
+  }
+
+  test("high-latitude vertex routes to the sphere predicate and " +
+    "evaluates (round-10 guard no longer refuses); an exactly-180-degree " +
+    "edge is the one remaining degenerate raise") {
+    // small triangle touching 89.95°N — r10 raised on it; now answers
     val touching =
       """{"type":"Polygon","coordinates":[
         |[[10.0,89.0],[11.0,89.95],[12.0,89.0],[10.0,89.0]]]}""".stripMargin
-    val dfT = Seq((11.0, 89.2)).toDF("lon", "lat")
-      .select(st_geomfromgeojson(lit(touching)).as("g"), col("lon"), col("lat"))
-    val e = intercept[Exception] {
-      dfT.filter(SpatialJoin.st_contains_geo(
-        col("g"), col("lon"), col("lat"))).count()
-    }
-    assert(e.getMessage.contains("pole-adjacent") ||
-      Option(e.getCause).exists(_.getMessage.contains("pole-adjacent")))
-    // just below the guard: normal evaluation, point inside
+    val dfT = Seq((11.0, 89.2, true), (11.0, 88.5, false), (50.0, 89.2, false))
+      .toDF("lon", "lat", "expected")
+      .select(st_geomfromgeojson(lit(touching)).as("g"), col("lon"),
+        col("lat"), col("expected"))
+    assert(dfT.filter(SpatialJoin.st_contains_geo(
+      col("g"), col("lon"), col("lat")) =!= col("expected")).count() == 0,
+      "pole-adjacent triangle must evaluate correctly via the sphere route")
+    // just below the routing latitude: planar recentered path, unchanged
     val below =
       """{"type":"Polygon","coordinates":[
         |[[10.0,89.0],[11.0,89.8],[12.0,89.0],[10.0,89.0]]]}""".stripMargin
@@ -190,5 +210,37 @@ class SpatialJoinSpec extends SparkSpec {
     assert(dfB.filter(SpatialJoin.st_contains_geo(
       col("g"), col("lon"), col("lat"))).count() == 1,
       "sub-guard high-latitude ring must still evaluate normally")
+    // an edge spanning exactly 180° of longitude has no defined short way
+    // around — the sphere predicate raises instead of picking a side
+    val ambiguous =
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,89.95],[180.0,89.95],[90.0,89.0],[0.0,89.95]]]}""".stripMargin
+    val dfA = Seq((90.0, 89.5)).toDF("lon", "lat")
+      .select(st_geomfromgeojson(lit(ambiguous)).as("g"), col("lon"),
+        col("lat"))
+    val e = intercept[Exception] {
+      dfA.filter(SpatialJoin.st_contains_geo(
+        col("g"), col("lon"), col("lat"))).count()
+    }
+    assert(e.getMessage.contains("degenerate edge") ||
+      Option(e.getCause).exists(_.getMessage.contains("degenerate edge")),
+      s"expected the degenerate-edge guard, got: ${e.getMessage}")
+  }
+
+  test("sphere predicate agrees with the planar predicate on ordinary " +
+    "mid-latitude geometries (incl. holes)") {
+    val donut =
+      """{"type":"Polygon","coordinates":[
+        |[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],
+        |[[4.0,4.0],[6.0,4.0],[6.0,6.0],[4.0,6.0],[4.0,4.0]]]}""".stripMargin
+    val grid = for { x <- -2 to 12 by 1; y <- -2 to 12 by 1 }
+      yield (x.toDouble + 0.5, y.toDouble + 0.5)
+    val df = grid.toDF("x", "y")
+      .select(st_geomfromgeojson(lit(donut)).as("g"), col("x"), col("y"))
+    val diff = df.filter(
+      SpatialJoin.st_contains_sphere(col("g"), col("x"), col("y")) =!=
+        SpatialJoin.st_contains(col("g"), col("x"), col("y")))
+    assert(diff.count() == 0,
+      "sphere and planar predicates diverge on ordinary geometry")
   }
 }
