@@ -130,17 +130,22 @@ object AudioHash {
     *
     * DECLARED SEMANTICS: pairs are same-length clips (equal sample
     * count) within `maxHamming` bits. The length restriction is standard
-    * duration blocking — the retouch/re-encode/gain edits this detector
-    * targets all preserve sample count — and it is what keeps the
-    * banding stage linear: pigeonhole banding at Hamming k uses k+1
-    * bands of ~64/(k+1) bits, so at k = 8 a band has only ~2⁷ distinct
-    * keys and bucket occupancy grows with corpus size (measured ×4.6 at
-    * ×10 data, PERF.md round 9, before this fix). Folding the clip
-    * length into the band key multiplies the key space by the number of
+    * duration blocking — the retouch and gain edits this detector
+    * targets preserve sample count — and it is what keeps the banding
+    * stage linear: pigeonhole banding at Hamming k uses k+1 bands of
+    * ~64/(k+1) bits, so at k = 8 a band has only ~2⁷ distinct keys and
+    * bucket occupancy grows with corpus size (measured ×4.6 at ×10
+    * data, PERF.md round 9, before this fix). Folding the clip length
+    * into the band key multiplies the key space by the number of
     * distinct lengths and returns occupancy to corpus-shape-independent
-    * scaling. For cross-length matching (trims, resampling), lower
+    * scaling. NOT covered by the default: lossy re-encodes (mp3/AAC
+    * family) typically prepend/append encoder priming and padding
+    * samples, so a re-encoded near-dup usually lands at a DIFFERENT
+    * sample count and the duration block silently excludes it. For
+    * re-encode detection — and for trims/resampling generally — lower
     * `maxHamming` and call [[Dedup.hammingBandPairs]] with
-    * `groupCol = None` explicitly. */
+    * `groupCol = None` explicitly (the documented escape hatch; costs
+    * the corpus-shape-dependent occupancy above). */
   def nearDupPairs(spark: SparkSession, media: DataFrame, idCol: Column,
       dataCol: Column, maxHamming: Int = 6, maxBucket: Int = 4096,
       drops: Option[org.apache.spark.sql.Observation] = None): DataFrame =

@@ -32,7 +32,14 @@ object Boilerplate {
     * `minSupport` demands FREQUENCY evidence on top of coverage: a
     * single-document group trivially "covers" 100% with its own prefix,
     * and stripping on that evidence mutilates the document — boilerplate
-    * is only boilerplate when ≥ `minSupport` documents repeat it. */
+    * is only boilerplate when ≥ `minSupport` documents repeat it.
+    *
+    * EAGER: calling this method runs two Spark jobs immediately (the
+    * group census is localCheckpointed and counted to pick the join
+    * strategy before the returned plan is built) — constructing the
+    * frame is not free the way composing a lazy transformation is.
+    * Callers building plans they may never execute should defer the
+    * call itself. */
   def stripCommonPrefix(df: DataFrame, groupCol: Column, idCol: Column,
       textCol: Column, k: Int = 4, minCoverMilli: Long = 600,
       minSupport: Long = 2, maxBroadcastGroups: Long = 1L << 20): DataFrame = {

@@ -77,8 +77,13 @@ object EntityResolution {
       .select(col("__key"),
         coalesce(col("cl"), lit(0L)).as("cl"),
         coalesce(col("cr"), lit(0L)).as("cr"))
+      // the occupancy product goes through DECIMAL(38,0): at a caller-
+      // raised maxKey above ~3e9 a 64-bit cl*cr can overflow and wrap
+      // negative, silently disabling the product rule for exactly the
+      // keys it exists to catch (ADVICE r10)
       .filter(col("cl") > maxKey || col("cr") > maxKey ||
-        col("cl") * col("cr") > maxKeyPairs)
+        col("cl").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+          col("cr") > lit(maxKeyPairs))
       .select(col("__key"))
     // materialize ONCE (also fires the observation) so the two anti-joins
     // below reuse the small result instead of recomputing the census

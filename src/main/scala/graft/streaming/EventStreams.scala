@@ -268,7 +268,19 @@ object EventStreams {
     * `q_cdc_apply`'s for that key. Late stragglers whose TTL target
     * already passed the watermark evict on the next trigger (the timeout
     * timestamp is clamped forward — Spark rejects timestamps behind the
-    * watermark). */
+    * watermark).
+    *
+    * DECLARED SEMANTICS — one emission PER SETTLE-EPOCH, not per key: on
+    * an open-ended (or multi-micro-batch) stream, a key whose TTL
+    * expires and that later re-activates settles AGAIN and emits a
+    * second record; downstream consumers must treat emissions as
+    * per-epoch compactions (latest emission wins), not as a unique-key
+    * table. The `q_stream_cdc_ttl` gate's single-record-per-key
+    * latest-wins oracle is therefore exact only because its bounded
+    * fixture drains in ONE micro-batch (no key can straddle a
+    * mid-stream settle); an epoch-aware oracle would be required under
+    * `maxFilesPerTrigger` (ADVICE r10, documented rather than
+    * re-modeled). */
   def cdcCompactTtl(spark: SparkSession, changes: DataFrame,
       ttlMs: Long = 6L * 3600 * 1000,
       watermark: String = "1 hour"): DataFrame = {
