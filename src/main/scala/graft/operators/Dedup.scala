@@ -405,26 +405,71 @@ object Dedup {
     require(tauMilli > 0 && tauMilli <= 1000,
       s"tauMilli must be in (0, 1000], got $tauMilli")
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val sets = docs.select(idCol.as("id"), textCol.as("__t"))
+    // Round 11: every shingle is DICTIONARY-ENCODED to an injective long
+    // id at the df-census join (monotonically_increasing_id over the
+    // vocab — an id table, not a hash, so encoded-set intersection counts
+    // are EXACTLY the string-set counts), and everything downstream —
+    // prefix join keys, pair dedup, verify intersection — runs on
+    // primitive longs. The verify merge scan
+    // (plans/SortedIntersectCountExpr) replaces array_intersect's
+    // per-row UTF8String hash-set build, which was the suite's single
+    // largest span on this boilerplate-heavy corpus (~300k candidates →
+    // 256 true pairs at sf0.1).
+    val ex = docs.select(idCol.as("id"), textCol.as("__t"))
       .repartition(parts)
       .select(col("id"),
-        array_distinct(wordNgramsNative(col("__t"), n)).as("s"))
-      .withColumn("l", size(col("s")).cast("long"))
-      .localCheckpoint()
-    val ex = sets.select(col("id"), col("l"), explode(col("s")).as("g"))
-    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val ordered = ex.join(dfreq, Seq("g"))
-      .groupBy(col("id"), col("l"))
-      .agg(sort_array(collect_list(struct(col("df"), col("g")))).as("og"))
-      .select(col("id"), col("l"),
-        slice(transform(col("og"), x => x.getField("g")), lit(1),
+        explode(array_distinct(wordNgramsNative(col("__t"), n))).as("g"))
+    val vocab = ex.groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("mid", monotonically_increasing_id())
+    // one grouped pass builds BOTH orderings of the encoded set: df-order
+    // (rarest first, ties on dictionary id — any shared total order is
+    // valid for prefix filtering) for the prefix, value-order for the
+    // merge-scan verify. The localCheckpoint feeds three consumers (the
+    // prefix explode and both verify sides) and pins one consistent
+    // dictionary assignment.
+    val ordered = ex.join(vocab, Seq("g"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("mid")))).as("og"))
+      .select(col("id"), size(col("og")).cast("long").as("l"),
+        sort_array(transform(col("og"), x => x.getField("mid"))).as("sv"),
+        transform(col("og"), x => x.getField("mid")).as("dfo"))
+      .select(col("id"), col("l"), col("sv"),
+        slice(col("dfo"), lit(1),
           (col("l") - expr(s"($tauMilli * l + 999) div 1000") + 1)
             .cast("int")).as("prefix"))
-    val pe = ordered.select(col("id"), col("l"), explode(col("prefix")).as("g"))
+      .localCheckpoint()
+    val sets = ordered.select(col("id"), col("sv").as("s"), col("l"))
+    // PPJoin positional filter (round 11): a shared prefix gram at
+    // 1-based df-order positions (pa, pb) bounds the pair's overlap by
+    //   o <= (min(pa, pb) - 1) + 1 + min(la - pa, lb - pb)
+    // (common grams before g sit before it in BOTH df-ordered lists, so
+    // there are at most min(pa, pb) - 1 of them; after g at most the
+    // shorter remaining suffix). Sound per-match: the bound holds for
+    // EVERY common gram, so a true pair's qualifying prefix match always
+    // passes, and a match whose bound cannot reach the Jaccard minimum
+    // overlap ceil(tau*(la+lb)/(1+tau)) is pruned BEFORE the pair-dedup
+    // shuffle and the verify join. Integer form: bound*(1000+tau) >=
+    // tau*(la+lb) (bound is integral, so >= ceil(x) iff >= x). On the
+    // uniform-length gate corpus this prunes little (~0.4% — positions
+    // sit early and suffixes are long at tau=0.5); its value is on
+    // length-SKEWED corpora, where a short doc matching deep in a long
+    // doc's prefix fails the bound outright. Cost is a few comparisons
+    // per match; the brute-force equivalence spec pins that the pair
+    // set is unchanged.
+    val pe = ordered.select(col("id"), col("l"),
+        posexplode(col("prefix")).as(Seq("p0", "g")))
+      .select(col("id"), col("l"), (col("p0") + 1).cast("long").as("p"),
+        col("g"))
+    val posBound =
+      least(col("a.p"), col("b.p")) +
+        least(col("a.l") - col("a.p"), col("b.l") - col("b.p"))
     val cand = pe.as("a").join(pe.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           lit(1000) * least(col("a.l"), col("b.l")) >=
-            lit(tauMilli) * greatest(col("a.l"), col("b.l")))
+            lit(tauMilli) * greatest(col("a.l"), col("b.l")) &&
+          posBound * lit(1000 + tauMilli) >=
+            lit(tauMilli) * (col("a.l") + col("b.l")))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cand
@@ -433,9 +478,14 @@ object Dedup {
       .join(sets.select(col("id").as("id_b"), col("s").as("sb"),
         col("l").as("size_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .filter(lit(1000) * col("inter") >=
-        lit(tauMilli) * (col("size_a") + col("size_b") - col("inter")))
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.SortedIntersectCountExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("sb")))))
+      // single-reference form of 1000*i >= tau*(la+lb-i): predicate
+      // inlining would otherwise run the merge scan twice per candidate
+      .filter(lit(1000 + tauMilli) * col("inter") >=
+        lit(tauMilli) * (col("size_a") + col("size_b")))
       .select(col("id_a"), col("id_b"), col("inter"),
         col("size_a"), col("size_b"),
         expr("(1000 * inter) div (size_a + size_b - inter)").as("jac_milli"))

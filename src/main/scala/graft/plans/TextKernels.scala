@@ -35,6 +35,25 @@ object TextKernels {
   /** Same (a_i, b_i) family as `TextFunctions.minhashParams`. */
   val MinhashPrime: Long = 2147483647L // 2^31 - 1
 
+  /** Merge-scan common-element count of two sorted, distinct, null-free
+    * long arrays ([[SortedIntersectCountExpr]]'s kernel) — primitive
+    * getLong accesses, zero allocation. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   private val TrimP = Pattern.compile("^\\s+|\\s+$")
   private val WsP = Pattern.compile("\\s+")
 
@@ -297,4 +316,40 @@ case class Simhash64Expr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Simhash64Expr =
     copy(child = newChild)
+}
+
+/** Count of common elements of two SORTED, DISTINCT long arrays — one
+  * merge scan over primitive longs, zero allocation.
+  * ≡ `size(array_intersect(a, b))` on sorted distinct inputs, but
+  * without the per-row hash-set build (and, combined with the
+  * dictionary encoding in [[graft.operators.Dedup.jaccardSelfJoin]],
+  * without any per-element UTF8String materialization) that made the
+  * built-in the verify-stage bottleneck of the PPJoin text self-join.
+  * Precondition (caller-enforced): both arrays sorted ascending, no
+  * null elements. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.TextKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
 }
