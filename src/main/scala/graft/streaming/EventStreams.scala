@@ -359,6 +359,14 @@ object EventStreams {
       }
     }
 
+  /** ORACLE-VERIFICATION PATH ONLY: drains a bounded stream into a
+    * memory sink and collects the sink table to the driver — inherent to
+    * memory sinks and exactly right for comparing a drained stream
+    * against a batch-SQL oracle at gate scale, NEVER the production
+    * shape. Production streams leave through [[runForeachBatch]] (any
+    * batch sink: parquet, documents, JDBC) or a direct file/Kafka sink,
+    * which stay fully distributed — `StreamingSpec` runs the same gate
+    * computation through both paths and pins equality. */
   private def runIsolated(spark: SparkSession, df: DataFrame, name: String,
       mode: String)(
       drain: org.apache.spark.sql.streaming.StreamingQuery => Unit)
@@ -384,6 +392,15 @@ object EventStreams {
         catch { case scala.util.control.NonFatal(_) => () }
     }
     sess.conf.set("spark.sql.shuffle.partitions", streamStatePartitions.toString)
+    // Production state-store posture (round 11): RocksDB-backed state
+    // keeps the stateful operators (CDC TTL, stream-stream joins,
+    // windowed aggs) off-heap and disk-spillable — the default
+    // HDFSBackedStateStoreProvider holds every key's state in executor
+    // heap, fine at test scale, heap-bound at 100 TB key cardinality.
+    // In-box since Spark 3.2 (rocksdbjni ships in the Spark jars). A
+    // caller that explicitly set a provider on its session keeps it.
+    if (!parent.conf.getAll.contains(StateStoreProviderKey))
+      sess.conf.set(StateStoreProviderKey, StateStoreProvider)
     val bound = org.apache.spark.sql.graft.DatasetBridge.ofRows(sess,
       org.apache.spark.sql.graft.DatasetBridge.plan(df))
     val q = bound.writeStream
@@ -392,8 +409,13 @@ object EventStreams {
       .outputMode(mode)
       .option("checkpointLocation", ckpt.toString)
       .start()
-    try drain(q)
-    finally q.stop()
+    try {
+      drain(q)
+      // spec/debug observability: the final progress JSON carries the
+      // state-store custom metrics (rocksdb* when the RocksDB provider is
+      // active), the watermark, and per-operator state rows
+      lastRunProgress = Option(q.lastProgress).map(_.json)
+    } finally q.stop()
     // the memory sink registers its view on the isolated session; hand the
     // materialized rows back on the caller's session
     val result = sess.table(name)
@@ -404,6 +426,20 @@ object EventStreams {
     deleteRecursively(ckpt.toFile)
     materialized
   }
+
+  /** Final progress JSON of the most recent isolated run ([[runToResult]]
+    * family) — observability for specs and debugging only. */
+  @volatile var lastRunProgress: Option[String] = None
+
+  val StateStoreProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** The state-store backend every isolated streaming run launches with
+    * (unless the caller's session explicitly chose one): RocksDB, the
+    * off-heap disk-spillable store whose state size is bounded by local
+    * disk, not executor heap — the only posture that survives 100 TB key
+    * cardinality. `StreamingSpec` pins that the gates run under it. */
+  val StateStoreProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** State-partition count for the streaming surface: sized to the streamed
     * key cardinality (a handful of event types / user hash buckets here),

@@ -116,7 +116,9 @@ class StreamingSpec extends SparkSpec {
     // engine's plans are backend-agnostic; this pins the swap actually
     // working (provider class, commit path, same results).
     val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
+    // getAll, not getOption: getOption surfaces the DEFAULT value, and
+    // restoring that would explicitly pin the provider on the session
+    val prev = spark.conf.getAll.get(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
@@ -135,6 +137,38 @@ class StreamingSpec extends SparkSpec {
         case None => spark.conf.unset(key)
       }
     }
+  }
+
+  test("RocksDB is the DEFAULT state store for isolated streaming runs " +
+    "(round 11); an explicit caller provider is honored") {
+    // default path: no provider set on the caller's session — the
+    // stateful run must land on RocksDB (progress carries rocksdb*
+    // state-store custom metrics)
+    assert(spark.conf.getAll.get(EventStreams.StateStoreProviderKey).isEmpty,
+      "precondition: test session must not pin a provider")
+    val streamed = EventStreams.runToResult(spark,
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+      "rocksdb_default_tumbling")
+    assert(streamed.count() > 0)
+    val progress = EventStreams.lastRunProgress.getOrElse(
+      fail("no progress recorded"))
+    assert(progress.contains("rocksdb"),
+      s"expected rocksdb state-store metrics in progress, got: " +
+        progress.take(400))
+    // caller override: an explicitly chosen provider survives the copy
+    val key = EventStreams.StateStoreProviderKey
+    val hdfs = "org.apache.spark.sql.execution.streaming.state." +
+      "HDFSBackedStateStoreProvider"
+    spark.conf.set(key, hdfs)
+    try {
+      val s2 = EventStreams.runToResult(spark,
+        EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+        "hdfs_override_tumbling")
+      assert(s2.count() == streamed.count())
+      val p2 = EventStreams.lastRunProgress.getOrElse(fail("no progress"))
+      assert(!p2.contains("rocksdb"),
+        "explicit HDFS provider must not be overridden by the default")
+    } finally spark.conf.unset(key)
   }
 
   test("watermark drops late data in append mode") {
@@ -251,18 +285,28 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("committed only"))
   }
 
-  test("foreachBatch bridges a stream into a batch sink") {
+  test("foreachBatch routes a GATE computation into a file sink, equal " +
+    "row-for-row to the memory-sink oracle path (production-path pin)") {
+    // q_stream_tumbling's computation through BOTH exits: the
+    // oracle-verification memory sink (runIsolated collects — its
+    // declared, documented boundary) and the production foreachBatch →
+    // parquet path, which never collects anything to the driver.
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ws_epoch"), col("event_type"), col("n"))
+      .as[(Long, String, Long)].collect().toSet
     val outDir = java.nio.file.Files.createTempDirectory("graft_feb").toString
     EventStreams.runForeachBatch(
       EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
       mode = "complete") { (df, batchId) =>
       df.write.mode("overwrite").parquet(s"$outDir/b$batchId")
     }
-    val written = spark.read.parquet(s"$outDir/b0")
-    assert(written.count() ==
-      EventStreams.runToResult(spark,
-        EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
-        "spec_feb_check").count())
+    val fileSide = norm(spark.read.parquet(s"$outDir/b0"))
+    val memSide = norm(EventStreams.runToResult(spark,
+      EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf)),
+      "spec_feb_check"))
+    assert(fileSide.nonEmpty)
+    assert(fileSide == memSide,
+      "file-sink and memory-sink results diverge for the same gate computation")
   }
 
   test("statistical drift screen composes with foreachBatch (KS per batch)") {
