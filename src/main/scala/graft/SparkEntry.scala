@@ -29,7 +29,8 @@ object SparkEntry {
     TpchOps,
     BehaviorOps,
     QualityOps,
-    MlOps
+    MlOps,
+    StatOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
