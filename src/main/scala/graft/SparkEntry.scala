@@ -30,7 +30,8 @@ object SparkEntry {
     BehaviorOps,
     QualityOps,
     MlOps,
-    StatOps
+    StatOps,
+    StatOps2
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,450 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.BasketGraph
+import graft.sources.Tables
+import graft.functions.TextFunctions.{hash32, sqlHash32}
+
+/** Round-11 second tranche: experiment design and model-governance
+  * statistics — sequential-pattern support, community modularity,
+  * split-conformal prediction, A/B power analysis, WOE/IV feature
+  * screening, and PSI population drift.
+  *
+  * Determinism discipline (see [[Parity]]): counts and supports are
+  * exact integers; rationals go through DECIMAL(38,0)
+  * subtract-the-remainder division (the `q_changepoint` staging) so
+  * truncation is engine-independent; ln/sqrt appear only in closing
+  * formulas computed from exact-integer cells with the IDENTICAL
+  * expression shape on both engines, rounded to 6 dp (the BM25/q_tfidf
+  * precedent).
+  */
+object StatOps2 extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private val DayUs = 86400L * 1000000L
+
+  override def defs: Map[String, Q] = Map[String, Q](
+
+    // Sequential-pattern support (length-2, gap-allowed): for every
+    // ordered pair of distinct event types (ante, cons), the number of
+    // users with SOME ante-event strictly before SOME cons-event —
+    // the classic sequence-mining support, reduced to a per-(user,type)
+    // [first, last] interval test: ante-before-cons ⟺ first(ante) <
+    // last(cons). "Strictly before" is by event time alone; equal-ts
+    // pairs don't support (declared — engine-independent without
+    // composing a ts⊕id tiebreak key). Scale: one shuffle on user_id to
+    // the (user, type) aggregate (≤ |vocab| rows per user), then a
+    // per-user self-join bounded by |vocab|² per user — never row×row —
+    // and a |vocab|²-sized final aggregate. The user census broadcasts.
+    "q_seq_support" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(expr("unix_micros(ts)")).as("first_us"),
+          max(expr("unix_micros(ts)")).as("last_us"))
+      val sup = e.as("a")
+        .join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.first_us") < col("b.last_us"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("support"))
+      val n = t(s, dir, "events")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      sup.crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("support"),
+          expr("(1000000 * support) div n_users").as("support_micro"))
+        .orderBy(col("ante"), col("cons"))
+    }),
+
+    // Newman modularity of the brand partition on the co-purchase graph:
+    // per community c, Q_c = e_c/m − (d_c/2m)² with e_c = intra-community
+    // edges, d_c = Σ degree over c's vertices, m = |edges|. The exact
+    // rational is staged as ONE nonnegative quotient — num = 10⁶·(4·m·e_c
+    // − d_c² + 4·m²) ≥ 0 (since d_c ≤ 2m), den = 4·m² — through the
+    // DECIMAL(38,0) subtract-remainder division, then shifted back by
+    // −10⁶: truncating `div` and DuckDB `//` agree on nonnegative
+    // operands, so no floor-vs-trunc skew on negative Q_c. Scale: edges
+    // from the census-capped [[BasketGraph]] (skew guard), brand labels
+    // are a dim broadcast, everything after is vertex/community-sized.
+    "q_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e0 = BasketGraph.edges(li, "ok", "pk")
+      val comm = t(s, dir, "part")
+        .select(col("p_partkey").as("x"), col("p_brand").as("c"))
+      val lab = e0
+        .join(broadcast(comm.select(col("x").as("u"), col("c").as("cu"))),
+          Seq("u"))
+        .join(broadcast(comm.select(col("x").as("v"), col("c").as("cv"))),
+          Seq("v"))
+      val m = lab.agg(count(lit(1)).as("m"))
+      val din = lab.filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_in"))
+      val dc = lab.select(col("cu").as("c"))
+        .unionAll(lab.select(col("cv").as("c")))
+        .groupBy(col("c")).agg(count(lit(1)).as("d_tot"))
+      dc.join(din, Seq("c"), "left")
+        .select(col("c"), coalesce(col("e_in"), lit(0L)).as("e_in"),
+          col("d_tot"))
+        .crossJoin(broadcast(m))
+        .select(col("c"), col("e_in"), col("d_tot"),
+          // (x − x % den) / den is an EXACT decimal division (the
+          // q_changepoint staging): num ≥ 0 by d_c ≤ 2m
+          (expr(
+            """CAST((
+              |  (1000000 * (4 * CAST(m AS DECIMAL(38,0)) * e_in
+              |     - CAST(d_tot AS DECIMAL(38,0)) * d_tot
+              |     + 4 * CAST(m AS DECIMAL(38,0)) * m))
+              |  - (1000000 * (4 * CAST(m AS DECIMAL(38,0)) * e_in
+              |     - CAST(d_tot AS DECIMAL(38,0)) * d_tot
+              |     + 4 * CAST(m AS DECIMAL(38,0)) * m))
+              |    % (4 * CAST(m AS DECIMAL(38,0)) * m)
+              |) / (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)"""
+              .stripMargin) - lit(1000000L)).as("q_micro"))
+        .orderBy(col("c"))
+    }),
+
+    // Split conformal prediction on lineitem price: train/calib/test by
+    // portable hash (2:1:1), model = per-quantity mean train price
+    // (truncating cents div — a vocab-sized broadcast), nonconformity =
+    // |price − pred|, q̂ = the k-th smallest calibration residual with
+    // k = ⌈0.9·(n_calib+1)⌉ (the finite-sample 90% conformal rank), then
+    // the guaranteed-coverage readout on test: share with residual ≤ q̂.
+    // The order statistic runs rank-free at scale: per-value counts,
+    // BUCKETED cumulative counts (residual div 4096 → partitioned
+    // windows + a tiny bucket-offset merge — never a single-partition
+    // global sort), pick the unique value whose cumulative range covers
+    // k. Everything downstream of the two fact scans is value-cardinality
+    // sized.
+    "q_conformal" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").select(
+        pmod(hash32(concat(lit("cf:"), col("l_orderkey"), lit(":"),
+          col("l_linenumber"))), lit(4L)).as("split"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val model = base.filter(col("split") < 2)
+        .groupBy(col("qty"))
+        .agg(expr("sum(cents) div count(1)").as("pred"))
+      val calib = base.filter(col("split") === 2)
+        .join(broadcast(model), Seq("qty"))
+        .select(abs(col("cents") - col("pred")).as("r"))
+      val nC = calib.agg(count(lit(1)).as("n_calib"),
+        expr("(9 * (count(1) + 1) + 9) div 10").as("k"))
+      val byVal = calib.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", expr("r div 4096"))
+      val w = Window.partitionBy(col("bucket")).orderBy(col("r"))
+      val loc = byVal.withColumn("cum", sum(col("cnt")).over(w))
+      val bt = byVal.groupBy(col("bucket"))
+        .agg(sum(col("cnt")).as("bn"))
+      val off = bt.as("a")
+        .join(bt.as("o"), col("o.bucket") < col("a.bucket"), "left")
+        .groupBy(col("a.bucket").as("bucket"))
+        .agg(coalesce(sum(col("o.bn")), lit(0L)).as("offn"))
+      val qhat = loc.join(broadcast(off), Seq("bucket"))
+        .crossJoin(broadcast(nC))
+        .filter(col("offn") + col("cum") >= col("k") &&
+          col("offn") + col("cum") - col("cnt") < col("k"))
+        .select(col("r").as("qhat_cents"), col("n_calib"), col("k"))
+      val test = base.filter(col("split") === 3)
+        .join(broadcast(model), Seq("qty"))
+        .select(abs(col("cents") - col("pred")).as("r"))
+      val nT = base.filter(col("split") < 2)
+        .agg(count(lit(1)).as("n_train"))
+      test.crossJoin(broadcast(qhat))
+        .agg(first(col("n_calib")).as("n_calib"), first(col("k")).as("k"),
+          first(col("qhat_cents")).as("qhat_cents"),
+          count(lit(1)).as("n_test"),
+          sum(when(col("r") <= col("qhat_cents"), 1L).otherwise(0L))
+            .as("n_cover"))
+        .crossJoin(broadcast(nT))
+        .select(col("n_train"), col("n_calib"), col("n_test"), col("k"),
+          col("qhat_cents"), col("n_cover"),
+          expr("(1000000 * n_cover) div n_test").as("cover_ppm"))
+    }),
+
+    // Two-proportion A/B power analysis: users hash-assigned to two
+    // variants, conversion = ≥14 purchase events (the q_sequential_ab
+    // milestone — "any purchase" saturates at 100% on this corpus); the
+    // required per-arm sample size for 80% power at two-sided α=0.05
+    // under the normal approximation, n = (z_{α/2}·√(2·p̄·(1−p̄)) +
+    // z_β·√(p₀(1−p₀) + p₁(1−p₁)))² / (p₁−p₀)². The four cells
+    // (n₀,n₁,c₀,c₁) are exact integers; the closing formula runs in IEEE
+    // doubles with the IDENTICAL expression shape both engines (sqrt is
+    // correctly rounded, squares are explicit self-multiplies), rounded
+    // to 3 dp; a zero observed effect yields NULL (the required n is
+    // unbounded), not a divide-by-zero. Scale: one user-keyed aggregate,
+    // then a 2-row reduction.
+    "q_ab_power" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 14, 1L).otherwise(0L).as("conv"))
+        .select(pmod(hash32(concat(lit("pw:"),
+          col("user_id").cast("string"))), lit(2L)).as("variant"),
+          col("conv"))
+      u.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .agg(
+          sum(when(col("variant") === 0, col("n"))).as("n0"),
+          sum(when(col("variant") === 1, col("n"))).as("n1"),
+          sum(when(col("variant") === 0, col("c"))).as("c0"),
+          sum(when(col("variant") === 1, col("c"))).as("c1"))
+        // squares are EXPLICIT self-multiplications, never pow(x, 2):
+        // Math.pow is only 1-ulp-accurate, x*x of identical doubles is
+        // one exactly-rounded multiply on both engines
+        .withColumn("p0", expr("CAST(c0 AS DOUBLE) / n0"))
+        .withColumn("p1", expr("CAST(c1 AS DOUBLE) / n1"))
+        .withColumn("pbar",
+          expr("(CAST(c0 AS DOUBLE) + c1) / (CAST(n0 AS DOUBLE) + n1)"))
+        .withColumn("z",
+          expr("""1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+                 | + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))"""
+            .stripMargin))
+        .select(col("n0"), col("n1"), col("c0"), col("c1"),
+          expr("(1000000 * c0) div n0").as("p0_micro"),
+          expr("(1000000 * c1) div n1").as("p1_micro"),
+          round(expr("z * z / nullif((p1 - p0) * (p1 - p0), 0.0d)"), 3)
+            .as("n_required"))
+    }),
+
+    // Weight-of-evidence / information-value screen: how well `source`
+    // separates English from non-English documents. Per source bin:
+    // good/bad counts (exact), WOE = ln(((g+½)·(B+½))/((b+½)·(G+½)))
+    // (half-unit smoothing so empty cells stay finite), and the bin's IV
+    // contribution (g/G − b/B)·WOE — both closing-formula doubles from
+    // exact-integer cells, rounded to 6 dp. Scale: one bin-keyed
+    // aggregate; the (G, B) totals broadcast.
+    "q_woe_iv" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("good"))
+      val bins = d.groupBy(col("source"))
+        .agg(sum(col("good")).as("g"),
+          sum(lit(1L) - col("good")).as("b"))
+      val tot = d.agg(sum(col("good")).as("gt"),
+        sum(lit(1L) - col("good")).as("bt"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("source"), col("g").as("n_good"), col("b").as("n_bad"),
+          round(expr(
+            """ln(((CAST(g AS DOUBLE) + 0.5) * (CAST(bt AS DOUBLE) + 0.5))
+              |  / ((CAST(b AS DOUBLE) + 0.5) * (CAST(gt AS DOUBLE) + 0.5)))"""
+              .stripMargin), 6).as("woe"),
+          round(expr(
+            """(CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)
+              |* ln(((CAST(g AS DOUBLE) + 0.5) * (CAST(bt AS DOUBLE) + 0.5))
+              |  / ((CAST(b AS DOUBLE) + 0.5) * (CAST(gt AS DOUBLE) + 0.5)))"""
+              .stripMargin), 6).as("iv_term"))
+        .orderBy(col("source"))
+    }),
+
+    // Population-stability-index drift of the event-value distribution,
+    // first half of the date span (baseline) vs second half (current):
+    // 10 fixed-width bins over [0, 500) (floor(value/50) capped at 9 —
+    // floor on doubles is IEEE-identical cross-engine, never a
+    // double→int cast, which truncates in Spark but ROUNDS in DuckDB),
+    // zero-filled via a sequence grid, half-unit smoothing, per-bin term
+    // (p−q)·ln(p/q) rounded to 6 dp. PSI = Σ terms. Scale: one bin-keyed
+    // count per period; the midpoint day is a 1-row broadcast.
+    "q_psi_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(expr(s"unix_micros(ts) div $DayUs").as("day"),
+          least(floor(col("value") / 50.0).cast("long"), lit(9L))
+            .as("bin"))
+      val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val cells = e.crossJoin(broadcast(mid))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L))
+          .as("a"),
+          sum(when(col("day") >= col("mid"), 1L).otherwise(0L))
+            .as("b"))
+      val grid = e.sparkSession.range(10).select(col("id").as("bin"))
+      val tot = cells.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"))
+      grid.join(cells, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("a"), lit(0L)).as("n_base"),
+          coalesce(col("b"), lit(0L)).as("n_cur"))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_base"), col("n_cur"),
+          round(expr(
+            """((CAST(n_base AS DOUBLE) + 0.5) / (CAST(at AS DOUBLE) + 5.0)
+              |  - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 5.0))
+              |* ln(((CAST(n_base AS DOUBLE) + 0.5) / (CAST(at AS DOUBLE) + 5.0))
+              |  / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 5.0)))"""
+              .stripMargin), 6).as("psi_term"))
+        .orderBy(col("bin"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_seq_support" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, MIN(epoch_us(ts)) AS first_us,
+        |    MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY 1, 2),
+        |sup AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |    COUNT(*) AS support
+        |  FROM e a JOIN e b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |    AND a.first_us < b.last_us
+        |  GROUP BY 1, 2),
+        |n AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+        |SELECT ante, cons, support,
+        |  (1000000 * support) // n.n_users AS support_micro
+        |FROM sup, n ORDER BY ante, cons""".stripMargin,
+
+    "q_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e0 AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT cu.p_brand AS cu, cv.p_brand AS cv
+        |  FROM e0 JOIN part cu ON cu.p_partkey = e0.u
+        |          JOIN part cv ON cv.p_partkey = e0.v),
+        |m AS (SELECT COUNT(*) AS m FROM lab),
+        |din AS (SELECT cu AS c, COUNT(*) AS e_in FROM lab
+        |        WHERE cu = cv GROUP BY 1),
+        |dc AS (SELECT c, COUNT(*) AS d_tot FROM (
+        |    SELECT cu AS c FROM lab UNION ALL SELECT cv AS c FROM lab)
+        |  GROUP BY 1)
+        |SELECT dc.c, COALESCE(din.e_in, 0) AS e_in, dc.d_tot,
+        |  CAST((1000000 * (4 * CAST(m.m AS HUGEINT) * COALESCE(din.e_in, 0)
+        |       - CAST(dc.d_tot AS HUGEINT) * dc.d_tot
+        |       + 4 * CAST(m.m AS HUGEINT) * m.m))
+        |    // (4 * CAST(m.m AS HUGEINT) * m.m) - 1000000 AS BIGINT)
+        |    AS q_micro
+        |FROM dc LEFT JOIN din ON din.c = dc.c, m
+        |ORDER BY dc.c""".stripMargin,
+
+    "q_conformal" ->
+      s"""WITH base AS (
+         |  SELECT ${sqlHash32(
+               "'cf:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 4
+         |      AS split,
+         |    CAST(l_quantity AS BIGINT) AS qty,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      AS cents
+         |  FROM lineitem),
+         |model AS (
+         |  SELECT qty, SUM(cents) // COUNT(*) AS pred
+         |  FROM base WHERE split < 2 GROUP BY 1),
+         |calib AS (
+         |  SELECT ABS(b.cents - m.pred) AS r
+         |  FROM base b JOIN model m USING (qty) WHERE b.split = 2),
+         |nc AS (SELECT COUNT(*) AS n_calib,
+         |         (9 * (COUNT(*) + 1) + 9) // 10 AS k FROM calib),
+         |ranked AS (
+         |  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM calib),
+         |qhat AS (SELECT ranked.r AS qhat_cents FROM ranked, nc
+         |         WHERE ranked.rn = nc.k),
+         |test AS (
+         |  SELECT ABS(b.cents - m.pred) AS r
+         |  FROM base b JOIN model m USING (qty) WHERE b.split = 3),
+         |nt AS (SELECT COUNT(*) AS n_train FROM base WHERE split < 2),
+         |cov AS (
+         |  SELECT COUNT(*) AS n_test,
+         |    SUM(CASE WHEN test.r <= qhat.qhat_cents THEN 1 ELSE 0 END)
+         |      AS n_cover
+         |  FROM test, qhat)
+         |SELECT nt.n_train, nc.n_calib, cov.n_test, nc.k,
+         |  CAST(qhat.qhat_cents AS BIGINT) AS qhat_cents,
+         |  CAST(cov.n_cover AS BIGINT) AS n_cover,
+         |  CAST((1000000 * cov.n_cover) // cov.n_test AS BIGINT)
+         |    AS cover_ppm
+         |FROM nt, nc, qhat, cov""".stripMargin,
+
+    "q_ab_power" ->
+      s"""WITH u AS (
+         |  SELECT user_id,
+         |    CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+         |        THEN 1 ELSE 0 END) >= 14 THEN 1 ELSE 0 END AS conv
+         |  FROM events GROUP BY 1),
+         |v AS (
+         |  SELECT ${sqlHash32("'pw:' || CAST(user_id AS VARCHAR)")} % 2
+         |      AS variant, conv
+         |  FROM u),
+         |cells AS (
+         |  SELECT
+         |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+         |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS c0,
+         |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS c1
+         |  FROM v),
+         |staged AS (
+         |  SELECT n0, n1, c0, c1,
+         |    CAST(c0 AS DOUBLE) / n0 AS p0,
+         |    CAST(c1 AS DOUBLE) / n1 AS p1,
+         |    (CAST(c0 AS DOUBLE) + c1) / (CAST(n0 AS DOUBLE) + n1) AS pbar
+         |  FROM cells),
+         |zed AS (
+         |  SELECT *,
+         |    1.959964 * sqrt(2.0 * pbar * (1.0 - pbar))
+         |      + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)) AS z
+         |  FROM staged)
+         |SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+         |  CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+         |  CAST((1000000 * c0) // n0 AS BIGINT) AS p0_micro,
+         |  CAST((1000000 * c1) // n1 AS BIGINT) AS p1_micro,
+         |  round(z * z / NULLIF((p1 - p0) * (p1 - p0), 0.0), 3)
+         |    AS n_required
+         |FROM zed""".stripMargin,
+
+    "q_woe_iv" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+        |  FROM documents),
+        |bins AS (
+        |  SELECT source, SUM(good) AS g, SUM(1 - good) AS b
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT SUM(good) AS gt, SUM(1 - good) AS bt FROM d)
+        |SELECT source, CAST(g AS BIGINT) AS n_good,
+        |  CAST(b AS BIGINT) AS n_bad,
+        |  round(ln(((CAST(g AS DOUBLE) + 0.5) * (CAST(bt AS DOUBLE) + 0.5))
+        |    / ((CAST(b AS DOUBLE) + 0.5) * (CAST(gt AS DOUBLE) + 0.5))), 6)
+        |    AS woe,
+        |  round((CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)
+        |    * ln(((CAST(g AS DOUBLE) + 0.5) * (CAST(bt AS DOUBLE) + 0.5))
+        |    / ((CAST(b AS DOUBLE) + 0.5) * (CAST(gt AS DOUBLE) + 0.5))), 6)
+        |    AS iv_term
+        |FROM bins, tot ORDER BY source""".stripMargin,
+
+    "q_psi_drift" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day,
+         |    LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+         |  FROM events),
+         |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+         |cells AS (
+         |  SELECT bin,
+         |    SUM(CASE WHEN day < mid.mid THEN 1 ELSE 0 END) AS a,
+         |    SUM(CASE WHEN day >= mid.mid THEN 1 ELSE 0 END) AS b
+         |  FROM e, mid GROUP BY 1),
+         |grid AS (SELECT g.bin FROM unnest(generate_series(0, 9)) AS g(bin)),
+         |z AS (
+         |  SELECT grid.bin, COALESCE(cells.a, 0) AS n_base,
+         |    COALESCE(cells.b, 0) AS n_cur
+         |  FROM grid LEFT JOIN cells ON cells.bin = grid.bin),
+         |tot AS (SELECT SUM(n_base) AS at, SUM(n_cur) AS bt FROM z)
+         |SELECT CAST(z.bin AS BIGINT) AS bin,
+         |  CAST(z.n_base AS BIGINT) AS n_base,
+         |  CAST(z.n_cur AS BIGINT) AS n_cur,
+         |  round(((CAST(n_base AS DOUBLE) + 0.5) / (CAST(at AS DOUBLE) + 5.0)
+         |      - (CAST(n_cur AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 5.0))
+         |    * ln(((CAST(n_base AS DOUBLE) + 0.5) / (CAST(at AS DOUBLE) + 5.0))
+         |      / ((CAST(n_cur AS DOUBLE) + 0.5) / (CAST(bt AS DOUBLE) + 5.0))),
+         |    6) AS psi_term
+         |FROM z, tot ORDER BY z.bin""".stripMargin
+  )
+}
