@@ -79,21 +79,34 @@ object StatOps2 extends QueryPack {
       val e0 = BasketGraph.edges(li, "ok", "pk")
       val comm = t(s, dir, "part")
         .select(col("p_partkey").as("x"), col("p_brand").as("c"))
-      val lab = e0
+      // ONE pass over the expensive edge subtree: reduce edges to the
+      // |communities|² pair-count table first, then every statistic
+      // (m, e_in, d_tot) is arithmetic on that community-sized frame —
+      // naming m/e_in/d_tot as separate aggregates over the labeled
+      // edges re-ran the whole edge build per aggregate (3× the work,
+      // measured 6.4s → 4.7s at sf0.1; the remaining floor is the
+      // shared basket-graph edge build itself, same as q_triangles)
+      val pc = e0
         .join(broadcast(comm.select(col("x").as("u"), col("c").as("cu"))),
           Seq("u"))
         .join(broadcast(comm.select(col("x").as("v"), col("c").as("cv"))),
           Seq("v"))
-      val m = lab.agg(count(lit(1)).as("m"))
-      val din = lab.filter(col("cu") === col("cv"))
-        .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_in"))
-      val dc = lab.select(col("cu").as("c"))
-        .unionAll(lab.select(col("cv").as("c")))
-        .groupBy(col("c")).agg(count(lit(1)).as("d_tot"))
-      dc.join(din, Seq("c"), "left")
-        .select(col("c"), coalesce(col("e_in"), lit(0L)).as("e_in"),
-          col("d_tot"))
-        .crossJoin(broadcast(m))
+        .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("cnt"))
+      val per = pc
+        .select(col("cu").as("c"), col("cnt"),
+          when(col("cu") === col("cv"), col("cnt")).otherwise(0L)
+            .as("ein"))
+        .unionAll(pc.select(col("cv").as("c"), col("cnt"),
+          lit(0L).as("ein")))
+        .groupBy(col("c"))
+        .agg(sum(col("cnt")).as("d_tot"), sum(col("ein")).as("e_in"))
+      // the global edge mass via an all-rows window over the
+      // community-sized frame (≤ |brands| rows — a bounded dim, not a
+      // corpus window): Σ d_tot double-counts every edge once per
+      // endpoint, so m = Σ d_tot / 2
+      per
+        .withColumn("m",
+          expr("sum(d_tot) over () div 2"))
         .select(col("c"), col("e_in"), col("d_tot"),
           // (x − x % den) / den is an EXACT decimal division (the
           // q_changepoint staging): num ≥ 0 by d_c ≤ 2m
@@ -130,16 +143,33 @@ object StatOps2 extends QueryPack {
         col("l_quantity").cast("long").as("qty"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
+      // the model is a vocab-sized artifact reused by three consumers —
+      // localCheckpoint it (the Percentiles/Boilerplate semi-eager
+      // precedent) so the split<2 scan runs ONCE, and derive n_train
+      // from its per-key counts instead of a fourth corpus scan
       val model = base.filter(col("split") < 2)
         .groupBy(col("qty"))
-        .agg(expr("sum(cents) div count(1)").as("pred"))
-      val calib = base.filter(col("split") === 2)
-        .join(broadcast(model), Seq("qty"))
-        .select(abs(col("cents") - col("pred")).as("r"))
-      val nC = calib.agg(count(lit(1)).as("n_calib"),
-        expr("(9 * (count(1) + 1) + 9) div 10").as("k"))
-      val byVal = calib.groupBy(col("r")).agg(count(lit(1)).as("cnt"))
+        .agg(expr("sum(cents) div count(1)").as("pred"),
+          count(lit(1)).as("n_q"))
+        .localCheckpoint()
+      val nT = model.agg(sum(col("n_q")).as("n_train"))
+      // ONE scan for BOTH holdout splits: per-(split, residual-value)
+      // counts — value-cardinality-sized (≤ n_calib + n_test, orders
+      // below the corpus) — checkpointed so the census, bucket offsets,
+      // rank probe and coverage readout all read it instead of
+      // re-running holdout scans (naively the calib subtree evaluated
+      // 4× and test scanned separately; 4.3s → 2.4s at sf0.1)
+      val resid = base.filter(col("split") >= 2)
+        .join(broadcast(model.select(col("qty"), col("pred"))), Seq("qty"))
+        .select(col("split"),
+          abs(col("cents") - col("pred")).as("r"))
+        .groupBy(col("split"), col("r")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val byVal = resid.filter(col("split") === 2)
+        .select(col("r"), col("cnt"))
         .withColumn("bucket", expr("r div 4096"))
+      val nC = byVal.agg(sum(col("cnt")).as("n_calib"),
+        expr("(9 * (sum(cnt) + 1) + 9) div 10").as("k"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("r"))
       val loc = byVal.withColumn("cum", sum(col("cnt")).over(w))
       val bt = byVal.groupBy(col("bucket"))
@@ -153,17 +183,14 @@ object StatOps2 extends QueryPack {
         .filter(col("offn") + col("cum") >= col("k") &&
           col("offn") + col("cum") - col("cnt") < col("k"))
         .select(col("r").as("qhat_cents"), col("n_calib"), col("k"))
-      val test = base.filter(col("split") === 3)
-        .join(broadcast(model), Seq("qty"))
-        .select(abs(col("cents") - col("pred")).as("r"))
-      val nT = base.filter(col("split") < 2)
-        .agg(count(lit(1)).as("n_train"))
+      val test = resid.filter(col("split") === 3)
+        .select(col("r"), col("cnt"))
       test.crossJoin(broadcast(qhat))
         .agg(first(col("n_calib")).as("n_calib"), first(col("k")).as("k"),
           first(col("qhat_cents")).as("qhat_cents"),
-          count(lit(1)).as("n_test"),
-          sum(when(col("r") <= col("qhat_cents"), 1L).otherwise(0L))
-            .as("n_cover"))
+          sum(col("cnt")).as("n_test"),
+          sum(when(col("r") <= col("qhat_cents"), col("cnt"))
+            .otherwise(0L)).as("n_cover"))
         .crossJoin(broadcast(nT))
         .select(col("n_train"), col("n_calib"), col("n_test"), col("k"),
           col("qhat_cents"), col("n_cover"),
