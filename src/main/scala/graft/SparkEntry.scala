@@ -31,7 +31,8 @@ object SparkEntry {
     QualityOps,
     MlOps,
     StatOps,
-    StatOps2
+    StatOps2,
+    StatOps3
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
