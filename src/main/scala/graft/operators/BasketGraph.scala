@@ -41,10 +41,20 @@ object BasketGraph {
   val DefaultMaxBasket = 64
 
   /** (basket, item) rows with baskets over `maxBasket` members dropped
-    * whole; `drops` observes the dropped-basket count. Lazy unless
-    * `drops` is set (the observation rides a localCheckpoint of the
-    * tiny heavy-basket list so it fires exactly once even when the
-    * result is self-joined). */
+    * whole; `drops` observes the dropped-basket count (the observation
+    * rides a localCheckpoint of the tiny heavy-basket list so it fires
+    * exactly once even when the result is self-joined).
+    *
+    * Semi-eager (round 12, the [[graft.operators.Dedup.jaccardSelfJoin]]
+    * `ordered` precedent): the capped frame itself is `localCheckpoint`ed
+    * because every consumer in the family self-joins it 2–3 ways — without
+    * the checkpoint the census + anti-join subtree (one full scan + one
+    * basket-keyed aggregate) re-runs on EACH side of the pair/triple join,
+    * which is exactly the ×1.5–1.9 regression the round-10 cap introduced
+    * across q_triangles/q_kcore/q_bfs_hops/q_basket_rules. The
+    * checkpointed frame is two narrow id columns (never text/payload), so
+    * materializing it is cheap at any scale and the downstream joins read
+    * it as a leaf. */
   def cappedItems(items: DataFrame, basket: String, item: String,
       maxBasket: Int = DefaultMaxBasket,
       drops: Option[Observation] = None): DataFrame = {
@@ -53,12 +63,11 @@ object BasketGraph {
       .agg(count(lit(1)).as("__bs"))
       .filter(col("__bs") > maxBasket)
       .select(col(basket))
-    // materializing fires the observation once and keeps the observe node
-    // out of downstream self-joined plans (an Observation binds to one
-    // Dataset); without `drops` the census stays a lazy broadcast subtree
+    // the observation still binds to its own checkpoint of the heavy list
+    // (an Observation binds to one Dataset and must fire exactly once)
     val heavy = drops.fold(census)(o =>
       census.observe(o, count(lit(1)).as("dropped_baskets")).localCheckpoint())
-    items.join(broadcast(heavy), Seq(basket), "left_anti")
+    items.join(broadcast(heavy), Seq(basket), "left_anti").localCheckpoint()
   }
 
   /** Per-basket ordered member pairs (basket, u, v) with u < v, oversized
@@ -80,12 +89,22 @@ object BasketGraph {
       .select(col(s"a.$basket").as(basket),
         col(s"a.$item").as("u"), col(s"b.$item").as("v"))
 
-  /** Distinct undirected co-occurrence edges (u, v) with u < v. */
+  /** Distinct undirected co-occurrence edges (u, v) with u < v.
+    *
+    * Checkpointed like [[cappedItems]]: every graph consumer reads the
+    * edge list several times (q_triangles: degree build + three oriented
+    * copies + the edge count = 5 passes; q_modularity: label join + edge
+    * mass), and without the checkpoint each pass re-runs the pair
+    * self-join + distinct — two corpus shuffles apiece. The edge list is
+    * two ids bounded by |vocab|² (and in practice by Σ C(basketᵢ, 2) ≪
+    * the pair stream), so materializing it is cheap; the pair STREAM is
+    * deliberately never checkpointed — it exists to flow straight into
+    * an aggregate. */
   def edges(items: DataFrame, basket: String, item: String,
       maxBasket: Int = DefaultMaxBasket,
       drops: Option[Observation] = None): DataFrame =
     pairs(items, basket, item, maxBasket, drops)
-      .select(col("u"), col("v")).distinct()
+      .select(col("u"), col("v")).distinct().localCheckpoint()
 
   /** Per-basket ordered member triples (basket, x, y, z) with x < y < z —
     * the Apriori-3 candidate stream. C(`maxBasket`, 3) bounded per

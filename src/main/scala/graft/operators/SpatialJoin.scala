@@ -23,8 +23,11 @@ import graft.functions.GeoFunctions._
   * at most once — no post-join dedup stage.
   *
   * Cell size trades shuffle width against refinement fan-in: ~the median
-  * polygon envelope size is right; at 100 TB make it a config and bucket
-  * both sides by cell for a shuffle-free co-located join.
+  * polygon envelope size is right — it is a caller parameter on every
+  * entry point. At 100 TB, persist [[pointCells]]/[[polygonCells]]
+  * bucketed on `__cell` and join via [[joinCelled]]: both scans then
+  * report hash(`__cell`) partitioning and the join plans SHUFFLE-FREE
+  * (round 12; SpatialJoinSpec pins the exchange-free plan).
   *
   * **Coordinate-frame envelope (explicit):** [[st_contains]] and the grid
   * blocking are PLANAR — coordinates are treated as a flat x/y plane, the
@@ -235,13 +238,12 @@ object SpatialJoin {
       .distinct()
   }
 
-  /** Join `points` (with x/y columns) to `polygons` (with a geometry
-    * column) on containment. Output: all point columns + `polygon_id`. */
-  def pointsInPolygons(
-      points: DataFrame, polygons: DataFrame,
-      x: Column, y: Column, polyGeom: Column, polyId: Column,
+  /** The polygon side of the cell-blocked join, exposed so a pipeline
+    * can persist it bucketed by `__cell` (see [[joinCelled]]): each
+    * polygon exploded to the grid cells its envelope covers, with the
+    * geometry carried for refinement. */
+  def polygonCells(polygons: DataFrame, polyGeom: Column, polyId: Column,
       cellSize: Double): DataFrame = {
-
     val e = st_envelope(polyGeom)
     val cellsOfEnvelope = flatten(transform(
       sequence(floor(e.getField("xmin") / cellSize),
@@ -250,18 +252,45 @@ object SpatialJoin {
         sequence(floor(e.getField("ymin") / cellSize),
           floor(e.getField("ymax") / cellSize)),
         cy => cellId(cx, cy))))
+    polygons.select(
+      polyId.as("polygon_id"), polyGeom.as("__geom"),
+      explode(cellsOfEnvelope).as("__cell"))
+  }
 
-    val polyCells = polygons.select(
-        polyId.as("polygon_id"), polyGeom.as("__geom"),
-        explode(cellsOfEnvelope).as("__cell"))
-
-    val ptCells = points.withColumn("__x", x).withColumn("__y", y)
+  /** The point side of the cell-blocked join: every point keyed by its
+    * single covering cell. Persist bucketed by `__cell` alongside
+    * [[polygonCells]] for the co-located (shuffle-free) join regime. */
+  def pointCells(points: DataFrame, x: Column, y: Column,
+      cellSize: Double): DataFrame =
+    points.withColumn("__x", x).withColumn("__y", y)
       .withColumn("__cell",
         cellId(floor(col("__x") / cellSize), floor(col("__y") / cellSize)))
 
+  /** Equi-join + exact refinement over ALREADY-celled sides (the frames
+    * of [[pointCells]] / [[polygonCells]], read from any source). This is
+    * the 100 TB co-location seam the object scaladoc promises: when both
+    * sides were WRITTEN bucketed on `__cell` (`bucketBy(n, "__cell")` to
+    * a table, the standard repeated-spatial-join layout), Spark's
+    * bucketing reports each scan's partitioning as hash(`__cell`) and
+    * this join plans with NO Exchange on either side — the shuffle that
+    * dominates a petabyte-scale spatial join disappears entirely
+    * (`SpatialJoinSpec` pins that plan). With unbucketed inputs it
+    * degrades gracefully to the ordinary one-shuffle equi-join. */
+  def joinCelled(ptCells: DataFrame, polyCells: DataFrame): DataFrame =
     ptCells
       .join(polyCells, "__cell")
       .filter(st_contains(col("__geom"), col("__x"), col("__y")))
       .drop("__cell", "__geom", "__x", "__y")
-  }
+
+  /** Join `points` (with x/y columns) to `polygons` (with a geometry
+    * column) on containment. Output: all point columns + `polygon_id`.
+    * One-shot composition of [[pointCells]] ⋈ [[polygonCells]]; pipelines
+    * that join the same layer repeatedly should persist the celled sides
+    * bucketed and call [[joinCelled]] directly. */
+  def pointsInPolygons(
+      points: DataFrame, polygons: DataFrame,
+      x: Column, y: Column, polyGeom: Column, polyId: Column,
+      cellSize: Double): DataFrame =
+    joinCelled(pointCells(points, x, y, cellSize),
+      polygonCells(polygons, polyGeom, polyId, cellSize))
 }

@@ -67,4 +67,24 @@ object Parity {
     when(id < VariantOffset, id).otherwise(raise_error(concat(
       lit("planted-variant offset no longer injective: id "),
       id.cast("string"), lit(s" >= $VariantOffset"))))
+
+  /** Ceiling for span-bounded collected arrays (q_holt_linear's daily
+    * spine, q_survival_km's hazard cells): ~45 years of days. The
+    * single-row fold queries collect one struct per day of the date
+    * span — bounded by the CALENDAR, not the corpus, so they stay O(1)
+    * as data grows — but a corrupt date (year 9999) or a genuinely
+    * centuries-wide corpus would grow the driver-free array (and the
+    * O(span²) folds over it) silently. [[guardedSpanValue]] turns that
+    * into a loud job failure at the 1-row bounds aggregate. */
+  val MaxSpanCells: Long = 16384L
+
+  /** Row-level guard: pass `v` through unchanged while `span ≤ max`,
+    * raise loudly otherwise. Rides the bounds row — no extra pass. */
+  def guardedSpanValue(v: Column, span: Column, max: Long,
+      what: String): Column =
+    when(span <= max, v).otherwise(raise_error(concat(
+      lit(s"$what: span "), span.cast("string"),
+      lit(s" exceeds the $max-cell guard - a corrupt date or a corpus " +
+        "wider than the declared envelope; widen MaxSpanCells only with " +
+        "a measured fold-cost budget"))))
 }

@@ -56,7 +56,16 @@ object StatOps extends QueryPack {
           .as("t"),
         when(col("death").isNotNull && dur <= 48, 1L).otherwise(0L)
           .as("ev"))
-      val cells = sub.groupBy(col("t"))
+      // defensive cell guard (round 12): t ≤ 48 holds by construction
+      // (both branches clamp through least/lit(48)), so the 49-cell
+      // collected array is bounded — but the bound lives in the SELECT
+      // above, and a future edit that widens the censoring window without
+      // re-reading this fold would silently grow the O(cells²) KM
+      // recursion; the row-level guard makes the invariant executable
+      val cells = sub
+        .select(Parity.guardedSpanValue(col("t"), col("t") + 1, 49L,
+          "q_survival_km hazard cell").as("t"), col("ev"))
+        .groupBy(col("t"))
         .agg(sum(col("ev")).as("d"), sum(lit(1L) - col("ev")).as("c"))
       cells
         .agg(collect_list(struct(col("t"), col("d"), col("c"))).as("arr"),
@@ -99,7 +108,14 @@ object StatOps extends QueryPack {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
         .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      // span guard (round 12, shared with q_holt_linear): the daily grid
+      // and its div-512 buckets are calendar-bounded — make a corrupt
+      // far-future date fail loudly instead of ballooning the grid
       val b = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("mn"),
+          Parity.guardedSpanValue(col("mx"),
+            col("mx") - col("mn") + 1, Parity.MaxSpanCells,
+            "q_changepoint daily grid").as("mx"))
       val z = b.select(explode(sequence(col("mn"), col("mx"))).as("day"))
         .join(d, Seq("day"), "left")
         .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"),

@@ -86,12 +86,21 @@ object StatOps2 extends QueryPack {
       // edges re-ran the whole edge build per aggregate (3× the work,
       // measured 6.4s → 4.7s at sf0.1; the remaining floor is the
       // shared basket-graph edge build itself, same as q_triangles)
+      // localCheckpointed: the |communities|²-sized pair-count table (≤
+      // |brands|² = 625 rows) feeds TWO consumers — the per-community
+      // rollup and the global edge mass — so the expensive edge subtree
+      // runs exactly once. The total then arrives by the repo's standard
+      // 1-row-aggregate + crossJoin(broadcast) pattern (StatOps3 `tot`),
+      // never an unpartitioned window (PlanSpec's single-partition-window
+      // sweep rightly flags `sum(...) over ()` regardless of the input's
+      // bounded-dim size).
       val pc = e0
         .join(broadcast(comm.select(col("x").as("u"), col("c").as("cu"))),
           Seq("u"))
         .join(broadcast(comm.select(col("x").as("v"), col("c").as("cv"))),
           Seq("v"))
         .groupBy(col("cu"), col("cv")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val per = pc
         .select(col("cu").as("c"), col("cnt"),
           when(col("cu") === col("cv"), col("cnt")).otherwise(0L)
@@ -100,13 +109,11 @@ object StatOps2 extends QueryPack {
           lit(0L).as("ein")))
         .groupBy(col("c"))
         .agg(sum(col("cnt")).as("d_tot"), sum(col("ein")).as("e_in"))
-      // the global edge mass via an all-rows window over the
-      // community-sized frame (≤ |brands| rows — a bounded dim, not a
-      // corpus window): Σ d_tot double-counts every edge once per
-      // endpoint, so m = Σ d_tot / 2
+      // the global edge mass m = Σ cnt over the pair-count table (every
+      // edge appears exactly once in pc) — a 1-row aggregate broadcast
+      val mTot = pc.agg(sum(col("cnt")).as("m"))
       per
-        .withColumn("m",
-          expr("sum(d_tot) over () div 2"))
+        .crossJoin(broadcast(mTot))
         .select(col("c"), col("e_in"), col("d_tot"),
           // (x − x % den) / den is an EXACT decimal division (the
           // q_changepoint staging): num ≥ 0 by d_c ≤ 2m
@@ -131,10 +138,10 @@ object StatOps2 extends QueryPack {
     // k = ⌈0.9·(n_calib+1)⌉ (the finite-sample 90% conformal rank), then
     // the guaranteed-coverage readout on test: share with residual ≤ q̂.
     // The order statistic runs rank-free at scale: per-value counts,
-    // BUCKETED cumulative counts (residual div 4096 → partitioned
-    // windows + a tiny bucket-offset merge — never a single-partition
-    // global sort), pick the unique value whose cumulative range covers
-    // k. Everything downstream of the two fact scans is value-cardinality
+    // BUCKETED cumulative counts (range-adaptive buckets, operators/
+    // RangeBuckets → partitioned windows + a tiny bucket-offset merge —
+    // never a single-partition global sort), pick the unique value whose
+    // cumulative range covers k. Everything downstream of the two fact scans is value-cardinality
     // sized.
     "q_conformal" -> ((s, dir) => {
       val base = t(s, dir, "lineitem").select(
@@ -165,11 +172,27 @@ object StatOps2 extends QueryPack {
           abs(col("cents") - col("pred")).as("r"))
         .groupBy(col("split"), col("r")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint()
-      val byVal = resid.filter(col("split") === 2)
-        .select(col("r"), col("cnt"))
-        .withColumn("bucket", expr("r div 4096"))
+      // adaptive bucket width (round 12): the residual range is data-
+      // dependent (one outlier prediction error would have minted
+      // thousands of div-4096 buckets); range-derived widths cap the
+      // offset merge at O(256²) for ANY residual distribution. The
+      // bounds aggregate reads the checkpointed census — no extra scan.
+      val byVal = graft.operators.RangeBuckets.withRangeBucket(
+        resid.filter(col("split") === 2).select(col("r"), col("cnt")),
+        "r")
+      // k clamped to n_calib (ADVICE r11): for n_calib < 9 the conformal
+      // rank ⌈0.9·(n+1)⌉ exceeds n and the qhat probe would match no row
+      // (Spark's global agg over the empty frame returns one null row,
+      // DuckDB zero rows — a parity break on near-empty fixtures); the
+      // clamp makes q̂ the max residual there, the standard finite-sample
+      // fallback. For n_calib ≥ 9 the rank is ≤ n so the clamp is a no-op
+      // and the gate hash is unchanged. n_calib = 0 stays degenerate by
+      // declaration (no calibration set ⇒ no conformal quantile): Spark
+      // yields one all-null row, the oracle zero rows — an empty-corpus
+      // shape no release pipeline runs.
       val nC = byVal.agg(sum(col("cnt")).as("n_calib"),
-        expr("(9 * (sum(cnt) + 1) + 9) div 10").as("k"))
+        least(expr("(9 * (sum(cnt) + 1) + 9) div 10"), sum(col("cnt")))
+          .as("k"))
       val w = Window.partitionBy(col("bucket")).orderBy(col("r"))
       val loc = byVal.withColumn("cum", sum(col("cnt")).over(w))
       val bt = byVal.groupBy(col("bucket"))
@@ -281,10 +304,16 @@ object StatOps2 extends QueryPack {
     // (p−q)·ln(p/q) rounded to 6 dp. PSI = Σ terms. Scale: one bin-keyed
     // count per period; the midpoint day is a 1-row broadcast.
     "q_psi_drift" -> ((s, dir) => {
+      // clamped on BOTH ends: the upper cap was always there, and the
+      // lower clamp keeps a (currently impossible) negative event value
+      // from minting bins < 0 that Spark's pre-grid totals would count
+      // while the oracle's grid-joined totals exclude — a latent parity
+      // break (ADVICE r11); fixture values are nonnegative so the hash
+      // is unchanged
       val e = t(s, dir, "events")
         .select(expr(s"unix_micros(ts) div $DayUs").as("day"),
-          least(floor(col("value") / 50.0).cast("long"), lit(9L))
-            .as("bin"))
+          greatest(least(floor(col("value") / 50.0).cast("long"), lit(9L)),
+            lit(0L)).as("bin"))
       val mid = e.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
       val cells = e.crossJoin(broadcast(mid))
         .groupBy(col("bin"))
@@ -370,7 +399,8 @@ object StatOps2 extends QueryPack {
          |  SELECT ABS(b.cents - m.pred) AS r
          |  FROM base b JOIN model m USING (qty) WHERE b.split = 2),
          |nc AS (SELECT COUNT(*) AS n_calib,
-         |         (9 * (COUNT(*) + 1) + 9) // 10 AS k FROM calib),
+         |         LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*)) AS k
+         |       FROM calib),
          |ranked AS (
          |  SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM calib),
          |qhat AS (SELECT ranked.r AS qhat_cents FROM ranked, nc
@@ -450,7 +480,8 @@ object StatOps2 extends QueryPack {
     "q_psi_drift" ->
       s"""WITH e AS (
          |  SELECT epoch_us(ts) // $DayUs AS day,
-         |    LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS bin
+         |    GREATEST(LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9), 0)
+         |      AS bin
          |  FROM events),
          |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
          |cells AS (

@@ -30,17 +30,22 @@ object StatOps3 extends QueryPack {
     // ABC (Pareto) inventory classification of parts by revenue:
     // A = parts covering the top 80% of cumulative revenue (descending),
     // B = next 15%, C = the tail. Cumulative revenue runs DESC through
-    // the bucketed-window discipline (revenue div 2²² → partitioned
-    // cumsums + a tiny bucket-offset merge, never a global sort); a
+    // the bucketed-window discipline (range-adaptive buckets, operators/
+    // RangeBuckets → partitioned cumsums + a tiny bucket-offset merge,
+    // never a global sort); a
     // part's class comes from its INCLUSIVE descending cumulative share,
     // ties on revenue broken by the cumsum's (revenue DESC, partkey)
     // order. Output: per-class part count, revenue, and exact share.
     "q_abc_class" -> ((s, dir) => {
-      val rev = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey").as("pk"))
-        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-          .cast("long")).as("cents"))
-        .withColumn("bucket", expr("cents div 4194304"))
+      // adaptive bucket width (round 12): range-derived, so the offset
+      // merge stays O(256²) even when revenue totals span more orders of
+      // magnitude than the old fixed div-2²² width anticipated
+      val rev = graft.operators.RangeBuckets.withRangeBucket(
+        t(s, dir, "lineitem")
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents")),
+        "cents")
       val w = Window.partitionBy(col("bucket"))
         .orderBy(col("cents").desc, col("pk"))
       val loc = rev.withColumn("cum", sum(col("cents")).over(w))
@@ -86,9 +91,11 @@ object StatOps3 extends QueryPack {
           .cast("long").as("v"),
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
           .as("g1"))
-      val census = v.groupBy(col("v"))
-        .agg(sum(col("g1")).as("n1v"), count(lit(1)).as("tv"))
-        .withColumn("bucket", expr("v div 4194304"))
+      // adaptive bucket width (round 12, the q_abc_class note)
+      val census = graft.operators.RangeBuckets.withRangeBucket(
+        v.groupBy(col("v"))
+          .agg(sum(col("g1")).as("n1v"), count(lit(1)).as("tv")),
+        "v")
       val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
       val loc = census.withColumn("cumt", sum(col("tv")).over(w))
       val bt = census.groupBy(col("bucket")).agg(sum(col("tv")).as("bn"))
@@ -146,7 +153,16 @@ object StatOps3 extends QueryPack {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
         .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      // span guard (round 12, the Parity.guardedVariantId discipline):
+      // the collected daily spine is calendar-bounded, not corpus-bounded
+      // — but a corrupt shipdate (year 9999) would silently balloon the
+      // single-row array and its fold; guard the 1-row bounds aggregate
+      // so over-span input fails LOUDLY instead
       val b = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("mn"),
+          Parity.guardedSpanValue(col("mx"),
+            col("mx") - col("mn") + 1, Parity.MaxSpanCells,
+            "q_holt_linear daily spine").as("mx"))
       val z = b.select(explode(expr("sequence(mn, mx)")).as("day"))
         .join(d, Seq("day"), "left")
         .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))

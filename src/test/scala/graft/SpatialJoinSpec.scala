@@ -243,4 +243,56 @@ class SpatialJoinSpec extends SparkSpec {
     assert(diff.count() == 0,
       "sphere and planar predicates diverge on ordinary geometry")
   }
+
+  test("co-located regime (round 12): both sides persisted bucketed on " +
+      "__cell join with NO exchange, and the result matches the direct " +
+      "one-shuffle path") {
+    // the 100 TB layout for a repeatedly-joined spatial layer: cell both
+    // sides once, write them bucketBy(__cell), and every subsequent join
+    // is shuffle-free — bucketed scans report hash(__cell) partitioning
+    val pts = tables("decision_points")
+      .select(col("id"), st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+    val direct = SpatialJoin.pointsInPolygons(
+        pts, tables("zones"),
+        x = col("x"), y = col("y"),
+        polyGeom = col("geom"), polyId = col("id"), cellSize = 0.01)
+      .select(col("id"), col("polygon_id")).as[(Long, Long)].collect().toSet
+
+    val ptT = "spatial_pts_bucketed"; val polyT = "spatial_polys_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $ptT")
+    spark.sql(s"DROP TABLE IF EXISTS $polyT")
+    try {
+      SpatialJoin.pointCells(pts, col("x"), col("y"), cellSize = 0.01)
+        .write.bucketBy(4, "__cell").sortBy("__cell")
+        .mode("overwrite").saveAsTable(ptT)
+      // the geometry struct survives a table round-trip; bucket count
+      // and key MATCH the point side — the co-location contract
+      SpatialJoin.polygonCells(tables("zones"), col("geom"), col("id"),
+          cellSize = 0.01)
+        .write.bucketBy(4, "__cell").sortBy("__cell")
+        .mode("overwrite").saveAsTable(polyT)
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // disable broadcast so the plan MUST pick the co-located
+        // sort-merge path (broadcast would also be shuffle-free, but the
+        // property under test is bucket partitioning reuse)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        val j = SpatialJoin.joinCelled(spark.table(ptT), spark.table(polyT))
+        val p = j.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(!p.contains("Exchange"),
+          s"bucketed spatial join still shuffles:\n$p")
+        assert(p.contains("SortMergeJoin"),
+          s"expected the co-located sort-merge join:\n$p")
+        val bucketed = j.select(col("id"), col("polygon_id"))
+          .as[(Long, Long)].collect().toSet
+        assert(bucketed == direct,
+          "co-located join result diverged from the direct path")
+      } finally spark.conf
+        .set("spark.sql.autoBroadcastJoinThreshold", saved)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ptT")
+      spark.sql(s"DROP TABLE IF EXISTS $polyT")
+    }
+  }
 }

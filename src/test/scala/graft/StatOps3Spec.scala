@@ -93,4 +93,27 @@ class StatOps3Spec extends SparkSpec {
     assert(got.head == ((0L, l)))
     got.foreach { case (h, f) => assert(f == l + h * b) }
   }
+
+  test("q_holt_linear: an over-span corpus (corrupt far-future shipdate) " +
+      "fails LOUDLY at the bounds guard instead of silently collecting a " +
+      "corpus-wide daily array") {
+    // a fixture whose date span (year 1995 → 9999) exceeds
+    // Parity.MaxSpanCells by orders of magnitude — exactly the corrupt-
+    // date shape the guard exists for
+    val dir = java.nio.file.Files
+      .createTempDirectory("holt_overspan").toString
+    Seq(("1995-01-01 00:00:00", 100.0), ("9999-01-01 00:00:00", 200.0))
+      .toDF("d", "l_extendedprice")
+      .select(col("d").cast("timestamp").as("l_shipdate"),
+        col("l_extendedprice"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q_holt_linear")(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds the")),
+      s"expected the span-guard raise_error, got: $e")
+  }
 }
