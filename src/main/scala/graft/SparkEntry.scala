@@ -32,7 +32,8 @@ object SparkEntry {
     MlOps,
     StatOps,
     StatOps2,
-    StatOps3
+    StatOps3,
+    StatOps4
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
