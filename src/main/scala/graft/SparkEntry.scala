@@ -33,7 +33,8 @@ object SparkEntry {
     StatOps,
     StatOps2,
     StatOps3,
-    StatOps4
+    StatOps4,
+    StatOps5
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

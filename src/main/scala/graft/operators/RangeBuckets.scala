@@ -55,4 +55,37 @@ object RangeBuckets {
         s"($valueCol - __rb_mn) div ((__rb_mx - __rb_mn) div $target + 1)"))
       .drop("__rb_mn", "__rb_mx")
   }
+
+  /** The rank-free below-count frame over a (v, t) value census: each
+    * distinct long value `v` with its multiplicity `t`, the exact number
+    * of rows strictly below it (`below`) and the exact value mass
+    * strictly below it (`xb`, DECIMAL(38,0) Σ v·t over smaller values).
+    * This is the shared substrate of the census order statistics (Gini,
+    * Lorenz, Hill): per-bucket partitioned cumsums + the O(buckets²)
+    * offset-merge theta join — never a single-partition global sort, and
+    * the bucket count is range-independent per [[withRangeBucket]]. */
+  def belowFrame(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val cen = withRangeBucket(census, "v")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
+    val loc = cen
+      .withColumn("cumt", sum(col("t")).over(w))
+      .withColumn("cumx",
+        sum(col("v").cast(DecimalType(38, 0)) * col("t")).over(w))
+    val bt = cen.groupBy(col("bucket"))
+      .agg(sum(col("t")).as("bn"),
+        sum(col("v").cast(DecimalType(38, 0)) * col("t")).as("bx"))
+    val off = bt.as("a")
+      .join(bt.as("o"), col("o.bucket") < col("a.bucket"), "left")
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(coalesce(sum(col("o.bn")), lit(0L)).as("offn"),
+        coalesce(sum(col("o.bx")), lit(0L).cast(DecimalType(38, 0)))
+          .as("offx"))
+    loc.join(broadcast(off), Seq("bucket"))
+      .select(col("v"), col("t"),
+        (col("offn") + col("cumt") - col("t")).as("below"),
+        (col("offx") + col("cumx")
+          - col("v").cast(DecimalType(38, 0)) * col("t")).as("xb"))
+  }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.RangeBuckets
@@ -61,28 +60,8 @@ object StatOps4 extends QueryPack {
     * the bucketed-cumsum discipline shared by q_gini_spend / q_lorenz_spend (and
     * q_mann_whitney before them). Also carries `xb`, the exact spend
     * mass strictly below the value, for Lorenz prefixes. */
-  private def withBelow(census: DataFrame): DataFrame = {
-    val cen = RangeBuckets.withRangeBucket(census, "v")
-    val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
-    val loc = cen
-      .withColumn("cumt", sum(col("t")).over(w))
-      .withColumn("cumx",
-        sum((col("v").cast(DecimalType(38, 0)) * col("t"))).over(w))
-    val bt = cen.groupBy(col("bucket"))
-      .agg(sum(col("t")).as("bn"),
-        sum(col("v").cast(DecimalType(38, 0)) * col("t")).as("bx"))
-    val off = bt.as("a")
-      .join(bt.as("o"), col("o.bucket") < col("a.bucket"), "left")
-      .groupBy(col("a.bucket").as("bucket"))
-      .agg(coalesce(sum(col("o.bn")), lit(0L)).as("offn"),
-        coalesce(sum(col("o.bx")), lit(0L).cast(DecimalType(38, 0)))
-          .as("offx"))
-    loc.join(broadcast(off), Seq("bucket"))
-      .select(col("v"), col("t"),
-        (col("offn") + col("cumt") - col("t")).as("below"),
-        (col("offx") + col("cumx")
-          - col("v").cast(DecimalType(38, 0)) * col("t")).as("xb"))
-  }
+  private def withBelow(census: DataFrame): DataFrame =
+    RangeBuckets.belowFrame(census)
 
   override def defs: Map[String, Q] = Map[String, Q](
 
