@@ -281,6 +281,95 @@ object StatOps5 extends QueryPack {
             .as("mean_excess_micro"),
           col("max_excess_micro"))
         .orderBy(col("event_type"))
+    }),
+
+    // Simplified silhouette score of the labeled embedding corpus — the
+    // clustering-eval readout (how separated are the label clusters in
+    // embedding space): per point, a = squared distance to its OWN label
+    // centroid, b = min over OTHER label centroids, s = (b−a)/max(a,b).
+    // Cross-engine exactness is the q_embed_drift staging: coordinates
+    // micro-floored to integers, centroids the exact long-sum / count
+    // quotient (identical doubles both engines), per-(point,label)
+    // distances decimal-routed sums of identical per-dim terms, s
+    // micro-rounded per row and exactly averaged with the truncating
+    // subtract-remainder division (sign-safe — s can be negative).
+    // Scale: the exploded (point, dim, label) stream is n·d·|labels|
+    // NARROW rows feeding one map-side-combinable aggregate — no
+    // point-point pairs ever form; centroids are a d·|labels| broadcast.
+    "q_silhouette" -> ((s, dir) => {
+      val pm = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("vec_id"), col("label"), col("dim"),
+          floor(col("v").cast("double") * 1000000).cast("long").as("xm"))
+        .localCheckpoint()
+      val cent = pm.groupBy(col("label").as("clab"), col("dim"))
+        .agg((sum(col("xm")).cast("double") / count(lit(1)) / 1e6)
+          .as("mu"))
+      val d2 = pm.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vec_id"), col("label"), col("clab"))
+        .agg(Parity.dsum(
+          (col("xm").cast("double") / 1e6 - col("mu")) *
+            (col("xm").cast("double") / 1e6 - col("mu")), 12).as("d2"))
+      val sil = d2.groupBy(col("vec_id"), col("label"))
+        .agg(max(when(col("label") === col("clab"), col("d2"))).as("a"),
+          min(when(col("label") =!= col("clab"), col("d2"))).as("b"))
+        .select(col("label"),
+          round(lit(1000000.0) *
+            (col("b") - col("a")) / greatest(col("a"), col("b")), 0)
+            .cast("long").as("sm"))
+      sil.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_points"), sum(col("sm")).as("ssm"),
+          sum(when(col("sm") < 0, 1L).otherwise(0L)).as("n_negative"))
+        .select(col("label"), col("n_points"),
+          expr("CAST((ssm - ssm % n_points) / n_points AS BIGINT)")
+            .as("mean_sil_micro"),
+          col("n_negative"))
+        .orderBy(col("label"))
+    }),
+
+    // Zipf rank-frequency fit over the word-trigram census: OLS slope of
+    // ln(count) on ln(rank) with ranks DESC by count, ties broken by the
+    // gram string (the deterministic total order — globalRanksTieBroken
+    // on (−count, gram), no single-partition window). Natural language
+    // lands near −1; a synthetic or deduplicated corpus drifts — the
+    // distribution-shape screen beside q_chao1's richness. Per-row ln
+    // terms and their products are micro-rounded then exactly summed
+    // (the q_theil staging); the slope closes as one IEEE division of
+    // exact integer cells, rounded to 6 dp.
+    "q_zipf_slope" -> ((s, dir) => {
+      val tc = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions
+          .wordNgramsNative(col("text"), 3)).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val rk = Percentiles.globalRanksTieBroken(
+          tc.select(lit(1).as("g"), (-col("c")).as("nc"), col("tok")),
+          col("g"), col("nc"), col("tok"))
+        .select(col("rank"), (-col("value")).as("c"))
+      val cells = rk.select(
+          round(lit(1000000.0) * log(col("rank").cast("double")), 0)
+            .cast("long").as("xm"),
+          round(lit(1000000.0) * log(col("c").cast("double")), 0)
+            .cast("long").as("ym"),
+          round(lit(1000000.0) * log(col("rank").cast("double"))
+            * log(col("c").cast("double")), 0).cast("long").as("pm"),
+          round(lit(1000000.0) * log(col("rank").cast("double"))
+            * log(col("rank").cast("double")), 0).cast("long").as("qm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xm").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("ym").cast(DecimalType(38, 0))).as("sy"),
+          sum(col("pm").cast(DecimalType(38, 0))).as("sxy"),
+          sum(col("qm").cast(DecimalType(38, 0))).as("sxx"))
+      // slope = (10⁶·n·Σxy_µ − Σx_µ·Σy_µ) / (10⁶·n·Σxx_µ − Σx_µ²):
+      // both cells are exact micro² integers (pure decimal products, no
+      // decimal division anywhere), the ratio one closing IEEE divide
+      cells.select(col("n").as("n_grams"),
+        round((lit(1000000).cast(DecimalType(38, 0))
+            * col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (lit(1000000).cast(DecimalType(38, 0))
+            * col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), 6).as("slope"))
     })
   )
 
@@ -468,6 +557,67 @@ object StatOps5 extends QueryPack {
         |  CAST(MAX(e.vm - thr.thr) AS BIGINT) AS max_excess_micro
         |FROM e JOIN thr USING (event_type)
         |WHERE e.vm > thr.thr
-        |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY e.event_type""".stripMargin,
+
+    "q_silhouette" ->
+      """WITH x AS (
+        |  SELECT e.vec_id, e.label, u.i - 1 AS dim,
+        |    CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS xm
+        |  FROM embeddings e,
+        |  LATERAL unnest(generate_series(1, len(e.embedding))) AS u(i)),
+        |cent AS (
+        |  SELECT label AS clab, dim,
+        |    CAST(SUM(xm) AS DOUBLE) / COUNT(*) / 1000000.0 AS mu
+        |  FROM x GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT x.vec_id, x.label, c.clab,
+        |    CAST(SUM(CAST(
+        |      (CAST(x.xm AS DOUBLE) / 1000000.0 - c.mu)
+        |      * (CAST(x.xm AS DOUBLE) / 1000000.0 - c.mu)
+        |      AS DECIMAL(18,12))) AS DOUBLE) AS d2
+        |  FROM x JOIN cent c ON c.dim = x.dim
+        |  GROUP BY 1, 2, 3),
+        |sil AS (
+        |  SELECT label,
+        |    CAST(round(1000000.0 *
+        |      (MIN(CASE WHEN label != clab THEN d2 END)
+        |       - MAX(CASE WHEN label = clab THEN d2 END))
+        |      / GREATEST(MAX(CASE WHEN label = clab THEN d2 END),
+        |                 MIN(CASE WHEN label != clab THEN d2 END)), 0)
+        |      AS BIGINT) AS sm
+        |  FROM d2 GROUP BY d2.vec_id, d2.label)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST((SUM(sm) - SUM(sm) % COUNT(*)) / COUNT(*) AS BIGINT)
+        |    AS mean_sil_micro,
+        |  CAST(SUM(CASE WHEN sm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_negative
+        |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_zipf_slope" -> {
+      val grams = graft.functions.TextFunctions.sqlWordNgrams("text", 3)
+      s"""WITH tc AS (
+         |  SELECT t.tok, COUNT(*) AS c
+         |  FROM documents, unnest($grams) AS t(tok)
+         |  GROUP BY 1),
+         |rk AS (
+         |  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+         |  FROM tc),
+         |cells AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(CAST(round(1000000 * ln(CAST(rank AS DOUBLE)), 0)
+         |      AS HUGEINT)) AS sx,
+         |    SUM(CAST(round(1000000 * ln(CAST(c AS DOUBLE)), 0)
+         |      AS HUGEINT)) AS sy,
+         |    SUM(CAST(round(1000000 * ln(CAST(rank AS DOUBLE))
+         |      * ln(CAST(c AS DOUBLE)), 0) AS HUGEINT)) AS sxy,
+         |    SUM(CAST(round(1000000 * ln(CAST(rank AS DOUBLE))
+         |      * ln(CAST(rank AS DOUBLE)), 0) AS HUGEINT)) AS sxx
+         |  FROM rk)
+         |SELECT n AS n_grams,
+         |  round(CAST(1000000 * n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(1000000 * n * sxx - sx * sx AS DOUBLE), 6) AS slope
+         |FROM cells""".stripMargin
+    }
   )
 }

