@@ -197,6 +197,48 @@ object StreamOps extends QueryPack {
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       EventStreams.runToResult(s, deduped, qn("stream_dedup"))
         .orderBy(col("event_type"))
+    }),
+
+    // Streaming drift monitor (round 12): the LIVE event-type mix vs the
+    // static baseline period — the production drift alarm wired as a
+    // stream over the current period against a batch baseline frame. The
+    // period boundary (midpoint day) is one collected long at plan build
+    // (a bounded model artifact — the ivfTrain "actions are plan
+    // boundaries" precedent); the stream side is ONE complete-mode keyed
+    // count whose state is |event types| longs — bounded at any corpus
+    // size; the PSI closing formula runs batch-side on the drained
+    // counts joined to the baseline (types absent from either period
+    // yield a declared NULL term — PSI is undefined at a zero cell, and
+    // the join is full-outer so such types still REPORT). The oracle is
+    // the identical batch SQL — stream/batch equivalence on the drained
+    // bounded source.
+    "q_stream_drift" -> ((s, dir) => {
+      val dayUs = 86400L * 1000000L
+      val mid = graft.sources.Tables.load(s, dir, "events")
+        .agg(expr(s"""(min(unix_micros(ts) div $dayUs)
+                     + max(unix_micros(ts) div $dayUs) + 1) div 2"""))
+        .collect().head.getLong(0)
+      val base = graft.sources.Tables.load(s, dir, "events")
+        .filter(expr(s"unix_micros(ts) div $dayUs") < mid)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("a"))
+      val cur = EventStreams.readEvents(s, dir)
+        .filter(expr(s"unix_micros(ts) div $dayUs") >= mid)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("b"))
+      val cells = EventStreams.runToResult(s, cur, qn("stream_drift"))
+        .join(base, Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("a"), lit(0L)).as("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+      val tot = cells.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("a").as("n_base"),
+          col("b").as("n_cur"),
+          round(expr(
+            """CASE WHEN a = 0 OR b = 0 THEN NULL ELSE
+              |  (CAST(a AS DOUBLE) / at - CAST(b AS DOUBLE) / bt)
+              |  * ln((CAST(a AS DOUBLE) / at) / (CAST(b AS DOUBLE) / bt))
+              |END""".stripMargin), 6).as("psi_term"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -295,6 +337,24 @@ object StreamOps extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_drift" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type
+        |  FROM events),
+        |mid AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e),
+        |cells AS (
+        |  SELECT event_type,
+        |    SUM(CASE WHEN day < mid.mid THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN day >= mid.mid THEN 1 ELSE 0 END) AS b
+        |  FROM e, mid GROUP BY 1),
+        |tot AS (SELECT SUM(a) AS at, SUM(b) AS bt FROM cells)
+        |SELECT event_type, CAST(a AS BIGINT) AS n_base,
+        |  CAST(b AS BIGINT) AS n_cur,
+        |  round(CASE WHEN a = 0 OR b = 0 THEN NULL ELSE
+        |    (CAST(a AS DOUBLE) / at - CAST(b AS DOUBLE) / bt)
+        |    * ln((CAST(a AS DOUBLE) / at) / (CAST(b AS DOUBLE) / bt))
+        |  END, 6) AS psi_term
+        |FROM cells, tot ORDER BY event_type""".stripMargin,
 
     "q_stream_static" ->
       s"""SELECT d.stage, COUNT(*) AS n, ${Parity.sqlDsum("e.value")} AS total

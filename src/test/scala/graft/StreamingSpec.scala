@@ -21,6 +21,34 @@ class StreamingSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("q_stream_drift: the streamed current-period mix equals the batch " +
+      "twin and PSI terms are finite on fully-populated halves") {
+    val rows = SparkEntry.queries("q_stream_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // batch twin of the streamed leg: second-half counts per type
+    val dayUs = 86400L * 1000000L
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(expr(s"unix_micros(ts) div $dayUs").as("day"),
+        col("event_type"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1) div 2"))
+      .collect().head.getLong(0)
+    val cur = ev.filter(col("day") >= mid)
+      .groupBy(col("event_type")).count()
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cur") ==
+        cur.getOrElse(r.getAs[String]("event_type"), 0L),
+        s"${r.getAs[String]("event_type")}: streamed count != batch twin")
+    }
+    // both halves populated for every type at gate scale -> finite terms
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("psi_term")),
+        s"${r.getAs[String]("event_type")}: unexpected NULL psi term")
+    }
+    // PSI terms of a (p-q)ln(p/q) shape are nonnegative
+    assert(rows.forall(_.getAs[Double]("psi_term") >= 0.0))
+  }
+
   // The source-factory seam (judge r8 item 3): the file source runs
   // BEHIND the same SourceSpec seam a Kafka connector would drop into, so
   // the env-blocked waiver covers only the connector jar, not the design.
