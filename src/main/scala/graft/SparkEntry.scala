@@ -34,7 +34,8 @@ object SparkEntry {
     StatOps2,
     StatOps3,
     StatOps4,
-    StatOps5
+    StatOps5,
+    StatOps6
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
