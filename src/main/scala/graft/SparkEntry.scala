@@ -35,7 +35,8 @@ object SparkEntry {
     StatOps3,
     StatOps4,
     StatOps5,
-    StatOps6
+    StatOps6,
+    StatOps7
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
