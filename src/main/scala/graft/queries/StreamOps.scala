@@ -60,6 +60,18 @@ object StreamOps extends QueryPack {
           qn("stream_join_outer"), mode = "append")
         .orderBy(col("view_id"), col("purchase_id"))),
 
+    // FULL OUTER stream-stream join (round 12) — the join-matrix
+    // completion: both unmatched sides emit at their own state-eviction
+    // horizons (views at v_ts + 10min below the watermark, purchases at
+    // p_ts itself below it — the condition's `p_ts > v_ts` lower bound
+    // puts no window offset on the purchase side). Oracle = batch full
+    // join, each null leg restricted to its horizon.
+    "q_stream_join_full" -> ((s, dir) =>
+      EventStreams.runToResult(s,
+          EventStreams.viewPurchaseJoinFull(EventStreams.readEvents(s, dir)),
+          qn("stream_join_full"), mode = "append")
+        .orderBy(col("view_id"), col("purchase_id"))),
+
     // Streaming corpus ingest: the documents table as a file-source stream
     // through the front of the cleaning pipeline — deterministic hash-gate
     // sampling (the gate is stateless, so it composes with streaming
@@ -388,6 +400,40 @@ object StreamOps extends QueryPack {
         |        AND p.ts <= v.ts + INTERVAL 10 MINUTE)
         |    AND (epoch_us(v.ts) // 1000) + 600000 < wm.wm_ms)
         |SELECT * FROM m UNION ALL SELECT * FROM um
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "q_stream_join_full" ->
+      """WITH v AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |wm AS (SELECT LEAST((SELECT MAX(epoch_us(ts)) // 1000 FROM v),
+        |                    (SELECT MAX(epoch_us(ts)) // 1000 FROM p))
+        |         - 1800000 AS wm_ms),
+        |m AS (SELECT v.user_id, v.event_id AS view_id,
+        |    p.event_id AS purchase_id,
+        |    epoch_us(p.ts) // 1000000 - epoch_us(v.ts) // 1000000
+        |      AS lag_seconds
+        |  FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+        |    AND p.ts <= v.ts + INTERVAL 10 MINUTE),
+        |uv AS (SELECT v.user_id, v.event_id AS view_id,
+        |    CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS lag_seconds
+        |  FROM v, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |      WHERE p.user_id = v.user_id AND p.ts > v.ts
+        |        AND p.ts <= v.ts + INTERVAL 10 MINUTE)
+        |    AND (epoch_us(v.ts) // 1000) + 600000 < wm.wm_ms),
+        |up AS (SELECT p.user_id, CAST(NULL AS BIGINT) AS view_id,
+        |    p.event_id AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS lag_seconds
+        |  FROM p, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM v
+        |      WHERE v.user_id = p.user_id AND p.ts > v.ts
+        |        AND p.ts <= v.ts + INTERVAL 10 MINUTE)
+        |    AND (epoch_us(p.ts) // 1000) < wm.wm_ms)
+        |SELECT * FROM m UNION ALL SELECT * FROM uv UNION ALL
+        |SELECT * FROM up
         |ORDER BY view_id, purchase_id""".stripMargin,
 
     "q_stream_join" ->

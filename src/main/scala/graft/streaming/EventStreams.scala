@@ -210,6 +210,40 @@ object EventStreams {
           .as("lag_seconds"))
   }
 
+  /** FULL OUTER stream-stream join — the completion of the join matrix:
+    * matches emit like the inner form; unmatched VIEWS emit with nulls at
+    * left-state eviction (v_ts + joinWindow below the watermark, exactly
+    * the [[viewPurchaseJoinOuter]] horizon); unmatched PURCHASES emit with
+    * nulls at right-state eviction, whose horizon Spark derives from the
+    * join condition's `p_ts > v_ts` lower bound: a purchase can still
+    * match a future view only while p_ts is ABOVE the watermark, so
+    * purchase-side state (and the null emission) drops once p_ts falls
+    * below it — no joinWindow offset on this side. On a drained bounded
+    * source the result is therefore the batch full join with each null
+    * side restricted to its own eviction horizon (the oracle replays both
+    * with the same ms-floored arithmetic). */
+  def viewPurchaseJoinFull(events: DataFrame,
+      joinWindow: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") > col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindow"),
+        "full_outer")
+      .select(coalesce(col("v_user"), col("p_user")).as("user_id"),
+        col("view_id"), col("purchase_id"),
+        (col("p_ts").cast("long") - col("v_ts").cast("long"))
+          .as("lag_seconds"))
+  }
+
   /** Stream-static join: enrich the stream against a batch dimension.
     * The static side broadcasts (it is re-read per micro-batch, so keep it
     * dimension-sized); no state store is involved — this is the streaming

@@ -52,6 +52,41 @@ class StreamingSpec extends SparkSpec {
   // The source-factory seam (judge r8 item 3): the file source runs
   // BEHIND the same SourceSpec seam a Kafka connector would drop into, so
   // the env-blocked waiver covers only the connector jar, not the design.
+  test("full-outer stream-stream join equals the batch three-leg " +
+      "recompute (matches + each null side at its own eviction horizon)") {
+    val streamed = SparkEntry.queries("q_stream_join_full")(spark, sf)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("lag_seconds"))
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect().toSet
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("unix_millis(ts)").as("ms"))
+      .as[(String, Long, Long, Long)].collect()
+    val v = ev.filter(_._1 == "view")
+    val p = ev.filter(_._1 == "purchase")
+    val wm = math.min(v.map(_._4).max, p.map(_._4).max) - 1800000L
+    def matches(vu: Long, vm: Long) =
+      p.filter(x => x._2 == vu && x._4 > vm && x._4 <= vm + 600000L)
+    val m = for {
+      (_, vu, vid, vms) <- v
+      (_, _, pid, pms) <- matches(vu, vms)
+    } yield (vu, Some(vid), Some(pid), Some(pms / 1000 - vms / 1000))
+    val uv = v.filter { case (_, vu, _, vms) =>
+      matches(vu, vms).isEmpty && vms + 600000L < wm
+    }.map { case (_, vu, vid, _) =>
+      (vu, Some(vid), None: Option[Long], None: Option[Long]) }
+    val up = p.filter { case (_, pu, _, pms) =>
+      !v.exists(x => x._2 == pu && pms > x._4 && pms <= x._4 + 600000L) &&
+        pms < wm
+    }.map { case (_, pu, pid, _) =>
+      (pu, None: Option[Long], Some(pid), None: Option[Long]) }
+    val expected = (m ++ uv ++ up)
+      .map(t => (t._1, t._2, t._3, t._4)).toSet
+    assert(streamed == expected)
+    // all three legs are genuinely exercised at this scale
+    assert(m.nonEmpty && uv.nonEmpty && up.nonEmpty)
+  }
+
   test("file source behind the SourceSpec seam equals the direct reader") {
     val viaSeam = EventStreams.runToResult(spark,
       EventStreams.tumblingCounts(EventStreams.readSource(spark,
