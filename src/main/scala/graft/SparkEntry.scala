@@ -36,7 +36,8 @@ object SparkEntry {
     StatOps4,
     StatOps5,
     StatOps6,
-    StatOps7
+    StatOps7,
+    StatOps8
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
