@@ -37,7 +37,8 @@ object SparkEntry {
     StatOps5,
     StatOps6,
     StatOps7,
-    StatOps8
+    StatOps8,
+    StatOps9
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
