@@ -159,6 +159,49 @@ object TextOps extends QueryPack {
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // Sketch-calibration audit (round 12): for every LSH candidate pair,
+    // compare the MinHash ESTIMATE against the EXACT shingle-set Jaccard
+    // — the audit a pipeline runs before trusting the sketch's θ-curve
+    // at 100 TB. Grouped by the signature agreement count m (an exact
+    // integer — no float binning), it reports the estimate each m implies
+    // (est_ppm = m·10⁶/16), the measured exact mean, the signed mean
+    // error (positive = the sketch overestimates) and the worst case.
+    // ALL integer arithmetic: est·16 recovers m exactly (dyadic), exact
+    // Jaccard stages as ⌊10⁶·|∩|/|∪|⌋ integer division, signed means
+    // via the shared trunc-toward-zero div. Scale: the pair set is the
+    // (already capped) LSH candidate stream; the gram join is two keyed
+    // equi-joins against the doc gram sets.
+    "q_minhash_calibration" -> ((s, dir) => {
+      val d = withMutants(docs(s, dir))
+      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
+          shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          (col("est_jaccard") * 16).cast("long").as("m"))
+      val grams = d.select(col("doc_id").as("gid"),
+        array_distinct(wordNgramsNative(col("text"), 3)).as("grams"))
+      pairs
+        .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")),
+          Seq("id_a"))
+        .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")),
+          Seq("id_b"))
+        .select(col("m"), expr(
+          """CAST((1000000 * CAST(size(array_intersect(ga, gb)) AS BIGINT))
+            | div size(array_union(ga, gb)) AS BIGINT)"""
+            .stripMargin.replaceAll("\\s+", " ")).as("exact_ppm"))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("exact_ppm")).as("sum_exact"),
+          sum(col("m") * 62500L - col("exact_ppm")).as("sum_err"),
+          max(abs(col("m") * 62500L - col("exact_ppm")))
+            .as("max_abs_err_ppm"))
+        .select(col("m").as("n_agree"), col("n_pairs"),
+          (col("m") * 62500L).as("est_ppm"),
+          expr("sum_exact div n_pairs").as("mean_exact_ppm"),
+          expr("sum_err div n_pairs").as("mean_err_ppm"),
+          col("max_abs_err_ppm"))
+        .orderBy(col("n_agree"))
+    }),
+
     // SimHash near-dup within Hamming ≤ 4 over the mutant corpus —
     // pigeonhole banding is an exact candidate generator, so the banded
     // result must equal the oracle's all-pairs popcount join row for row.
@@ -590,6 +633,39 @@ object TextOps extends QueryPack {
          |    / 16 AS est_jaccard
          |FROM pairs WHERE est_jaccard >= 0.5
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q_minhash_calibration" -> {
+      val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
+      val grams = s"list_distinct(${sqlWordNgrams("text", 3)})"
+      s"""WITH sigs AS (
+         |  SELECT doc_id AS id, $sig AS sig FROM $sqlWithMutants),
+         |${sqlBandedCandidates(4, 4, "cand")},
+         |pairs AS (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2]))
+         |      AS m
+         |  FROM cand
+         |  WHERE len(list_filter(list_zip(sig_a, sig_b),
+         |    s -> s[1] = s[2])) >= 8),
+         |g AS (
+         |  SELECT doc_id, $grams AS grams FROM $sqlWithMutants),
+         |cells AS (
+         |  SELECT p.m,
+         |    (1000000 * len(list_intersect(a.grams, b.grams)))
+         |      // len(list_distinct(list_concat(a.grams, b.grams)))
+         |      AS exact_ppm
+         |  FROM pairs p
+         |  JOIN g a ON a.doc_id = p.id_a
+         |  JOIN g b ON b.doc_id = p.id_b)
+         |SELECT CAST(m AS BIGINT) AS n_agree, COUNT(*) AS n_pairs,
+         |  CAST(62500 * m AS BIGINT) AS est_ppm,
+         |  CAST(SUM(exact_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+         |  CAST(SUM(62500 * m - exact_ppm) // COUNT(*) AS BIGINT)
+         |    AS mean_err_ppm,
+         |  CAST(MAX(ABS(62500 * m - exact_ppm)) AS BIGINT)
+         |    AS max_abs_err_ppm
+         |FROM cells GROUP BY m ORDER BY n_agree""".stripMargin
     },
 
     // Transitive closure via recursive CTE over the SQL-rederived LSH

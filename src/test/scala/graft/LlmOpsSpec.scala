@@ -10,6 +10,67 @@ class LlmOpsSpec extends SparkSpec {
   private lazy val docs = Tables.load(spark, sf, "documents")
   private lazy val emb = Tables.load(spark, sf, "embeddings")
 
+  test("q_minhash_calibration: exact cells replay against a scalar " +
+      "per-pair Jaccard recompute; errors bounded and mutants calibrated") {
+    val rows = SparkEntry.queries("q_minhash_calibration")(spark, sf)
+      .collect().map(r => r.getAs[Long]("n_agree") -> r).toMap
+    assert(rows.nonEmpty)
+    // scalar replay: candidate pairs from the ENGINE's own LSH stage
+    // (recall/precision of that stage is pinned by its own tests below);
+    // the calibration cells must equal a brute recompute of exact
+    // Jaccard over those pairs
+    val mutants = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzmutant")).as("text")))
+    val pairs = Dedup.minhashPairs(mutants, col("text"), col("doc_id"),
+        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
+      .select(col("id_a"), col("id_b"),
+        (col("est_jaccard") * 16).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    def gramsOf(t: String): Set[String] = {
+      val a = t.replaceAll("^\\s+|\\s+$", "").toLowerCase.split("\\s+")
+      (1 to math.max(a.length - 2, 1))
+        .map(i => a.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val byId = mutants.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap.map { case (k, v) =>
+        k -> gramsOf(v) }
+    val cells = pairs.map { case (a, b, m) =>
+      val ga = byId(a); val gb = byId(b)
+      (m, 1000000L * (ga & gb).size / (ga | gb).size)
+    }
+    cells.groupBy(_._1).foreach { case (m, xs) =>
+      val r = rows(m)
+      val n = xs.length.toLong
+      assert(r.getAs[Long]("n_pairs") == n, s"m=$m n")
+      assert(r.getAs[Long]("est_ppm") == 62500L * m)
+      assert(r.getAs[Long]("mean_exact_ppm") ==
+        { val s = xs.map(x => BigInt(x._2)).sum; (s / n).toLong }, s"m=$m")
+      val errs = xs.map(x => BigInt(62500L * m - x._2))
+      assert(BigInt(r.getAs[Long]("mean_err_ppm")) == errs.sum / n, s"m=$m")
+      assert(r.getAs[Long]("max_abs_err_ppm") ==
+        errs.map(_.abs).max.toLong, s"m=$m")
+    }
+    assert(rows.keySet == cells.map(_._1).toSet)
+    // calibration semantics: the full-agreement band is the planted
+    // mutants — truly near-identical, so the sketch is honest there —
+    // while LOWER bands may carry sketch-collision false positives whose
+    // exact Jaccard is near zero (the gate corpus's ~50-word vocabulary
+    // makes these common). That inflation is not a bug in the query: it
+    // is exactly the readout this audit exists to expose, and the first
+    // cut of this test asserting "every band's exact mean is high"
+    // failed on it — correctly.
+    assert(rows.contains(16L), "the mutant band must surface")
+    assert(rows(16L).getAs[Long]("mean_exact_ppm") > 900000L)
+    rows.values.foreach { r =>
+      val est = r.getAs[Long]("est_ppm")
+      assert(est >= 500000L && est <= 1000000L)
+    }
+    // and at least one band must show real sketch error (the audit has
+    // something to say on this corpus)
+    assert(rows.values.exists(_.getAs[Long]("max_abs_err_ppm") > 100000L))
+  }
+
   test("minhash LSH finds every planted near-duplicate (recall on mutants)") {
     val mutants = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),

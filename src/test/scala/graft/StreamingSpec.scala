@@ -337,6 +337,34 @@ class StreamingSpec extends SparkSpec {
     assert(a == run("b"), "rate-source result is not reproducible")
   }
 
+  test("update mode emits per-batch changed aggregates whose latest " +
+      "version equals the batch result (multi-batch rate source)") {
+    // 4 batches of 250 rows: each bucket's count is updated ~4 times;
+    // the memory sink accumulates every emitted version. Counts only
+    // grow, so latest-per-key = MAX — the deterministic compaction that
+    // needs no batch marker.
+    val src = spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", "250").load()
+      .filter(col("value") < 1000)
+      .groupBy((col("value") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val sink = EventStreams.runUntilInputRows(spark, src,
+      "spec_update_mode", minInputRows = 1000L, mode = "update")
+    val versions = sink.select(col("bucket"), col("n"))
+      .as[(Long, Long)].collect()
+    val latest = versions.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(_._2).max }
+    assert(latest.keySet == (0L to 9L).toSet)
+    assert(latest.values.forall(_ == 100L),
+      s"latest-per-bucket: $latest")
+    // update mode re-emits a key on EVERY batch that changes it: with 4
+    // batches each touching all 10 buckets, the sink holds ~40 versions
+    // — far more than the 10 a complete-mode final snapshot would show,
+    // which is the observable difference between the modes
+    assert(versions.length > 10 && versions.length <= 60,
+      s"${versions.length} emitted versions")
+  }
+
   test("unbounded drain times out with a clear error, query stopped") {
     val src = spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", "1").load()
