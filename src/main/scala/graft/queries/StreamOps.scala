@@ -119,6 +119,27 @@ object StreamOps extends QueryPack {
         .orderBy(col("bucket"))
     }),
 
+    // UPDATE output mode (round 12 — the third declared mode as a GATE,
+    // complete/append being long covered): the rate-source aggregate
+    // emits each bucket's row on EVERY batch that changes it, so the
+    // memory sink accumulates ~4 versions per bucket; the gate compacts
+    // latest-per-key via MAX (counts and nonnegative sums only grow —
+    // the deterministic compaction needing no batch marker; the
+    // StreamingSpec twin pins that the sink really held >10 versions).
+    // Oracle = the batch aggregate over the same value range.
+    "q_stream_update" -> ((s, dir) => {
+      val src = s.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "250").load()
+        .filter(col("value") < 1000)
+        .groupBy((col("value") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      EventStreams.runUntilInputRows(s, src, qn("stream_update"),
+          minInputRows = 1000L, mode = "update")
+        .groupBy(col("bucket"))
+        .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"))
+        .orderBy(col("bucket"))
+    }),
+
     // Stream-static broadcast join: enrich the stream against a literal
     // funnel-stage dimension (no state store; the static side re-reads per
     // micro-batch), then aggregate per stage.
@@ -435,6 +456,12 @@ object StreamOps extends QueryPack {
         |SELECT * FROM m UNION ALL SELECT * FROM uv UNION ALL
         |SELECT * FROM up
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "q_stream_update" ->
+      """SELECT CAST(value % 10 AS BIGINT) AS bucket,
+        |  COUNT(*) AS n, CAST(SUM(value) AS BIGINT) AS sum_value
+        |FROM (SELECT unnest(generate_series(0, 999)) AS value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
