@@ -34,6 +34,15 @@ import graft.sources.Tables
   * ≤|groups|-sized work; medians broadcast as 1-row/5-row frames; the
   * only fact-fact shuffle join (orders⇄line-counts in the McNemar/Fleiss
   * pair) is keyed on the order key and AQE-skew-safe.
+  *
+  * Degenerate-input stance (the r11 `q_conformal` ADVICE precedent —
+  * accepted and documented, never reachable at gate scales): an EMPTY
+  * date-span half (`q_wasserstein`) or a zero positive class
+  * (`q_lift_gains`) divides by zero in the closing exact division,
+  * where Spark's decimal division yields NULL but DuckDB's HUGEINT `//`
+  * errors — a parity break only a truly degenerate corpus can reach.
+  * `q_mcnemar` (b + c = 0) and `q_fleiss_kappa` (unanimous raters) guard
+  * their degenerate cells explicitly with shared CASE text.
   */
 object StatOps7 extends QueryPack {
 

@@ -26,6 +26,15 @@ import graft.sources.Tables
   * the broadcast 1-row cells); the runs fold collects one
   * calendar-bounded array under the [[Parity.guardedSpanValue]] loud
   * span guard.
+  *
+  * Degenerate-input stance (documented, unreachable at gate scales): a
+  * single-day window (`q_theil_sen`: zero pairs → NULL-row vs NULL-row,
+  * which happens to agree) and a single-order corpus (`q_grubbs`:
+  * (n − 1) divisor) sit in the same Spark-NULL-vs-DuckDB-error class as
+  * the r11 `q_conformal` precedent. `q_theil_sen`'s intercept staging
+  * (cents·10⁶) overflows its BIGINT cast once daily revenue passes
+  * ~9·10¹² cents — Spark nulls, DuckDB errors: loud either way, and the
+  * envelope is documented here rather than silently widened.
   */
 object StatOps8 extends QueryPack {
 

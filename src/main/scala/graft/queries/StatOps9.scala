@@ -25,6 +25,13 @@ import graft.sources.Tables
   * calendar-bounded (|days|·|lags| rows regardless of corpus size); the
   * ECDF thresholds are a fixed 10-cell grid folded into one conditional
   * aggregate (a single corpus pass, no join at all).
+  *
+  * Degenerate-input stance (documented, unreachable at gate scales): a
+  * CONSTANT daily series makes `q_xcorr_leadlag`'s varx·vary zero
+  * (Spark decimal division → NULL, DuckDB HUGEINT `//` → error), and a
+  * single-event corpus breaks `q_cpk`'s (n − 1) divisor the same way;
+  * lags with < 3 paired days are instead dropped explicitly on BOTH
+  * engines (the `filter(n >= 3)` / `HAVING COUNT(*) >= 3` pair).
   */
 object StatOps9 extends QueryPack {
 
