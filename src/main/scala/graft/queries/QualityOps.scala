@@ -204,6 +204,115 @@ object QualityOps extends QueryPack {
       graft.operators.Bootstrap.poissonMeanCi(t(s, dir, "orders"),
         col("o_orderkey"), col("o_totalprice")))
 ,
+    // Approximate randomization (permutation) test for the urgent-vs-rest
+    // mean order value — the bootstrap's sibling: under the null the
+    // group labels are exchangeable, so B = 200 DETERMINISTIC random
+    // relabelings (the low bit of the same mix32 chain the bootstrap
+    // uses; binomial sizes — the standard map-reduce randomization
+    // variant) give the reference distribution, and p = (#{|Δ_b| ≥
+    // |Δ_obs|} + 1)/(B + 1). One md5 per ROW, integer-only ×B fan-out,
+    // one grouped pass; every statistic is an exact micro-cent integer
+    // (the q_cohens_d division staging) — no doubles anywhere, so the
+    // oracle replays bit-for-bit. Null-cohesion: priority is assigned
+    // independently of price in the fixture, so p must be well away
+    // from significance (spec-pinned).
+    "q_perm_test" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("k"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("g"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("x"))
+      def diffMicro = expr(
+        """abs((1000000 * (s1 * n0 - s0 * n1))
+          | div (CAST(n1 AS DECIMAL(38,0)) * n0))"""
+          .stripMargin.replaceAll("\\s+", " "))
+      val obs = o.groupBy()
+        .agg(sum(when(col("g") === 1, col("x")).otherwise(0L)
+            .cast(DecimalType(38, 0))).as("s1"),
+          sum(when(col("g") === 0, col("x")).otherwise(0L)
+            .cast(DecimalType(38, 0))).as("s0"),
+          sum(col("g")).as("n1"),
+          sum(lit(1L) - col("g")).as("n0"))
+        .select((col("n1") + col("n0")).as("n_orders"),
+          diffMicro.as("obs_diff_micro"))
+      val parts = o.sparkSession.sessionState.conf.numShufflePartitions
+      val reps = o.repartition(parts)
+        .withColumn("u0", graft.functions.TextFunctions.hash32(col("k")))
+        .select(col("u0"), col("x"),
+          explode(sequence(lit(0), lit(199))).as("b"))
+        .withColumn("gb",
+          graft.operators.Bootstrap.mix32(col("u0"), col("b")) % 2)
+        .groupBy(col("b"))
+        .agg(sum(when(col("gb") === 1, col("x")).otherwise(0L)
+            .cast(DecimalType(38, 0))).as("s1"),
+          sum(when(col("gb") === 0, col("x")).otherwise(0L)
+            .cast(DecimalType(38, 0))).as("s0"),
+          sum(col("gb")).as("n1"),
+          sum(lit(1L) - col("gb")).as("n0"))
+        .select(diffMicro.as("stat_micro"))
+      reps.crossJoin(broadcast(obs))
+        .agg(first(col("n_orders")).as("n_orders"),
+          count(lit(1)).as("b_reps"),
+          first(col("obs_diff_micro")).as("obs_diff_micro"),
+          sum(when(col("stat_micro") >= col("obs_diff_micro"), 1L)
+            .otherwise(0L)).as("n_ge"))
+        .select(col("n_orders"), col("b_reps"), col("obs_diff_micro"),
+          col("n_ge"),
+          expr("(1000000 * (n_ge + 1)) div (b_reps + 1)").as("p_ppm"))
+    }),
+
+    // Delete-one-block jackknife SE for the revenue-per-customer RATIO
+    // estimator, nations as the blocks — the uncertainty readout for a
+    // statistic with no per-row decomposition (a plain variance doesn't
+    // apply to a ratio). G = 25 replicates R_i = (S − s_i)/(N − n_i)
+    // come off ONE per-nation aggregate (a broadcast dim join; the
+    // orders⇄customer join is the only fact-fact shuffle); every R_i is
+    // an exact micro-cent integer, the variance numerator Σ(R_i − R̄)²
+    // sums EXACTLY in DECIMAL(38,0) (a double Σ over nation rows would
+    // be order-dependent across engines), and the closing sqrt sees one
+    // cast of one exact decimal — no cancellation after the cast, so
+    // DuckDB's two-step HUGEINT→DOUBLE rounding stays below the 6-dp
+    // readout (the q_anova_f analysis, applied at design time).
+    "q_jackknife_ratio" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+      val perNation = c.join(o, col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_nationkey"))
+        .agg(sum(coalesce(col("cents"), lit(0L))
+            .cast(DecimalType(38, 0))).as("si"),
+          count_distinct(col("c_custkey")).as("ni"))
+      val tot = perNation.agg(sum(col("si")).as("s"), sum(col("ni")).as("n"),
+        count(lit(1)).as("g"))
+      val reps = perNation.crossJoin(broadcast(tot))
+        .select(col("g"), col("s"), col("n"), expr(
+          """(1000000 * (s - si)) div (CAST(n AS DECIMAL(38,0)) - ni)"""
+        ).as("ri"))
+      val rbar = reps.groupBy(col("g"), col("s"), col("n"))
+        .agg(sum(col("ri").cast(DecimalType(38, 0))).as("sri"))
+        .select(col("g"), col("s"), col("n"),
+          expr("sri div g").as("rbar_micro"))
+      reps.join(broadcast(rbar), Seq("g", "s", "n"))
+        .select(col("g"), col("s"), col("n"), col("rbar_micro"),
+          ((col("ri") - col("rbar_micro")).cast(DecimalType(38, 0))
+            * (col("ri") - col("rbar_micro"))).as("d2"))
+        .groupBy(col("g"), col("s"), col("n"), col("rbar_micro"))
+        .agg(sum(col("d2")).as("ssd"))
+        .select(col("g").as("n_blocks"),
+          expr("(1000000 * s) div n").as("ratio_micro"),
+          col("rbar_micro"),
+          expr("CAST((ssd * (g - 1) - (ssd * (g - 1)) % CAST(g AS DECIMAL(38,0))) / CAST(g AS DECIMAL(38,0)) AS DECIMAL(38,0))")
+            .as("jk_var_micro2"))
+        .select(col("n_blocks"), col("ratio_micro"), col("rbar_micro"),
+          col("jk_var_micro2"),
+          round(expr("sqrt(CAST(jk_var_micro2 AS DOUBLE)) / 1000000.0"), 6)
+            .as("se_cents"))
+    }),
     // Per-stratum classifier evaluation: the confusion matrix and its
     // precision/recall/F1 in exact integer micro-units — the model-eval
     // report a quality-filter pipeline gates releases on. Truth and
@@ -435,6 +544,90 @@ object QualityOps extends QueryPack {
         |  ci.ms[CAST(LEAST(ci.nb, (196 * ci.nb + 199) // 200) AS INT)]
         |    AS ci_hi
         |FROM ci, fl""".stripMargin,
+
+    // Same mix32 chain as q_bootstrap_ci, but the LOW BIT becomes the
+    // permuted group label; every statistic is exact-integer so the
+    // replicate set replays bit-for-bit.
+    "q_perm_test" ->
+      """WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS x
+        |  FROM orders),
+        |obs AS (SELECT COUNT(*) AS n_orders,
+        |    ABS((1000000 * (
+        |        SUM(CASE WHEN g = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |          * SUM(1 - g)
+        |        - SUM(CASE WHEN g = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |          * SUM(g)))
+        |      // (CAST(SUM(g) AS HUGEINT) * SUM(1 - g)))
+        |      AS obs_diff_micro
+        |  FROM o),
+        |base AS (SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS u0, x
+        |  FROM o),
+        |e AS (SELECT b, x, xor(t3, t3 // 65536) AS u FROM (
+        |  SELECT b, x,
+        |    (xor(t2, t2 // 32768) * 1935781271) % 4294967296 AS t3 FROM (
+        |    SELECT b, x,
+        |      (xor(t1, t1 // 65536) * 2146121005) % 4294967296 AS t2 FROM (
+        |      SELECT b.b AS b, x,
+        |        (u0 + b.b * 2654435761) % 4294967296 AS t1
+        |      FROM base,
+        |        LATERAL unnest(generate_series(0, 199)) AS b(b))))),
+        |cell AS (SELECT b,
+        |    SUM(CASE WHEN u % 2 = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |      AS s1,
+        |    SUM(CASE WHEN u % 2 = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+        |      AS s0,
+        |    SUM(u % 2) AS n1, SUM(1 - u % 2) AS n0
+        |  FROM e GROUP BY b),
+        |st AS (SELECT
+        |    ABS((1000000 * (s1 * n0 - s0 * n1))
+        |      // (CAST(n1 AS HUGEINT) * n0)) AS stat
+        |  FROM cell)
+        |SELECT CAST(obs.n_orders AS BIGINT) AS n_orders,
+        |  COUNT(*) AS b_reps,
+        |  CAST(obs.obs_diff_micro AS BIGINT) AS obs_diff_micro,
+        |  CAST(SUM(CASE WHEN st.stat >= obs.obs_diff_micro
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  CAST((1000000 * (SUM(CASE WHEN st.stat >= obs.obs_diff_micro
+        |      THEN 1 ELSE 0 END) + 1)) // (COUNT(*) + 1) AS BIGINT)
+        |    AS p_ppm
+        |FROM st, obs
+        |GROUP BY obs.n_orders, obs.obs_diff_micro""".stripMargin,
+
+    "q_jackknife_ratio" ->
+      """WITH oc AS (SELECT o_custkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |pn AS (
+        |  SELECT c_nationkey,
+        |    SUM(CAST(COALESCE(cents, 0) AS HUGEINT)) AS si,
+        |    COUNT(DISTINCT c_custkey) AS ni
+        |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT SUM(si) AS s, SUM(ni) AS n, COUNT(*) AS g FROM pn),
+        |reps AS (SELECT tot.g, tot.s, tot.n,
+        |    (1000000 * (tot.s - si)) // (CAST(tot.n AS HUGEINT) - ni)
+        |      AS ri
+        |  FROM pn, tot),
+        |rb AS (SELECT g, s, n, SUM(ri) // g AS rbar
+        |  FROM reps GROUP BY 1, 2, 3),
+        |d AS (SELECT reps.g, reps.s, reps.n, rb.rbar,
+        |    CAST(ri - rb.rbar AS HUGEINT) * (ri - rb.rbar) AS d2
+        |  FROM reps, rb),
+        |cell AS (SELECT g, s, n, rbar, SUM(d2) AS ssd
+        |  FROM d GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(g AS BIGINT) AS n_blocks,
+        |  CAST((1000000 * s) // n AS BIGINT) AS ratio_micro,
+        |  CAST(rbar AS BIGINT) AS rbar_micro,
+        |  CAST((ssd * (g - 1)) // CAST(g AS HUGEINT) AS DECIMAL(38,0))
+        |    AS jk_var_micro2,
+        |  round(sqrt(CAST((ssd * (g - 1)) // CAST(g AS HUGEINT)
+        |    AS DOUBLE)) / 1000000.0, 6) AS se_cents
+        |FROM cell""".stripMargin,
 
     "q_eval_confusion" -> {
       val toks = graft.functions.TextFunctions.sqlTokens("text")
