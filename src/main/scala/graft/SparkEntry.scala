@@ -38,7 +38,8 @@ object SparkEntry {
     StatOps6,
     StatOps7,
     StatOps8,
-    StatOps9
+    StatOps9,
+    StatOps10
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
