@@ -39,7 +39,8 @@ object SparkEntry {
     StatOps7,
     StatOps8,
     StatOps9,
-    StatOps10
+    StatOps10,
+    EvalOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
