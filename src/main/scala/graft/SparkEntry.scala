@@ -40,7 +40,8 @@ object SparkEntry {
     StatOps8,
     StatOps9,
     StatOps10,
-    EvalOps
+    EvalOps,
+    ForecastOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

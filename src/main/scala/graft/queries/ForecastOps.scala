@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Round-12 tranche 11: seasonal forecasting and process monitoring —
+  * Holt-Winters additive smoothing (the weekly-seasonality extension of
+  * `q_holt_linear`: level + trend + a 7-slot seasonal state) and the
+  * EWMA control chart (the memory-ful successor of the `q_cusum` /
+  * `q_daily_bands` shift detectors, with the exact time-varying
+  * variance-inflation factor 1 − (1−λ)^{2t} carried as an integer
+  * recursion).
+  *
+  * Determinism discipline: the StatOps3 `q_holt_linear` staging — the
+  * zero-filled daily spine reduces to ONE span-guarded bounded row, the
+  * smoothing recursions run as integer milli left folds whose per-step
+  * truncating divisions agree between Spark `div` and DuckDB BIGINT
+  * `//` (trunc-toward-zero even on the negative trend/seasonal terms,
+  * probed §2.15), and the EWMA out-of-control flag closes as a PURE
+  * INTEGER cross-multiplied comparison ((z−μ)²·10⁶ > 9·σ²·g_ppm) — no
+  * doubles anywhere in either query.
+  *
+  * Scale posture: one corpus day-keyed aggregate each; everything after
+  * is calendar-bounded (the [[Parity.MaxSpanCells]] loud guard), so the
+  * folds stay O(1) as data grows. The EWMA fold accumulates its per-day
+  * output sequence by array concat — O(span²) element copies, bounded
+  * by the same guard (≤ 16384² trivial appends, never corpus-sized).
+  *
+  * Degenerate-input stance (documented, unreachable at gate scales): a
+  * single-day corpus zeroes the EWMA variance divisor (n−1) — Spark
+  * nulls, DuckDB errors: loud either way.
+  */
+object ForecastOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private val DayUs = 86400000000L
+
+  /** The shared zero-filled daily revenue spine (cents), span-guarded.
+    * Same staging as q_holt_linear's, so the three smoothers read ONE
+    * series definition. */
+  private def dailySpine(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .select(expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $DayUs")
+        .as("day"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+    val b = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("mn"),
+        Parity.guardedSpanValue(col("mx"),
+          col("mx") - col("mn") + 1, Parity.MaxSpanCells,
+          "forecast daily spine").as("mx"))
+    b.select(explode(expr("sequence(mn, mx)")).as("day"))
+      .join(d, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
+  /** The 7-slot seasonal pick at the fold's current day. */
+  private def sPick(prefix: String, idx: String) =
+    s"""element_at(array($prefix.s0, $prefix.s1, $prefix.s2, $prefix.s3,
+       | $prefix.s4, $prefix.s5, $prefix.s6),
+       | CAST($idx % 7 AS INT) + 1)""".stripMargin
+      .replaceAll("\\s+", " ")
+
+  override def defs: Map[String, Q] = Map[String, Q](
+
+    // Holt-Winters additive smoothing of daily revenue (α=0.3, β=0.1,
+    // γ=0.2, weekly period 7) with a 14-day forecast. State = (level,
+    // trend, s0..s6) in integer milli-cents; seasonal index = the
+    // epoch-day mod 7 (calendar-stable, no row numbering needed). Each
+    // step: l' = (3(y−s_idx) + 7(l+b)) div 10, b' = ((l'−l) + 9b) div
+    // 10, s_idx' = (2(y−l') + 8·s_idx) div 10; the transform-wrapper
+    // let-binds l' so the trend and seasonal updates see it without
+    // recomputation (the q_holt_linear pattern). Init: l₀ = y₀, b₀ = 0,
+    // s = 0s (declared). Forecast h = 1..14: l + h·b + s[(mx+h) mod 7].
+    "q_holt_winters" -> ((s, dir) => {
+      val z = dailySpine(s, dir)
+      val bb = z.agg(max(col("day")).as("mxd"))
+      z.agg(collect_list(struct(col("day"), col("cents"))).as("arr"))
+        .crossJoin(broadcast(bb))
+        .select(col("mxd"), expr(
+          s"""aggregate(
+             |  slice(array_sort(arr), 2, size(arr) - 1),
+             |  named_struct('l', array_sort(arr)[0].cents * 1000L,
+             |    'b', 0L, 's0', 0L, 's1', 0L, 's2', 0L, 's3', 0L,
+             |    's4', 0L, 's5', 0L, 's6', 0L),
+             |  (acc, x) -> element_at(transform(
+             |    array((3 * (x.cents * 1000L - ${sPick("acc", "x.day")})
+             |          + 7 * (acc.l + acc.b)) div 10),
+             |    ln -> named_struct(
+             |      'l', ln,
+             |      'b', ((ln - acc.l) + 9 * acc.b) div 10,
+             |      's0', IF(x.day % 7 = 0,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s0) div 10,
+             |        acc.s0),
+             |      's1', IF(x.day % 7 = 1,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s1) div 10,
+             |        acc.s1),
+             |      's2', IF(x.day % 7 = 2,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s2) div 10,
+             |        acc.s2),
+             |      's3', IF(x.day % 7 = 3,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s3) div 10,
+             |        acc.s3),
+             |      's4', IF(x.day % 7 = 4,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s4) div 10,
+             |        acc.s4),
+             |      's5', IF(x.day % 7 = 5,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s5) div 10,
+             |        acc.s5),
+             |      's6', IF(x.day % 7 = 6,
+             |        (2 * (x.cents * 1000L - ln) + 8 * acc.s6) div 10,
+             |        acc.s6))),
+             |    1))""".stripMargin).as("st"))
+        .select(col("mxd"), col("st"),
+          explode(expr("sequence(1L, 14L)")).as("h"))
+        .select(col("h"),
+          (col("st.l") + col("h") * col("st.b") +
+            expr(sPick("st", "(mxd + h)"))).as("forecast_milli"))
+        .orderBy(col("h"))
+    }),
+
+    // EWMA control chart over daily revenue (λ=0.2, 3σ limits): z_t =
+    // (2y_t + 8z_{t−1}) div 10 from z₀ = μ (the in-control center), and
+    // the variance-inflation factor g_t = (64·g_{t−1}) div 100 + 40000
+    // ppm (the integer recursion for λ²Σ(1−λ)^{2j}, converging to
+    // λ/(2−λ) = 111110 ppm). μ and σ² are truncated-exact global cells
+    // over the same spine; the out-of-control flag is the EXACT integer
+    // comparison (z−μ)²·10⁶ > 9·σ²·g — cross-multiplied so neither
+    // engine ever computes a square root. One day-per-row readout,
+    // calendar-bounded.
+    "q_ewma_chart" -> ((s, dir) => {
+      val z = dailySpine(s, dir)
+      val cells = z
+        .agg(count(lit(1)).as("nd"),
+          sum((col("cents") * 1000).cast(DecimalType(38, 0))).as("sy"),
+          sum((col("cents") * 1000).cast(DecimalType(38, 0))
+            * (col("cents") * 1000)).as("qy"))
+        .select(col("nd"),
+          expr("CAST((sy - sy % nd) / nd AS BIGINT)").as("mu_milli"),
+          expr("""CAST((
+            |  (qy - (sy * sy - (sy * sy) % nd) / nd)
+            |  - (qy - (sy * sy - (sy * sy) % nd) / nd) % (nd - 1))
+            | / (nd - 1) AS DECIMAL(38,0))"""
+            .stripMargin.replaceAll("\\s+", " ")).as("s2"))
+      z.agg(collect_list(struct(col("day"), col("cents"))).as("arr"))
+        .crossJoin(broadcast(cells))
+        .select(col("mu_milli"), col("s2"), explode(expr(
+          """aggregate(array_sort(arr),
+            |  named_struct('zt', mu_milli, 'gp', 0L,
+            |    'seq', CAST(array()
+            |      AS ARRAY<STRUCT<day: BIGINT, zt: BIGINT, gp: BIGINT>>)),
+            |  (acc, x) -> named_struct(
+            |    'zt', (2 * x.cents * 1000L + 8 * acc.zt) div 10,
+            |    'gp', (64 * acc.gp) div 100 + 40000,
+            |    'seq', concat(acc.seq, array(named_struct(
+            |      'day', x.day,
+            |      'zt', (2 * x.cents * 1000L + 8 * acc.zt) div 10,
+            |      'gp', (64 * acc.gp) div 100 + 40000)))),
+            |  acc -> acc.seq)""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.zt").as("z_milli"),
+          col("r.gp").as("g_ppm"),
+          ((col("r.zt") - col("mu_milli")).cast(DecimalType(38, 0))
+            * (col("r.zt") - col("mu_milli")) * 1000000
+            > lit(9).cast(DecimalType(38, 0)) * col("s2") * col("r.gp"))
+            .as("outside"))
+        .orderBy(col("day"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_holt_winters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT epoch_us(l_shipdate) // $DayUs AS day,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+         |g AS (SELECT u.day FROM b,
+         |      unnest(generate_series(b.mn, b.mx)) AS u(day)),
+         |z AS (SELECT g.day, COALESCE(d.cents, 0) AS cents,
+         |        ROW_NUMBER() OVER (ORDER BY g.day) AS i
+         |      FROM g LEFT JOIN d ON d.day = g.day),
+         |n AS (SELECT MAX(i) AS n FROM z),
+         |r AS (
+         |  SELECT 1 AS i, cents * 1000 AS l, CAST(0 AS BIGINT) AS b,
+         |    CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+         |    CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3,
+         |    CAST(0 AS BIGINT) AS s4, CAST(0 AS BIGINT) AS s5,
+         |    CAST(0 AS BIGINT) AS s6
+         |  FROM z WHERE i = 1
+         |  UNION ALL
+         |  SELECT i, lnew,
+         |    ((lnew - l) + 9 * b) // 10,
+         |    CASE WHEN idx = 0 THEN (2 * (y - lnew) + 8 * s0) // 10
+         |      ELSE s0 END,
+         |    CASE WHEN idx = 1 THEN (2 * (y - lnew) + 8 * s1) // 10
+         |      ELSE s1 END,
+         |    CASE WHEN idx = 2 THEN (2 * (y - lnew) + 8 * s2) // 10
+         |      ELSE s2 END,
+         |    CASE WHEN idx = 3 THEN (2 * (y - lnew) + 8 * s3) // 10
+         |      ELSE s3 END,
+         |    CASE WHEN idx = 4 THEN (2 * (y - lnew) + 8 * s4) // 10
+         |      ELSE s4 END,
+         |    CASE WHEN idx = 5 THEN (2 * (y - lnew) + 8 * s5) // 10
+         |      ELSE s5 END,
+         |    CASE WHEN idx = 6 THEN (2 * (y - lnew) + 8 * s6) // 10
+         |      ELSE s6 END
+         |  FROM (
+         |    SELECT z.i AS i, CAST(z.day % 7 AS INT) AS idx,
+         |      z.cents * 1000 AS y, r.l AS l, r.b AS b, r.s0 AS s0,
+         |      r.s1 AS s1, r.s2 AS s2, r.s3 AS s3, r.s4 AS s4,
+         |      r.s5 AS s5, r.s6 AS s6,
+         |      (3 * (z.cents * 1000
+         |         - CASE CAST(z.day % 7 AS INT)
+         |             WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2
+         |             WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5
+         |             ELSE r.s6 END)
+         |       + 7 * (r.l + r.b)) // 10 AS lnew
+         |    FROM r JOIN z ON z.i = r.i + 1)),
+         |fin AS (SELECT r.* FROM r, n WHERE r.i = n.n)
+         |SELECT h,
+         |  CAST(fin.l + h * fin.b
+         |    + CASE CAST((b2.mx + h) % 7 AS INT)
+         |        WHEN 0 THEN fin.s0 WHEN 1 THEN fin.s1 WHEN 2 THEN fin.s2
+         |        WHEN 3 THEN fin.s3 WHEN 4 THEN fin.s4 WHEN 5 THEN fin.s5
+         |        ELSE fin.s6 END AS BIGINT) AS forecast_milli
+         |FROM fin, b b2, unnest(generate_series(1, 14)) AS s(h)
+         |ORDER BY h""".stripMargin,
+
+    "q_ewma_chart" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT epoch_us(l_shipdate) // $DayUs AS day,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+         |g AS (SELECT u.day FROM b,
+         |      unnest(generate_series(b.mn, b.mx)) AS u(day)),
+         |z AS (SELECT g.day, COALESCE(d.cents, 0) AS cents,
+         |        ROW_NUMBER() OVER (ORDER BY g.day) AS i
+         |      FROM g LEFT JOIN d ON d.day = g.day),
+         |cells AS (
+         |  SELECT COUNT(*) AS nd,
+         |    CAST((SUM(CAST(cents AS HUGEINT) * 1000)
+         |      - SUM(CAST(cents AS HUGEINT) * 1000) % COUNT(*))
+         |      / COUNT(*) AS BIGINT) AS mu_milli,
+         |    ((SUM(CAST(cents AS HUGEINT) * 1000 * cents * 1000)
+         |        - (SUM(CAST(cents AS HUGEINT) * 1000)
+         |             * SUM(CAST(cents AS HUGEINT) * 1000)
+         |           - (SUM(CAST(cents AS HUGEINT) * 1000)
+         |              * SUM(CAST(cents AS HUGEINT) * 1000)) % COUNT(*))
+         |          / COUNT(*))
+         |      - (SUM(CAST(cents AS HUGEINT) * 1000 * cents * 1000)
+         |        - (SUM(CAST(cents AS HUGEINT) * 1000)
+         |             * SUM(CAST(cents AS HUGEINT) * 1000)
+         |           - (SUM(CAST(cents AS HUGEINT) * 1000)
+         |              * SUM(CAST(cents AS HUGEINT) * 1000)) % COUNT(*))
+         |          / COUNT(*)) % (COUNT(*) - 1))
+         |      / (COUNT(*) - 1) AS s2
+         |  FROM z),
+         |r AS (
+         |  SELECT 0 AS i, CAST(0 AS BIGINT) AS day,
+         |    CAST(mu_milli AS BIGINT) AS zt, CAST(0 AS BIGINT) AS gp
+         |  FROM cells
+         |  UNION ALL
+         |  SELECT z.i, z.day,
+         |    (2 * z.cents * 1000 + 8 * r.zt) // 10,
+         |    (64 * r.gp) // 100 + 40000
+         |  FROM r JOIN z ON z.i = r.i + 1)
+         |SELECT r.day, r.zt AS z_milli, r.gp AS g_ppm,
+         |  (CAST(r.zt - cells.mu_milli AS HUGEINT)
+         |     * (r.zt - cells.mu_milli) * 1000000
+         |   > 9 * cells.s2 * r.gp) AS outside
+         |FROM r, cells WHERE r.i >= 1
+         |ORDER BY r.day""".stripMargin
+  )
+}
