@@ -41,7 +41,8 @@ object SparkEntry {
     StatOps9,
     StatOps10,
     EvalOps,
-    ForecastOps
+    ForecastOps,
+    StatOps11
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
