@@ -42,7 +42,8 @@ object SparkEntry {
     StatOps10,
     EvalOps,
     ForecastOps,
-    StatOps11
+    StatOps11,
+    AttribOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

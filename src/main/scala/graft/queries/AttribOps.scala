@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-12 tranche 13: Markov-chain multi-touch attribution — the
+  * removal-effect model that completes the attribution family
+  * (`q_attribution` last-touch as-of, `q_attribution_linear` equal
+  * split): build the user-journey transition matrix (start → channel →
+  * … → conversion/null, truncated at the first conversion), solve the
+  * absorbing-chain conversion probability, then re-solve with each
+  * channel removed — a channel's credit is the conversion mass that
+  * disappears without it. The industry-standard answer to "which
+  * touchpoint actually CAUSES conversions" rather than "which happened
+  * to be adjacent".
+  *
+  * Determinism discipline: the absorption solve runs as a FIXED 64
+  * rounds of the integer-ppm recursion p_i ← (c_i→conv·10⁶ +
+  * Σ_j c_ij·p_j) div n_i — monotone nondecreasing from 0 and integer-
+  * valued, so it reaches its exact fixed point and stays there; Spark
+  * `div` ≡ DuckDB HUGEINT `//` on the nonnegative operands. The oracle
+  * unrolls the identical 64 rounds in SQL (the q_pagerank /
+  * q_kmeans_lloyd unrolled-recurrence pattern) across all removal
+  * variants at once.
+  *
+  * Scale posture: the corpus-sized work is ONE pass — per-user
+  * partitioned windows (prior-conversion cut, lag/lead transitions) +
+  * one (prev,next)-keyed count. The transition matrix is ≤
+  * (|event_type|+1)² cells — a bounded MODEL ARTIFACT (the
+  * KMeansLloyd-centroid precedent), loudly guarded at 256 cells before
+  * the driver-side 64-round solve over ≤ 6 states × 6 variants.
+  * Envelope: c·p ≤ 10⁶·n — BigInt in the driver, HUGEINT in the
+  * oracle; exact at any corpus size.
+  *
+  * Degenerate-input stance (documented, unreachable at gate scales): a
+  * corpus with zero conversions zeroes p_base and every removal diff —
+  * both engines then divide by zero (Spark null / DuckDB error), loud
+  * either way.
+  */
+object AttribOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  private val Rounds = 64
+
+  override def defs: Map[String, Q] = Map[String, Q](
+
+    "q_markov_attrib" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      // journey truncation: drop everything strictly after the user's
+      // first conversion (the purchase row itself stays — it becomes
+      // the absorbing transition)
+      val kept = e.withColumn("prior",
+          coalesce(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L))
+            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .filter(col("prior") === 0)
+      val seq0 = kept
+        .withColumn("prev",
+          coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+        .withColumn("is_last", lead(col("event_type"), 1).over(w).isNull)
+      val trans = seq0.select(col("prev"),
+          when(col("event_type") === "purchase", "conv")
+            .otherwise(col("event_type")).as("next"))
+        .union(seq0.filter(col("is_last") &&
+            col("event_type") =!= "purchase")
+          .select(col("event_type").as("prev"), lit("null").as("next")))
+        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+      // bounded model artifact: ≤ (|event_type|+1)·(|event_type|+2)
+      // cells; the guard makes the dimension envelope executable
+      val m = trans.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      require(m.length <= 256,
+        s"q_markov_attrib: transition matrix ${m.length} cells exceeds " +
+          "the bounded event-type envelope (256) - not a dim anymore")
+      val states = m.map(_._1).distinct.sorted // transient: have outgoing
+      val channels = (m.map(_._1) ++ m.map(_._2)).distinct
+        .filterNot(Set("start", "conv", "null")).sorted
+      val n = m.groupBy(_._1).map { case (k, rs) =>
+        k -> BigInt(rs.map(_._3).sum) }
+      def solve(removed: Option[String]): BigInt = {
+        var p = states.map(_ -> BigInt(0)).toMap
+        for (_ <- 1 to Rounds) {
+          p = states.map { st =>
+            val num = m.filter(_._1 == st).map { case (_, nx, c) =>
+              if (nx == "conv") BigInt(c) * 1000000
+              else if (nx == "null" || removed.contains(nx)) BigInt(0)
+              else BigInt(c) * p.getOrElse(nx, BigInt(0))
+            }.sum
+            st -> num / n(st)
+          }.toMap
+        }
+        p.getOrElse("start", BigInt(0))
+      }
+      val pBase = solve(None)
+      val rows = channels.map { ch =>
+        val pc = solve(Some(ch))
+        (ch, pBase, pc, pBase - pc)
+      }
+      val td = rows.map(_._4).sum
+      val out = rows.map { case (ch, pb, pc, d) =>
+        (ch, pb.toLong, pc.toLong,
+          (BigInt(1000000) * d / pb).toLong,
+          (BigInt(1000000) * d / td).toLong)
+      }
+      import s.implicits._
+      out.toSeq.toDF("channel", "p_base_ppm", "p_without_ppm",
+          "removal_ppm", "share_ppm")
+        .orderBy(col("channel"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_markov_attrib" -> {
+      val rounds = (1 to Rounds).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT v.v, n.prev AS s,
+           |    (cv.cv * 1000000 + COALESCE(SUM(t.c * pj.val), 0)) // n.n
+           |      AS val
+           |  FROM n JOIN cv ON cv.prev = n.prev
+           |  CROSS JOIN vr v
+           |  LEFT JOIN trans t ON t.prev = n.prev
+           |    AND t.next NOT IN ('conv', 'null') AND t.next <> v.v
+           |  LEFT JOIN p${k - 1} pj ON pj.s = t.next AND pj.v = v.v
+           |  GROUP BY v.v, n.prev, cv.cv, n.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+         |        ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS prior
+         |  FROM events),
+         |kept AS MATERIALIZED (SELECT * FROM flagged WHERE prior = 0),
+         |seq AS MATERIALIZED (
+         |  SELECT user_id, event_type,
+         |    COALESCE(LAG(event_type) OVER w, 'start') AS prev,
+         |    (LEAD(event_type) OVER w IS NULL) AS is_last
+         |  FROM kept
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |trans_raw AS MATERIALIZED (
+         |  SELECT prev,
+         |    CASE WHEN event_type = 'purchase' THEN 'conv'
+         |      ELSE event_type END AS next
+         |  FROM seq
+         |  UNION ALL
+         |  SELECT event_type, 'null' FROM seq
+         |  WHERE is_last AND event_type <> 'purchase'),
+         |trans AS MATERIALIZED (
+         |  SELECT prev, next, COUNT(*) AS c FROM trans_raw GROUP BY 1, 2),
+         |n AS MATERIALIZED (SELECT prev, SUM(c) AS n FROM trans GROUP BY 1),
+         |cv AS MATERIALIZED (
+         |  SELECT prev,
+         |    SUM(CASE WHEN next = 'conv' THEN c ELSE 0 END) AS cv
+         |  FROM trans GROUP BY 1),
+         |ch AS MATERIALIZED (SELECT DISTINCT next AS ch FROM trans
+         |       WHERE next NOT IN ('conv', 'null')),
+         |vr AS MATERIALIZED (SELECT 'none' AS v UNION ALL SELECT ch FROM ch),
+         |p0 AS MATERIALIZED (
+         |  SELECT vr.v, n.prev AS s, CAST(0 AS HUGEINT) AS val
+         |  FROM vr, n),
+         |$rounds,
+         |pb AS (SELECT val AS pbase FROM p$Rounds
+         |       WHERE v = 'none' AND s = 'start'),
+         |pc AS (SELECT v AS channel, val FROM p$Rounds
+         |       WHERE v <> 'none' AND s = 'start'),
+         |d AS (SELECT channel, pb.pbase AS pbase, val,
+         |        pb.pbase - val AS diff FROM pc, pb),
+         |tot AS (SELECT SUM(diff) AS td FROM d)
+         |SELECT channel, CAST(pbase AS BIGINT) AS p_base_ppm,
+         |  CAST(val AS BIGINT) AS p_without_ppm,
+         |  CAST((1000000 * diff) // pbase AS BIGINT) AS removal_ppm,
+         |  CAST((1000000 * diff) // tot.td AS BIGINT) AS share_ppm
+         |FROM d, tot ORDER BY channel""".stripMargin
+    }
+  )
+}
