@@ -43,7 +43,8 @@ object SparkEntry {
     EvalOps,
     ForecastOps,
     StatOps11,
-    AttribOps
+    AttribOps,
+    StatOps12
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
