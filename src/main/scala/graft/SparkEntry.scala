@@ -44,7 +44,8 @@ object SparkEntry {
     ForecastOps,
     StatOps11,
     AttribOps,
-    StatOps12
+    StatOps12,
+    GraphOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.BasketGraph
+import graft.sources.Tables
+
+/** Round-12 tranche 15: graph-structure metrics over the co-purchase
+  * graph — degree assortativity (do high-degree parts co-purchase with
+  * other hubs, or with the long tail? the single number behind
+  * "hub-and-spoke vs core-periphery") and the average local clustering
+  * coefficient (how much of each vertex's neighborhood is itself
+  * connected — the per-vertex refinement of `q_triangles`' global
+  * count). Together with pagerank/k-core/BFS/link-prediction these
+  * complete the standard structural-profile toolkit.
+  *
+  * Determinism discipline: both statistics close from EXACT integer
+  * cells — assortativity from the edge-level degree moments (4M·S₁ −
+  * S₂² over 2M·S₃ − S₂², the Newman formula cleared of halves), LCC
+  * from per-vertex triangle counts and degrees with the per-vertex ppm
+  * floor documented. Trunc `div` ≡ HUGEINT `//` (assortativity CAN go
+  * negative; both trunc toward zero).
+  *
+  * Scale posture: the BasketGraph census-capped edge build (oversized
+  * baskets drop whole, observable) + the degree-oriented triangle join
+  * (each wedge keyed by its smaller-degree endpoint — the q_triangles
+  * skew discipline); degree tables are vertex-sized broadcasts; every
+  * join is an equi-join. Envelope: S₂² ≤ (2·M·d_max)² — DECIMAL(38,0)
+  * to M ≈ 10¹². */
+object GraphOps extends QueryPack {
+
+  private def t(s: SparkSession, dir: String, name: String) =
+    Tables.load(s, dir, name)
+
+  /** Distinct (order, part) membership — the shared basket frame. */
+  private def li(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
+  override def defs: Map[String, Q] = Map[String, Q](
+
+    // Degree assortativity r = (4M·S1 − S2²) / (2M·S3 − S2²) with
+    // S1 = Σ_edges du·dv, S2 = Σ(du+dv), S3 = Σ(du²+dv²) — the Newman
+    // edge-moment form with every ½ cleared, so the cells stay pure
+    // integers. One capped edge build + two broadcast degree joins +
+    // one aggregate.
+    "q_assortativity" -> ((s, dir) => {
+      val e0 = BasketGraph.edges(li(s, dir), "ok", "pk")
+      val deg = e0.select(col("u").as("x"))
+        .unionAll(e0.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val cells = e0
+        .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
+          Seq("v"))
+        .agg(count(lit(1)).as("m"),
+          sum((col("du") * col("dv")).cast(DecimalType(38, 0))).as("s1"),
+          sum((col("du") + col("dv")).cast(DecimalType(38, 0))).as("s2"),
+          sum((col("du") * col("du") + col("dv") * col("dv"))
+            .cast(DecimalType(38, 0))).as("s3"))
+      cells.select(col("m").as("n_edges"),
+        expr("CAST(s1 AS BIGINT)").as("s1"),
+        expr("CAST(s2 AS BIGINT)").as("s2"),
+        expr("CAST(s3 AS BIGINT)").as("s3"),
+        expr("""CAST((1000000 * (4 * m * s1 - s2 * s2))
+          | div (2 * m * s3 - s2 * s2) AS BIGINT)"""
+          .stripMargin.replaceAll("\\s+", " ")).as("r_ppm"))
+    }),
+
+    // Average local clustering coefficient: per-vertex triangle counts
+    // from the degree-oriented triangle enumeration (each closed
+    // triangle credits its THREE corners — one explode over the
+    // triangle stream), LCC_x = 2t_x/(d_x(d_x−1)) in per-vertex-floored
+    // ppm, averaged over the d ≥ 2 vertices (degree-1 vertices have no
+    // possible wedge and are excluded on both engines). The mean is the
+    // trunc div of the exact ppm sum — the q_silhouette readout shape.
+    "q_clustering_coef" -> ((s, dir) => {
+      val e0 = BasketGraph.edges(li(s, dir), "ok", "pk")
+      val deg = e0.select(col("u").as("x"))
+        .unionAll(e0.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val e = e0
+        .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
+          Seq("v"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+          when(fwd, col("v")).otherwise(col("u")).as("t"))
+      val tri = e.as("e1")
+        .join(e.select(col("s").as("mu"), col("t").as("mw")).as("e2"),
+          col("e1.t") === col("e2.mu"))
+        .join(e.select(col("s").as("cu"), col("t").as("cw")).as("e3"),
+          col("e1.s") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
+        .select(explode(array(col("e1.s"), col("e1.t"), col("e2.mw")))
+          .as("x"))
+        .groupBy(col("x")).agg(count(lit(1)).as("tx"))
+      deg.filter(col("d") >= 2)
+        .join(tri, Seq("x"), "left")
+        .select(col("d"), coalesce(col("tx"), lit(0L)).as("tx"))
+        .select(col("tx"),
+          expr("(2000000 * tx) div (d * (d - 1))").as("lcc_ppm"))
+        .agg(count(lit(1)).as("n_vertices"),
+          sum(col("tx")).as("t3"),
+          sum(col("lcc_ppm")).as("slcc"))
+        .select(col("n_vertices"),
+          expr("t3 div 3").as("n_triangles"),
+          expr("slcc div n_vertices").as("avg_lcc_ppm"))
+    })
+  )
+
+  override def oracle: Map[String, String] = Map(
+
+    "q_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY 1),
+        |cells AS (
+        |  SELECT COUNT(*) AS m,
+        |    SUM(CAST(du.d AS HUGEINT) * dv.d) AS s1,
+        |    SUM(CAST(du.d AS HUGEINT) + dv.d) AS s2,
+        |    SUM(CAST(du.d AS HUGEINT) * du.d
+        |      + CAST(dv.d AS HUGEINT) * dv.d) AS s3
+        |  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v)
+        |SELECT CAST(m AS BIGINT) AS n_edges, CAST(s1 AS BIGINT) AS s1,
+        |  CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+        |  CAST((1000000 * (4 * m * s1 - s2 * s2))
+        |    // (2 * m * s3 - s2 * s2) AS BIGINT) AS r_ppm
+        |FROM cells""".stripMargin,
+
+    "q_clustering_coef" ->
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY 1),
+        |e AS MATERIALIZED (
+        |  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v),
+        |tri AS MATERIALIZED (
+        |  SELECT corner.x, COUNT(*) AS tx
+        |  FROM e e1
+        |  JOIN e e2 ON e2.s = e1.t
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t,
+        |  LATERAL unnest([e1.s, e1.t, e2.t]) AS corner(x)
+        |  GROUP BY 1),
+        |lcc AS (
+        |  SELECT COALESCE(tri.tx, 0) AS tx,
+        |    (2000000 * COALESCE(tri.tx, 0)) // (deg.d * (deg.d - 1))
+        |      AS lcc_ppm
+        |  FROM deg LEFT JOIN tri ON tri.x = deg.x
+        |  WHERE deg.d >= 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |  CAST(SUM(tx) // 3 AS BIGINT) AS n_triangles,
+        |  CAST(SUM(lcc_ppm) // COUNT(*) AS BIGINT) AS avg_lcc_ppm
+        |FROM lcc""".stripMargin
+  )
+}
