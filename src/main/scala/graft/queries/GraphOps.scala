@@ -91,6 +91,11 @@ object GraphOps extends QueryPack {
           Seq("v"))
         .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
           when(fwd, col("v")).otherwise(col("u")).as("t"))
+        // the oriented frame is consumed THREE ways by the triangle
+        // join — without the checkpoint the degree-join subtree runs
+        // once per side (the BasketGraph semi-eager precedent; measured
+        // 20.8 → 11.3 s at sf0.1)
+        .localCheckpoint()
       val tri = e.as("e1")
         .join(e.select(col("s").as("mu"), col("t").as("mw")).as("e2"),
           col("e1.t") === col("e2.mu"))
