@@ -45,7 +45,8 @@ object SparkEntry {
     StatOps11,
     AttribOps,
     StatOps12,
-    GraphOps
+    GraphOps,
+    SketchOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
