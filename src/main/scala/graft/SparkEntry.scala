@@ -46,7 +46,8 @@ object SparkEntry {
     AttribOps,
     StatOps12,
     GraphOps,
-    SketchOps
+    SketchOps,
+    FairOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
