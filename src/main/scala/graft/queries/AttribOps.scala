@@ -46,62 +46,76 @@ object AttribOps extends QueryPack {
 
   private val Rounds = 64
 
+  /** The shared journey transition matrix, collected as a bounded
+    * model artifact: per-user windows (prior-conversion cut, lag/lead
+    * framing), one (prev, next)-keyed count, the 256-cell dimension
+    * guard. */
+  private def transitionMatrix(s: SparkSession, dir: String,
+      what: String): Array[(String, String, Long)] = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // journey truncation: drop everything strictly after the user's
+    // first conversion (the purchase row itself stays — it becomes
+    // the absorbing transition)
+    val kept = e.withColumn("prior",
+        coalesce(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("prior") === 0)
+    val seq0 = kept
+      .withColumn("prev",
+        coalesce(lag(col("event_type"), 1).over(w), lit("start")))
+      .withColumn("is_last", lead(col("event_type"), 1).over(w).isNull)
+    val trans = seq0.select(col("prev"),
+        when(col("event_type") === "purchase", "conv")
+          .otherwise(col("event_type")).as("next"))
+      .union(seq0.filter(col("is_last") &&
+          col("event_type") =!= "purchase")
+        .select(col("event_type").as("prev"), lit("null").as("next")))
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+    // bounded model artifact: ≤ (|event_type|+1)·(|event_type|+2)
+    // cells; the guard makes the dimension envelope executable
+    val m = trans.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    require(m.length <= 256,
+      s"$what: transition matrix ${m.length} cells exceeds " +
+        "the bounded event-type envelope (256) - not a dim anymore")
+    m
+  }
+
+  /** The fixed-round integer absorption solve over a transition
+    * matrix with only `allowed` transient channels reachable. */
+  private def absorb(m: Array[(String, String, Long)],
+      allowed: String => Boolean): BigInt = {
+    val states = m.map(_._1).distinct
+    val n = m.groupBy(_._1).map { case (k, rs) =>
+      k -> BigInt(rs.map(_._3).sum) }
+    var p = states.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to Rounds) {
+      p = states.map { st =>
+        val num = m.filter(_._1 == st).map { case (_, nx, c) =>
+          if (nx == "conv") BigInt(c) * 1000000
+          else if (nx == "null" || !allowed(nx)) BigInt(0)
+          else BigInt(c) * p.getOrElse(nx, BigInt(0))
+        }.sum
+        st -> num / n(st)
+      }.toMap
+    }
+    p.getOrElse("start", BigInt(0))
+  }
+
   override def defs: Map[String, Q] = Map[String, Q](
 
     "q_markov_attrib" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      // journey truncation: drop everything strictly after the user's
-      // first conversion (the purchase row itself stays — it becomes
-      // the absorbing transition)
-      val kept = e.withColumn("prior",
-          coalesce(sum(when(col("event_type") === "purchase", 1L)
-            .otherwise(0L))
-            .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .filter(col("prior") === 0)
-      val seq0 = kept
-        .withColumn("prev",
-          coalesce(lag(col("event_type"), 1).over(w), lit("start")))
-        .withColumn("is_last", lead(col("event_type"), 1).over(w).isNull)
-      val trans = seq0.select(col("prev"),
-          when(col("event_type") === "purchase", "conv")
-            .otherwise(col("event_type")).as("next"))
-        .union(seq0.filter(col("is_last") &&
-            col("event_type") =!= "purchase")
-          .select(col("event_type").as("prev"), lit("null").as("next")))
-        .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
-      // bounded model artifact: ≤ (|event_type|+1)·(|event_type|+2)
-      // cells; the guard makes the dimension envelope executable
-      val m = trans.collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-      require(m.length <= 256,
-        s"q_markov_attrib: transition matrix ${m.length} cells exceeds " +
-          "the bounded event-type envelope (256) - not a dim anymore")
-      val states = m.map(_._1).distinct.sorted // transient: have outgoing
+      val m = transitionMatrix(s, dir, "q_markov_attrib")
       val channels = (m.map(_._1) ++ m.map(_._2)).distinct
         .filterNot(Set("start", "conv", "null")).sorted
-      val n = m.groupBy(_._1).map { case (k, rs) =>
-        k -> BigInt(rs.map(_._3).sum) }
-      def solve(removed: Option[String]): BigInt = {
-        var p = states.map(_ -> BigInt(0)).toMap
-        for (_ <- 1 to Rounds) {
-          p = states.map { st =>
-            val num = m.filter(_._1 == st).map { case (_, nx, c) =>
-              if (nx == "conv") BigInt(c) * 1000000
-              else if (nx == "null" || removed.contains(nx)) BigInt(0)
-              else BigInt(c) * p.getOrElse(nx, BigInt(0))
-            }.sum
-            st -> num / n(st)
-          }.toMap
-        }
-        p.getOrElse("start", BigInt(0))
-      }
-      val pBase = solve(None)
+      val pBase = absorb(m, _ => true)
       val rows = channels.map { ch =>
-        val pc = solve(Some(ch))
+        val pc = absorb(m, _ != ch)
         (ch, pBase, pc, pBase - pc)
       }
       val td = rows.map(_._4).sum
@@ -114,8 +128,93 @@ object AttribOps extends QueryPack {
       out.toSeq.toDF("channel", "p_base_ppm", "p_without_ppm",
           "removal_ppm", "share_ppm")
         .orderBy(col("channel"))
+    }),
+
+    // Shapley-value attribution — the axiomatic gold standard the
+    // removal-effect model approximates: a channel's credit is its
+    // average marginal contribution across ALL 2^k coalition orders,
+    // φ_c = Σ_{S∌c} |S|!(k−1−|S|)!/k! · (v(S∪c) − v(S)), with the
+    // coalition value v(S) = the absorption probability when only S's
+    // channels are reachable (the same fixed-round integer solve).
+    // 2^k coalition solves over the bounded matrix (k ≤ 8 guarded —
+    // 256 solves max); weights stay exact integers by carrying k!·φ
+    // and dividing once. Efficiency axiom Σφ = v(full) − v(∅) holds in
+    // the integers up to one trunc per channel (spec-pinned).
+    "q_shapley_attrib" -> ((s, dir) => {
+      val m = transitionMatrix(s, dir, "q_shapley_attrib")
+      val channels = (m.map(_._1) ++ m.map(_._2)).distinct
+        .filterNot(Set("start", "conv", "null")).sorted
+      val k = channels.length
+      require(k <= 8,
+        s"q_shapley_attrib: $k channels exceed the 2^k coalition " +
+          "envelope (8) - the channel column is not a dim anymore")
+      def fact(x: Int): Long = (1 to x).map(_.toLong).product
+      val v = (0 until (1 << k)).map { cid =>
+        val allowed = channels.zipWithIndex
+          .filter { case (_, i) => ((cid >> i) & 1) == 1 }
+          .map(_._1).toSet
+        cid -> absorb(m, allowed.contains)
+      }.toMap
+      val phi24 = channels.zipWithIndex.map { case (ch, i) =>
+        var acc = BigInt(0)
+        for (cid <- 0 until (1 << k) if ((cid >> i) & 1) == 0) {
+          val sz = java.lang.Integer.bitCount(cid)
+          acc += BigInt(fact(sz)) * fact(k - 1 - sz) *
+            (v(cid | (1 << i)) - v(cid))
+        }
+        (ch, acc)
+      }
+      val tot = phi24.map(_._2).sum
+      val kf = BigInt(fact(k))
+      val vFull = v((1 << k) - 1).toLong
+      val vEmpty = v(0).toLong
+      val out = phi24.map { case (ch, a) =>
+        (ch, (a / kf).toLong, (BigInt(1000000) * a / tot).toLong,
+          vFull, vEmpty)
+      }
+      import s.implicits._
+      out.toSeq.toDF("channel", "shapley_ppm", "share_ppm",
+          "v_full_ppm", "v_empty_ppm")
+        .orderBy(col("channel"))
     })
   )
+
+  /** The shared journey→transition-matrix CTE chain (flagged → kept →
+    * seq → trans_raw → trans → n → cv → ch) — ONE definition across
+    * both attribution oracles. */
+  private val journeySql =
+    """flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |        ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS prior
+      |  FROM events),
+      |kept AS MATERIALIZED (SELECT * FROM flagged WHERE prior = 0),
+      |seq AS MATERIALIZED (
+      |  SELECT user_id, event_type,
+      |    COALESCE(LAG(event_type) OVER w, 'start') AS prev,
+      |    (LEAD(event_type) OVER w IS NULL) AS is_last
+      |  FROM kept
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |trans_raw AS MATERIALIZED (
+      |  SELECT prev,
+      |    CASE WHEN event_type = 'purchase' THEN 'conv'
+      |      ELSE event_type END AS next
+      |  FROM seq
+      |  UNION ALL
+      |  SELECT event_type, 'null' FROM seq
+      |  WHERE is_last AND event_type <> 'purchase'),
+      |trans AS MATERIALIZED (
+      |  SELECT prev, next, COUNT(*) AS c FROM trans_raw GROUP BY 1, 2),
+      |n AS MATERIALIZED (SELECT prev, SUM(c) AS n FROM trans GROUP BY 1),
+      |cv AS MATERIALIZED (
+      |  SELECT prev,
+      |    SUM(CASE WHEN next = 'conv' THEN c ELSE 0 END) AS cv
+      |  FROM trans GROUP BY 1),
+      |ch AS MATERIALIZED (SELECT DISTINCT next AS ch FROM trans
+      |       WHERE next NOT IN ('conv', 'null'))""".stripMargin
 
   override def oracle: Map[String, String] = Map(
 
@@ -132,38 +231,7 @@ object AttribOps extends QueryPack {
            |  LEFT JOIN p${k - 1} pj ON pj.s = t.next AND pj.v = v.v
            |  GROUP BY v.v, n.prev, cv.cv, n.n)""".stripMargin
       }.mkString(",\n")
-      s"""WITH flagged AS (
-         |  SELECT user_id, ts, event_id, event_type,
-         |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
-         |        ELSE 0 END)
-         |      OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS prior
-         |  FROM events),
-         |kept AS MATERIALIZED (SELECT * FROM flagged WHERE prior = 0),
-         |seq AS MATERIALIZED (
-         |  SELECT user_id, event_type,
-         |    COALESCE(LAG(event_type) OVER w, 'start') AS prev,
-         |    (LEAD(event_type) OVER w IS NULL) AS is_last
-         |  FROM kept
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-         |trans_raw AS MATERIALIZED (
-         |  SELECT prev,
-         |    CASE WHEN event_type = 'purchase' THEN 'conv'
-         |      ELSE event_type END AS next
-         |  FROM seq
-         |  UNION ALL
-         |  SELECT event_type, 'null' FROM seq
-         |  WHERE is_last AND event_type <> 'purchase'),
-         |trans AS MATERIALIZED (
-         |  SELECT prev, next, COUNT(*) AS c FROM trans_raw GROUP BY 1, 2),
-         |n AS MATERIALIZED (SELECT prev, SUM(c) AS n FROM trans GROUP BY 1),
-         |cv AS MATERIALIZED (
-         |  SELECT prev,
-         |    SUM(CASE WHEN next = 'conv' THEN c ELSE 0 END) AS cv
-         |  FROM trans GROUP BY 1),
-         |ch AS MATERIALIZED (SELECT DISTINCT next AS ch FROM trans
-         |       WHERE next NOT IN ('conv', 'null')),
+      s"""WITH $journeySql,
          |vr AS MATERIALIZED (SELECT 'none' AS v UNION ALL SELECT ch FROM ch),
          |p0 AS MATERIALIZED (
          |  SELECT vr.v, n.prev AS s, CAST(0 AS HUGEINT) AS val
@@ -181,6 +249,67 @@ object AttribOps extends QueryPack {
          |  CAST((1000000 * diff) // pbase AS BIGINT) AS removal_ppm,
          |  CAST((1000000 * diff) // tot.td AS BIGINT) AS share_ppm
          |FROM d, tot ORDER BY channel""".stripMargin
+    },
+
+    "q_shapley_attrib" -> {
+      val rounds = (1 to Rounds).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT co.cid, n.prev AS s,
+           |    (cv.cv * 1000000 + COALESCE(SUM(tm.c * pj.val), 0)) // n.n
+           |      AS val
+           |  FROM n JOIN cv ON cv.prev = n.prev
+           |  CROSS JOIN co
+           |  LEFT JOIN tm ON tm.prev = n.prev AND tm.cid = co.cid
+           |  LEFT JOIN p${k - 1} pj ON pj.s = tm.next AND pj.cid = co.cid
+           |  GROUP BY co.cid, n.prev, cv.cv, n.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $journeySql,
+         |chx AS MATERIALIZED (
+         |  SELECT ch, ROW_NUMBER() OVER (ORDER BY ch) - 1 AS idx
+         |  FROM ch),
+         |kk AS (SELECT COUNT(*) AS k FROM chx),
+         |co AS MATERIALIZED (
+         |  SELECT u.cid FROM kk,
+         |  unnest(generate_series(0,
+         |    CAST(pow(2, kk.k) AS BIGINT) - 1)) AS u(cid)),
+         |mem AS MATERIALIZED (
+         |  SELECT co.cid, chx.ch
+         |  FROM co, chx
+         |  WHERE (co.cid // CAST(pow(2, chx.idx) AS BIGINT)) % 2 = 1),
+         |tm AS MATERIALIZED (
+         |  SELECT mem.cid, t.prev, t.next, t.c
+         |  FROM trans t JOIN mem ON mem.ch = t.next),
+         |sz AS MATERIALIZED (
+         |  SELECT co.cid, COALESCE(cnt.c, 0) AS s
+         |  FROM co LEFT JOIN (SELECT cid, COUNT(*) AS c FROM mem
+         |    GROUP BY 1) cnt USING (cid)),
+         |p0 AS MATERIALIZED (
+         |  SELECT co.cid, n.prev AS s, CAST(0 AS HUGEINT) AS val
+         |  FROM co, n),
+         |$rounds,
+         |vv AS MATERIALIZED (
+         |  SELECT cid, val FROM p$Rounds WHERE s = 'start'),
+         |phi AS (
+         |  SELECT chx.ch AS channel,
+         |    SUM(factorial(CAST(sz.s AS INT))
+         |      * factorial(CAST(kk.k - 1 - sz.s AS INT))
+         |      * (v1.val - v0.val)) AS phi24
+         |  FROM chx CROSS JOIN kk
+         |  JOIN sz ON (sz.cid // CAST(pow(2, chx.idx) AS BIGINT)) % 2 = 0
+         |  JOIN vv v0 ON v0.cid = sz.cid
+         |  JOIN vv v1 ON v1.cid = sz.cid + CAST(pow(2, chx.idx)
+         |    AS BIGINT)
+         |  GROUP BY 1),
+         |tot AS (SELECT SUM(phi24) AS t FROM phi)
+         |SELECT phi.channel,
+         |  CAST(phi.phi24 // factorial(CAST(kk.k AS INT)) AS BIGINT)
+         |    AS shapley_ppm,
+         |  CAST((1000000 * phi.phi24) // tot.t AS BIGINT) AS share_ppm,
+         |  (SELECT CAST(val AS BIGINT) FROM vv, kk
+         |   WHERE cid = CAST(pow(2, kk.k) AS BIGINT) - 1) AS v_full_ppm,
+         |  (SELECT CAST(val AS BIGINT) FROM vv WHERE cid = 0)
+         |    AS v_empty_ppm
+         |FROM phi, tot, kk ORDER BY phi.channel""".stripMargin
     }
   )
 }

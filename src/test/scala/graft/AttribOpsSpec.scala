@@ -13,15 +13,15 @@ import org.apache.spark.sql.functions._
   */
 class AttribOpsSpec extends SparkSpec {
 
-  test("q_markov_attrib equals the direct journey replay; shares sum " +
-      "to 1e6 up to per-channel floors and removal never gains") {
+  /** Journeys rebuilt from scratch: per user ordered by (ts, event_id),
+    * cut after first purchase, start-prefixed, purchase→conv, trailing
+    * null. */
+  private lazy val m: Seq[(String, String, Long)] = {
     val ev = graft.sources.Tables.load(spark, sf, "events")
       .select(col("user_id"), expr("unix_micros(ts)").as("us"),
         col("event_id"), col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    // journeys: per user ordered by (ts, event_id), cut after first
-    // purchase, start-prefixed, purchase→conv, trailing null
     val trans = scala.collection.mutable.Map.empty[(String, String), Long]
       .withDefaultValue(0L)
     for ((_, rows) <- ev.groupBy(_._1)) {
@@ -33,26 +33,33 @@ class AttribOpsSpec extends SparkSpec {
       for (t <- labeled) { trans((prev, t)) += 1; prev = t }
       if (labeled.last != "conv") trans((prev, "null")) += 1
     }
-    val m = trans.toSeq.map { case ((p, nx), c) => (p, nx, c) }
-    val states = m.map(_._1).distinct
-    val channels = (m.map(_._1) ++ m.map(_._2)).distinct
+    trans.toSeq.map { case ((p, nx), c) => (p, nx, c) }
+  }
+
+  private lazy val channels: Seq[String] =
+    (m.map(_._1) ++ m.map(_._2)).distinct
       .filterNot(Set("start", "conv", "null")).sorted
+
+  private def solve(removed: Set[String]): BigInt = {
+    val states = m.map(_._1).distinct
     val n = m.groupBy(_._1).map { case (k, rs) =>
       k -> BigInt(rs.map(_._3).sum) }
-    def solve(removed: Set[String]): BigInt = {
-      var p = states.map(_ -> BigInt(0)).toMap
-      for (_ <- 1 to 64) {
-        p = states.map { st =>
-          val num = m.filter(_._1 == st).map { case (_, nx, c) =>
-            if (nx == "conv") BigInt(c) * 1000000
-            else if (nx == "null" || removed(nx)) BigInt(0)
-            else BigInt(c) * p.getOrElse(nx, BigInt(0))
-          }.sum
-          st -> num / n(st)
-        }.toMap
-      }
-      p.getOrElse("start", BigInt(0))
+    var p = states.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to 64) {
+      p = states.map { st =>
+        val num = m.filter(_._1 == st).map { case (_, nx, c) =>
+          if (nx == "conv") BigInt(c) * 1000000
+          else if (nx == "null" || removed(nx)) BigInt(0)
+          else BigInt(c) * p.getOrElse(nx, BigInt(0))
+        }.sum
+        st -> num / n(st)
+      }.toMap
     }
+    p.getOrElse("start", BigInt(0))
+  }
+
+  test("q_markov_attrib equals the direct journey replay; shares sum " +
+      "to 1e6 up to per-channel floors and removal never gains") {
     val pBase = solve(Set.empty)
     val diffs = channels.map(ch => ch -> (pBase - solve(Set(ch)))).toMap
     val td = diffs.values.sum
@@ -82,5 +89,49 @@ class AttribOpsSpec extends SparkSpec {
     // sanity of the chain itself: the base conversion probability is a
     // probability, and with purchases present it is strictly positive
     assert(pBase > 0 && pBase <= 1000000)
+  }
+
+  test("q_shapley_attrib equals the direct 2^k coalition replay; the " +
+      "efficiency axiom holds up to per-channel floors") {
+    val k = channels.length
+    def fact(x: Int): Long = (1 to x).map(_.toLong).product
+    val v = (0 until (1 << k)).map { cid =>
+      val allowed = channels.zipWithIndex
+        .filter { case (_, i) => ((cid >> i) & 1) == 1 }.map(_._1).toSet
+      cid -> solve(channels.toSet -- allowed)
+    }.toMap
+    val phi24 = channels.zipWithIndex.map { case (ch, i) =>
+      var acc = BigInt(0)
+      for (cid <- 0 until (1 << k) if ((cid >> i) & 1) == 0) {
+        val sz = java.lang.Integer.bitCount(cid)
+        acc += BigInt(fact(sz)) * fact(k - 1 - sz) *
+          (v(cid | (1 << i)) - v(cid))
+      }
+      ch -> acc
+    }.toMap
+    val tot = phi24.values.sum
+    val rows = SparkEntry.queries("q_shapley_attrib")(spark, sf)
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(rows.keySet == channels.toSet)
+    val vFull = v((1 << k) - 1)
+    val vEmpty = v(0)
+    var phiSum = BigInt(0)
+    for (ch <- channels) {
+      val r = rows(ch)
+      assert(BigInt(r.getAs[Long]("shapley_ppm")) ==
+        phi24(ch) / fact(k), ch)
+      assert(BigInt(r.getAs[Long]("share_ppm")) ==
+        BigInt(1000000) * phi24(ch) / tot, ch)
+      assert(BigInt(r.getAs[Long]("v_full_ppm")) == vFull, ch)
+      assert(BigInt(r.getAs[Long]("v_empty_ppm")) == vEmpty, ch)
+      // marginal contributions are nonnegative (monotone coalition
+      // values under the absorbing chain)
+      assert(r.getAs[Long]("shapley_ppm") >= 0L, ch)
+      phiSum += r.getAs[Long]("shapley_ppm")
+    }
+    // efficiency: Σφ = v(full) − v(∅) in the rationals; each channel
+    // readout floors once against k!
+    assert((vFull - vEmpty - phiSum).abs <= k, s"efficiency broke: " +
+      s"sum=$phiSum vs ${vFull - vEmpty}")
   }
 }
