@@ -47,7 +47,8 @@ object SparkEntry {
     StatOps12,
     GraphOps,
     SketchOps,
-    FairOps
+    FairOps,
+    SeqOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -46,12 +46,11 @@ object AttribOps extends QueryPack {
 
   private val Rounds = 64
 
-  /** The shared journey transition matrix, collected as a bounded
-    * model artifact: per-user windows (prior-conversion cut, lag/lead
-    * framing), one (prev, next)-keyed count, the 256-cell dimension
-    * guard. */
-  private def transitionMatrix(s: SparkSession, dir: String,
-      what: String): Array[(String, String, Long)] = {
+  /** The journey transition frame (prev, next, c) BEFORE collection —
+    * shared with [[SeqOps]]' entropy-rate readout, which consumes it
+    * distributed. */
+  private[queries] def transitionsDf(s: SparkSession,
+      dir: String): DataFrame = {
     val e = t(s, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
@@ -69,16 +68,20 @@ object AttribOps extends QueryPack {
       .withColumn("prev",
         coalesce(lag(col("event_type"), 1).over(w), lit("start")))
       .withColumn("is_last", lead(col("event_type"), 1).over(w).isNull)
-    val trans = seq0.select(col("prev"),
+    seq0.select(col("prev"),
         when(col("event_type") === "purchase", "conv")
           .otherwise(col("event_type")).as("next"))
       .union(seq0.filter(col("is_last") &&
           col("event_type") =!= "purchase")
         .select(col("event_type").as("prev"), lit("null").as("next")))
       .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
-    // bounded model artifact: ≤ (|event_type|+1)·(|event_type|+2)
-    // cells; the guard makes the dimension envelope executable
-    val m = trans.collect()
+  }
+
+  /** The transition matrix collected as a bounded model artifact, with
+    * the 256-cell dimension guard making the envelope executable. */
+  private def transitionMatrix(s: SparkSession, dir: String,
+      what: String): Array[(String, String, Long)] = {
+    val m = transitionsDf(s, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     require(m.length <= 256,
       s"$what: transition matrix ${m.length} cells exceeds " +
@@ -182,7 +185,7 @@ object AttribOps extends QueryPack {
   /** The shared journey→transition-matrix CTE chain (flagged → kept →
     * seq → trans_raw → trans → n → cv → ch) — ONE definition across
     * both attribution oracles. */
-  private val journeySql =
+  private[queries] val journeySql =
     """flagged AS (
       |  SELECT user_id, ts, event_id, event_type,
       |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
