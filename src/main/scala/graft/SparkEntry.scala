@@ -48,7 +48,8 @@ object SparkEntry {
     GraphOps,
     SketchOps,
     FairOps,
-    SeqOps
+    SeqOps,
+    StatOps13
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

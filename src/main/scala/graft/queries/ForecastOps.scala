@@ -40,9 +40,9 @@ object ForecastOps extends QueryPack {
   private val DayUs = 86400000000L
 
   /** The shared zero-filled daily revenue spine (cents), span-guarded.
-    * Same staging as q_holt_linear's, so the three smoothers read ONE
-    * series definition. */
-  private def dailySpine(s: SparkSession, dir: String): DataFrame = {
+    * Same staging as q_holt_linear's, so every smoother/long-memory
+    * reader (incl. [[StatOps13]]) reads ONE series definition. */
+  private[queries] def dailySpine(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "lineitem")
       .select(expr(s"unix_micros(CAST(l_shipdate AS TIMESTAMP)) div $DayUs")
         .as("day"),
