@@ -49,7 +49,8 @@ object SparkEntry {
     SketchOps,
     FairOps,
     SeqOps,
-    StatOps13
+    StatOps13,
+    SpectralOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
