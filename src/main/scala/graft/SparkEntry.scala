@@ -50,7 +50,8 @@ object SparkEntry {
     FairOps,
     SeqOps,
     StatOps13,
-    SpectralOps
+    SpectralOps,
+    StatOps14
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
