@@ -16,14 +16,18 @@ import graft.sources.Tables
   * touchpoint actually CAUSES conversions" rather than "which happened
   * to be adjacent".
   *
-  * Determinism discipline: the absorption solve runs as a FIXED 64
-  * rounds of the integer-ppm recursion p_i ← (c_i→conv·10⁶ +
-  * Σ_j c_ij·p_j) div n_i — monotone nondecreasing from 0 and integer-
-  * valued, so it reaches its exact fixed point and stays there; Spark
-  * `div` ≡ DuckDB HUGEINT `//` on the nonnegative operands. The oracle
-  * unrolls the identical 64 rounds in SQL (the q_pagerank /
-  * q_kmeans_lloyd unrolled-recurrence pattern) across all removal
-  * variants at once.
+  * Determinism discipline: the published statistic is the 64-ROUND
+  * ITERATE of the integer-ppm recursion p_i ← (c_i→conv·10⁶ +
+  * Σ_j c_ij·p_j) div n_i — monotone nondecreasing from 0, bounded by
+  * 10⁶ and integer-valued, so it converges in finitely many rounds,
+  * but NOT necessarily within 64 (a slowly-mixing chain can still be
+  * climbing); the driver solve therefore runs one extra verification
+  * round and fails LOUDLY if round 65 still moves (r12 advice — better
+  * a loud error than silently publishing an unconverged approximant).
+  * Cross-engine parity is round-exact regardless: Spark `div` ≡ DuckDB
+  * HUGEINT `//` on the nonnegative operands and the oracle unrolls the
+  * identical 64 rounds in SQL (the q_pagerank / q_kmeans_lloyd
+  * unrolled-recurrence pattern) across all removal variants at once.
   *
   * Scale posture: the corpus-sized work is ONE pass — per-user
   * partitioned windows (prior-conversion cut, lag/lead transitions) +
@@ -90,15 +94,19 @@ object AttribOps extends QueryPack {
   }
 
   /** The fixed-round integer absorption solve over a transition
-    * matrix with only `allowed` transient channels reachable. */
+    * matrix with only `allowed` transient channels reachable. Runs
+    * [[Rounds]] rounds (the published statistic — the oracle unrolls
+    * the same count) plus ONE verification round that must not move:
+    * the monotone bounded iteration provably converges, but not
+    * provably within 64 rounds, so an unconverged chain fails loudly
+    * instead of silently publishing the approximant (r12 advice). */
   private def absorb(m: Array[(String, String, Long)],
       allowed: String => Boolean): BigInt = {
     val states = m.map(_._1).distinct
     val n = m.groupBy(_._1).map { case (k, rs) =>
       k -> BigInt(rs.map(_._3).sum) }
-    var p = states.map(_ -> BigInt(0)).toMap
-    for (_ <- 1 to Rounds) {
-      p = states.map { st =>
+    def step(p: Map[String, BigInt]): Map[String, BigInt] =
+      states.map { st =>
         val num = m.filter(_._1 == st).map { case (_, nx, c) =>
           if (nx == "conv") BigInt(c) * 1000000
           else if (nx == "null" || !allowed(nx)) BigInt(0)
@@ -106,7 +114,12 @@ object AttribOps extends QueryPack {
         }.sum
         st -> num / n(st)
       }.toMap
-    }
+    var p = states.map(_ -> BigInt(0)).toMap
+    for (_ <- 1 to Rounds) p = step(p)
+    require(step(p) == p,
+      s"absorption solve did not reach its fixed point in $Rounds " +
+        "rounds - the published iterate would be an unconverged " +
+        "approximant; raise Rounds (and the oracle unroll) together")
     p.getOrElse("start", BigInt(0))
   }
 

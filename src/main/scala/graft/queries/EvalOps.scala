@@ -148,8 +148,9 @@ object EvalOps extends QueryPack {
     // to ≤ 10 (bin → n_b, np_b) rows; every term is exact integer
     // arithmetic over those cells. rel = Σ(n_b·p_b − 1000·np_b)²/n_b/n,
     // res = Σ10⁶(np_b·n − n_b·np)²/(n_b·n²)/n, unc = 10⁶·np(n−np)/n².
-    // Envelope: 10⁶·(np_b·n)² ≤ 10⁶·n⁴ — exact to n ≈ 10⁸ docs, loudly
-    // null past it.
+    // Envelope: rel's DECIMAL square holds to n_b ≈ 10¹⁶ docs per bin;
+    // the binding term is res's 10⁶·(np_b·n)² ≤ 10⁶·n⁴ — exact to
+    // n ≈ 10⁸ docs, loudly overflow-erroring (ANSI) past it.
     "q_brier_decomp" -> ((s, dir) => {
       val cells = scoredDocs(s, dir).groupBy(col("bin"), col("p_milli"))
         .agg(count(lit(1)).as("nb"),
@@ -161,7 +162,12 @@ object EvalOps extends QueryPack {
             * (lit(1000L) - col("p_milli"))
             + (col("nb") - col("npb")) * col("p_milli") * col("p_milli"))
             .as("bnum"),
-          expr("""((nb * p_milli - 1000 * npb) * (nb * p_milli - 1000 * npb))
+          // relterm squares in DECIMAL(38,0) like resterm already does:
+          // plain BIGINT overflows once nb·p_milli > ~3·10⁹ (a ~3·10⁶-doc
+          // bin), far below the pack's 10⁸-doc envelope (r12 advice).
+          // DECIMAL keeps the square exact to nb ≈ 10¹⁶ docs per bin.
+          expr("""((CAST(nb AS DECIMAL(38,0)) * p_milli - 1000 * npb)
+            | * (CAST(nb AS DECIMAL(38,0)) * p_milli - 1000 * npb))
             | div nb""".stripMargin.replaceAll("\\s+", " ")).as("relterm"),
           expr("""(1000000 * (CAST(npb AS DECIMAL(38,0)) * n - nb * np)
             | * (CAST(npb AS DECIMAL(38,0)) * n - nb * np))
@@ -299,7 +305,8 @@ object EvalOps extends QueryPack {
          |  SELECT tot.n, tot.np,
          |    npb * (1000 - p_milli) * (1000 - p_milli)
          |      + (nb - npb) * p_milli * p_milli AS bnum,
-         |    ((nb * p_milli - 1000 * npb) * (nb * p_milli - 1000 * npb))
+         |    ((CAST(nb AS HUGEINT) * p_milli - 1000 * npb)
+         |      * (CAST(nb AS HUGEINT) * p_milli - 1000 * npb))
          |      // nb AS relterm,
          |    (1000000 * (CAST(npb AS HUGEINT) * tot.n - nb * tot.np)
          |      * (CAST(npb AS HUGEINT) * tot.n - nb * tot.np))

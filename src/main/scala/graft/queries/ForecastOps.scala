@@ -246,23 +246,19 @@ object ForecastOps extends QueryPack {
          |        ROW_NUMBER() OVER (ORDER BY g.day) AS i
          |      FROM g LEFT JOIN d ON d.day = g.day),
          |cells AS (
+         |  -- // (integer division) throughout: DuckDB's / is FLOAT
+         |  -- division even on HUGEINT, and s2 (~8.8e21 at sf0.1) is
+         |  -- above 2^53 where the rounded double differs from the exact
+         |  -- integer — the outside flag must compare exact integers on
+         |  -- both engines (r12 advice). All operands are nonnegative, so
+         |  -- floor // equals the Spark DECIMAL trunc-div path exactly.
          |  SELECT COUNT(*) AS nd,
-         |    CAST((SUM(CAST(cents AS HUGEINT) * 1000)
-         |      - SUM(CAST(cents AS HUGEINT) * 1000) % COUNT(*))
-         |      / COUNT(*) AS BIGINT) AS mu_milli,
-         |    ((SUM(CAST(cents AS HUGEINT) * 1000 * cents * 1000)
-         |        - (SUM(CAST(cents AS HUGEINT) * 1000)
-         |             * SUM(CAST(cents AS HUGEINT) * 1000)
-         |           - (SUM(CAST(cents AS HUGEINT) * 1000)
-         |              * SUM(CAST(cents AS HUGEINT) * 1000)) % COUNT(*))
-         |          / COUNT(*))
-         |      - (SUM(CAST(cents AS HUGEINT) * 1000 * cents * 1000)
-         |        - (SUM(CAST(cents AS HUGEINT) * 1000)
-         |             * SUM(CAST(cents AS HUGEINT) * 1000)
-         |           - (SUM(CAST(cents AS HUGEINT) * 1000)
-         |              * SUM(CAST(cents AS HUGEINT) * 1000)) % COUNT(*))
-         |          / COUNT(*)) % (COUNT(*) - 1))
-         |      / (COUNT(*) - 1) AS s2
+         |    CAST(SUM(CAST(cents AS HUGEINT) * 1000) // COUNT(*)
+         |      AS BIGINT) AS mu_milli,
+         |    (SUM(CAST(cents AS HUGEINT) * 1000 * cents * 1000)
+         |      - (SUM(CAST(cents AS HUGEINT) * 1000)
+         |         * SUM(CAST(cents AS HUGEINT) * 1000)) // COUNT(*))
+         |      // (COUNT(*) - 1) AS s2
          |  FROM z),
          |r AS (
          |  SELECT 0 AS i, CAST(0 AS BIGINT) AS day,

@@ -309,7 +309,13 @@ object QualityOps extends QueryPack {
           expr("CAST((ssd * (g - 1) - (ssd * (g - 1)) % CAST(g AS DECIMAL(38,0))) / CAST(g AS DECIMAL(38,0)) AS DECIMAL(38,0))")
             .as("jk_var_micro2"))
         .select(col("n_blocks"), col("ratio_micro"), col("rbar_micro"),
-          col("jk_var_micro2"),
+          // Emit the variance cell in whole cents² (exact div 10¹² —
+          // micro-cents² → cents² — identical on both engines): the
+          // micro² value is ~4×10²⁴ ≫ 2⁵³, where double-converting
+          // hashers diverge cross-engine even on identical decimals
+          // (the r12 hash-fail lesson). se_cents still closes on the
+          // full-precision micro² operand.
+          expr("jk_var_micro2 div 1000000000000").as("jk_var_c2"),
           round(expr("sqrt(CAST(jk_var_micro2 AS DOUBLE)) / 1000000.0"), 6)
             .as("se_cents"))
     }),
@@ -623,8 +629,8 @@ object QualityOps extends QueryPack {
         |SELECT CAST(g AS BIGINT) AS n_blocks,
         |  CAST((1000000 * s) // n AS BIGINT) AS ratio_micro,
         |  CAST(rbar AS BIGINT) AS rbar_micro,
-        |  CAST((ssd * (g - 1)) // CAST(g AS HUGEINT) AS DECIMAL(38,0))
-        |    AS jk_var_micro2,
+        |  CAST(((ssd * (g - 1)) // CAST(g AS HUGEINT)) // 1000000000000
+        |    AS BIGINT) AS jk_var_c2,
         |  round(sqrt(CAST((ssd * (g - 1)) // CAST(g AS HUGEINT)
         |    AS DOUBLE)) / 1000000.0, 6) AS se_cents
         |FROM cell""".stripMargin,

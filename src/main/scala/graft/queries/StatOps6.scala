@@ -283,8 +283,15 @@ object StatOps6 extends QueryPack {
             | / CAST(n_orders AS DECIMAL(38,0)) AS DECIMAL(38,0))"""
             .stripMargin.replaceAll("\\s+", " ")).as("ssb_c2"),
           expr("CAST(q - w AS DECIMAL(38,0))").as("ssw_c2"))
-        .select(col("k_groups"), col("n_orders"), col("ssb_c2"),
-          col("ssw_c2"),
+        .select(col("k_groups"), col("n_orders"),
+          // Emit the SS cells in whole dollars² (exact div 10000 on both
+          // engines): the cents² values reach ~3×10¹⁹ at sf0.1, above
+          // 2⁵³, where any double-converting hasher diverges between
+          // engines even though the decimals are identical (the r12
+          // hash-fail lesson). f_ppm still closes on the full-precision
+          // cents² operands, so the statistic is unchanged.
+          expr("ssb_c2 div 10000").as("ssb_d2"),
+          expr("ssw_c2 div 10000").as("ssw_d2"),
           expr("""CAST((1000000 * ssb_c2 * (n_orders - k_groups))
             | div ((k_groups - 1) * ssw_c2) AS BIGINT)"""
             .stripMargin.replaceAll("\\s+", " ")).as("f_ppm"))
@@ -461,9 +468,9 @@ object StatOps6 extends QueryPack {
          |  FROM g)
          |SELECT CAST(k_groups AS BIGINT) AS k_groups,
          |  CAST(n_orders AS BIGINT) AS n_orders,
-         |  CAST(w - (s * s) // CAST(n_orders AS HUGEINT)
-         |    AS DECIMAL(38,0)) AS ssb_c2,
-         |  CAST(q - w AS DECIMAL(38,0)) AS ssw_c2,
+         |  CAST((w - (s * s) // CAST(n_orders AS HUGEINT)) // 10000
+         |    AS BIGINT) AS ssb_d2,
+         |  CAST((q - w) // 10000 AS BIGINT) AS ssw_d2,
          |  CAST((1000000 * (w - (s * s) // CAST(n_orders AS HUGEINT))
          |      * (n_orders - k_groups))
          |    // ((k_groups - 1) * (q - w)) AS BIGINT) AS f_ppm

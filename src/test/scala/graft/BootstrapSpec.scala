@@ -127,8 +127,8 @@ class BootstrapSpec extends SparkSpec {
     assert(row.getAs[Long]("n_blocks") == g.toLong)
     assert(BigInt(row.getAs[Long]("ratio_micro")) == BigInt(1000000) * s / n)
     assert(BigInt(row.getAs[Long]("rbar_micro")) == rbar)
-    assert(BigInt(row.getAs[java.math.BigDecimal]("jk_var_micro2")
-      .toBigInteger) == ssd * (g - 1) / g)
+    assert(BigInt(row.getAs[Long]("jk_var_c2")) ==
+      ssd * (g - 1) / g / BigInt("1000000000000"))
     val se = row.getAs[Double]("se_cents")
     assert(se > 0.0)
     // delete-one replicates of a stable ratio hug the full estimate:

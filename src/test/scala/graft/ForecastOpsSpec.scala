@@ -88,4 +88,51 @@ class ForecastOpsSpec extends SparkSpec {
     // must catch at least one excursion on this corpus
     assert(anyOutside)
   }
+
+  /** Over-span fixture: a corrupt far-future shipdate (year 9999) whose
+    * daily span exceeds Parity.MaxSpanCells by orders of magnitude —
+    * the q_holt_linear guard fixture (StatOps3Spec), replayed against
+    * the ForecastOps consumers of the SHARED dailySpine (r13 task: span-
+    * guard parity for the r12 array folds). */
+  private def overSpanDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("forecast_overspan").toString
+    Seq(("1995-01-01 00:00:00", 100.0), ("9999-01-01 00:00:00", 200.0))
+      .toDF("d", "l_extendedprice")
+      .select(col("d").cast("timestamp").as("l_shipdate"),
+        col("l_extendedprice"))
+      .write.parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil
+    else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
+  test("q_holt_winters and q_ewma_chart: an over-span corpus fails " +
+      "LOUDLY at the shared dailySpine bounds guard instead of " +
+      "silently collecting a corpus-wide daily array") {
+    val dir = overSpanDir()
+    for (q <- Seq("q_holt_winters", "q_ewma_chart")) {
+      val e = intercept[Exception] {
+        SparkEntry.queries(q)(spark, dir).collect()
+      }
+      assert(messages(e).exists(_.contains("exceeds the")),
+        s"$q: expected the span-guard raise_error, got: $e")
+    }
+  }
+
+  test("q_spectral_peak needs NO span guard: the residue-class census " +
+      "stays <= 37 cells even on the over-span corpus") {
+    // the spectral kernel depends only on day mod p, so a corrupt
+    // year-9999 date changes residues, never the frame size — the
+    // over-span fixture that LOUDLY kills the array folds completes
+    // here with the same bounded shape (documents why SpectralOps
+    // carries no guardedSpanValue)
+    val rows = SparkEntry.queries("q_spectral_peak")(spark, overSpanDir())
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 37,
+      s"expected a bounded residue-class readout, got ${rows.length} rows")
+  }
 }

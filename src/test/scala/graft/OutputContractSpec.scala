@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Output-boundary contract (the r12 verdict's task #2): every gate's
+  * emitted cells must hash identically through ANY engine pair, which
+  * means no exact-typed cell may depend on a decimal→double conversion
+  * above 2⁵³.
+  *
+  * Why this boundary: the three r12 hash failures (q_anova_f,
+  * q_levene_bf, q_jackknife_ratio) were all VALUE-exact — rows and
+  * schema matched and tools/parity.py passed at sf0.01 and sf0.1 — yet
+  * the driver's hasher flagged them, because their DECIMAL(38,0) cells
+  * sat above 2⁵³ where pyarrow's decimal128→float64 and DuckDB's
+  * not-correctly-rounded HUGEINT→DOUBLE can round DIFFERENTLY on the
+  * two sides of the compare. BIGINT cells are immune (int64 rides the
+  * arrow/pandas path exactly, no double conversion), which is why
+  * 64-bit hash/signature columns pass at any magnitude.
+  *
+  * The contract, per top-level output column:
+  *   - DECIMAL (any scale): |v| < 2⁵³ — ALWAYS. A bigger decimal is a
+  *     latent cross-engine hash flake even when value-exact; rescale
+  *     the emitted unit (exact `div` on both engines) instead.
+  *   - BIGINT: |v| < 2⁵³ unless the column is a declared 64-bit
+  *     hash/signature/fingerprint (exact int64 end-to-end on both
+  *     engines — allowlisted below by (query, column) so a NEW big
+  *     long column still trips the spec and forces the author to
+  *     classify it).
+  *   - DOUBLE/FLOAT: intentional doubles, out of scope (their parity
+  *     discipline is the shared-text closing-formula rule).
+  *
+  * Runs every registered gate at sf0.001 — the execution twin of
+  * PlanSpec's plan sweep. Arrays/structs are not descended into: no
+  * gate emits ARRAY<DECIMAL>, and nested int64 is exact regardless.
+  */
+class OutputContractSpec extends SparkSpec {
+
+  private val TwoP53 = BigDecimal(BigInt(1) << 53)
+
+  /** Declared magnitude-free BIGINT columns: exact int64 cross-engine,
+    * each with a reason. Keyed (query, column) so new big-long
+    * emissions fail loudly until classified here.
+    *  - q_simhash.simhash — a 64-bit fingerprint; magnitude IS the value
+    *  - q_scd2_build.valid_to — the open-validity sentinel
+    *    Long.MaxValue, emitted literally by both engines
+    *  - q_try_arith.{add,mul}_maybe — try_add/try_multiply overflow
+    *    probes whose POINT is to sit near the int64 edge */
+  private val hashCols: Set[(String, String)] = Set(
+    ("q_simhash", "simhash"),
+    ("q_scd2_build", "valid_to"),
+    ("q_try_arith", "add_maybe"),
+    ("q_try_arith", "mul_maybe"))
+
+  test("every gate's exact-typed output cells stay below 2^53 at sf0.001") {
+    val violations = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val df = fn(spark, sf)
+      val checked = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType.isInstanceOf[DecimalType] =>
+          (f.name, i, "decimal")
+        case (f, i) if f.dataType == LongType
+            && !hashCols((name, f.name)) =>
+          (f.name, i, "bigint")
+      }
+      if (checked.nonEmpty) {
+        for (row <- df.collect(); (cn, i, kind) <- checked
+             if !row.isNullAt(i)) {
+          val v = kind match {
+            case "decimal" => BigDecimal(row.getDecimal(i))
+            case _ => BigDecimal(row.getLong(i))
+          }
+          if (v.abs >= TwoP53)
+            violations += s"$name.$cn ($kind) = $v"
+        }
+      }
+    }
+    assert(violations.isEmpty,
+      s"cells at/above 2^53 — cross-engine hash-fragile; rescale the " +
+        s"emitted unit or classify as a 64-bit hash:\n  " +
+        violations.distinct.take(40).mkString("\n  "))
+  }
+}
