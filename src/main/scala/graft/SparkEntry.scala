@@ -51,7 +51,10 @@ object SparkEntry {
     SeqOps,
     StatOps13,
     SpectralOps,
-    StatOps14
+    StatOps14,
+    SurvOps,
+    CalibOps,
+    DedupAuditOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

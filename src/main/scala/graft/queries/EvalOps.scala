@@ -53,7 +53,7 @@ object EvalOps extends QueryPack {
     * milli, bin by 100, forecast = bin·100 + 50. Discreteness is what
     * makes the Murphy decomposition EXACT (a within-bin-varying forecast
     * adds a covariance cross-term the textbook identity drops). */
-  private def scoredDocs(s: SparkSession, dir: String): DataFrame =
+  private[queries] def scoredDocs(s: SparkSession, dir: String): DataFrame =
     PipelineOps.toyModelScores(
         t(s, dir, "documents").select(col("doc_id"),
           (col("n_chars") >= 400).as("pos"), col("text")))
@@ -65,7 +65,7 @@ object EvalOps extends QueryPack {
 
   /** Oracle-side SQL for [[scoredDocs]] (mirrors q_calibration_bins'
     * score staging, then the clamp/bin/midpoint chain). */
-  private def sqlScoredDocs: String = {
+  private[queries] def sqlScoredDocs: String = {
     val toks = sqlTokens(sqlNormalizeText("text"))
     val w = s"(${sqlHash32("token")} % 1000 - 500)"
     s"""tf AS (
@@ -89,7 +89,7 @@ object EvalOps extends QueryPack {
     * cumsums + the tiny O(|buckets|²) offset merge — the
     * [[RangeBuckets]] discipline, generalized to two riders (the
     * StatOps6.withBelow shape with a second measure). */
-  private def withBelow2(census: DataFrame): DataFrame = {
+  private[queries] def withBelow2(census: DataFrame): DataFrame = {
     val cen = RangeBuckets.withRangeBucket(census, "v")
     val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
     val loc = cen.withColumn("cumt", sum(col("tv")).over(w))

@@ -115,6 +115,66 @@ object GraphOps extends QueryPack {
         .select(col("n_vertices"),
           expr("t3 div 3").as("n_triangles"),
           expr("slcc div n_vertices").as("avg_lcc_ppm"))
+    }),
+
+    // HITS hubs & authorities (round 13) over the DIRECTED nation trade
+    // graph (customer nation → supplier nation, the q_pagerank edge
+    // build): who initiates trade broadly (hub) vs who is traded INTO
+    // broadly (authority) — the two-sided centrality PageRank's single
+    // score conflates. Kleinberg's mutual recursion runs as 5 FIXED
+    // rounds of pure integer arithmetic (the PageRank determinism
+    // discipline): a ← Σ_in w·h then rescale to max 10⁶ by trunc div;
+    // h ← Σ_out w·a' likewise — float normalization (L2) is not
+    // cross-engine reproducible, max-rescale is. Envelope: Σw·10⁶ ≤
+    // 10⁶·|lineitem| staged DECIMAL(38,0)/HUGEINT — exact to 10³² rows;
+    // the rescaled scores are ≤ 10⁶ by construction. The node frame is
+    // the 25-nation dim, so each round is one broadcast-scale join pair;
+    // the oracle unrolls the identical 5 rounds (the q_pagerank
+    // pattern).
+    "q_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"),
+          col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w")).localCheckpoint()
+      val nodes = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"))
+      var h = nodes.select(col("id"), lit(1000000L).as("hv"))
+      var a = nodes.select(col("id"), lit(0L).as("av"))
+      for (_ <- 1 to 5) {
+        val araw = nodes.join(
+          e.join(h.select(col("id").as("src"), col("hv")), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(sum(col("w").cast(DecimalType(38, 0)) * col("hv"))
+              .as("raw")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("raw"),
+            lit(0L).cast(DecimalType(38, 0))).as("raw"))
+        val mxa = araw.agg(max(col("raw")).as("mx"))
+        a = araw.crossJoin(broadcast(mxa))
+          .select(col("id"), expr("CAST((1000000 * raw) div mx AS BIGINT)")
+            .as("av")).localCheckpoint()
+        val hraw = nodes.join(
+          e.join(a.select(col("id").as("dst"), col("av")), Seq("dst"))
+            .groupBy(col("src").as("id"))
+            .agg(sum(col("w").cast(DecimalType(38, 0)) * col("av"))
+              .as("raw")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("raw"),
+            lit(0L).cast(DecimalType(38, 0))).as("raw"))
+        val mxh = hraw.agg(max(col("raw")).as("mx"))
+        h = hraw.crossJoin(broadcast(mxh))
+          .select(col("id"), expr("CAST((1000000 * raw) div mx AS BIGINT)")
+            .as("hv")).localCheckpoint()
+      }
+      a.join(h, Seq("id"))
+        .select(col("id"), col("av").as("auth_ppm"),
+          col("hv").as("hub_ppm"))
+        .orderBy(col("id"))
     })
   )
 
@@ -173,6 +233,52 @@ object GraphOps extends QueryPack {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
         |  CAST(SUM(tx) // 3 AS BIGINT) AS n_triangles,
         |  CAST(SUM(lcc_ppm) // COUNT(*) AS BIGINT) AS avg_lcc_ppm
-        |FROM lcc""".stripMargin
+        |FROM lcc""".stripMargin,
+
+    "q_hits" -> {
+      // every round CTE is MATERIALIZED: each is referenced twice
+      // (join + the MAX-rescale subquery), and DuckDB's default CTE
+      // INLINING would re-expand the 4-table trade join 2^10 times —
+      // measured as a hang even at sf0.001 (the q_clustering_coef
+      // MATERIALIZED precedent)
+      val pre =
+        """WITH e AS MATERIALIZED (
+          |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+          |    COUNT(*) AS w
+          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  JOIN customer c ON o.o_custkey = c.c_custkey
+          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          |  GROUP BY 1, 2),
+          |n AS MATERIALIZED (
+          |  SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+          |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hv FROM n)"""
+          .stripMargin
+      val rounds = (1 to 5).map { k =>
+        s"""ar$k AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(SUM(CAST(e.w AS HUGEINT) * p.hv), 0)
+           |    AS raw
+           |  FROM n LEFT JOIN e ON e.dst = n.id
+           |  LEFT JOIN h${k - 1} p ON p.id = e.src
+           |  GROUP BY 1),
+           |a$k AS MATERIALIZED (
+           |  SELECT id, CAST((1000000 * raw)
+           |    // (SELECT MAX(raw) FROM ar$k) AS BIGINT) AS av
+           |  FROM ar$k),
+           |hr$k AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(SUM(CAST(e.w AS HUGEINT) * p.av), 0)
+           |    AS raw
+           |  FROM n LEFT JOIN e ON e.src = n.id
+           |  LEFT JOIN a$k p ON p.id = e.dst
+           |  GROUP BY 1),
+           |h$k AS MATERIALIZED (
+           |  SELECT id, CAST((1000000 * raw)
+           |    // (SELECT MAX(raw) FROM hr$k) AS BIGINT) AS hv
+           |  FROM hr$k)""".stripMargin
+      }
+      (pre +: rounds).mkString(",\n") +
+        """
+          |SELECT a5.id, a5.av AS auth_ppm, h5.hv AS hub_ppm
+          |FROM a5 JOIN h5 USING (id) ORDER BY id""".stripMargin
+    }
   )
 }

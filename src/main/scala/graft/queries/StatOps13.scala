@@ -54,6 +54,24 @@ object StatOps13 extends QueryPack {
       |      - CAST(sxy_n AS DOUBLE) * sxy_n)))"""
       .stripMargin.replaceAll("\\s+", " ")
 
+  /** Durbin-Levinson PACF closing formulas in shared expression text
+    * over the exact moment cells s0..s3 (each < 2⁵³, so both engines'
+    * int→double casts are exact and every subsequent op is the same
+    * IEEE op on the same values):
+    * φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₂₁ = r₁(1−φ₂₂);
+    * φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂). */
+  private val pR1 = "(CAST(s1 AS DOUBLE) / s0)"
+  private val pR2 = "(CAST(s2 AS DOUBLE) / s0)"
+  private val pR3 = "(CAST(s3 AS DOUBLE) / s0)"
+  private val pacf1 = pR1
+  private val pacf2 =
+    s"(($pR2 - $pR1 * $pR1) / (1.0 - $pR1 * $pR1))"
+  private val pF21 = s"($pR1 * (1.0 - $pacf2))"
+  private val pacf3 =
+    s"""(($pR3 - $pF21 * $pR2 - $pacf2 * $pR1)
+       | / (1.0 - $pF21 * $pR1 - $pacf2 * $pR2))"""
+      .stripMargin.replaceAll("\\s+", " ")
+
   override def defs: Map[String, Q] = Map[String, Q](
 
     // Hurst exponent by R/S: for each scale w ∈ {8,16,32,64,128} split
@@ -153,6 +171,46 @@ object StatOps13 extends QueryPack {
         .select(col("n_days"), col("slope_ppm"), col("sxy_n"),
           col("sxx_n"), col("syy_n"),
           round(expr(dfT), 6).as("t_stat"))
+    }),
+
+    // Partial autocorrelation at lags 1..3 (round 13) — the AR-order
+    // diagnostic beside q_autocorr/q_dickey_fuller: PACF(k) is the
+    // correlation at lag k AFTER removing what shorter lags explain,
+    // the readout that says which AR(p) a forecaster should fit.
+    // Staging: hecto-dollar series (cents div 10⁴ — the Hurst rescale,
+    // keeps Σdev² < 2⁵³ to ~sf100), FLOOR-mean centering (μ = Σy div n,
+    // declared — an exact-rational center would square the magnitudes
+    // for < 1 hecto$ of shift), moment cells s0..s3 as exact integer
+    // sums off day-keyed lag equi-joins over the zero-filled spine.
+    // PACF closes via the Durbin-Levinson recursion in shared-text
+    // doubles over the four exact sub-2⁵³ cells; the raw ACF rides
+    // along as exact ppm (signed trunc div ≡ HUGEINT //, the
+    // q_theil_sen probe).
+    "q_pacf" -> ((s, dir) => {
+      val z = ForecastOps.dailySpine(s, dir)
+        .select(col("day"), expr("cents div 10000").as("y"))
+        .localCheckpoint() // consumed 5 ways: mean + s0 + 3 lag joins
+      val mu = z.agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+        .select(expr("sy div n").as("mu"))
+      val dv = z.crossJoin(broadcast(mu))
+        .select(col("day"), (col("y") - col("mu")).as("dev"))
+        .localCheckpoint()
+      val c0 = dv.agg(count(lit(1)).as("n_days"),
+        sum(col("dev") * col("dev")).as("s0"))
+      val cks = (1 to 3).map { k =>
+        dv.as("a").join(dv.as("b"), col("b.day") === col("a.day") + k)
+          .agg(sum(col("a.dev") * col("b.dev")).as(s"s$k"))
+      }
+      broadcast(c0).crossJoin(broadcast(cks(0)))
+        .crossJoin(broadcast(cks(1))).crossJoin(broadcast(cks(2)))
+        .select(col("n_days"), col("s0"), col("s1"), col("s2"),
+          col("s3"),
+          expr("(1000000 * s1) div s0").as("r1_ppm"),
+          expr("(1000000 * s2) div s0").as("r2_ppm"),
+          expr("(1000000 * s3) div s0").as("r3_ppm"),
+          round(expr(pacf1), 6).as("pacf1"),
+          round(expr(pacf2), 6).as("pacf2"),
+          round(expr(pacf3), 6).as("pacf3"))
     })
   )
 
@@ -251,6 +309,44 @@ object StatOps13 extends QueryPack {
         |    * sqrt(CAST(sxy_n AS DOUBLE) * sxy_n * (n - 2)
         |      / (CAST(syy_n AS DOUBLE) * sxx_n
         |         - CAST(sxy_n AS DOUBLE) * sxy_n))), 6) AS t_stat
-        |FROM cells""".stripMargin
+        |FROM cells""".stripMargin,
+
+    "q_pacf" ->
+      s"""WITH d AS (
+         |  SELECT epoch_us(l_shipdate) // 86400000000 AS day,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |bnd AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+         |g AS (SELECT u.day FROM bnd,
+         |      unnest(generate_series(bnd.mn, bnd.mx)) AS u(day)),
+         |z AS (SELECT g.day, COALESCE(d.cents, 0) // 10000 AS y
+         |      FROM g LEFT JOIN d ON d.day = g.day),
+         |mu AS (SELECT SUM(y) // COUNT(*) AS mu FROM z),
+         |dv AS (SELECT day, y - mu.mu AS dev FROM z, mu),
+         |c0 AS (SELECT COUNT(*) AS n_days,
+         |  SUM(CAST(dev AS HUGEINT) * dev) AS s0 FROM dv),
+         |c1 AS (SELECT SUM(CAST(a.dev AS HUGEINT) * b.dev) AS s1
+         |  FROM dv a JOIN dv b ON b.day = a.day + 1),
+         |c2 AS (SELECT SUM(CAST(a.dev AS HUGEINT) * b.dev) AS s2
+         |  FROM dv a JOIN dv b ON b.day = a.day + 2),
+         |c3 AS (SELECT SUM(CAST(a.dev AS HUGEINT) * b.dev) AS s3
+         |  FROM dv a JOIN dv b ON b.day = a.day + 3),
+         |cells AS (
+         |  SELECT CAST(n_days AS BIGINT) AS n_days,
+         |    CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+         |    CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3
+         |  FROM c0, c1, c2, c3)
+         |SELECT n_days, s0, s1, s2, s3,
+         |  CAST((1000000 * CAST(s1 AS HUGEINT)) // s0 AS BIGINT)
+         |    AS r1_ppm,
+         |  CAST((1000000 * CAST(s2 AS HUGEINT)) // s0 AS BIGINT)
+         |    AS r2_ppm,
+         |  CAST((1000000 * CAST(s3 AS HUGEINT)) // s0 AS BIGINT)
+         |    AS r3_ppm,
+         |  round($pacf1, 6) AS pacf1,
+         |  round($pacf2, 6) AS pacf2,
+         |  round($pacf3, 6) AS pacf3
+         |FROM cells""".stripMargin
   )
 }

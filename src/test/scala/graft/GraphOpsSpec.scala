@@ -76,4 +76,53 @@ class GraphOpsSpec extends SparkSpec {
       .collect().head
     assert(tri.getAs[Long]("n_triangles") == row.getAs[Long]("n_triangles"))
   }
+
+  test("q_hits equals the direct 5-round integer replay and both score " +
+      "vectors are max-normalized to exactly 10^6") {
+    import spark.implicits._
+    // the nation trade graph, replayed off the raw tables
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val ord = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = graft.sources.Tables.load(spark, sf, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .as[(Long, Long, Long)].collect()
+    val nodes = graft.sources.Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey").cast("long")).as[Long].collect().sorted
+    var h = nodes.map(_ -> BigInt(1000000)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 5) {
+      val araw = nodes.map(v => v ->
+        edges.filter(_._2 == v).map(e => BigInt(e._3) * h(e._1)).sum)
+        .toMap
+      val mxa = araw.values.max
+      a = araw.map { case (k, v) => k -> BigInt(1000000) * v / mxa }
+      val hraw = nodes.map(u => u ->
+        edges.filter(_._1 == u).map(e => BigInt(e._3) * a(e._2)).sum)
+        .toMap
+      val mxh = hraw.values.max
+      h = hraw.map { case (k, v) => k -> BigInt(1000000) * v / mxh }
+    }
+    val rows = SparkEntry.queries("q_hits")(spark, sf)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == nodes.length)
+    for ((id, auth, hub) <- rows) {
+      assert(BigInt(auth) == a(id), s"auth mismatch at $id")
+      assert(BigInt(hub) == h(id), s"hub mismatch at $id")
+      assert(auth >= 0L && auth <= 1000000L)
+      assert(hub >= 0L && hub <= 1000000L)
+    }
+    // the rescale pins the max of each vector at exactly 10^6
+    assert(rows.map(_._2).max == 1000000L)
+    assert(rows.map(_._3).max == 1000000L)
+  }
 }

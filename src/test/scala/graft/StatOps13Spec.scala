@@ -101,4 +101,41 @@ class StatOps13Spec extends SparkSpec {
     assert(row.getAs[Long]("slope_ppm") < 0L)
     assert(row.getAs[Double]("t_stat") < -2.86)
   }
+
+  test("q_pacf equals the direct Durbin-Levinson replay over the " +
+      "floor-mean-centered hecto-dollar series") {
+    val ys = spine().map(_ / 10000L)
+    val n = ys.length.toLong
+    val mu = ys.sum / n // floor mean (all y >= 0)
+    val dev = ys.map(_ - mu)
+    val s0 = dev.map(d => BigInt(d) * d).sum
+    def sk(k: Int): BigInt =
+      (0 until dev.length - k).map(i => BigInt(dev(i)) * dev(i + k)).sum
+    val (s1, s2, s3) = (sk(1), sk(2), sk(3))
+    val row = SparkEntry.queries("q_pacf")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(BigInt(row.getAs[Long]("s0")) == s0)
+    assert(BigInt(row.getAs[Long]("s1")) == s1)
+    assert(BigInt(row.getAs[Long]("s2")) == s2)
+    assert(BigInt(row.getAs[Long]("s3")) == s3)
+    // signed trunc div on both engines
+    def tdiv(a: BigInt, b: BigInt): BigInt = a * 1000000 / b
+    assert(BigInt(row.getAs[Long]("r1_ppm")) == tdiv(s1, s0))
+    assert(BigInt(row.getAs[Long]("r2_ppm")) == tdiv(s2, s0))
+    assert(BigInt(row.getAs[Long]("r3_ppm")) == tdiv(s3, s0))
+    val r1 = s1.toDouble / s0.toDouble
+    val r2 = s2.toDouble / s0.toDouble
+    val r3 = s3.toDouble / s0.toDouble
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val f21 = r1 * (1.0 - p2)
+    val p3 = (r3 - f21 * r2 - p2 * r1) / (1.0 - f21 * r1 - p2 * r2)
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(row.getAs[Double]("pacf1") - r6(r1)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("pacf2") - r6(p2)) < 1e-9)
+    assert(math.abs(row.getAs[Double]("pacf3") - r6(p3)) < 1e-9)
+    // PACF(1) IS ACF(1) by definition; all pacfs live in [-1, 1]
+    for (c <- Seq("pacf1", "pacf2", "pacf3"))
+      assert(math.abs(row.getAs[Double](c)) <= 1.0)
+  }
 }
