@@ -54,7 +54,9 @@ object SparkEntry {
     StatOps14,
     SurvOps,
     CalibOps,
-    DedupAuditOps
+    DedupAuditOps,
+    LearnOps,
+    DesignOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -133,6 +133,32 @@ object ForecastOps extends QueryPack {
     // comparison (z−μ)²·10⁶ > 9·σ²·g — cross-multiplied so neither
     // engine ever computes a square root. One day-per-row readout,
     // calendar-bounded.
+    // 7-day rolling MEDIAN of daily revenue (round 13) — the robust
+    // smoother beside the EWMA/Holt mean-trackers (one bad ingest day
+    // drags a mean for a week; the median shrugs). Each full window's
+    // lower median is the 4th order statistic of exactly 7 exact longs:
+    // a calendar-bounded broadcast range join (≤ 7·span pairs at ANY
+    // corpus size) + per-day sort of a 7-element array — no
+    // single-partition window, no doubles anywhere. Only full windows
+    // emit (day ≥ mn+6): a 3-element "median" at the series head is a
+    // different statistic, not a smaller one.
+    "q_rolling_median" -> ((s, dir) => {
+      val z = dailySpine(s, dir).localCheckpoint()
+      val b = z.agg(min(col("day")).as("mn"))
+      // partial head windows are filtered BEFORE the aggregate: the
+      // 4th order statistic of a < 7-element window is undefined and
+      // element_at would (rightly) error loudly on it
+      z.as("a").crossJoin(broadcast(b))
+        .filter(col("a.day") >= col("mn") + 6)
+        .join(broadcast(z.as("bb")),
+          col("bb.day") >= col("a.day") - 6
+            && col("bb.day") <= col("a.day"))
+        .groupBy(col("a.day").as("day"))
+        .agg(expr("element_at(array_sort(collect_list(bb.cents)), 4)")
+          .as("med7_cents"))
+        .orderBy(col("day"))
+    }),
+
     "q_ewma_chart" -> ((s, dir) => {
       val z = dailySpine(s, dir)
       val cells = z
@@ -232,6 +258,28 @@ object ForecastOps extends QueryPack {
          |        ELSE fin.s6 END AS BIGINT) AS forecast_milli
          |FROM fin, b b2, unnest(generate_series(1, 14)) AS s(h)
          |ORDER BY h""".stripMargin,
+
+    "q_rolling_median" ->
+      s"""WITH d AS (
+         |  SELECT epoch_us(l_shipdate) // $DayUs AS day,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+         |g AS (SELECT u.day FROM b,
+         |      unnest(generate_series(b.mn, b.mx)) AS u(day)),
+         |z AS (SELECT g.day, COALESCE(d.cents, 0) AS cents
+         |      FROM g LEFT JOIN d ON d.day = g.day),
+         |w AS (
+         |  SELECT a.day,
+         |    list_sort(list(bb.cents))[4] AS med7_cents,
+         |    COUNT(*) AS wn
+         |  FROM z a JOIN z bb
+         |    ON bb.day >= a.day - 6 AND bb.day <= a.day
+         |  GROUP BY 1)
+         |SELECT w.day AS day, CAST(med7_cents AS BIGINT) AS med7_cents
+         |FROM w, b WHERE w.day >= b.mn + 6
+         |ORDER BY day""".stripMargin,
 
     "q_ewma_chart" ->
       s"""WITH RECURSIVE d AS (

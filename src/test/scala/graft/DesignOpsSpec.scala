@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics for the study-design tranche ([[graft.queries.DesignOps]]):
+  * BigInt scalar replays of the CEM ATT and the Neyman allocation, plus
+  * the accounting laws (every treated order is matched or counted
+  * unmatched; allocations are nonnegative and sum within floor losses
+  * of the budget).
+  */
+class DesignOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_cem_att equals the BigInt per-stratum replay and the treated " +
+      "accounting closes") {
+    val lc = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val os = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .flatMap { case (ok, tr, y) => lc.get(ok).map(c => (c, tr, y)) }
+    val strata = os.groupBy(_._1).map { case (st, xs) =>
+      (st, xs.count(_._2 == 1L).toLong,
+        xs.filter(_._2 == 1L).map(x => BigInt(x._3)).sum,
+        xs.count(_._2 == 0L).toLong,
+        xs.filter(_._2 == 0L).map(x => BigInt(x._3)).sum)
+    }
+    val matched = strata.filter(s => s._2 > 0 && s._4 > 0)
+    val ntM = matched.map(_._2).sum
+    def tdiv(a: BigInt, b: BigInt) = (a - a % b) / b // trunc-signed
+    val csum = matched.map { case (_, nt, st, nc, sc) =>
+      tdiv(BigInt(1000000) * (st * nc - BigInt(nt) * sc), BigInt(nc))
+    }.sum
+    val unmatched = strata.filter(_._4 == 0).map(_._2).sum
+    val row = SparkEntry.queries("q_cem_att")(spark, sf).collect().head
+    assert(row.getAs[Long]("nt_matched") == ntM)
+    assert(row.getAs[Long]("n_unmatched_treated") == unmatched)
+    assert(BigInt(row.getAs[Long]("att_micro")) == tdiv(csum, BigInt(ntM)))
+    // accounting: matched + unmatched = all treated orders
+    assert(ntM + unmatched == os.count(_._2 == 1L).toLong)
+    // priority is independent of price given size on this corpus: the
+    // matched ATT must not read a LARGE spurious effect. Band: 25% of
+    // the overall mean order value — at sf0.001 the ~450 treated
+    // orders carry ~9% pure sampling noise (measured 8.6%), so a
+    // tight null band would test the fixture's sample size, not the
+    // estimator
+    val meanY = os.map(x => BigInt(x._3)).sum / os.length
+    assert(BigInt(row.getAs[Long]("att_micro")).abs <
+      BigInt(1000000) * meanY / 4)
+  }
+
+  test("q_neyman_alloc equals the BigInt replay; allocations are " +
+      "nonnegative and sum within floor losses of the budget") {
+    val cs = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(String, Long)].collect()
+    val cells = cs.groupBy(_._1).map { case (seg, xs) =>
+      val nh = BigInt(xs.length)
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val qx = xs.map(x => BigInt(x._2) * x._2).sum
+      val v = (qx - (sx * sx - (sx * sx) % nh) / nh) / (nh - 1)
+      val s = BigInt(math.floor(math.sqrt(v.toDouble)).toLong)
+      (seg, nh, v, s)
+    }.toArray.sortBy(_._1)
+    val totNs = cells.map(c => c._2 * c._4).sum
+    val rows = SparkEntry.queries("q_neyman_alloc")(spark, sf)
+      .collect().map(r => (r.getAs[String]("segment"),
+        r.getAs[Long]("nh"), r.getAs[Long]("var_c2"),
+        r.getAs[Long]("s_cents"), r.getAs[Long]("alloc_n")))
+      .sortBy(_._1)
+    assert(rows.length == cells.length)
+    rows.zip(cells).foreach { case ((seg, nh, v, s, a), c) =>
+      assert(seg == c._1)
+      assert(BigInt(nh) == c._2)
+      assert(BigInt(v) == c._3, s"$seg variance")
+      assert(BigInt(s) == c._4, s"$seg sigma")
+      assert(BigInt(a) == BigInt(1000) * c._2 * c._4 / totNs,
+        s"$seg allocation")
+      assert(a >= 0L && a <= 1000L)
+    }
+    val total = rows.map(_._5).sum
+    assert(total <= 1000L && total >= 1000L - rows.length,
+      s"floor losses exceed |strata|: $total")
+  }
+}

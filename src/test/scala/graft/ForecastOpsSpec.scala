@@ -123,6 +123,26 @@ class ForecastOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_rolling_median equals the direct 7-window order statistic " +
+      "and is bounded by each window's extremes") {
+    val z = spine()
+    val expect = (6 until z.length).map { i =>
+      val w = (i - 6 to i).map(j => z(j)._2).sorted
+      (z(i)._1, w(3))
+    }
+    val got = SparkEntry.queries("q_rolling_median")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("day"),
+        r.getAs[Long]("med7_cents"))).sortBy(_._1)
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((d1, m1), (d2, m2)) =>
+      assert(d1 == d2 && m1 == m2, s"day $d1: $m1 vs $m2") }
+    // robustness law: the median of any 7-window sits weakly inside it
+    for (((day, m), i) <- got.zipWithIndex) {
+      val w = (i to i + 6).map(j => z(j)._2)
+      assert(m >= w.min && m <= w.max, s"day $day escapes its window")
+    }
+  }
+
   test("q_spectral_peak needs NO span guard: the residue-class census " +
       "stays <= 37 cells even on the over-span corpus") {
     // the spectral kernel depends only on day mod p, so a corrupt
