@@ -112,7 +112,7 @@ object SurvOps extends QueryPack {
           .as("c1")).localCheckpoint()
       val tot = sub.agg(count(lit(1)).as("n"), sum(col("g")).as("n1"))
       val below = cell.as("a")
-        .join(cell.as("b"), col("b.t") < col("a.t"), "left")
+        .join(broadcast(cell.as("b")), col("b.t") < col("a.t"), "left")
         .groupBy(col("a.t").as("t"), col("a.d").as("d"),
           col("a.d1").as("d1"))
         .agg(coalesce(sum(col("b.d") + col("b.c")), lit(0L)).as("bel"),
@@ -163,7 +163,10 @@ object SurvOps extends QueryPack {
         .select(col("t"), coalesce(col("d"), lit(0L)).as("d"),
           coalesce(col("c"), lit(0L)).as("c"))
       val below = grid.as("a")
-        .join(grid.as("b"), col("b.t") < col("a.t"), "left")
+        // broadcast the 49-row side: without the hint the non-equi
+        // triangular join has no stats and plans a partitioned
+        // CartesianProduct — caught by the PlanSpec cartesian sweep
+        .join(broadcast(grid.as("b")), col("b.t") < col("a.t"), "left")
         .groupBy(col("a.t").as("t"), col("a.d").as("d"))
         .agg(coalesce(sum(col("b.d") + col("b.c")), lit(0L)).as("bel"))
       val terms = below.crossJoin(broadcast(tot))
@@ -177,7 +180,7 @@ object SurvOps extends QueryPack {
               .stripMargin.replaceAll("\\s+", " "))).otherwise(0L)
             .as("va")).localCheckpoint()
       terms.as("a")
-        .join(terms.as("b"), col("b.t") <= col("a.t"))
+        .join(broadcast(terms.as("b")), col("b.t") <= col("a.t"))
         .groupBy(col("a.t").as("t"), col("a.d").as("n_events"),
           col("a.r").as("n_risk"))
         .agg(sum(col("b.na")).as("h_micro"),

@@ -133,10 +133,16 @@ class PlanSpec extends SparkSpec {
     // (the keyspace below 300 does not grow with data volume), so its
     // single partition is a deliberate few-dozen-row null-ordering probe
     val waived = Set("q_sort_nulls")
+    val cartesian = scala.collection.mutable.ArrayBuffer[String]()
     val guilty = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       scala.util.Try {
         val p = SparkEntry.queries(name)(spark, sf).queryExecution
           .explainString(ExplainMode.fromString("simple"))
+        // piggyback on the same plan build (round 13): a CartesianProduct
+        // anywhere is the other generic 100 TB scale-killer — every
+        // crossJoin in the repo must ride a broadcast 1-row/dim frame
+        // (BroadcastNestedLoopJoin), never a partitioned cartesian
+        if (p.contains("CartesianProduct")) cartesian += name
         // a global window physically plans Window ← Sort ← Exchange
         // SinglePartition: flag any SinglePartition exchange with a Window
         // operator within the 3 lines above it
@@ -149,6 +155,8 @@ class PlanSpec extends SparkSpec {
     }
     assert(guilty.forall(waived.contains),
       s"unwaived single-partition windows in: ${guilty.filterNot(waived.contains)}")
+    assert(cartesian.isEmpty,
+      s"CartesianProduct in: ${cartesian.mkString(", ")}")
   }
 
   test("q_join_semi/anti plan semi/anti joins, not join+filter") {
