@@ -85,6 +85,33 @@ object CalibOps extends QueryPack {
         .orderBy(col("bin"))
     }),
 
+    // Expected calibration error (round-13 session 3): the one-number
+    // miscalibration readout beside q_brier_decomp's decomposition and
+    // q_isotonic_calib's repair — ECE = Σ (n_b/n)·|p_b − rate_b| and
+    // MCE = max_b the same gap, both EXACT integers end to end:
+    // per-bin gap |p_milli·n_b − 1000·np_b| is exact in milli·counts,
+    // ECE closes as (1000·Σ) div n micro, MCE as a per-bin div on the
+    // ≤10-row frame. Zero doubles anywhere.
+    "q_ece" -> ((s, dir) => {
+      val bins = EvalOps.scoredDocs(s, dir)
+        .groupBy(col("bin"), col("p_milli"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("npb"))
+      bins
+        .select(col("nb"), col("npb"),
+          abs(col("p_milli") * col("nb") - lit(1000L) * col("npb"))
+            .as("gap"),
+          expr("""abs(p_milli - (1000 * npb) div nb)""").as("gap_milli"))
+        .agg(sum(col("nb")).as("n_docs"),
+          sum(col("npb")).as("n_pos"),
+          count(lit(1)).as("n_bins"),
+          sum(col("gap")).as("gsum"),
+          max(col("gap_milli")).as("mce_milli"))
+        .select(col("n_docs"), col("n_pos"), col("n_bins"),
+          expr("(1000 * gsum) div n_docs").as("ece_micro"),
+          col("mce_milli"))
+    }),
+
     // Decision-stump information gain: the best threshold v on account
     // balance (cents) splitting customers into x ≤ v / x > v to predict
     // segment = BUILDING, scored by entropy reduction in micro-nats.
@@ -158,6 +185,24 @@ object CalibOps extends QueryPack {
          |  CAST((1000000 * bins.npb) // bins.nb AS BIGINT) AS raw_micro,
          |  CAST(iso.iso_micro AS BIGINT) AS iso_micro
          |FROM bins JOIN iso USING (bin) ORDER BY bin""".stripMargin,
+
+    "q_ece" ->
+      s"""WITH ${EvalOps.sqlScoredDocs},
+         |bins AS (
+         |  SELECT bin, p_milli, COUNT(*) AS nb,
+         |    SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS npb
+         |  FROM scored GROUP BY 1, 2),
+         |g AS (
+         |  SELECT nb, npb,
+         |    abs(p_milli * nb - 1000 * npb) AS gap,
+         |    abs(p_milli - (1000 * npb) // nb) AS gap_milli
+         |  FROM bins)
+         |SELECT CAST(SUM(nb) AS BIGINT) AS n_docs,
+         |  CAST(SUM(npb) AS BIGINT) AS n_pos,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+         |  CAST((1000 * SUM(gap)) // SUM(nb) AS BIGINT) AS ece_micro,
+         |  CAST(MAX(gap_milli) AS BIGINT) AS mce_milli
+         |FROM g""".stripMargin,
 
     "q_info_gain" -> {
       val h = (a: String, n: String) => hOf(a, n)

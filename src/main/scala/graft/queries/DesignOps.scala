@@ -80,6 +80,61 @@ object DesignOps extends QueryPack {
           expr("CAST(csum div nt_matched AS BIGINT)").as("att_micro"))
     }),
 
+    // Mantel-Haenszel pooled odds ratio (round-13 session 3) — the
+    // stratified 2×2 companion to q_cem_att: exposure = urgent
+    // priority, outcome = order total above the global lower median,
+    // strata = line count. OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) with each
+    // stratum ratio nano-floored ONCE ((10⁹·a·d) div n — unit
+    // resolution against ratios of ~10³, declared), the closing ratio
+    // one exact ppm division; the CRUDE (stratum-ignoring) OR rides
+    // along so the confounding readout |OR_MH − OR_crude| is one
+    // glance. One corpus census + one ≤7-row stratum frame.
+    "q_mantel_haenszel" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("e"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"))
+      val census = o.groupBy(col("cents")).agg(count(lit(1)).as("tv"))
+      val nn = census.agg(sum(col("tv")).as("n"))
+      val med = graft.operators.RangeBuckets.belowFrame(
+          census.select(col("cents").as("v"), col("tv").as("t")))
+        .crossJoin(broadcast(nn))
+        .filter(col("below") + col("t") >= expr("(n + 1) div 2"))
+        .agg(min(col("v")).as("med"))
+      val strata = o.crossJoin(broadcast(med))
+        .select(col("o_orderkey"), col("e"),
+          when(col("cents") > col("med"), 1L).otherwise(0L).as("y"))
+        .join(t(s, dir, "lineitem")
+            .groupBy(col("l_orderkey").as("o_orderkey"))
+            .agg(count(lit(1)).as("stratum")),
+          Seq("o_orderkey"))
+        .groupBy(col("stratum"))
+        .agg(sum(col("e") * col("y")).as("a"),
+          sum(col("e") * (lit(1L) - col("y"))).as("b"),
+          sum((lit(1L) - col("e")) * col("y")).as("c"),
+          sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("d"),
+          count(lit(1)).as("ni"))
+      strata
+        .agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+          sum(col("c")).as("tc"), sum(col("d")).as("td"),
+          sum(expr(
+            "(1000000000 * CAST(a AS DECIMAL(38,0)) * d) div ni"))
+            .as("r"),
+          sum(expr(
+            "(1000000000 * CAST(b AS DECIMAL(38,0)) * c) div ni"))
+            .as("q"))
+        .select(col("n_strata"), col("r").as("r_nano"),
+          col("q").as("s_nano"),
+          expr("""CAST((1000000 * CAST(r AS DECIMAL(38,0))) div q
+            | AS BIGINT)""".stripMargin.replaceAll("\\s+", " "))
+            .as("or_mh_ppm"),
+          expr("""CAST((1000000 * CAST(ta AS DECIMAL(38,0)) * td)
+            | div (CAST(tb AS DECIMAL(38,0)) * tc) AS BIGINT)"""
+            .stripMargin.replaceAll("\\s+", " ")).as("or_crude_ppm"))
+    }),
+
     // Neyman allocation of a 1000-row sample across market segments:
     // n_h = (B·N_h·s_h) div Σ(N_h·s_h), s_h = ⌊√var_h⌋ in cents.
     // Cells: one segment-keyed aggregate (n, Σx, Σx²) → truncated
@@ -148,6 +203,45 @@ object DesignOps extends QueryPack {
         |  CAST(n_unmatched_treated AS BIGINT) AS n_unmatched_treated,
         |  CAST(csum // nt_matched AS BIGINT) AS att_micro
         |FROM matched, unmatched""".stripMargin,
+
+    "q_mantel_haenszel" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS e,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |medc AS (
+        |  SELECT MIN(cents) AS med FROM (
+        |    SELECT cents, SUM(cnt) OVER (ORDER BY cents) AS cum,
+        |      SUM(cnt) OVER () AS n
+        |    FROM (SELECT cents, COUNT(*) AS cnt FROM o GROUP BY 1))
+        |  WHERE cum >= (n + 1) // 2),
+        |lc AS (SELECT l_orderkey AS o_orderkey, COUNT(*) AS stratum
+        |  FROM lineitem GROUP BY 1),
+        |strata AS (
+        |  SELECT stratum,
+        |    SUM(e * y) AS a, SUM(e * (1 - y)) AS b,
+        |    SUM((1 - e) * y) AS c, SUM((1 - e) * (1 - y)) AS d,
+        |    COUNT(*) AS ni
+        |  FROM (SELECT o.o_orderkey, o.e,
+        |          CASE WHEN o.cents > medc.med THEN 1 ELSE 0 END AS y
+        |        FROM o, medc) t
+        |  JOIN lc USING (o_orderkey)
+        |  GROUP BY 1),
+        |agg AS (
+        |  SELECT COUNT(*) AS n_strata,
+        |    SUM(a) AS ta, SUM(b) AS tb, SUM(c) AS tc, SUM(d) AS td,
+        |    SUM((1000000000 * CAST(a AS HUGEINT) * d) // ni) AS r,
+        |    SUM((1000000000 * CAST(b AS HUGEINT) * c) // ni) AS q
+        |  FROM strata)
+        |SELECT CAST(n_strata AS BIGINT) AS n_strata,
+        |  CAST(r AS BIGINT) AS r_nano, CAST(q AS BIGINT) AS s_nano,
+        |  CAST((1000000 * r) // q AS BIGINT) AS or_mh_ppm,
+        |  CAST((1000000 * CAST(ta AS HUGEINT) * td)
+        |    // (CAST(tb AS HUGEINT) * tc) AS BIGINT) AS or_crude_ppm
+        |FROM agg""".stripMargin,
 
     "q_neyman_alloc" ->
       s"""WITH cells AS (

@@ -133,6 +133,47 @@ object ForecastOps extends QueryPack {
     // comparison (z−μ)²·10⁶ > 9·σ²·g — cross-multiplied so neither
     // engine ever computes a square root. One day-per-row readout,
     // calendar-bounded.
+    // Page-Hinkley change detector (round-13 session 3) over daily
+    // revenue — the sequential level-shift monitor beside the EWMA
+    // band chart (EWMA flags days outside a band; PH accumulates
+    // small persistent drifts a band never trips on). Offline form
+    // with the fixed floor-mean μ and allowance δ = μ div 100:
+    // m_t = Σ(xᵢ − μ − δ), PH_t = m_t − min_{s≤t} m_s (≥ 0 by
+    // construction; m₀ = 0), the readout is the max excursion and its
+    // FIRST day (strict > keeps the earliest argmax). PURE integers:
+    // one span-guarded fold over the shared daily spine, zero doubles.
+    // The transform(array(·)) wrapper let-binds the new cumulative sum
+    // (the q_holt_linear pattern) so the min/excursion arms read it
+    // without recomputation.
+    "q_page_hinkley" -> ((s, dir) => {
+      val z = dailySpine(s, dir).localCheckpoint()
+      val cells = z.agg(count(lit(1)).as("n_days"),
+        sum(col("cents")).as("sy"))
+        .select(col("n_days"), expr("sy div n_days").as("mu"))
+        .select(col("n_days"), col("mu"),
+          expr("mu div 100").as("delta"))
+      z.agg(collect_list(struct(col("day"), col("cents"))).as("arr"))
+        .crossJoin(broadcast(cells))
+        .select(col("n_days"), col("mu"), col("delta"), expr(
+          """aggregate(array_sort(arr),
+            |  named_struct('cum', 0L, 'mn', 0L, 'best', -1L,
+            |    'bestday', -1L),
+            |  (acc, e) -> element_at(transform(
+            |    array(acc.cum + e.cents - mu - delta),
+            |    c -> named_struct(
+            |      'cum', c,
+            |      'mn', least(acc.mn, c),
+            |      'best', IF(c - least(acc.mn, c) > acc.best,
+            |        c - least(acc.mn, c), acc.best),
+            |      'bestday', IF(c - least(acc.mn, c) > acc.best,
+            |        e.day, acc.bestday))), 1))"""
+            .stripMargin).as("st"))
+        .select(col("n_days"), col("mu").as("mu_cents"),
+          col("delta").as("delta_cents"),
+          col("st.best").as("ph_max"),
+          col("st.bestday").as("day_at_max"))
+    }),
+
     // 7-day rolling MEDIAN of daily revenue (round 13) — the robust
     // smoother beside the EWMA/Holt mean-trackers (one bad ingest day
     // drags a mean for a week; the median shrugs). Each full window's
@@ -258,6 +299,51 @@ object ForecastOps extends QueryPack {
          |        ELSE fin.s6 END AS BIGINT) AS forecast_milli
          |FROM fin, b b2, unnest(generate_series(1, 14)) AS s(h)
          |ORDER BY h""".stripMargin,
+
+    "q_page_hinkley" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT epoch_us(l_shipdate) // $DayUs AS day,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+         |      AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM d),
+         |g AS (SELECT u.day FROM b,
+         |      unnest(generate_series(b.mn, b.mx)) AS u(day)),
+         |z AS (SELECT g.day, COALESCE(d.cents, 0) AS cents,
+         |        ROW_NUMBER() OVER (ORDER BY g.day) AS i
+         |      FROM g LEFT JOIN d ON d.day = g.day),
+         |cells AS (
+         |  SELECT COUNT(*) AS n_days,
+         |    SUM(cents) // COUNT(*) AS mu,
+         |    (SUM(cents) // COUNT(*)) // 100 AS delta
+         |  FROM z),
+         |r AS (
+         |  SELECT 0 AS i, CAST(0 AS BIGINT) AS cum,
+         |    CAST(0 AS BIGINT) AS mnm, CAST(-1 AS BIGINT) AS best,
+         |    CAST(-1 AS BIGINT) AS bestday
+         |  FROM cells
+         |  UNION ALL
+         |  SELECT z.i,
+         |    r.cum + z.cents - cells.mu - cells.delta,
+         |    LEAST(r.mnm, r.cum + z.cents - cells.mu - cells.delta),
+         |    CASE WHEN (r.cum + z.cents - cells.mu - cells.delta)
+         |        - LEAST(r.mnm,
+         |            r.cum + z.cents - cells.mu - cells.delta) > r.best
+         |      THEN (r.cum + z.cents - cells.mu - cells.delta)
+         |        - LEAST(r.mnm,
+         |            r.cum + z.cents - cells.mu - cells.delta)
+         |      ELSE r.best END,
+         |    CASE WHEN (r.cum + z.cents - cells.mu - cells.delta)
+         |        - LEAST(r.mnm,
+         |            r.cum + z.cents - cells.mu - cells.delta) > r.best
+         |      THEN z.day ELSE r.bestday END
+         |  FROM r JOIN z ON z.i = r.i + 1, cells)
+         |SELECT CAST(cells.n_days AS BIGINT) AS n_days,
+         |  CAST(cells.mu AS BIGINT) AS mu_cents,
+         |  CAST(cells.delta AS BIGINT) AS delta_cents,
+         |  r.best AS ph_max, r.bestday AS day_at_max
+         |FROM r, cells WHERE r.i = (SELECT MAX(i) FROM z)"""
+        .stripMargin,
 
     "q_rolling_median" ->
       s"""WITH d AS (

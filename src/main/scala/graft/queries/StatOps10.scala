@@ -49,6 +49,31 @@ object StatOps10 extends QueryPack {
     Tables.load(s, dir, name)
 
   /** cents-exact long from a 2-dp money column (the shared staging). */
+  /** The zero-filled 25×25 nation×brand revenue design (cents) — the
+    * shared rating frame behind q_kendall_w and q_icc: one corpus
+    * aggregate joined onto the bounded nation×brand spine. */
+  private def nbDesign(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), cents(col("l_extendedprice")).as("c"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_custkey"))
+    val cu = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("p_brand").as("brand"))
+      .agg(sum(col("c")).as("cents"))
+      .select(col("nk"), col("brand"), col("cents"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey").as("nk"))
+    val br = p.select(col("p_brand").as("brand")).distinct()
+    nat.crossJoin(broadcast(br))
+      .join(rev, Seq("nk", "brand"), "left")
+      .select(col("nk"), col("brand"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
   private def cents(c: org.apache.spark.sql.Column) =
     (c.cast(DecimalType(18, 2)) * 100).cast("long")
 
@@ -126,25 +151,10 @@ object StatOps10 extends QueryPack {
     // NATION. Envelope: R2 ≤ m·(2n+1) ≈ 1275, S4 ≤ n·(m·n)⁴ — exact to
     // dims of thousands.
     "q_kendall_w" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
-        col("l_partkey"), cents(col("l_extendedprice")).as("c"))
-      val o = t(s, dir, "orders").select(col("o_orderkey"),
-        col("o_custkey"))
-      val cu = t(s, dir, "customer").select(col("c_custkey"),
-        col("c_nationkey"))
-      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
-      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(cu, col("o_custkey") === col("c_custkey"))
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy(col("c_nationkey").as("nk"), col("p_brand").as("brand"))
-        .agg(sum(col("c")).as("cents"))
-        .select(col("nk"), col("brand"), col("cents"))
+      val full = nbDesign(s, dir)
       val nat = t(s, dir, "nation").select(col("n_nationkey").as("nk"))
-      val br = p.select(col("p_brand").as("brand")).distinct()
-      val full = nat.crossJoin(broadcast(br))
-        .join(rev, Seq("nk", "brand"), "left")
-        .select(col("nk"), col("brand"),
-          coalesce(col("cents"), lit(0L)).as("cents"))
+      val br = t(s, dir, "part").select(col("p_brand").as("brand"))
+        .distinct()
       val census = full.groupBy(col("nk"), col("cents"))
         .agg(count(lit(1)).as("tv"))
       val w = Window.partitionBy(col("nk")).orderBy(col("cents"))
@@ -202,6 +212,51 @@ object StatOps10 extends QueryPack {
           round(expr(rrExpr), 6).as("risk_ratio"),
           round(expr(s"exp(ln($orExpr) - 1.96 * $seExpr)"), 6).as("ci_lo"),
           round(expr(s"exp(ln($orExpr) + 1.96 * $seExpr)"), 6).as("ci_hi"))
+    }),
+
+    // Intraclass correlation ICC(1) (round-13 session 3) — "how much
+    // of a brand's revenue variance is the BRAND rather than the
+    // nation?" — the continuous-agreement sibling of Kendall's W over
+    // the SAME zero-filled nation×brand design ([[nbDesign]]): one-way
+    // ANOVA cells per brand (the q_anova_f staging, k = 25 ratings per
+    // group by construction), SSB/SSW as exact DECIMAL integers
+    // (emitted in KILOdollars² — div 10¹⁰ — per the r13 2⁵³ output
+    // contract: these cells grow as sf² and dollars² would cross 2⁵³
+    // near sf1), and
+    // ICC = (MSB − MSW)/(MSB + (k−1)MSW) cleared of every divisor:
+    // icc_ppm = 10⁶·(n(k−1)·SSB − (n−1)·SSW) div
+    //           (n(k−1)·SSB + (k−1)(n−1)·SSW) — signed trunc on both
+    // engines. Envelope: 10⁶·nk·SS ≈ 10²⁶ at sf0.1 — DECIMAL-exact
+    // to ~10⁶× gate scale.
+    "q_icc" -> ((s, dir) => {
+      val full = nbDesign(s, dir)
+      val g = full.groupBy(col("brand")).agg(
+        count(lit(1)).as("kg"),
+        sum(col("cents").cast(DecimalType(38, 0))).as("sg"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("cents"))
+          .as("qg"))
+      g.select(col("kg"), col("sg"), col("qg"),
+          expr("""CAST((sg * sg - (sg * sg) % CAST(kg AS DECIMAL(38,0)))
+            | / CAST(kg AS DECIMAL(38,0)) AS DECIMAL(38,0))"""
+            .stripMargin.replaceAll("\\s+", " ")).as("t2g"))
+        .agg(count(lit(1)).as("n_brands"), sum(col("kg")).as("nk_tot"),
+          sum(col("sg")).as("s"), sum(col("qg")).as("q"),
+          sum(col("t2g")).as("w"))
+        .select(col("n_brands"),
+          expr("nk_tot div n_brands").as("k_raters"),
+          expr("""CAST(w - (s * s - (s * s) % CAST(nk_tot AS DECIMAL(38,0)))
+            | / CAST(nk_tot AS DECIMAL(38,0)) AS DECIMAL(38,0))"""
+            .stripMargin.replaceAll("\\s+", " ")).as("ssb"),
+          expr("CAST(q - w AS DECIMAL(38,0))").as("ssw"))
+        .select(col("n_brands"), col("k_raters"),
+          expr("ssb div 10000000000").as("ssb_kd2"),
+          expr("ssw div 10000000000").as("ssw_kd2"),
+          expr("""CAST((1000000 * (CAST(n_brands AS DECIMAL(38,0))
+            | * (k_raters - 1) * ssb - (n_brands - 1) * ssw))
+            | div (CAST(n_brands AS DECIMAL(38,0)) * (k_raters - 1) * ssb
+            |      + (CAST(k_raters AS DECIMAL(38,0)) - 1)
+            |        * (n_brands - 1) * ssw) AS BIGINT)"""
+            .stripMargin.replaceAll("\\s+", " ")).as("icc_ppm"))
     })
   )
 
@@ -299,6 +354,48 @@ object StatOps10 extends QueryPack {
          |  round($rrExpr, 6) AS risk_ratio,
          |  round(exp(ln($orExpr) - 1.96 * $seExpr), 6) AS ci_lo,
          |  round(exp(ln($orExpr) + 1.96 * $seExpr), 6) AS ci_hi
-         |FROM cells""".stripMargin
+         |FROM cells""".stripMargin,
+
+    "q_icc" ->
+      """WITH rev AS (
+        |  SELECT c.c_nationkey AS nk, p.p_brand AS brand,
+        |    SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |nat AS (SELECT n_nationkey AS nk FROM nation),
+        |br AS (SELECT DISTINCT p_brand AS brand FROM part),
+        |full0 AS (
+        |  SELECT nat.nk, br.brand, COALESCE(rev.cents, 0) AS cents
+        |  FROM nat CROSS JOIN br
+        |  LEFT JOIN rev ON rev.nk = nat.nk AND rev.brand = br.brand),
+        |g AS (
+        |  SELECT brand, COUNT(*) AS kg,
+        |    SUM(CAST(cents AS HUGEINT)) AS sg,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS qg
+        |  FROM full0 GROUP BY 1),
+        |cells AS (
+        |  SELECT COUNT(*) AS n_brands, SUM(kg) AS nk_tot,
+        |    SUM(sg) AS s, SUM(qg) AS q,
+        |    SUM((sg * sg) // CAST(kg AS HUGEINT)) AS w
+        |  FROM g),
+        |ss AS (
+        |  SELECT CAST(n_brands AS BIGINT) AS n_brands,
+        |    CAST(nk_tot // n_brands AS BIGINT) AS k_raters,
+        |    w - (s * s) // CAST(nk_tot AS HUGEINT) AS ssb,
+        |    q - w AS ssw
+        |  FROM cells)
+        |SELECT n_brands, k_raters,
+        |  CAST(ssb // 10000000000 AS BIGINT) AS ssb_kd2,
+        |  CAST(ssw // 10000000000 AS BIGINT) AS ssw_kd2,
+        |  CAST((1000000 * (CAST(n_brands AS HUGEINT) * (k_raters - 1)
+        |      * ssb - (n_brands - 1) * ssw))
+        |    // (CAST(n_brands AS HUGEINT) * (k_raters - 1) * ssb
+        |       + (CAST(k_raters AS HUGEINT) - 1) * (n_brands - 1) * ssw)
+        |    AS BIGINT) AS icc_ppm
+        |FROM ss""".stripMargin
   )
 }

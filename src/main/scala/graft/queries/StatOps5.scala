@@ -42,6 +42,97 @@ object StatOps5 extends QueryPack {
 
   private val DayUs = 86400L * 1000000L
 
+  /** Shared FDR staging (q_fdr_bh + q_fdr_by): the per-brand Welch
+    * z → two-sided A&S p (6-dp rounded), ranked r_i = #{j: p_j ≤ p_i}
+    * by broadcast theta self-join, with the test count m riding along. */
+  private def fdrRanked(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("R", "A"))
+      .join(broadcast(t(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        when(col("l_returnflag") === "R", 1).otherwise(0).as("g"),
+        col("l_extendedprice").as("v"))
+    val m0 = li.groupBy(col("p_brand"), col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(18, 4)))
+          .cast("string").cast("double").as("sv"),
+        sum((col("v") * col("v")).cast(DecimalType(38, 8)))
+          .cast("string").cast("double").as("ssv"))
+    val st = m0.select(col("p_brand"), col("g"), col("n"),
+      (col("sv") / col("n")).as("mean"),
+      ((col("ssv") - col("sv") * col("sv") / col("n"))
+        / (col("n") - 1)).as("vr"))
+    val cells = st.filter(col("g") === 1).as("x")
+      .join(st.filter(col("g") === 0).as("y"),
+        col("x.p_brand") === col("y.p_brand"))
+      .filter(col("x.n") >= 2 && col("y.n") >= 2)
+      .select(col("x.p_brand").as("p_brand"),
+        col("x.n").as("n_r"), col("y.n").as("n_a"),
+        ((col("x.mean") - col("y.mean")) /
+          sqrt(col("x.vr") / col("x.n") + col("y.vr") / col("y.n")))
+          .as("z"))
+      .withColumn("az", abs(col("z")))
+      .withColumn("tw", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
+      .withColumn("p", round(
+        expr("""2 * ((exp(-az*az/2) / 2.5066282746310002) *
+               (0.319381530*tw - 0.356563782*(tw*tw)
+                + 1.781477937*(tw*tw*tw) - 1.821255978*(tw*tw*tw*tw)
+                + 1.330274429*(tw*tw*tw*tw*tw)))"""), 6))
+      .select(col("p_brand"), col("n_r"), col("n_a"),
+        round(col("z"), 6).as("z"), col("p"))
+      .localCheckpoint()
+    val mTot = cells.agg(count(lit(1)).as("m"))
+    cells
+      .join(broadcast(cells.select(col("p").as("p2"))),
+        col("p2") <= col("p"))
+      .groupBy(col("p_brand"), col("n_r"), col("n_a"), col("z"),
+        col("p"))
+      .agg(count(lit(1)).as("p_rank"))
+      .crossJoin(broadcast(mTot))
+  }
+
+  /** Oracle twin of [[fdrRanked]] — CTEs `li…pc`, `mt`, `rk`. */
+  private val fdrSqlStaging =
+    """li AS (
+      |  SELECT p.p_brand,
+      |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+      |    l.l_extendedprice AS v
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  WHERE l.l_returnflag IN ('R', 'A')),
+      |m0 AS (
+      |  SELECT p_brand, g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+      |      AS sv,
+      |    CAST(CAST(SUM(CAST(v*v AS DECIMAL(38,8))) AS VARCHAR)
+      |      AS DOUBLE) AS ssv
+      |  FROM li GROUP BY 1, 2),
+      |st AS (SELECT p_brand, g, n, sv/n AS mean,
+      |         (ssv - sv*sv/n)/(n-1) AS vr FROM m0),
+      |zc AS (
+      |  SELECT x.p_brand, x.n AS n_r, y.n AS n_a,
+      |    (x.mean - y.mean) / SQRT(x.vr/x.n + y.vr/y.n) AS z
+      |  FROM (SELECT * FROM st WHERE g = 1) x
+      |  JOIN (SELECT * FROM st WHERE g = 0) y USING (p_brand)
+      |  WHERE x.n >= 2 AND y.n >= 2),
+      |pc AS (
+      |  SELECT p_brand, n_r, n_a, round(z, 6) AS z,
+      |    round(2 * ((exp(-abs(z)*abs(z)/2) / 2.5066282746310002) *
+      |      (0.319381530*(1/(1+0.2316419*abs(z)))
+      |       - 0.356563782*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
+      |       + 1.781477937*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
+      |       - 1.821255978*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
+      |       + 1.330274429*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))))), 6)
+      |      AS p
+      |  FROM zc),
+      |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pc),
+      |rk AS (
+      |  SELECT a.p_brand, a.n_r, a.n_a, a.z, a.p,
+      |    CAST(COUNT(*) AS BIGINT) AS p_rank
+      |  FROM pc a JOIN pc b ON b.p <= a.p
+      |  GROUP BY 1, 2, 3, 4, 5)""".stripMargin
+
   override def defs: Map[String, Q] = Map[String, Q](
 
     // Benjamini-Hochberg FDR (α = .05) over 25 simultaneous per-brand
@@ -55,52 +146,10 @@ object StatOps5 extends QueryPack {
     // 25-row cell frame: r_i = #{j : p_j ≤ p_i} by broadcast theta
     // self-join, candidates p ≤ α·r/m as the integer-ish 20·m·p ≤ r,
     // the rejection threshold max{p ∈ candidates} a 1-row broadcast.
+    // The (brand, z, p, rank) staging is shared with q_fdr_by via
+    // [[fdrRanked]].
     "q_fdr_bh" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_returnflag").isin("R", "A"))
-        .join(broadcast(t(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand"),
-          when(col("l_returnflag") === "R", 1).otherwise(0).as("g"),
-          col("l_extendedprice").as("v"))
-      val m0 = li.groupBy(col("p_brand"), col("g"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("v").cast(DecimalType(18, 4)))
-            .cast("string").cast("double").as("sv"),
-          sum((col("v") * col("v")).cast(DecimalType(38, 8)))
-            .cast("string").cast("double").as("ssv"))
-      val st = m0.select(col("p_brand"), col("g"), col("n"),
-        (col("sv") / col("n")).as("mean"),
-        ((col("ssv") - col("sv") * col("sv") / col("n"))
-          / (col("n") - 1)).as("vr"))
-      val cells = st.filter(col("g") === 1).as("x")
-        .join(st.filter(col("g") === 0).as("y"),
-          col("x.p_brand") === col("y.p_brand"))
-        .filter(col("x.n") >= 2 && col("y.n") >= 2)
-        .select(col("x.p_brand").as("p_brand"),
-          col("x.n").as("n_r"), col("y.n").as("n_a"),
-          ((col("x.mean") - col("y.mean")) /
-            sqrt(col("x.vr") / col("x.n") + col("y.vr") / col("y.n")))
-            .as("z"))
-        .withColumn("az", abs(col("z")))
-        .withColumn("tw", lit(1.0) / (lit(1.0) + lit(0.2316419) * col("az")))
-        .withColumn("p", round(
-          expr("""2 * ((exp(-az*az/2) / 2.5066282746310002) *
-                 (0.319381530*tw - 0.356563782*(tw*tw)
-                  + 1.781477937*(tw*tw*tw) - 1.821255978*(tw*tw*tw*tw)
-                  + 1.330274429*(tw*tw*tw*tw*tw)))"""), 6))
-        .select(col("p_brand"), col("n_r"), col("n_a"),
-          round(col("z"), 6).as("z"), col("p"))
-        .localCheckpoint()
-      val mTot = cells.agg(count(lit(1)).as("m"))
-      val ranked = cells
-        .join(broadcast(cells.select(col("p").as("p2"))),
-          col("p2") <= col("p"))
-        .groupBy(col("p_brand"), col("n_r"), col("n_a"), col("z"),
-          col("p"))
-        .agg(count(lit(1)).as("p_rank"))
-        .crossJoin(broadcast(mTot))
+      val ranked = fdrRanked(s, dir)
       val thr = ranked
         .agg(max(when(lit(20.0) * col("m") * col("p") <= col("p_rank"),
           col("p"))).as("thr"))
@@ -108,6 +157,34 @@ object StatOps5 extends QueryPack {
         .select(col("p_brand"), col("n_r"), col("n_a"), col("z"),
           col("p"), col("p_rank"), col("m").as("n_tests"),
           (col("p") <= coalesce(col("thr"), lit(-1.0))).as("rejected"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Benjamini-Yekutieli FDR (round-13 session 3): the
+    // arbitrary-dependence-safe step-up beside q_fdr_bh — same ranked
+    // per-brand p frame, threshold divided by the harmonic number
+    // H_m = Σ1/i. H is staged as the EXACT integer Σ (10⁶ div i)
+    // (declared micro-resolution) and p is recovered to its exact
+    // micro integer (p was round(·,6), so round(p·10⁶) is lossless),
+    // making the step-up condition 20·m·H·p_micro ≤ 10¹²·rank pure
+    // BIGINT arithmetic — no double ever decides a rejection. BY
+    // rejects a SUBSET of BH by construction (spec-pinned).
+    "q_fdr_by" -> ((s, dir) => {
+      val ranked = fdrRanked(s, dir)
+        .withColumn("p_micro", expr("CAST(round(p * 1000000) AS BIGINT)"))
+        .withColumn("h_micro", expr(
+          "aggregate(sequence(1L, m), 0L, (acc, i) -> acc + 1000000 div i)"))
+      val thr = ranked
+        .agg(max(when(
+          lit(20L) * col("m") * col("h_micro") * col("p_micro")
+            <= lit(1000000000000L) * col("p_rank"),
+          col("p_micro"))).as("thr_micro"))
+      ranked.crossJoin(broadcast(thr))
+        .select(col("p_brand"), col("n_r"), col("n_a"), col("z"),
+          col("p"), col("p_rank"), col("m").as("n_tests"),
+          col("h_micro"),
+          (col("p_micro") <= coalesce(col("thr_micro"), lit(-1L)))
+            .as("rejected"))
         .orderBy(col("p_brand"))
     }),
 
@@ -376,51 +453,33 @@ object StatOps5 extends QueryPack {
   override def oracle: Map[String, String] = Map(
 
     "q_fdr_bh" ->
-      """WITH li AS (
-        |  SELECT p.p_brand,
-        |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
-        |    l.l_extendedprice AS v
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        |  WHERE l.l_returnflag IN ('R', 'A')),
-        |m0 AS (
-        |  SELECT p_brand, g, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
-        |      AS sv,
-        |    CAST(CAST(SUM(CAST(v*v AS DECIMAL(38,8))) AS VARCHAR)
-        |      AS DOUBLE) AS ssv
-        |  FROM li GROUP BY 1, 2),
-        |st AS (SELECT p_brand, g, n, sv/n AS mean,
-        |         (ssv - sv*sv/n)/(n-1) AS vr FROM m0),
-        |zc AS (
-        |  SELECT x.p_brand, x.n AS n_r, y.n AS n_a,
-        |    (x.mean - y.mean) / SQRT(x.vr/x.n + y.vr/y.n) AS z
-        |  FROM (SELECT * FROM st WHERE g = 1) x
-        |  JOIN (SELECT * FROM st WHERE g = 0) y USING (p_brand)
-        |  WHERE x.n >= 2 AND y.n >= 2),
-        |pc AS (
-        |  SELECT p_brand, n_r, n_a, round(z, 6) AS z,
-        |    round(2 * ((exp(-abs(z)*abs(z)/2) / 2.5066282746310002) *
-        |      (0.319381530*(1/(1+0.2316419*abs(z)))
-        |       - 0.356563782*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
-        |       + 1.781477937*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
-        |       - 1.821255978*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z))))
-        |       + 1.330274429*((1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))*(1/(1+0.2316419*abs(z)))))), 6)
-        |      AS p
-        |  FROM zc),
-        |mt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pc),
-        |rk AS (
-        |  SELECT a.p_brand, a.n_r, a.n_a, a.z, a.p,
-        |    CAST(COUNT(*) AS BIGINT) AS p_rank
-        |  FROM pc a JOIN pc b ON b.p <= a.p
-        |  GROUP BY 1, 2, 3, 4, 5),
-        |thr AS (
-        |  SELECT MAX(CASE WHEN 20.0 * mt.m * rk.p <= rk.p_rank
-        |             THEN rk.p END) AS thr
-        |  FROM rk, mt)
-        |SELECT rk.p_brand, rk.n_r, rk.n_a, rk.z, rk.p, rk.p_rank,
-        |  mt.m AS n_tests,
-        |  rk.p <= COALESCE(thr.thr, -1.0) AS rejected
-        |FROM rk, mt, thr ORDER BY rk.p_brand""".stripMargin,
+      s"""WITH $fdrSqlStaging,
+         |thr AS (
+         |  SELECT MAX(CASE WHEN 20.0 * mt.m * rk.p <= rk.p_rank
+         |             THEN rk.p END) AS thr
+         |  FROM rk, mt)
+         |SELECT rk.p_brand, rk.n_r, rk.n_a, rk.z, rk.p, rk.p_rank,
+         |  mt.m AS n_tests,
+         |  rk.p <= COALESCE(thr.thr, -1.0) AS rejected
+         |FROM rk, mt, thr ORDER BY rk.p_brand""".stripMargin,
+
+    "q_fdr_by" ->
+      s"""WITH $fdrSqlStaging,
+         |hm AS (
+         |  SELECT CAST(SUM(1000000 // u.i) AS BIGINT) AS h_micro
+         |  FROM mt, unnest(generate_series(1, mt.m)) AS u(i)),
+         |rkm AS (
+         |  SELECT rk.*, CAST(round(rk.p * 1000000) AS BIGINT) AS p_micro
+         |  FROM rk),
+         |thr AS (
+         |  SELECT MAX(CASE WHEN 20 * mt.m * hm.h_micro * rkm.p_micro
+         |               <= 1000000000000 * rkm.p_rank
+         |             THEN rkm.p_micro END) AS thr_micro
+         |  FROM rkm, mt, hm)
+         |SELECT rkm.p_brand, rkm.n_r, rkm.n_a, rkm.z, rkm.p,
+         |  rkm.p_rank, mt.m AS n_tests, hm.h_micro,
+         |  rkm.p_micro <= COALESCE(thr.thr_micro, -1) AS rejected
+         |FROM rkm, mt, hm, thr ORDER BY rkm.p_brand""".stripMargin,
 
     "q_hill_tail" ->
       """WITH x AS (

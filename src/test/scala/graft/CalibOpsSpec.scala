@@ -57,6 +57,33 @@ class CalibOpsSpec extends SparkSpec {
       assert(BigInt(iso) == pv, s"bin $bin: gate $iso vs PAVA $pv") }
   }
 
+  test("q_ece equals the exact bin replay and is bounded by MCE") {
+    // the bin census is read back through q_isotonic_calib's output
+    // (same staging, different gate) — the replay below recomputes the
+    // ECE/MCE formulas independently and pins cross-query consistency
+    val bins = SparkEntry.queries("q_isotonic_calib")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("p_milli"),
+        r.getAs[Long]("nb"), r.getAs[Long]("npb")))
+    val n = bins.map(_._2).sum
+    val gsum = bins.map { case (p, nb, npb) =>
+      math.abs(p * nb - 1000 * npb) }.sum
+    val mce = bins.map { case (p, nb, npb) =>
+      math.abs(p - (1000 * npb) / nb) }.max
+    val row = SparkEntry.queries("q_ece")(spark, sf).collect().head
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Long]("n_bins") == bins.length.toLong)
+    assert(row.getAs[Long]("ece_micro") == 1000 * gsum / n)
+    assert(row.getAs[Long]("mce_milli") == mce)
+    // the mean absolute gap cannot exceed the max gap (floors aside:
+    // per-bin rate floors shift gap_milli by < 1 milli each)
+    assert(row.getAs[Long]("ece_micro") <=
+      1000L * (row.getAs[Long]("mce_milli") + 1))
+    // the toy model is known-miscalibrated on this corpus — a
+    // near-zero ECE would mean the staging broke, not that the model
+    // got better
+    assert(row.getAs[Long]("ece_micro") > 10000L)
+  }
+
   test("q_info_gain equals the brute-force best-threshold sweep") {
     import spark.implicits._
     val c = graft.sources.Tables.load(spark, sf, "customer")

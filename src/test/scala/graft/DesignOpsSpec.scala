@@ -53,6 +53,48 @@ class DesignOpsSpec extends SparkSpec {
       BigInt(1000000) * meanY / 4)
   }
 
+  test("q_mantel_haenszel equals the BigInt stratum replay; with no " +
+      "size confounding the pooled and crude ORs agree closely") {
+    val lc = graft.sources.Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toMap
+    val os = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Long)].collect()
+    val sorted = os.map(_._3).sorted
+    val med = sorted((sorted.length + 1) / 2 - 1)
+    val rows = os.flatMap { case (ok, e, cents) =>
+      lc.get(ok).map(c => (c, e, if (cents > med) 1L else 0L)) }
+    val strata = rows.groupBy(_._1).map { case (st, xs) =>
+      (st, xs.count(x => x._2 == 1 && x._3 == 1).toLong,
+        xs.count(x => x._2 == 1 && x._3 == 0).toLong,
+        xs.count(x => x._2 == 0 && x._3 == 1).toLong,
+        xs.count(x => x._2 == 0 && x._3 == 0).toLong,
+        xs.length.toLong) }
+    val r = strata.map { case (_, a, _, _, d, ni) =>
+      BigInt(1000000000) * a * d / ni }.sum
+    val q = strata.map { case (_, _, b, c, _, ni) =>
+      BigInt(1000000000) * b * c / ni }.sum
+    val (ta, tb, tc, td) = (strata.map(_._2).sum, strata.map(_._3).sum,
+      strata.map(_._4).sum, strata.map(_._5).sum)
+    val row = SparkEntry.queries("q_mantel_haenszel")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_strata") == strata.size.toLong)
+    assert(BigInt(row.getAs[Long]("r_nano")) == r)
+    assert(BigInt(row.getAs[Long]("s_nano")) == q)
+    assert(BigInt(row.getAs[Long]("or_mh_ppm")) == BigInt(1000000) * r / q)
+    assert(BigInt(row.getAs[Long]("or_crude_ppm")) ==
+      BigInt(1000000) * ta * td / (BigInt(tb) * tc))
+    // line count does not confound priority⇄value here: pooled vs
+    // crude must agree within 10% relative
+    val mh = row.getAs[Long]("or_mh_ppm").toDouble
+    val cr = row.getAs[Long]("or_crude_ppm").toDouble
+    assert(math.abs(mh - cr) / cr < 0.10, s"MH $mh vs crude $cr")
+  }
+
   test("q_neyman_alloc equals the BigInt replay; allocations are " +
       "nonnegative and sum within floor losses of the budget") {
     val cs = graft.sources.Tables.load(spark, sf, "customer")

@@ -123,6 +123,30 @@ class ForecastOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_page_hinkley equals the direct integer fold replay; the " +
+      "excursion is nonnegative and its day is on the spine") {
+    val z = spine()
+    val n = z.length.toLong
+    val mu = z.map(_._2).sum / n
+    val delta = mu / 100
+    var cum = 0L; var mn = 0L; var best = -1L; var bestDay = -1L
+    for ((day, cents) <- z) {
+      cum += cents - mu - delta
+      val m2 = math.min(mn, cum)
+      if (cum - m2 > best) { best = cum - m2; bestDay = day }
+      mn = m2
+    }
+    val row = SparkEntry.queries("q_page_hinkley")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("mu_cents") == mu)
+    assert(row.getAs[Long]("delta_cents") == delta)
+    assert(row.getAs[Long]("ph_max") == best)
+    assert(row.getAs[Long]("day_at_max") == bestDay)
+    assert(best >= 0L)
+    assert(z.exists(_._1 == bestDay))
+  }
+
   test("q_rolling_median equals the direct 7-window order statistic " +
       "and is bounded by each window's extremes") {
     val z = spine()

@@ -124,4 +124,51 @@ class StatOps10Spec extends SparkSpec {
     assert(math.abs(math.log(rr)) <=
       math.abs(math.log(row.getAs[Double]("odds_ratio"))) + 1e-9)
   }
+
+  test("q_icc equals the direct BigInt ANOVA replay over the " +
+      "nation-brand design; ICC sits in its defining range") {
+    val li = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cu = graft.sources.Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val p = graft.sources.Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nations = graft.sources.Tables.load(spark, sf, "nation")
+      .select(col("n_nationkey")).collect().map(_.getInt(0))
+    val brands = p.values.toSeq.distinct.sorted
+    val rev = li.groupBy(t => (cu(o(t._1)), p(t._2)))
+      .map { case (key, rs) => key -> rs.map(_._3).sum }
+    val n = BigInt(brands.size)
+    val k = BigInt(nations.length)
+    val groups = brands.map { b =>
+      val vs = nations.map(nk => BigInt(rev.getOrElse((nk, b), 0L)))
+      (vs.sum, vs.map(v => v * v).sum)
+    }
+    val s = groups.map(_._1).sum
+    val q = groups.map(_._2).sum
+    val w = groups.map(g => g._1 * g._1 / k).sum
+    val ssb = w - s * s / (n * k)
+    val ssw = q - w
+    val icc = BigInt(1000000) * (n * (k - 1) * ssb - (n - 1) * ssw) /
+      (n * (k - 1) * ssb + (k - 1) * (n - 1) * ssw)
+    val row = SparkEntry.queries("q_icc")(spark, sf).collect().head
+    assert(BigInt(row.getAs[Long]("n_brands")) == n)
+    assert(BigInt(row.getAs[Long]("k_raters")) == k)
+    assert(BigInt(row.getAs[Long]("ssb_kd2")) ==
+      ssb / BigInt(10000000000L))
+    assert(BigInt(row.getAs[Long]("ssw_kd2")) ==
+      ssw / BigInt(10000000000L))
+    assert(BigInt(row.getAs[Long]("icc_ppm")) == icc)
+    // ICC(1) ∈ [−1/(k−1), 1] by definition
+    assert(row.getAs[Long]("icc_ppm") >= -1000000L / (k.toLong - 1) - 1)
+    assert(row.getAs[Long]("icc_ppm") <= 1000000L)
+  }
 }

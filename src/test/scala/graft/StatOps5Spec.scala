@@ -60,6 +60,34 @@ class StatOps5Spec extends SparkSpec {
     if (rej.nonEmpty && acc.nonEmpty) assert(rej.max <= acc.min)
   }
 
+  test("q_fdr_by: harmonic number exact, integer step-up replayed, and " +
+      "the BY rejection set is a subset of BH's") {
+    val by = SparkEntry.queries("q_fdr_by")(spark, sf).collect()
+    val bh = SparkEntry.queries("q_fdr_bh")(spark, sf).collect()
+    assert(by.nonEmpty && by.length == bh.length)
+    val m = by.length.toLong
+    val hExpect = (1L to m).map(1000000L / _).sum
+    assert(by.forall(_.getAs[Long]("h_micro") == hExpect))
+    // integer step-up replay: thr = max p_micro with
+    // 20*m*H*p_micro <= 1e12*rank, reject p_micro <= thr
+    val pm = by.map(r =>
+      math.round(r.getAs[Double]("p") * 1000000.0))
+    val cand = by.zip(pm).filter { case (r, p) =>
+      20L * m * hExpect * p <= 1000000000000L * r.getAs[Long]("p_rank") }
+    val thr = if (cand.isEmpty) -1L else cand.map(_._2).max
+    by.zip(pm).foreach { case (r, p) =>
+      assert(r.getAs[Boolean]("rejected") == (p <= thr),
+        s"${r.getAs[String]("p_brand")}: BY decision") }
+    // BY is the dependence-safe CONSERVATIVE variant: it can never
+    // reject a hypothesis BH keeps (H_m > 1 shrinks every threshold)
+    val bhRej = bh.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[String]("p_brand")).toSet
+    val byRej = by.filter(_.getAs[Boolean]("rejected"))
+      .map(_.getAs[String]("p_brand")).toSet
+    assert(byRej.subsetOf(bhRej),
+      s"BY rejected outside BH: ${byRej -- bhRej}")
+  }
+
   test("q_hill_tail equals the sorted brute force (threshold, per-value " +
       "micro terms, alpha) and k respects its clamp") {
     val xs = spendCents().sorted
