@@ -232,6 +232,57 @@ object StreamOps extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming Page-Hinkley monitor (round 13, streaming gate #16):
+    // the q_page_hinkley level-shift detector wired LIVE — the stream
+    // side is ONE complete-mode day-keyed sum whose state is
+    // |distinct days| exact-milli longs (calendar-bounded at any
+    // corpus size, the q_stream_drift state argument), and the PH
+    // fold runs batch-side over the drained day frame: μ = floor
+    // mean, δ = μ div 100, m_t = Σ(x−μ−δ), readout = max excursion
+    // m_t − min_{s≤t} m_s and its first day. Series = the OBSERVED
+    // event days (no zero-fill — a stream has no calendar spine to
+    // left-join; declared). value rides the exact DECIMAL(18,3)·1000
+    // milli staging so both engines' BIGINT casts see an
+    // integer-valued decimal (never a raw double→int cast, whose
+    // round-vs-trunc differs cross-engine). The oracle is the
+    // identical batch SQL — stream/batch equivalence on the drained
+    // bounded source.
+    "q_stream_ph" -> ((s, dir) => {
+      val dayUs = 86400L * 1000000L
+      val cur = EventStreams.readEvents(s, dir)
+        .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .agg(sum(expr(
+          "CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)"))
+          .as("milli"))
+      val days = EventStreams.runToResult(s, cur, qn("stream_ph"))
+        .localCheckpoint()
+      val cells = days.agg(count(lit(1)).as("n_days"),
+        sum(col("milli")).as("sy"))
+        .select(col("n_days"), expr("sy div n_days").as("mu"))
+        .select(col("n_days"), col("mu"),
+          expr("mu div 100").as("delta"))
+      days.agg(collect_list(struct(col("day"), col("milli"))).as("arr"))
+        .crossJoin(broadcast(cells))
+        .select(col("n_days"), col("mu"), col("delta"), expr(
+          """aggregate(array_sort(arr),
+            |  named_struct('cum', 0L, 'mn', 0L, 'best', -1L,
+            |    'bestday', -1L),
+            |  (acc, e) -> element_at(transform(
+            |    array(acc.cum + e.milli - mu - delta),
+            |    c -> named_struct(
+            |      'cum', c,
+            |      'mn', least(acc.mn, c),
+            |      'best', IF(c - least(acc.mn, c) > acc.best,
+            |        c - least(acc.mn, c), acc.best),
+            |      'bestday', IF(c - least(acc.mn, c) > acc.best,
+            |        e.day, acc.bestday))), 1))"""
+            .stripMargin).as("st"))
+        .select(col("n_days"), col("mu").as("mu_milli"),
+          col("delta").as("delta_milli"),
+          col("st.best").as("ph_max"),
+          col("st.bestday").as("day_at_max"))
+    }),
+
     // Streaming drift monitor (round 12): the LIVE event-type mix vs the
     // static baseline period — the production drift alarm wired as a
     // stream over the current period against a batch baseline frame. The
@@ -370,6 +421,47 @@ object StreamOps extends QueryPack {
     "q_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT event_id) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_ph" ->
+      """WITH RECURSIVE dd AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT))
+        |      AS milli
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT day, milli,
+        |        ROW_NUMBER() OVER (ORDER BY day) AS i
+        |      FROM dd),
+        |cells AS (
+        |  SELECT COUNT(*) AS n_days,
+        |    SUM(milli) // COUNT(*) AS mu,
+        |    (SUM(milli) // COUNT(*)) // 100 AS delta
+        |  FROM z),
+        |r AS (
+        |  SELECT 0 AS i, CAST(0 AS BIGINT) AS cum,
+        |    CAST(0 AS BIGINT) AS mnm, CAST(-1 AS BIGINT) AS best,
+        |    CAST(-1 AS BIGINT) AS bestday
+        |  FROM cells
+        |  UNION ALL
+        |  SELECT z.i,
+        |    r.cum + z.milli - cells.mu - cells.delta,
+        |    LEAST(r.mnm, r.cum + z.milli - cells.mu - cells.delta),
+        |    CASE WHEN (r.cum + z.milli - cells.mu - cells.delta)
+        |        - LEAST(r.mnm,
+        |            r.cum + z.milli - cells.mu - cells.delta) > r.best
+        |      THEN (r.cum + z.milli - cells.mu - cells.delta)
+        |        - LEAST(r.mnm,
+        |            r.cum + z.milli - cells.mu - cells.delta)
+        |      ELSE r.best END,
+        |    CASE WHEN (r.cum + z.milli - cells.mu - cells.delta)
+        |        - LEAST(r.mnm,
+        |            r.cum + z.milli - cells.mu - cells.delta) > r.best
+        |      THEN z.day ELSE r.bestday END
+        |  FROM r JOIN z ON z.i = r.i + 1, cells)
+        |SELECT CAST(cells.n_days AS BIGINT) AS n_days,
+        |  CAST(cells.mu AS BIGINT) AS mu_milli,
+        |  CAST(cells.delta AS BIGINT) AS delta_milli,
+        |  r.best AS ph_max, r.bestday AS day_at_max
+        |FROM r, cells WHERE r.i = (SELECT MAX(i) FROM z)""".stripMargin,
 
     "q_stream_drift" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type

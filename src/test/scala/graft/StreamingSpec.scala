@@ -49,6 +49,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("psi_term") >= 0.0))
   }
 
+  test("q_stream_ph: the streamed day frame folds to the same PH " +
+      "readout as the direct batch replay") {
+    val dayUs = 86400L * 1000000L
+    val days = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(expr(s"unix_micros(ts) div $dayUs").as("day"))
+      .agg(sum(expr("CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT)"))
+        .as("milli"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val n = days.length.toLong
+    val mu = days.map(_._2).sum / n
+    val delta = mu / 100
+    var cum = 0L; var mn = 0L; var best = -1L; var bestDay = -1L
+    for ((day, milli) <- days) {
+      cum += milli - mu - delta
+      val m2 = math.min(mn, cum)
+      if (cum - m2 > best) { best = cum - m2; bestDay = day }
+      mn = m2
+    }
+    val row = SparkEntry.queries("q_stream_ph")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("mu_milli") == mu)
+    assert(row.getAs[Long]("delta_milli") == delta)
+    assert(row.getAs[Long]("ph_max") == best)
+    assert(row.getAs[Long]("day_at_max") == bestDay)
+    assert(best >= 0L && days.exists(_._1 == bestDay))
+  }
+
   // The source-factory seam (judge r8 item 3): the file source runs
   // BEHIND the same SourceSpec seam a Kafka connector would drop into, so
   // the env-blocked waiver covers only the connector jar, not the design.
