@@ -284,14 +284,16 @@ object StatOps6 extends QueryPack {
             .stripMargin.replaceAll("\\s+", " ")).as("ssb_c2"),
           expr("CAST(q - w AS DECIMAL(38,0))").as("ssw_c2"))
         .select(col("k_groups"), col("n_orders"),
-          // Emit the SS cells in whole dollars² (exact div 10000 on both
-          // engines): the cents² values reach ~3×10¹⁹ at sf0.1, above
-          // 2⁵³, where any double-converting hasher diverges between
-          // engines even though the decimals are identical (the r12
-          // hash-fail lesson). f_ppm still closes on the full-precision
-          // cents² operands, so the statistic is unchanged.
-          expr("ssb_c2 div 10000").as("ssb_d2"),
-          expr("ssw_c2 div 10000").as("ssw_d2"),
+          // Emit the SS cells in KILOdollars² (exact div 10¹⁰ on both
+          // engines — the q_icc precedent, StatOps10): the cents² values
+          // reach ~3×10¹⁹ at sf0.1 and grow linearly in n, so dollars²
+          // (div 10⁴, the r12 fix) sat at 0.35·2⁵³ at sf0.1 and would
+          // cross the 2⁵³ output contract near sf0.3 — a decade below
+          // the sf1 probes. Kilodollars² buys 10⁶× headroom (~sf300k).
+          // f_ppm still closes on the full-precision cents² operands,
+          // so the statistic is unchanged.
+          expr("ssb_c2 div 10000000000").as("ssb_kd2"),
+          expr("ssw_c2 div 10000000000").as("ssw_kd2"),
           expr("""CAST((1000000 * ssb_c2 * (n_orders - k_groups))
             | div ((k_groups - 1) * ssw_c2) AS BIGINT)"""
             .stripMargin.replaceAll("\\s+", " ")).as("f_ppm"))
@@ -468,9 +470,9 @@ object StatOps6 extends QueryPack {
          |  FROM g)
          |SELECT CAST(k_groups AS BIGINT) AS k_groups,
          |  CAST(n_orders AS BIGINT) AS n_orders,
-         |  CAST((w - (s * s) // CAST(n_orders AS HUGEINT)) // 10000
-         |    AS BIGINT) AS ssb_d2,
-         |  CAST((q - w) // 10000 AS BIGINT) AS ssw_d2,
+         |  CAST((w - (s * s) // CAST(n_orders AS HUGEINT)) // 10000000000
+         |    AS BIGINT) AS ssb_kd2,
+         |  CAST((q - w) // 10000000000 AS BIGINT) AS ssw_kd2,
          |  CAST((1000000 * (w - (s * s) // CAST(n_orders AS HUGEINT))
          |      * (n_orders - k_groups))
          |    // ((k_groups - 1) * (q - w)) AS BIGINT) AS f_ppm

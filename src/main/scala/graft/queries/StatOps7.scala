@@ -341,13 +341,14 @@ object StatOps7 extends QueryPack {
             .stripMargin.replaceAll("\\s+", " ")).as("ssb_z"),
           expr("CAST(q - w AS DECIMAL(38,0))").as("ssw_z"))
         .select(col("k_groups"), col("n_orders"),
-          // Emitted in whole dollars² (exact div 10000 both engines):
-          // the cents² SS cells on z reach ~7.8×10¹⁸ at sf0.1, above
-          // 2⁵³, where double-converting hashers diverge cross-engine
-          // (r12 hash-fail lesson). w_ppm still closes on the exact
-          // cents² operands.
-          expr("ssb_z div 10000").as("ssb_zd2"),
-          expr("ssw_z div 10000").as("ssw_zd2"),
+          // Emitted in KILOdollars² (exact div 10¹⁰ both engines — the
+          // q_icc precedent): cents² SS cells on z reach ~7.8×10¹⁸ at
+          // sf0.1 and grow linearly in n, so the r12 dollars² fix had
+          // only ~3× headroom against the 2⁵³ output contract (breach
+          // near sf0.3). Kilodollars² buys 10⁶× headroom. w_ppm still
+          // closes on the exact cents² operands.
+          expr("ssb_z div 10000000000").as("ssb_zkd2"),
+          expr("ssw_z div 10000000000").as("ssw_zkd2"),
           expr("""CAST((1000000 * ssb_z * (n_orders - k_groups))
             | div ((k_groups - 1) * ssw_z) AS BIGINT)"""
             .stripMargin.replaceAll("\\s+", " ")).as("w_ppm"))
@@ -515,9 +516,9 @@ object StatOps7 extends QueryPack {
         |  FROM g)
         |SELECT CAST(k_groups AS BIGINT) AS k_groups,
         |  CAST(n_orders AS BIGINT) AS n_orders,
-        |  CAST((w - (s * s) // CAST(n_orders AS HUGEINT)) // 10000
-        |    AS BIGINT) AS ssb_zd2,
-        |  CAST((q - w) // 10000 AS BIGINT) AS ssw_zd2,
+        |  CAST((w - (s * s) // CAST(n_orders AS HUGEINT)) // 10000000000
+        |    AS BIGINT) AS ssb_zkd2,
+        |  CAST((q - w) // 10000000000 AS BIGINT) AS ssw_zkd2,
         |  CAST((1000000 * (w - (s * s) // CAST(n_orders AS HUGEINT))
         |      * (n_orders - k_groups))
         |    // ((k_groups - 1) * (q - w)) AS BIGINT) AS w_ppm

@@ -51,10 +51,12 @@ class OutputContractSpec extends SparkSpec {
     ("q_try_arith", "add_maybe"),
     ("q_try_arith", "mul_maybe"))
 
-  test("every gate's exact-typed output cells stay below 2^53 at sf0.001") {
+  /** Sweep every gate at `dir`, collecting exact-typed cells at/above
+    * `bound`. Returns violation strings (empty = contract holds). */
+  private def sweep(dir: String, bound: BigDecimal): Seq[String] = {
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val df = fn(spark, sf)
+      val df = fn(spark, dir)
       val checked = df.schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType.isInstanceOf[DecimalType] =>
           (f.name, i, "decimal")
@@ -69,14 +71,37 @@ class OutputContractSpec extends SparkSpec {
             case "decimal" => BigDecimal(row.getDecimal(i))
             case _ => BigDecimal(row.getLong(i))
           }
-          if (v.abs >= TwoP53)
+          if (v.abs >= bound)
             violations += s"$name.$cn ($kind) = $v"
         }
       }
     }
+    violations.distinct.toSeq
+  }
+
+  test("every gate's exact-typed output cells stay below 2^53 at sf0.001") {
+    val violations = sweep(sf, TwoP53)
     assert(violations.isEmpty,
       s"cells at/above 2^53 — cross-engine hash-fragile; rescale the " +
         s"emitted unit or classify as a 64-bit hash:\n  " +
-        violations.distinct.take(40).mkString("\n  "))
+        violations.take(40).mkString("\n  "))
+  }
+
+  /** The r13 verdict's scale-headroom hole: a cell growing ∝sf (sums)
+    * or ∝sf² (cross-terms) passes the sf0.001 sweep yet crosses 2⁵³ at
+    * the scales the driver actually hashes. Sweep the LARGEST on-disk
+    * corpus with a 10× headroom bound (2⁵³/10): any exact cell that
+    * close to the boundary at sf0.1 is one decade of growth from a
+    * cross-engine hash flake, which is exactly what caught the r12
+    * dollars² fix sitting at 0.35·2⁵³. (An sf1 probe a decade further
+    * up is run one-shot per round and recorded in PERF.md — the suite
+    * sweeps the corpus every build can afford.) */
+  test("every gate's exact-typed output cells keep 10x headroom below " +
+      "2^53 at sf0.1 (scale-growth contract)") {
+    val violations = sweep("/root/testdata/sf0.1", TwoP53 / 10)
+    assert(violations.isEmpty,
+      s"cells above 2^53/10 at sf0.1 — within one decade of the " +
+        s"cross-engine hash boundary; rescale the emitted unit:\n  " +
+        violations.take(40).mkString("\n  "))
   }
 }

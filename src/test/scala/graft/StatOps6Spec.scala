@@ -153,8 +153,8 @@ class StatOps6Spec extends SparkSpec {
     val row = SparkEntry.queries("q_anova_f")(spark, sf).collect().head
     assert(row.getAs[Long]("k_groups") == g.size.toLong)
     assert(BigInt(row.getAs[Long]("n_orders")) == n)
-    assert(BigInt(row.getAs[Long]("ssb_d2")) == ssb / 10000)
-    assert(BigInt(row.getAs[Long]("ssw_d2")) == ssw / 10000)
+    assert(BigInt(row.getAs[Long]("ssb_kd2")) == ssb / BigInt(10).pow(10))
+    assert(BigInt(row.getAs[Long]("ssw_kd2")) == ssw / BigInt(10).pow(10))
     assert(BigInt(row.getAs[Long]("f_ppm")) ==
       BigInt(1000000) * ssb * (n - k) / ((k - 1) * ssw))
     assert(row.getAs[Long]("f_ppm") > 0)

@@ -136,8 +136,8 @@ class StatOps7Spec extends SparkSpec {
     val row = SparkEntry.queries("q_levene_bf")(spark, sf).collect().head
     assert(row.getAs[Long]("k_groups") == perG.size.toLong)
     assert(BigInt(row.getAs[Long]("n_orders")) == n)
-    assert(BigInt(row.getAs[Long]("ssb_zd2")) == ssb / 10000)
-    assert(BigInt(row.getAs[Long]("ssw_zd2")) == ssw / 10000)
+    assert(BigInt(row.getAs[Long]("ssb_zkd2")) == ssb / BigInt(10).pow(10))
+    assert(BigInt(row.getAs[Long]("ssw_zkd2")) == ssw / BigInt(10).pow(10))
     assert(BigInt(row.getAs[Long]("w_ppm")) ==
       BigInt(1000000) * ssb * (n - k) / ((k - 1) * ssw))
     assert(row.getAs[Long]("w_ppm") >= 0)
