@@ -27,6 +27,7 @@ object SparkEntry {
     CurateOps,
     RankOps,
     TpchOps,
+    TpchOps2,
     BehaviorOps,
     QualityOps,
     MlOps,

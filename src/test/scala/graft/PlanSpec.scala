@@ -488,6 +488,93 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in peel:\n$p")
   }
 
+  // ---- round-14: the rest of the TPC-H 22 ----
+
+  test("TPC-H r14 suite: no cartesian in any of the 15 new gates") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q4", "q_tpch_q7", "q_tpch_q8",
+        "q_tpch_q9", "q_tpch_q11", "q_tpch_q12", "q_tpch_q13",
+        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q19",
+        "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+  }
+
+  test("q_tpch_q4: correlated EXISTS plans a semi join with the quarter " +
+      "window pushed to the orders scan") {
+    val p = plan("q_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate") &&
+      p.contains("LessThan(o_orderdate"),
+      s"quarter window not pushed to the orders scan:\n$p")
+  }
+
+  test("q_tpch_q2 / q_tpch_q17: correlated SCALAR subqueries decorrelate " +
+      "into aggregate joins (no per-row re-execution, no cartesian)") {
+    for (q <- Seq("q_tpch_q2", "q_tpch_q17")) {
+      val p = plan(q)
+      // the rewritten plan joins a per-key aggregate back to the outer
+      // block; a non-decorrelated plan would carry a scalar-subquery
+      // node re-run per outer row
+      assert(p.contains("HashAggregate"),
+        s"$q: no aggregate for the decorrelated scalar subquery:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+    }
+  }
+
+  test("q_tpch_q21: EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan an anti join:\n$p")
+  }
+
+  test("q_tpch_q16 / q_tpch_q22: NOT IN / NOT EXISTS plan anti joins; " +
+      "q20's nested INs plan semi joins") {
+    assert(plan("q_tpch_q16").contains("LeftAnti"),
+      "q16: NOT IN subquery did not plan an anti join")
+    assert(plan("q_tpch_q22").contains("LeftAnti"),
+      "q22: NOT EXISTS did not plan an anti join")
+    val p20 = plan("q_tpch_q20")
+    assert(p20.contains("LeftSemi"),
+      s"q20: IN subqueries did not plan semi joins:\n$p20")
+  }
+
+  test("q_tpch_q7/q8/q9: fixed dims broadcast, selective filters pushed " +
+      "to the scans") {
+    for (q <- Seq("q_tpch_q7", "q_tpch_q8", "q_tpch_q9")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q: nation/region dims should broadcast:\n$p")
+    }
+    assert(plan("q_tpch_q7").contains("GreaterThanOrEqual(l_shipdate"),
+      "q7: ship-date window not pushed to the lineitem scan")
+    assert(plan("q_tpch_q8").contains("EqualTo(p_type,ECONOMY)"),
+      "q8: part-type filter not pushed to the part scan")
+    assert(plan("q_tpch_q9").contains("StringContains(p_name,red)"),
+      "q9: name filter not pushed to the part scan")
+  }
+
+  test("q_tpch_q19: brand/size disjunction prunes the part scan before " +
+      "the join; the common returnflag conjunct reaches the fact scan") {
+    val p = plan("q_tpch_q19")
+    assert(p.contains("EqualTo(l_returnflag,N)"),
+      s"q19: common returnflag conjunct not pushed to the fact scan:\n$p")
+    assert(p.contains("In(p_brand,") || p.contains("Or(EqualTo(p_brand"),
+      s"q19: brand disjunction not pushed to the part scan:\n$p")
+  }
+
+  test("q_tpch_q13: the outer-join filter stays in the JOIN CONDITION " +
+      "(a post-filter would drop order-less customers)") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"q13: no outer join:\n$p")
+    // the priority filter must be pushed to the orders scan (filtering
+    // the preserved side's input is legal for LEFT OUTER and is the
+    // scale-correct place for it), never applied after the join
+    assert(p.contains("Not(EqualTo(o_orderpriority,4-NOT SPECIFIED))"),
+      s"q13: join-condition filter not pushed to the orders scan:\n$p")
+  }
+
   test("q_drift_ks: keyed KS joins are all equi-joins (the global " +
       "single-partition-window sweep covers its window shapes)") {
     val p = plan("q_drift_ks")
