@@ -56,7 +56,13 @@ object BenchAB {
       val samples = Drifters.map { q =>
         q -> (1 to reps).map(_ => once(q))
       }.toMap
-      samples.map { case (q, xs) =>
+      samples.map { case (q, xs0) =>
+        // a failed rep returns the -1.0 sentinel; folding it into the
+        // median/min would corrupt the A/B readout silently — abort
+        // loudly instead (r13 advice)
+        val xs = xs0.filter(_ >= 0.0)
+        require(xs.size == xs0.size,
+          s"[ab] $q: ${xs0.size - xs.size}/$reps reps FAILED — A/B void")
         val s = xs.sorted
         println(f"[ab] $label $q median=${s(s.length / 2)}%.3f " +
           f"min=${s.head}%.3f all=${xs.map(x => f"$x%.2f").mkString(",")}")

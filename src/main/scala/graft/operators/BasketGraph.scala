@@ -111,8 +111,14 @@ object BasketGraph {
     * basket. */
   def triples(items: DataFrame, basket: String, item: String,
       maxBasket: Int = DefaultMaxBasket,
-      drops: Option[Observation] = None): DataFrame = {
-    val c = cappedItems(items, basket, item, maxBasket, drops)
+      drops: Option[Observation] = None): DataFrame =
+    triplesOf(cappedItems(items, basket, item, maxBasket, drops),
+      basket, item)
+
+  /** Triple join over an ALREADY-capped frame (the [[pairsOf]] twin) —
+    * lets a shared capped membership ([[GraphArtifacts]]) feed the
+    * Apriori-3 stream without re-running the census. */
+  def triplesOf(c: DataFrame, basket: String, item: String): DataFrame = {
     c.as("a")
       .join(c.as("b"),
         col(s"a.$basket") === col(s"b.$basket") &&

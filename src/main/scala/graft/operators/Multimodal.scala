@@ -300,26 +300,38 @@ object Multimodal {
     * valid). Entirely column expressions; any standards-correct decoder
     * (including JDK imageio) recovers exactly those gray levels, so an
     * arithmetic oracle can predict what a REAL decode must produce.
-    * Intended for small thumbnails (the expression unrolls width×height
-    * pixel slices — keep w·h ≲ a few hundred). */
+    * The pixel array is a RUNTIME loop (nested `aggregate` over
+    * `sequence`), not an unrolled w·h expression tree: the unrolled form
+    * generated ~700 substr/pmod expressions that blew janino's 64 KB
+    * method limit once fused into a larger stage (q_media_pipeline's
+    * Project and its downstream hash aggregate both fell back to
+    * interpreted execution — the r13 verdict's silent-fallback finding).
+    * The higher-order form is a compact CodegenFallback expression inside
+    * an otherwise fully codegen'd stage — same bytes, bounded codegen. */
   def bmpFromBytes(data: Column, width: Int, height: Int): Column = {
     require(width > 0 && height > 0 && width * height <= 1024,
-      s"bmpFromBytes unrolls w*h pixel expressions; got ${width}x$height")
+      s"bmpFromBytes loops w*h pixel slices; got ${width}x$height")
     val rowPad = (4 - (width * 3) % 4) % 4
     val rowSize = width * 3 + rowPad
     val imgSize = rowSize * height
-    val byteAt = (idx: Int) =>
-      data.substr(pmod(lit(idx.toLong), length(data)) + 1, lit(1))
-    // file rows run bottom-up: file row r carries image row y = H-1-r
-    val rows = (height - 1) to 0 by -1 map { y =>
-      val px = (0 until width).map { x =>
-        val b = byteAt(y * width + x)
-        concat(b, b, b) // BGR, all equal for gray
-      }
-      val row = concat(px: _*)
-      if (rowPad == 0) row
-      else concat(row, lit(Array.fill[Byte](rowPad)(0)))
-    }
+    val empty = lit(Array.empty[Byte])
+    val pad =
+      if (rowPad == 0) empty else lit(Array.fill[Byte](rowPad)(0))
+    // file rows run bottom-up: file row r carries image row y = H-1-r;
+    // pixel (x, y) = payload byte (y*W + x) mod len, tripled (gray BGR)
+    val rows = Seq(aggregate(
+      sequence(lit(height - 1), lit(0), lit(-1)),
+      empty,
+      (acc, y) => concat(acc,
+        aggregate(
+          sequence(lit(0), lit(width - 1)),
+          empty,
+          (acc2, x) => {
+            val b = data.substr(
+              pmod(y * width + x, length(data)) + 1, lit(1))
+            concat(acc2, b, b, b)
+          }),
+        pad)))
     concat(
       lit("BM".getBytes(java.nio.charset.StandardCharsets.US_ASCII)),
       leBytes(lit(54 + imgSize), 4), // file size

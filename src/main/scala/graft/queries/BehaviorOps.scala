@@ -818,8 +818,12 @@ object BehaviorOps extends QueryPack {
         .select(col("channel"),
           expr("(v_i * 1000000) div __n").as("credit"))
         .groupBy(col("channel"))
+        // emit the credit total div 10⁶ — back in v_i (10⁻⁴-dollar)
+        // units: the raw micro-extended sum grows ∝ n past 2⁵³ near
+        // sf0.3 (r14 sf0.1 headroom sweep); exact trunc div both engines
         .agg(count(lit(1)).as("n_touches"),
-          sum(col("credit")).as("credit_sum"))
+          expr("""CAST(SUM(CAST(credit AS DECIMAL(38,0))) div 1000000
+                 AS BIGINT)""").as("credit_sum_e6"))
         .orderBy(col("channel"))
     }),
 
@@ -1382,7 +1386,8 @@ object BehaviorOps extends QueryPack {
          |    AND t.tus < p.us AND p.us - t.tus <= $FunnelWindowUs),
          |n AS (SELECT p_id, COUNT(*) AS n FROM j GROUP BY 1)
          |SELECT channel, COUNT(*) AS n_touches,
-         |  CAST(SUM((j.v_i * 1000000) // n.n) AS BIGINT) AS credit_sum
+         |  CAST(SUM((j.v_i * 1000000) // n.n) // CAST(1000000 AS HUGEINT)
+         |    AS BIGINT) AS credit_sum_e6
          |FROM j JOIN n USING (p_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_concurrency" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.BasketGraph
+import graft.operators.GraphArtifacts
 import graft.sources.Tables
 
 /** Round-12 tranche 15: graph-structure metrics over the co-purchase
@@ -47,7 +47,7 @@ object GraphOps extends QueryPack {
     // integers. One capped edge build + two broadcast degree joins +
     // one aggregate.
     "q_assortativity" -> ((s, dir) => {
-      val e0 = BasketGraph.edges(li(s, dir), "ok", "pk")
+      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
       val deg = e0.select(col("u").as("x"))
         .unionAll(e0.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -78,7 +78,7 @@ object GraphOps extends QueryPack {
     // possible wedge and are excluded on both engines). The mean is the
     // trunc div of the exact ppm sum — the q_silhouette readout shape.
     "q_clustering_coef" -> ((s, dir) => {
-      val e0 = BasketGraph.edges(li(s, dir), "ok", "pk")
+      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
       val deg = e0.select(col("u").as("x"))
         .unionAll(e0.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -132,17 +132,8 @@ object GraphOps extends QueryPack {
     // the oracle unrolls the identical 5 rounds (the q_pagerank
     // pattern).
     "q_hits" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"),
-          col("o_custkey")), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select(col("c_custkey"),
-          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier").select(col("s_suppkey"),
-          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"),
-          col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w")).localCheckpoint()
+      // shared build-once trade rollup (GraphArtifacts, checkpointed)
+      val e = GraphArtifacts.nationTradeEdges(s, dir)
       val nodes = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("id"))
       var h = nodes.select(col("id"), lit(1000000L).as("hv"))

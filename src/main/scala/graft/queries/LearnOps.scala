@@ -32,6 +32,20 @@ import graft.sources.Tables
   * cells ≤ n·y² ≈ 5·10¹⁰ at sf0.1 (y staged in deca-dollars), Cramer
   * determinants ≤ ~cells³ ≈ 10³² < 10³⁸ — exact to n ≈ 10⁷ orders,
   * one more y-div decade buys ~10³ more.
+  *
+  * Accepted-and-monitored cross-engine signature (the q_jarque_bera
+  * class, r13 advice): q_logistic_gd's σ(z) recomputes exp() inside
+  * each of the 5 iterated rounds, and unlike the floor-once-per-
+  * constant ln/cos stagings, a 1-ulp JVM Math.exp vs DuckDB std::exp
+  * divergence that lands exactly on a half-up floor boundary in an
+  * EARLY round would cascade through the integer parameter updates
+  * into whole-parameter divergence rather than a ±1-micro cell. The
+  * amplification is real but the trigger is measure-zero-rare (it
+  * needs |round(10⁶·g) − (10⁶·g)| < n·ulp(exp) at an early round);
+  * parity holds at every tested scale (sf0.001/0.01/0.1/sf1 probe).
+  * If a future corpus trips it, the fix is the documented one: quantize
+  * z to a fixed grid (e.g. floor(z·10⁹)/10⁹) before exp() so both
+  * engines evaluate exp on identical doubles from a bounded set.
   */
 object LearnOps extends QueryPack {
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{BasketGraph, PageRank, Similarity, TopK}
+import graft.operators.{BasketGraph, GraphArtifacts, PageRank, Similarity, TopK}
 import graft.sources.Tables
 
 /** Graph ranking + retrieval evaluation (SURVEY §2.11 extensions): exact
@@ -23,16 +23,9 @@ object RankOps extends QueryPack {
     // Five exact integer iterations — see operators/PageRank for why the
     // float recurrence cannot carry a cross-engine oracle.
     "q_pagerank" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select(col("c_custkey"),
-          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier").select(col("s_suppkey"),
-          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // shared build-once trade rollup (GraphArtifacts) — one fact pass
+      // feeds q_pagerank/q_ppr/q_hits
+      val edges = GraphArtifacts.nationTradeEdges(s, dir)
       val nodes = t(s, dir, "nation").select(col("n_nationkey").as("id"))
       PageRank.ranks(edges, nodes, iters = Iters).orderBy(col("id"))
     }),
@@ -42,16 +35,9 @@ object RankOps extends QueryPack {
     // graph, same exact integer recurrence with N → |S| and the
     // teleport/dangling terms gated on seed membership.
     "q_ppr" -> ((s, dir) => {
-      val edges = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"))
-        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select(col("c_custkey"),
-          col("c_nationkey")), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier").select(col("s_suppkey"),
-          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // shared build-once trade rollup (GraphArtifacts) — one fact pass
+      // feeds q_pagerank/q_ppr/q_hits
+      val edges = GraphArtifacts.nationTradeEdges(s, dir)
       val nation = t(s, dir, "nation")
       val nodes = nation.select(col("n_nationkey").as("id"))
       val seeds = nation.filter(col("n_regionkey") === 0)
@@ -112,13 +98,10 @@ object RankOps extends QueryPack {
     // broadcasts; every subsequent join is an equi-join on a vertex key
     // (shuffle, never cartesian).
     "q_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // census-capped basket pairing (operators/BasketGraph): oversized
-      // baskets drop whole with an observable count — pure parallelism
-      // control here (TPC-H baskets ≤ 7 ≪ the cap), a skew guard at scale
-      val e0 = BasketGraph.edges(li, "ok", "pk")
+      // shared build-once artifact (GraphArtifacts): census-capped edges
+      // (oversized baskets drop whole), materialized once per (session,
+      // corpus) and read as a leaf by the whole structural family
+      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
       val deg = e0.select(col("u").as("x"))
         .unionAll(e0.select(col("v").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
@@ -152,10 +135,7 @@ object RankOps extends QueryPack {
     // declared semantics, so the 8-round unrolled oracle matches whether
     // or not the peel converged). Output: core vertices + degree.
     "q_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e0 = BasketGraph.edges(li, "ok", "pk")
+      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
       graft.operators.KCore.kCore(e0, k = 60, maxRounds = 8)
         .select(col("x"), col("d").cast("long").as("d"))
         .orderBy(col("x"))
@@ -168,12 +148,10 @@ object RankOps extends QueryPack {
     // long before 100 TB. Item supports join as a vocab-sized broadcast;
     // the top-20 is a TakeOrderedAndProject, never a global sort.
     "q_basket_rules" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      // cap once, derive EVERY statistic (corpus size, item supports,
-      // pair supports) from the same dropped-whole basket set
-      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      // shared capped membership (GraphArtifacts): every statistic
+      // (corpus size, item supports, pair supports) derives from the
+      // same dropped-whole basket set, built once per (session, corpus)
+      val c0 = GraphArtifacts.coPurchaseItems(s, dir)
       val n = c0.agg(countDistinct(col("ok")).as("n"))
       val items = c0.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
       val pairs = BasketGraph.pairsOf(c0, "ok", "pk")
@@ -204,10 +182,7 @@ object RankOps extends QueryPack {
     // basket self-join, never item×item; counts-dim broadcasts; top-20
     // plans as TakeOrderedAndProject.
     "q_item_cosine" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      val c0 = GraphArtifacts.coPurchaseItems(s, dir)
       val items = c0.groupBy(col("pk").as("i")).agg(count(lit(1)).as("c"))
       val pairs = BasketGraph.pairsOf(c0, "ok", "pk")
         .groupBy(col("u"), col("v"))
@@ -235,10 +210,7 @@ object RankOps extends QueryPack {
     // raw co-occurrence at link prediction. Same bounded basket-pair
     // machinery; top-20 as TakeOrderedAndProject.
     "q_link_predict" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val c0 = BasketGraph.cappedItems(li, "ok", "pk")
+      val c0 = GraphArtifacts.coPurchaseItems(s, dir)
       val bsz = c0.groupBy(col("ok")).agg(count(lit(1)).as("bs"))
       BasketGraph.pairsOf(c0, "ok", "pk")
         .join(bsz, Seq("ok"))
@@ -258,10 +230,7 @@ object RankOps extends QueryPack {
     // set. Hop count is part of the declared semantics (the unrolled
     // oracle replays exactly 3 rounds).
     "q_bfs_hops" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e0 = BasketGraph.edges(li, "ok", "pk")
+      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
       val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
         .localCheckpoint()
       val seeds = e.select(col("u").as("id")).distinct()
@@ -292,10 +261,8 @@ object RankOps extends QueryPack {
     // and every join is a basket-keyed equi-join — candidate volume is
     // Σ C(nᵢ,3), never a cross of the item set.
     "q_itemsets3" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      BasketGraph.triples(li, "ok", "pk")
+      BasketGraph.triplesOf(GraphArtifacts.coPurchaseItems(s, dir),
+          "ok", "pk")
         .groupBy(col("x"), col("y"), col("z"))
         .agg(count(lit(1)).as("support"))
         // no minimum-support cut: at larger scale factors co-occurrence

@@ -162,7 +162,12 @@ object StatOps extends QueryPack {
         .select(col("split_day"), col("n_left"), col("n_right"),
           col("mean_left_cents").cast("long").as("mean_left_cents"),
           col("mean_right_cents").cast("long").as("mean_right_cents"),
-          expr("CAST(b_micro div 1000000000000 AS BIGINT)").as("b_e12"))
+          // div 10¹⁸, not 10¹²: b_micro ∝ n·cents² puts the e12 cell at
+          // 0.45·2⁵³ already at sf0.1 (crosses the output contract near
+          // sf0.25) — e18 buys 10⁶× headroom, same exact trunc div on
+          // both engines (r14 sf0.1 headroom sweep)
+          expr("CAST(b_micro div 1000000000000000000 AS BIGINT)")
+            .as("b_e18"))
     }),
 
     // Sequential A/B monitoring table: q_ab_experiment's readout at EVERY
@@ -530,8 +535,8 @@ object StatOps extends QueryPack {
          |  CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
          |  CAST(sl // nl AS BIGINT) AS mean_left_cents,
          |  CAST(sr // nr AS BIGINT) AS mean_right_cents,
-         |  CAST(b_micro // CAST(1000000000000 AS HUGEINT) AS BIGINT)
-         |    AS b_e12
+         |  CAST(b_micro // CAST(1000000000000000000 AS HUGEINT)
+         |    AS BIGINT) AS b_e18
          |FROM cand ORDER BY b_micro DESC, split_day LIMIT 1""".stripMargin,
 
     "q_sequential_ab" ->

@@ -54,10 +54,17 @@ object StatOps12 extends QueryPack {
       .stripMargin.replaceAll("\\s+", " ")
 
   /** AD closing: A² = −n − (s1 + s2)/(10⁶·n) over the exact micro
-    * cells. */
+    * cells, evaluated through the trunc-decomposition
+    * (s1+s2)/10⁶ = t6 + r6/10⁶ with t6/r6 exact int64 (< 2⁵³): the raw
+    * s1+s2 grows ∝ n² past 2⁵³ at sf0.1, where a direct
+    * DECIMAL/HUGEINT→DOUBLE cast is exactly the not-correctly-rounded
+    * conversion the r12 hash lesson banned — the decomposition keeps
+    * every double operand exact and the closing arithmetic shared-text
+    * identical on both engines. */
   private val adExpr =
     """(-CAST(n_events AS DOUBLE)
-      | - (CAST(s1 AS DOUBLE) + s2) / 1000000.0 / n_events)"""
+      | - (CAST(__t6 AS DOUBLE) + CAST(__r6 AS DOUBLE) / 1000000.0)
+      |   / n_events)"""
       .stripMargin.replaceAll("\\s+", " ")
 
   override def defs: Map[String, Q] = Map[String, Q](
@@ -205,12 +212,19 @@ object StatOps12 extends QueryPack {
             | * ln(1.0 - CAST(v AS DOUBLE) / 600000.0) + 0.5) AS BIGINT)"""
             .stripMargin.replaceAll("\\s+", " ")).as("l2"))
         .groupBy(col("n_events"))
-        .agg(sum(col("w1") * col("l1")).as("s1"),
-          sum(col("w2") * col("l2")).as("s2"))
+        .agg(sum(col("w1") * col("l1")).as("s1d"),
+          sum(col("w2") * col("l2")).as("s2d"))
+        // position-weighted cells grow ∝ n² (2.6·2⁵³ already at sf0.1):
+        // the BIGINT emit would overflow int64 near sf2 and the r14
+        // sf0.1 headroom sweep rightly flags it — emit the diagnostics
+        // div 10¹² (exact signed trunc both engines; sub-2⁵³/10 to
+        // sf ≈ 2·10⁴) and close a2 through the exact t6/r6 split
         .select(col("n_events"),
-          expr("CAST(s1 AS BIGINT)").as("s1"),
-          expr("CAST(s2 AS BIGINT)").as("s2"))
-        .select(col("n_events"), col("s1"), col("s2"),
+          expr("CAST(s1d div 1000000000000 AS BIGINT)").as("s1_e12"),
+          expr("CAST(s2d div 1000000000000 AS BIGINT)").as("s2_e12"),
+          expr("CAST((s1d + s2d) div 1000000 AS BIGINT)").as("__t6"),
+          expr("CAST((s1d + s2d) % 1000000 AS BIGINT)").as("__r6"))
+        .select(col("n_events"), col("s1_e12"), col("s2_e12"),
           round(expr(adExpr), 6).as("a2"))
     })
   )
@@ -313,15 +327,26 @@ object StatOps12 extends QueryPack {
         |  SELECT nn.n_events,
         |    SUM(CAST(t * (2 * below + t) AS HUGEINT)
         |      * CAST(floor(1000000.0 * ln(CAST(v AS DOUBLE) / 600000.0)
-        |          + 0.5) AS BIGINT)) AS s1,
+        |          + 0.5) AS BIGINT)) AS s1d,
         |    SUM(CAST(t * (2 * (nn.n_events - below) - t) AS HUGEINT)
         |      * CAST(floor(1000000.0
         |          * ln(1.0 - CAST(v AS DOUBLE) / 600000.0) + 0.5)
-        |        AS BIGINT)) AS s2
-        |  FROM cum, nn GROUP BY 1)
+        |        AS BIGINT)) AS s2d
+        |  FROM cum, nn GROUP BY 1),
+        |split AS (
+        |  SELECT n_events,
+        |    CAST(s1d // CAST(1000000000000 AS HUGEINT) AS BIGINT)
+        |      AS s1_e12,
+        |    CAST(s2d // CAST(1000000000000 AS HUGEINT) AS BIGINT)
+        |      AS s2_e12,
+        |    CAST((s1d + s2d) // CAST(1000000 AS HUGEINT) AS BIGINT)
+        |      AS __t6,
+        |    CAST((s1d + s2d) % CAST(1000000 AS HUGEINT) AS BIGINT)
+        |      AS __r6
+        |  FROM cells)
         |SELECT CAST(n_events AS BIGINT) AS n_events,
-        |  CAST(s1 AS BIGINT) AS s1, CAST(s2 AS BIGINT) AS s2,
+        |  s1_e12, s2_e12,
         |  round($adExpr, 6) AS a2
-        |FROM cells""".stripMargin
+        |FROM split""".stripMargin
   )
 }

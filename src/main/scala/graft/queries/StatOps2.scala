@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.BasketGraph
 import graft.sources.Tables
 import graft.functions.TextFunctions.{hash32, sqlHash32}
 
@@ -73,10 +72,7 @@ object StatOps2 extends QueryPack {
     // from the census-capped [[BasketGraph]] (skew guard), brand labels
     // are a dim broadcast, everything after is vertex/community-sized.
     "q_modularity" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e0 = BasketGraph.edges(li, "ok", "pk")
+      val e0 = graft.operators.GraphArtifacts.coPurchaseEdges(s, dir)
       val comm = t(s, dir, "part")
         .select(col("p_partkey").as("x"), col("p_brand").as("c"))
       // ONE pass over the expensive edge subtree: reduce edges to the

@@ -66,7 +66,13 @@ class GraphBucketingSpec extends SparkSpec {
 
       val p = wedges.queryExecution.explainString(
         ExplainMode.fromString("formatted"))
-      val joinSection = p.substring(0, p.indexOf("HashAggregate"))
+      // guard the marker (r13 advice): if a Spark upgrade plans
+      // SortAggregate/ObjectHashAggregate instead, fail with the real
+      // message, not an opaque StringIndexOutOfBoundsException
+      val aggIdx = p.indexOf("HashAggregate")
+      assert(aggIdx >= 0,
+        s"expected a HashAggregate above the wedge join:\n$p")
+      val joinSection = p.substring(0, aggIdx)
       assert(!joinSection.contains("Exchange"),
         s"bucketed wedge join must not shuffle its inputs:\n$p")
 

@@ -128,9 +128,12 @@ class StatOps12Spec extends SparkSpec {
     val row = SparkEntry.queries("q_ad_uniform")(spark, sf)
       .collect().head
     assert(row.getAs[Long]("n_events") == n.toLong)
-    assert(BigInt(row.getAs[Long]("s1")) == s1)
-    assert(BigInt(row.getAs[Long]("s2")) == s2)
-    val a2 = -n.toDouble - (s1 + s2).toDouble / 1e6 / n
+    assert(BigInt(row.getAs[Long]("s1_e12")) == s1 / BigInt(10).pow(12))
+    assert(BigInt(row.getAs[Long]("s2_e12")) == s2 / BigInt(10).pow(12))
+    // the trunc-decomposed closing: (s1+s2)/10⁶ = t6 + r6/10⁶ exactly
+    val t6 = (s1 + s2) / 1000000
+    val r6 = (s1 + s2) % 1000000
+    val a2 = -n.toDouble - (t6.toDouble + r6.toDouble / 1e6) / n
     assert(math.abs(row.getAs[Double]("a2") - a2) < 1e-6)
     // the value corpus is strongly right-skewed — AD must reject
     // uniformity decisively (critical value at 1% is ~3.9)

@@ -56,7 +56,8 @@ class StatOpsSpec extends SparkSpec {
     val best = cands.maxBy(c => (c._2, BigInt(-c._1)))
     val row = SparkEntry.queries("q_changepoint")(spark, sf).collect().head
     assert(row.getAs[Long]("split_day") == best._1)
-    assert(BigInt(row.getAs[Long]("b_e12")) == best._2 / BigInt(1000000000000L))
+    assert(BigInt(row.getAs[Long]("b_e18")) ==
+      best._2 / BigInt(10).pow(18))
     assert(row.getAs[Long]("n_left") + row.getAs[Long]("n_right") == ntot)
   }
 
