@@ -40,6 +40,11 @@ object GraphArtifacts {
 
   private def memo(s: SparkSession, dir: String, kind: String)
       (build: => DataFrame): DataFrame = {
+    // A/B switch for PERF.md: bypassing the memo reproduces the pre-r14
+    // regime (every gate rebuilds its frame from the fact table), so the
+    // artifact-reuse delta is measurable in one session. Never set by the
+    // driver or the suite.
+    if (sys.env.contains("SPARK_GRAFT_NO_GRAPH_MEMO")) return build
     val key = (s.sparkContext.applicationId, dir, kind)
     val cached = cache.get(key)
     if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached

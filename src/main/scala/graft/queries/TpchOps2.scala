@@ -130,10 +130,12 @@ object TpchOps2 extends QueryPack {
     // fact joins (a 2-row broadcast each), so the lineitem shuffle
     // carries only rows whose supplier already qualifies; with both
     // endpoints in the 2-nation set, the ordered-pair predicate reduces
-    // to supp_nation <> cust_nation.
+    // to supp_nation <> cust_nation. NATION_13/NATION_19 is the densest
+    // symmetric trade pair at the sf0.001 smoke corpus (27 qualifying
+    // lines), keeping the gate non-empty at every scale.
     "q_tpch_q7" -> ((s, dir) => {
       val nat2 = t(s, dir, "nation")
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_13", "NATION_19"))
       val sup = t(s, dir, "supplier")
         .join(broadcast(nat2.select(col("n_nationkey"),
           col("n_name").as("supp_nation"))),
@@ -241,14 +243,16 @@ object TpchOps2 extends QueryPack {
     }),
 
     // ---- Q11: important stock -----------------------------------------
-    // Per-part sale value from EUROPE suppliers, keeping parts above 2×
-    // the MEAN per-part value. The original's fixed global fraction
-    // (0.0001/SF) empties as the part count grows — a relative-to-mean
-    // threshold is the scale-free form (96 rows at sf0.01, 539 at
-    // sf0.1, never empty). The count+total is a 1-row broadcast
+    // Per-part sale value from EUROPE suppliers, keeping parts above
+    // 1.5× the MEAN per-part value. The original's fixed global
+    // fraction (0.0001/SF) empties as the part count grows — a
+    // relative-to-mean threshold is the scale-free form (14 / 331 /
+    // 2930 rows at sf0.001 / 0.01 / 0.1, never empty; a 2× cut was
+    // empty at the sf0.001 smoke corpus, where 200 near-uniform parts
+    // top out at 1.9× the mean). The count+total is a 1-row broadcast
     // crossJoin (the repo's scalar-census pattern); the comparison is
-    // an exact integer cross-multiplication (val_c·n_parts > 2·total),
-    // never a rounded fraction.
+    // an exact integer cross-multiplication (2·val_c·n_parts >
+    // 3·total), never a rounded fraction.
     "q_tpch_q11" -> ((s, dir) => {
       val euroSupp = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")
@@ -270,8 +274,8 @@ object TpchOps2 extends QueryPack {
       // DECIMAL(38,0) cross-multiply: a long product would wrap silently
       // at extreme corpus scale while DuckDB promotes to HUGEINT.
       value.crossJoin(broadcast(total))
-        .filter(col("val_c").cast(DecimalType(38, 0)) * col("n_parts") >
-          col("total_c").cast(DecimalType(38, 0)) * 2)
+        .filter(col("val_c").cast(DecimalType(38, 0)) * col("n_parts") * 2 >
+          col("total_c").cast(DecimalType(38, 0)) * 3)
         .select(col("partkey"), col("val_c"))
         .orderBy(col("val_c").desc, col("partkey"))
     }),
@@ -418,10 +422,14 @@ object TpchOps2 extends QueryPack {
     }),
 
     // ---- Q20: potential part promotion (nested IN subqueries) -------------
-    // AMERICA suppliers who moved > 400 units of 'red…' parts in 1996:
+    // AMERICA suppliers who moved > 100 units of 'red…' parts in 1996:
     // an IN over a grouped HAVING subquery whose own part filter is
     // another IN — both decorrelate to semi-joins; quantity sums are
-    // integral doubles (exact).
+    // integral doubles (exact). The 100-unit cut keeps the gate
+    // non-empty at the driver's sf0.001 smoke corpus while staying
+    // selective at every larger scale (1 / 25 / 177 suppliers survive
+    // at sf0.001 / 0.01 / 0.1; the original 400 cut returned 0 rows at
+    // sf0.001, tripping the every-gate-returns-rows contract).
     "q_tpch_q20" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("tq20_lineitem")
       t(s, dir, "part").createOrReplaceTempView("tq20_part")
@@ -439,7 +447,7 @@ object TpchOps2 extends QueryPack {
         |         WHERE p_name LIKE 'red%')
         |      AND l_shipdate >= TIMESTAMP '1996-01-01'
         |      AND l_shipdate < TIMESTAMP '1997-01-01'
-        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)
+        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
         |  AND r_name = 'AMERICA'
         |ORDER BY s_name
         |""".stripMargin)
@@ -473,7 +481,7 @@ object TpchOps2 extends QueryPack {
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey)
-        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_13'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
         |""".stripMargin)
     }),
@@ -551,8 +559,8 @@ object TpchOps2 extends QueryPack {
         |JOIN supplier ON s_suppkey = l_suppkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
@@ -612,8 +620,8 @@ object TpchOps2 extends QueryPack {
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'EUROPE' GROUP BY 1)
         |SELECT partkey, CAST(val_c AS BIGINT) AS val_c FROM val
-        |WHERE val_c * (SELECT COUNT(*) FROM val)
-        |  > 2 * (SELECT SUM(val_c) FROM val)
+        |WHERE val_c * (SELECT COUNT(*) FROM val) * 2
+        |  > 3 * (SELECT SUM(val_c) FROM val)
         |ORDER BY val_c DESC, partkey""".stripMargin,
 
     "q_tpch_q12" ->
@@ -697,7 +705,7 @@ object TpchOps2 extends QueryPack {
         |        (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
         |      AND l_shipdate >= TIMESTAMP '1996-01-01'
         |      AND l_shipdate < TIMESTAMP '1997-01-01'
-        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 400)
+        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
         |  AND r_name = 'AMERICA'
         |ORDER BY s_name""".stripMargin,
 
@@ -714,7 +722,7 @@ object TpchOps2 extends QueryPack {
         |    WHERE l3.l_orderkey = l1.l_orderkey
         |      AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_13'
         |GROUP BY s_name ORDER BY numwait DESC, s_name
         |LIMIT 100""".stripMargin,
 

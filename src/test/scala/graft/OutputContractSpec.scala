@@ -35,7 +35,7 @@ import org.apache.spark.sql.types._
   */
 class OutputContractSpec extends SparkSpec {
 
-  private val TwoP53 = BigDecimal(BigInt(1) << 53)
+  private val TwoP53 = OutputContract.TwoP53
 
   /** Captured CodeGenerator compile failures (janino "Code grows beyond
     * 64 KB" and friends). A failed whole-stage compile silently falls
@@ -73,57 +73,11 @@ class OutputContractSpec extends SparkSpec {
   }
   installCodegenCapture()
 
-  /** Declared magnitude-free BIGINT columns: exact int64 cross-engine,
-    * each with a reason. Keyed (query, column) so new big-long
-    * emissions fail loudly until classified here.
-    *  - q_simhash.simhash — a 64-bit fingerprint; magnitude IS the value
-    *  - q_scd2_build.valid_to — the open-validity sentinel
-    *    Long.MaxValue, emitted literally by both engines
-    *  - q_try_arith.{add,mul}_maybe — try_add/try_multiply overflow
-    *    probes whose POINT is to sit near the int64 edge
-    *  - *_us / valid_from (CDC/SCD2 family) — epoch-MICROSECOND
-    *    instants (~1.7×10¹⁵ ≈ 0.19·2⁵³): the magnitude IS the value,
-    *    fixed by the calendar (not the corpus — 2⁵³ is year ~2255), and
-    *    epoch_us/unix_micros are exact int64 end-to-end on both engines */
-  private val hashCols: Set[(String, String)] = Set(
-    ("q_simhash", "simhash"),
-    ("q_scd2_build", "valid_to"),
-    ("q_try_arith", "add_maybe"),
-    ("q_try_arith", "mul_maybe"),
-    ("q_cdc_apply", "last_us"),
-    ("q_stream_cdc", "last_us"),
-    ("q_stream_cdc_ttl", "last_us"),
-    ("q_scd2_build", "valid_from"),
-    ("q_scd2_asof", "probe_us"),
-    ("q_scd2_asof", "since_us"))
-
-  /** Sweep every gate at `dir`, collecting exact-typed cells at/above
-    * `bound`. Returns violation strings (empty = contract holds). */
-  private def sweep(dir: String, bound: BigDecimal): Seq[String] = {
-    val violations = scala.collection.mutable.ArrayBuffer[String]()
-    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-      val df = fn(spark, dir)
-      val checked = df.schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType.isInstanceOf[DecimalType] =>
-          (f.name, i, "decimal")
-        case (f, i) if f.dataType == LongType
-            && !hashCols((name, f.name)) =>
-          (f.name, i, "bigint")
-      }
-      if (checked.nonEmpty) {
-        for (row <- df.collect(); (cn, i, kind) <- checked
-             if !row.isNullAt(i)) {
-          val v = kind match {
-            case "decimal" => BigDecimal(row.getDecimal(i))
-            case _ => BigDecimal(row.getLong(i))
-          }
-          if (v.abs >= bound)
-            violations += s"$name.$cn ($kind) = $v"
-        }
-      }
-    }
-    violations.distinct.toSeq
-  }
+  /** The allowlist + sweep live in main source ([[OutputContract]]) so the
+    * one-shot sf1 probe ([[ContractProbe]]) asserts the SAME contract the
+    * suite sweeps — a probe with its own copy could drift. */
+  private def sweep(dir: String, bound: BigDecimal): Seq[String] =
+    OutputContract.sweep(spark, dir, bound)
 
   test("every gate's exact-typed output cells stay below 2^53 at sf0.001") {
     val violations = sweep(sf, TwoP53)
