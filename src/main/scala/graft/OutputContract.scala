@@ -28,6 +28,7 @@ object OutputContract {
     *    epoch_us/unix_micros are exact int64 end-to-end on both engines */
   val hashCols: Set[(String, String)] = Set(
     ("q_simhash", "simhash"),
+    ("q_corpus_diff", "id_xor"), // bit_xor membership checksum (r14)
     ("q_scd2_build", "valid_to"),
     ("q_try_arith", "add_maybe"),
     ("q_try_arith", "mul_maybe"),
@@ -78,14 +79,31 @@ object OutputContract {
     }
 
   /** Sweep + per-gate max-cell magnitudes (as a fraction of 2⁵³), for the
-    * probe's headroom report. */
-  def sweepWithHeadroom(spark: SparkSession, dir: String, bound: BigDecimal)
-      : (Seq[String], Seq[(String, Double)]) = {
-    val all = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (v, m) = checkGate(spark, dir, name, fn, bound)
-      (v, m.map(x => name -> (x / TwoP53).toDouble))
+    * probe's headroom report. A gate that throws at the probe corpus is
+    * returned in the third seq (name → error) instead of aborting the
+    * sweep — at a decade above the replay envelope an individual data
+    * surprise must not hide every other gate's headroom reading. */
+  def sweepWithHeadroom(spark: SparkSession, dir: String, bound: BigDecimal,
+      nameFilters: Seq[String] = Nil)
+      : (Seq[String], Seq[(String, Double)], Seq[(String, String)]) = {
+    val errs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) =>
+        nameFilters.isEmpty || nameFilters.exists(n.contains) }
+      .map { case (name, fn) =>
+      try {
+        val (v, m) = checkGate(spark, dir, name, fn, bound)
+        (v, m.map(x => name -> (x / TwoP53).toDouble))
+      } catch { case e: Throwable =>
+        val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => s"${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).take(200))
+          .mkString(" <- ")
+        errs += name -> chain
+        (Nil, None)
+      }
     }
-    (all.flatMap(_._1), all.flatMap(_._2))
+    (all.flatMap(_._1), all.flatMap(_._2), errs.toSeq)
   }
 }
 
@@ -95,13 +113,15 @@ object OutputContract {
   * PERF.md records so "the contract holds a decade above replay scale"
   * is a measurement, not an extrapolation.
   *
-  * Usage: runMain graft.ContractProbe [dir=/tmp/sf1] [boundDiv=1]
-  * (boundDiv divides 2⁵³, e.g. 10 asserts the sf0.1-style headroom rule.)
+  * Usage: runMain graft.ContractProbe [dir=/tmp/sf1] [boundDiv=1] [name...]
+  * (boundDiv divides 2⁵³, e.g. 10 asserts the sf0.1-style headroom rule;
+  * trailing name substrings restrict the sweep for iteration.)
   */
 object ContractProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/sf1")
     val boundDiv = args.lift(1).map(BigDecimal(_)).getOrElse(BigDecimal(1))
+    val nameFilters = args.drop(2).toSeq
     val cpus = GraftSession.defaultCpus
     val spark = GraftSession
       .builder(master = s"local[$cpus]", appName = "graft-contract-probe",
@@ -109,19 +129,23 @@ object ContractProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val bound = OutputContract.TwoP53 / boundDiv
-    val (violations, headroom) =
-      OutputContract.sweepWithHeadroom(spark, dir, bound)
+    val (violations, headroom, errs) =
+      OutputContract.sweepWithHeadroom(spark, dir, bound, nameFilters)
     val top = headroom.sortBy(-_._2).take(20)
       .map { case (n, f) => f"$n%-28s ${f}%.6f" }
     println(s"[probe] dir=$dir bound=2^53/${boundDiv} gates=${headroom.length}")
     println(s"[probe] top max-cell / 2^53 fractions:\n  " +
       top.mkString("\n  "))
+    if (errs.nonEmpty)
+      println(s"[probe] gates erroring at this corpus (${errs.length}):\n  " +
+        errs.map { case (n, e) => s"$n: $e" }.mkString("\n  "))
     if (violations.nonEmpty) {
       println(s"[probe] VIOLATIONS (${violations.length}):\n  " +
         violations.take(40).mkString("\n  "))
       spark.stop(); sys.exit(1)
     }
-    println("[probe] contract holds")
+    println("[probe] contract holds" +
+      (if (errs.isEmpty) "" else " on every gate that ran"))
     spark.stop()
   }
 }

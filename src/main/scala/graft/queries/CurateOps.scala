@@ -383,7 +383,7 @@ object CurateOps extends QueryPack {
       val base = Tables.load(s, dir, "part")
         .filter(col("p_partkey") < 1000)
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
-      val dirty = base.select((col("id") + 1000000L).as("id"),
+      val dirty = base.select((col("id") + Parity.VariantOffset).as("id"),
         concat(substring(col("name"), 1, 3), lit("x"),
           col("name").substr(lit(5), length(col("name")))).as("name"))
       graft.operators.EntityResolution.blockedMatch(
@@ -406,7 +406,7 @@ object CurateOps extends QueryPack {
       val base = Tables.load(s, dir, "part")
         .filter(col("p_partkey") < 1000)
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
-      val dirty = base.select((col("id") + 1000000L).as("id"),
+      val dirty = base.select((col("id") + Parity.VariantOffset).as("id"),
         concat(substring(col("name"), 1, 3), lit("x"),
           col("name").substr(lit(5), lit(7)),
           col("name").substr(lit(13), length(col("name")))).as("name"))
@@ -505,7 +505,7 @@ object CurateOps extends QueryPack {
           md5(when(col("doc_id") % 23 === 0, concat(col("text"), lit(" v2")))
             .otherwise(col("text"))).as("h"))
         .unionAll(docs(s, dir).filter(col("doc_id") % 11 === 5)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
+          .select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
             md5(concat(lit("fresh "), col("doc_id").cast("string"))).as("h")))
       old.select(col("doc_id"), col("h").as("h_old"))
         .join(nw.select(col("doc_id"), col("h").as("h_new")),
@@ -516,7 +516,12 @@ object CurateOps extends QueryPack {
             .when(col("h_old") =!= col("h_new"), "changed")
             .otherwise("unchanged").as("status"))
         .groupBy(col("status"))
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        // membership checksum as a bit_xor fold, not a sum: with 10¹²
+        // variant-offset ids, SUM(doc_id) grew ∝n·offset (0.50·2⁵³ at
+        // the sf1 probe) — the xor is order-independent, pins the same
+        // membership, and is magnitude-free at any corpus scale
+        // (declared 64-bit signature in the output contract; round 14)
+        .agg(count(lit(1)).as("n"), expr("bit_xor(doc_id)").as("id_xor"))
         .orderBy(col("status"))
     }),
 
@@ -725,7 +730,7 @@ object CurateOps extends QueryPack {
     "q_entity_match" ->
       """WITH base AS (SELECT p_partkey AS id, p_name AS name
         |  FROM part WHERE p_partkey < 1000),
-        |dirty AS (SELECT id + 1000000 AS id,
+        |dirty AS (SELECT id + 1000000000000 AS id,
         |    substr(name, 1, 3) || 'x' || substr(name, 5) AS name
         |  FROM base)
         |SELECT a.id AS id_a, b.id AS id_b,
@@ -741,7 +746,7 @@ object CurateOps extends QueryPack {
       val rawToks = sqlTokens("p_name")
       s"""WITH corpus AS (SELECT p_partkey, p_name FROM part
          |  UNION ALL
-         |  SELECT p_partkey + 1000000,
+         |  SELECT p_partkey + 1000000000000,
          |    upper(array_to_string(list_reverse($rawToks), ' '))
          |  FROM part WHERE p_partkey % 7 = 0),
          |fp AS (SELECT p_partkey, p_name,
@@ -861,7 +866,7 @@ object CurateOps extends QueryPack {
     "q_entity_match2" ->
       """WITH base AS (SELECT p_partkey AS id, p_name AS name
         |  FROM part WHERE p_partkey < 1000),
-        |dirty AS (SELECT id + 1000000 AS id,
+        |dirty AS (SELECT id + 1000000000000 AS id,
         |    substr(name, 1, 3) || 'x' || substr(name, 5, 7)
         |      || substr(name, 13) AS name
         |  FROM base)
@@ -878,7 +883,7 @@ object CurateOps extends QueryPack {
         |        ELSE text END) AS h
         |  FROM documents WHERE doc_id % 17 != 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + 1000000000000,
         |    md5('fresh ' || CAST(doc_id AS VARCHAR))
         |  FROM documents WHERE doc_id % 11 = 5),
         |j AS (
@@ -888,7 +893,8 @@ object CurateOps extends QueryPack {
         |         WHEN o.h != n.h THEN 'changed'
         |         ELSE 'unchanged' END AS status
         |  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
-        |SELECT status, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |SELECT status, COUNT(*) AS n,
+        |  CAST(BIT_XOR(doc_id) AS BIGINT) AS id_xor
         |FROM j GROUP BY status ORDER BY status""".stripMargin,
 
     "q_feature_zscore" ->

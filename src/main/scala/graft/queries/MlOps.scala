@@ -50,7 +50,7 @@ object MlOps extends QueryPack {
   private val sqlWithMutants =
     """(SELECT doc_id, text FROM documents
       | UNION ALL
-      | SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+      | SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
       | FROM documents)""".stripMargin
 
   /** Random ±1 hyperplanes for [[defs q_embed_simhash]]: a tiny
@@ -414,7 +414,7 @@ object MlOps extends QueryPack {
       val langs = docs(s, dir).select(col("doc_id").as("base_id"),
         col("lang"))
       flagged
-        .withColumn("base_id", col("doc_id") % 1000000L)
+        .withColumn("base_id", col("doc_id") % Parity.VariantOffset)
         .join(langs, Seq("base_id"))
         .groupBy(col("lang"))
         .agg(sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
@@ -987,7 +987,7 @@ object MlOps extends QueryPack {
          |  CAST(SUM(CASE WHEN NOT f.dropped THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_kept
          |FROM flagged f
-         |JOIN documents d ON d.doc_id = f.doc_id % 1000000
+         |JOIN documents d ON d.doc_id = f.doc_id % 1000000000000
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     },
 

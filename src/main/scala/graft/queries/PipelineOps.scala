@@ -90,7 +90,7 @@ object PipelineOps extends QueryPack {
     // by the side tag. Every (original, its mutant) pair must surface.
     "q_dedup_cross" -> ((s, dir) => {
       val d = docs(s, dir)
-      val mutants = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      val mutants = d.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"))
       Dedup.minhashPairsAcross(
           d.select(col("doc_id"), col("text")), mutants,
@@ -106,7 +106,7 @@ object PipelineOps extends QueryPack {
     // whole candidates→anti-join composition.
     "q_dedup_cross_scrub" -> ((s, dir) => {
       val d = docs(s, dir)
-      val crawl = d.select((col("doc_id") + 1000000L).as("doc_id"),
+      val crawl = d.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
           concat(col("text"), lit(" zzmutant")).as("text"), col("lang"))
         .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
           reverse(col("text")).as("text"), col("lang")))
@@ -429,7 +429,7 @@ object PipelineOps extends QueryPack {
     "q_pipeline_full" -> ((s, dir) => {
       val d0 = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
       val corpus = d0.unionByName(d0.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
       val sampled = Sampling.stratifiedHashSample(
         corpus, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
@@ -656,7 +656,7 @@ object PipelineOps extends QueryPack {
       s"""WITH corpus AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+         |  SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
          |  FROM documents
          |  UNION ALL
          |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
@@ -670,9 +670,9 @@ object PipelineOps extends QueryPack {
          |      CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
          |        / 16 AS est_jaccard
          |    FROM cand)
-         |  WHERE id_a < 1000000 AND id_b >= 1000000 AND est_jaccard >= 0.5),
+         |  WHERE id_a < 1000000000000 AND id_b >= 1000000000000 AND est_jaccard >= 0.5),
          |crawl AS (
-         |  SELECT doc_id + 1000000 AS cid, lang FROM documents
+         |  SELECT doc_id + 1000000000000 AS cid, lang FROM documents
          |  UNION ALL
          |  SELECT doc_id + 2000000 AS cid, lang FROM documents)
          |SELECT lang, COUNT(*) AS n_survivors
@@ -688,7 +688,7 @@ object PipelineOps extends QueryPack {
       s"""WITH corpus AS MATERIALIZED (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+         |  SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
          |  FROM documents),
          |sigs AS MATERIALIZED (
          |  SELECT doc_id AS id, $sig AS sig FROM corpus),
@@ -697,7 +697,7 @@ object PipelineOps extends QueryPack {
          |  CAST(len(list_filter(list_zip(sig_a, sig_b), s -> s[1] = s[2])) AS DOUBLE)
          |    / 16 AS est_jaccard
          |FROM cand
-         |WHERE id_a < 1000000 AND id_b >= 1000000 AND est_jaccard >= 0.5
+         |WHERE id_a < 1000000000000 AND id_b >= 1000000000000 AND est_jaccard >= 0.5
          |ORDER BY left_id, right_id""".stripMargin
     },
 
@@ -946,7 +946,7 @@ object PipelineOps extends QueryPack {
       s"""WITH corpus AS MATERIALIZED (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text, lang
+         |  SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text, lang
          |  FROM documents),
          |sampled AS MATERIALIZED (
          |  SELECT doc_id, text, lang FROM corpus

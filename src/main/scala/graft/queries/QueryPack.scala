@@ -60,8 +60,13 @@ object Parity {
     * guard (shared by every fixture site — one definition, one bound)
     * fails the job loudly on corpus growth past the offset instead of
     * silently aliasing a real row as another's variant while engine and
-    * oracle stay green together. Rides the scan; no extra pass. */
-  val VariantOffset: Long = 1000000L
+    * oracle stay green together. Rides the scan; no extra pass.
+    *
+    * 10¹² (round 14 — was 10⁶, which the sf1 probe corpus's replica-
+    * offset orderkeys tripped): covers base ids through a ~sf100000
+    * (100 TB-class) corpus while variant ids stay ≈ 10⁻⁴·2⁵³, far
+    * inside the output contract. Oracle SQL embeds the same literal. */
+  val VariantOffset: Long = 1000000000000L
 
   def guardedVariantId(id: Column): Column =
     when(id < VariantOffset, id).otherwise(raise_error(concat(

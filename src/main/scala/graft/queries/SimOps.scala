@@ -726,7 +726,7 @@ object SimOps extends QueryPack {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + 1000000000000,
         |    substr(text, 1, 4) || 'z' || substr(text, 6)
         |  FROM documents WHERE doc_id % 3 = 0),
         |bits AS (
@@ -854,7 +854,7 @@ object SimOps extends QueryPack {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT doc_id + 1000000000000,
         |    substr(text, 1, 8) || 'z' || substr(text, 10)
         |  FROM documents WHERE doc_id % 3 = 1),
         |d AS (SELECT doc_id, text,

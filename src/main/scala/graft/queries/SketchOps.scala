@@ -121,8 +121,13 @@ object SketchOps extends QueryPack {
         .crossJoin(broadcast(probed))
         .select(col("n_inserted"), col("n_neg"),
           coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      // NULLIF: a corpus whose probe vocabulary saturates every n-gram
+      // (the sf1 probe's 31-word synthetic vocab covers all 31³
+      // trigrams in both halves) leaves NO negatives to measure FPR on
+      // — emit NULL with the loud n_neg = 0 beside it rather than
+      // dividing by zero (round 14; DuckDB NULLIF is identical).
       cells.select(col("n_inserted"), col("n_neg"), col("n_fp"),
-        expr("(1000000 * n_fp) div n_neg").as("fpr_ppm"),
+        expr("(1000000 * n_fp) div NULLIF(n_neg, 0)").as("fpr_ppm"),
         round(expr(bloomTheo), 6).as("theo_fpr"))
     })
   )
@@ -185,7 +190,7 @@ object SketchOps extends QueryPack {
          |    (SELECT n_fp FROM fp) AS n_fp)
          |SELECT CAST(n_inserted AS BIGINT) AS n_inserted,
          |  CAST(n_neg AS BIGINT) AS n_neg, CAST(n_fp AS BIGINT) AS n_fp,
-         |  (1000000 * n_fp) // n_neg AS fpr_ppm,
+         |  (1000000 * n_fp) // NULLIF(n_neg, 0) AS fpr_ppm,
          |  round($bloomTheo, 6) AS theo_fpr
          |FROM cells""".stripMargin
     }

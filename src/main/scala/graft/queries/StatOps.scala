@@ -702,7 +702,7 @@ object StatOps extends QueryPack {
         |         ELSE o_orderstatus END AS st
         |  FROM orders WHERE o_orderkey % 101 <> 0
         |  UNION ALL
-        |  SELECT o_orderkey + 1000000, o_totalprice, o_orderstatus
+        |  SELECT o_orderkey + 1000000000000, o_totalprice, o_orderstatus
         |  FROM orders WHERE o_orderkey % 103 = 0),
         |j AS (
         |  SELECT old.k IS NULL AS added, new.k IS NULL AS removed,

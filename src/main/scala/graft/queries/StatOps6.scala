@@ -71,12 +71,19 @@ object StatOps6 extends QueryPack {
 
   // -- shared closing-formula texts (interpolated into BOTH engines) ------
 
-  /** Kruskal-Wallis H with the tie correction, from exact cells
-    * (rank_ss = Σ⌊R_g²/n_g⌋, ties = Σ(t³−t), n). The n³ term runs in
-    * doubles — exact n³ would need DECIMAL headroom the statistic's 6-dp
-    * readout cannot use. */
+  /** Kruskal-Wallis H with the tie correction, closing over the FULL-
+    * precision quartered rank-sum-of-squares `sumterm` (= Σ⌊R_g²/n_g⌋ in
+    * doubled-rank units): the PUBLISHED cell is `rank_ss_e6` (div 10⁶ —
+    * sumterm grows ∝n³, 93·2⁵³ at the sf1 probe, so the unit cell broke
+    * the output contract a decade above replay scale; round 14), while
+    * the statistic keeps every exact digit. Both engines' sumterm is the
+    * same exact integer (< 2⁶⁴ through sf1, where HUGEINT→double is a
+    * single exact limb), and H's ~n/H-fold cancellation amplifies a
+    * 1-ulp cast wobble to ≤ 10⁻⁹ — invisible at the 6-dp readout. The
+    * n³ term runs in doubles — exact n³ would need DECIMAL headroom the
+    * statistic's 6-dp readout cannot use. */
   private val hExpr =
-    """((12.0 * CAST(rank_ss AS DOUBLE)
+    """((12.0 * CAST(sumterm AS DOUBLE)
       |    / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) + 1.0))
       |  - 3.0 * (CAST(n_orders AS DOUBLE) + 1.0))
       | / (1.0 - CAST(ties AS DOUBLE)
@@ -303,8 +310,11 @@ object StatOps6 extends QueryPack {
     // test. Doubled midranks (2·below + tv + 1) keep every rank sum an
     // exact integer; R_g²/n_g truncates per ≤ 5-row group frame (unit
     // resolution against rank sums of ~10¹⁵); the tie-corrected H closes
-    // in shared-text doubles. Census via one (grp, v) corpus aggregate —
-    // the global census derives from it, so the corpus is read once.
+    // in shared-text doubles over the FULL-precision sumterm, while the
+    // published cell is rank_ss_e6 (div 10⁶ — ∝n³ growth crossed 2⁵³ at
+    // the sf1 probe; see [[hExpr]]). Census via one (grp, v) corpus
+    // aggregate — the global census derives from it, so the corpus is
+    // read once.
     "q_kruskal_wallis" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
         cents(col("o_totalprice")).as("v"))
@@ -326,10 +336,10 @@ object StatOps6 extends QueryPack {
       perG.crossJoin(broadcast(ties))
         .agg(count(lit(1)).as("k_groups"), sum(col("ng")).as("n_orders"),
           sum(col("termg")).as("sumterm"), first(col("ties")).as("tiesd"))
-        .select(col("k_groups"), col("n_orders"),
-          col("sumterm").cast("long").as("rank_ss"),
+        .select(col("k_groups"), col("n_orders"), col("sumterm"),
           col("tiesd").cast("long").as("ties"))
-        .select(col("k_groups"), col("n_orders"), col("rank_ss"),
+        .select(col("k_groups"), col("n_orders"),
+          expr("sumterm div 1000000").as("rank_ss_e6"),
           col("ties"), round(expr(hExpr), 6).as("h"))
     }),
 
@@ -502,11 +512,11 @@ object StatOps6 extends QueryPack {
          |cells AS (
          |  SELECT COUNT(*) AS k_groups,
          |    CAST(SUM(ng) AS BIGINT) AS n_orders,
-         |    CAST(SUM((r2g * r2g) // (4 * CAST(ng AS HUGEINT)))
-         |      AS BIGINT) AS rank_ss,
+         |    SUM((r2g * r2g) // (4 * CAST(ng AS HUGEINT))) AS sumterm,
          |    CAST(MAX(ties.ties) AS BIGINT) AS ties
          |  FROM perg, ties)
-         |SELECT k_groups, n_orders, rank_ss, ties,
+         |SELECT k_groups, n_orders,
+         |  CAST(sumterm // 1000000 AS BIGINT) AS rank_ss_e6, ties,
          |  round($hExpr, 6) AS h
          |FROM cells""".stripMargin,
 

@@ -117,10 +117,16 @@ object StatOps8 extends QueryPack {
       val icept = RangeBuckets.belowFrame(icensus).crossJoin(broadcast(nd))
         .filter(col("below") + col("t") >= expr("(n_days + 1) div 2"))
         .agg(min(col("v")).as("intercept_micro"))
+      // Published cells in MILLI-cents (div 10³, trunc-toward-zero on
+      // both engines — the signed-div discipline the truncation spec
+      // pins): intercept_micro ≈ 10⁶·daily-revenue grows ∝ corpus and
+      // sat at 0.94·2⁵³ at the sf1 probe. The medians above keep full
+      // micro resolution; only the emitted unit changes (round 14).
       broadcast(nd).crossJoin(broadcast(np)).crossJoin(broadcast(slope))
         .crossJoin(broadcast(icept))
-        .select(col("n_days"), col("n_pairs"), col("slope_micro"),
-          col("intercept_micro"))
+        .select(col("n_days"), col("n_pairs"),
+          expr("slope_micro div 1000").as("slope_milli"),
+          expr("intercept_micro div 1000").as("intercept_milli"))
     }),
 
     // Grubbs' max-deviation outlier test on order values: G =
@@ -239,7 +245,9 @@ object StatOps8 extends QueryPack {
          |  FROM icum WHERE cum >= (n + 1) // 2)
          |SELECT CAST(icept.n_days AS BIGINT) AS n_days,
          |  CAST(slope.n_pairs AS BIGINT) AS n_pairs,
-         |  slope.slope_micro, icept.intercept_micro
+         |  CAST(slope.slope_micro // 1000 AS BIGINT) AS slope_milli,
+         |  CAST(icept.intercept_micro // 1000 AS BIGINT)
+         |    AS intercept_milli
          |FROM slope, icept""".stripMargin,
 
     "q_grubbs" ->

@@ -33,7 +33,7 @@ object TextOps extends QueryPack {
   private val sqlWithMutants =
     """(SELECT doc_id, text FROM documents
       | UNION ALL
-      | SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text
+      | SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
       | FROM documents)""".stripMargin
 
   override def defs: Map[String, Q] = Map[String, Q](
@@ -218,7 +218,7 @@ object TextOps extends QueryPack {
       val d = withMutants(docs(s, dir))
       val pairs = docs(s, dir)
         .select(col("doc_id").as("id_a"),
-          (col("doc_id") + 1000000L).as("id_b"))
+          (col("doc_id") + Parity.VariantOffset).as("id_b"))
       Dedup.ngramJaccard(pairs, d, "text", "doc_id", n = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"))
@@ -352,7 +352,7 @@ object TextOps extends QueryPack {
     "q_pipeline_mix" -> ((s, dir) => {
       val d0 = docs(s, dir).select(col("doc_id"), col("text"), col("lang"))
       val d = d0.unionByName(d0.select(
-        (col("doc_id") + 1000000L).as("doc_id"),
+        (col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
       val sampled = graft.operators.Sampling.stratifiedHashSample(
         d, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
@@ -771,7 +771,7 @@ object TextOps extends QueryPack {
       s"""WITH corpus AS MATERIALIZED (
          |  SELECT doc_id, text, lang FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000 AS doc_id, text || ' zzmutant' AS text, lang
+         |  SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text, lang
          |  FROM documents),
          |sampled AS MATERIALIZED (
          |  SELECT doc_id, text, lang FROM corpus
@@ -891,7 +891,7 @@ object TextOps extends QueryPack {
          |  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
          |    CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6)
          |    AS jaccard
-         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000
+         |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1000000000000
          |ORDER BY id_a""".stripMargin
     },
 

@@ -204,13 +204,14 @@ class MlOpsSpec extends SparkSpec {
   }
 
   // Mutant fixture for the id-aliasing hazard (ADVICE r8): a corpus with
-  // doc_id at/past the +1e6 mutant offset would silently alias a real doc
-  // as a mutant on BOTH engine and oracle — the guard must fail loudly
-  // instead of letting the parity gate stay green over wrong accounting.
+  // doc_id at/past the mutant offset (10¹² since round 14) would silently
+  // alias a real doc as a mutant on BOTH engine and oracle — the guard
+  // must fail loudly instead of letting the parity gate stay green over
+  // wrong accounting.
   test("withMutants guard: doc_id past the offset fails loudly") {
     val tmp = java.nio.file.Files.createTempDirectory("mutant-guard").toString
     graft.sources.Tables.load(spark, sf, "documents")
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + graft.queries.Parity.VariantOffset)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val ex = intercept[Throwable] {
       graft.queries.MlOps.defs("q_fold_assign")(spark, tmp).collect()

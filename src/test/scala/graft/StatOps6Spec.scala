@@ -188,7 +188,9 @@ class StatOps6Spec extends SparkSpec {
       .collect().head
     assert(row.getAs[Long]("k_groups") == perG.size.toLong)
     assert(row.getAs[Long]("n_orders") == os.length.toLong)
-    assert(BigInt(row.getAs[Long]("rank_ss")) == rankSs)
+    // published cell is the 10⁶-scaled quartered rank-SS (sumterm grows
+    // ∝n³ — 93·2⁵³ at the sf1 probe); H still closes on full precision
+    assert(BigInt(row.getAs[Long]("rank_ss_e6")) == rankSs / 1000000)
     assert(BigInt(row.getAs[Long]("ties")) == ties)
     val n = os.length.toDouble
     val expectH = (12.0 * rankSs.toDouble / (n * (n + 1.0)) - 3.0 * (n + 1.0)) /

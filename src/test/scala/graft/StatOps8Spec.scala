@@ -41,8 +41,11 @@ class StatOps8Spec extends SparkSpec {
     assert(row.getAs[Long]("n_days") == d.length.toLong)
     assert(row.getAs[Long]("n_pairs") ==
       (d.length.toLong * (d.length - 1)) / 2)
-    assert(row.getAs[Long]("slope_micro") == slope)
-    assert(row.getAs[Long]("intercept_micro") == lowerMedian(icepts))
+    // published cells are milli-cents (div 10³ trunc-toward-zero; the
+    // sf1 probe caught intercept_micro at 0.94·2⁵³) — medians inside
+    // the gate still select on full micro resolution
+    assert(row.getAs[Long]("slope_milli") == slope / 1000)
+    assert(row.getAs[Long]("intercept_milli") == lowerMedian(icepts) / 1000)
     // Mann-Kendall agreement: sign(slope) == sign(S) when |S| is clear
     val sgn = (for {
       i <- d.indices; j <- d.indices if j > i

@@ -61,10 +61,12 @@ def main():
     # hash of the row index, so the slice is deterministic across runs and
     # machines without any RNG state. Types/value/props resample the
     # EMPIRICAL sf0.1 rows by hashed index.
-    # the driver's events carry UTC-adjusted timestamps (Spark TimestampType);
-    # a bare make_timestamp would land as TIMESTAMP_NTZ in the parquet footer
-    # and Spark's watermark ops reject NTZ event time — write TIMESTAMPTZ
-    # under an explicitly-UTC session
+    # The driver corpus stores ALL timestamps tz-naive (Spark reads them
+    # as TIMESTAMP_NTZ): a TIMESTAMPTZ here would make sf1's events.ts
+    # infer as TimestampType while every other corpus is NTZ, and typed
+    # gates fail to decode (round 14 — the earlier TIMESTAMPTZ comment
+    # reflected a pre-round-12 driver corpus). Bare make_timestamp under
+    # a UTC session = the same naive instants at every scale.
     con.execute("SET TimeZone = 'UTC'")
     (t0, t1) = con.execute(
         f"SELECT epoch_us(MIN(ts)), epoch_us(MAX(ts)) FROM "
@@ -78,7 +80,7 @@ def main():
         COPY (
           SELECT g.i AS event_id,
                  make_timestamp(CAST({t0} + hash(g.i * 7 + 1) %
-                   ({t1} - {t0} + 1) AS BIGINT))::TIMESTAMPTZ AS ts,
+                   ({t1} - {t0} + 1) AS BIGINT)) AS ts,
                  CAST(hash(g.i * 7 + 2) % {N_USERS} AS BIGINT) AS user_id,
                  s.event_type,
                  v.value,
