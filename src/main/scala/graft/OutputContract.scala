@@ -144,8 +144,16 @@ object ContractProbe {
         violations.take(40).mkString("\n  "))
       spark.stop(); sys.exit(1)
     }
-    println("[probe] contract holds" +
-      (if (errs.isEmpty) "" else " on every gate that ran"))
+    if (errs.nonEmpty) {
+      // A partial sweep is NOT a clean pass: gates that threw at this
+      // corpus may hide violations. Exit 2 so automation keying on the
+      // exit code can tell "clean" (0) from "incomplete" (2) from
+      // "violated" (1).
+      println("[probe] contract holds on every gate that ran — " +
+        s"INCOMPLETE sweep (${errs.length} gates erred), exiting 2")
+      spark.stop(); sys.exit(2)
+    }
+    println("[probe] contract holds")
     spark.stop()
   }
 }

@@ -57,7 +57,8 @@ object SparkEntry {
     CalibOps,
     DedupAuditOps,
     LearnOps,
-    DesignOps
+    DesignOps,
+    SelectOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

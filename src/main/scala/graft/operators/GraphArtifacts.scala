@@ -78,6 +78,55 @@ object GraphArtifacts {
         .select(col("u"), col("v")).distinct().localCheckpoint()
     }
 
+  /** Vertex degrees (x, d) of [[coPurchaseEdges]] — the broadcastable
+    * vertex-sized table every orientation/threshold gate joins; built
+    * once (round 15: q_triangles and q_clustering_coef each rebuilt it). */
+  def coPurchaseDegrees(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "degrees") {
+      val e0 = coPurchaseEdges(s, dir)
+      e0.select(col("u").as("x"))
+        .unionAll(e0.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+    }
+
+  /** Degree-oriented co-purchase edges (s, t): low-(degree, id) →
+    * high-(degree, id), the orientation that bounds wedge fan-out by
+    * the classical O(m^1.5) on power-law graphs. The triangle twins
+    * (q_triangles, q_clustering_coef) consume this same checkpointed
+    * frame on all three legs of their two-hop joins — one degree join
+    * + orientation build per (session, corpus) instead of one per
+    * gate. */
+  def orientedCoPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "oriented") {
+      val e0 = coPurchaseEdges(s, dir)
+      val deg = coPurchaseDegrees(s, dir)
+      val fwd = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      e0.join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
+          Seq("v"))
+        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
+          when(fwd, col("v")).otherwise(col("u")).as("t"))
+        .localCheckpoint()
+    }
+
+  /** Out-adjacency of [[orientedCoPurchaseEdges]] — (x, nbrs) with nbrs
+    * the SORTED array of out-neighbors. Degree orientation bounds
+    * |nbrs| by O(√m) on power-law graphs, so the arrays are small even
+    * at hub vertices. The triangle twins intersect these per edge
+    * (|adjOut(s) ∩ adjOut(t)| = triangles through oriented edge (s,t))
+    * — two edge-sized shuffles instead of materializing the wedge
+    * frame, which is the term that explodes at 100 TB. */
+  def orientedAdjacency(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "adjacency") {
+      orientedCoPurchaseEdges(s, dir)
+        .groupBy(col("s").as("x"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .localCheckpoint()
+    }
+
   /** Weighted customer-nation → supplier-nation trade edges (src, dst,
     * w) — the lineitem⋈orders⋈customer⋈supplier rollup all three rank
     * gates (q_pagerank/q_ppr/q_hits) iterate over, built once. ≤ 625

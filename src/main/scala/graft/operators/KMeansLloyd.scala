@@ -39,9 +39,11 @@ object KMeansLloyd {
     * @param k       cluster count; initial centroids are the k smallest
     *                ids' vectors (deterministic, oracle-replayable)
     * @param iters   assign+update rounds (≥ 1)
-    * @return (final-round assignment (id, cid), centroids AFTER the final
-    *         update, indexed by cid) — the assignment is the one the last
-    *         update was computed FROM, so the pair replays exactly */
+    * @return (final-round assignment (id, vq, cid) with the 2⁻²⁰-quantized
+    *         vector kept for downstream integer geometry (SemDeDup),
+    *         centroids AFTER the final update, indexed by cid) — the
+    *         assignment is the one the last update was computed FROM, so
+    *         the pair replays exactly */
   def fit(vectors: DataFrame, idCol: Column, vecCol: Column,
       k: Int, iters: Int): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
@@ -103,7 +105,7 @@ object KMeansLloyd {
     // the returned assignment derives from `last` only; the quantized
     // projection's blocks are no longer needed
     releaseBlocks(q)
-    (last.select(col("id"), col("cid")), cents)
+    (last.select(col("id"), col("vq"), col("cid")), cents)
   }
 
   /** Gate-shaped summary: (cid, n_members, centroid csv of integer

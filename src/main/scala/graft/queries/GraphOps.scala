@@ -78,32 +78,31 @@ object GraphOps extends QueryPack {
     // possible wedge and are excluded on both engines). The mean is the
     // trunc div of the exact ppm sum — the q_silhouette readout shape.
     "q_clustering_coef" -> ((s, dir) => {
-      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
-      val deg = e0.select(col("u").as("x"))
-        .unionAll(e0.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val fwd = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val e = e0
-        .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
-          Seq("u"))
-        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
-          Seq("v"))
-        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
-          when(fwd, col("v")).otherwise(col("u")).as("t"))
-        // the oriented frame is consumed THREE ways by the triangle
-        // join — without the checkpoint the degree-join subtree runs
-        // once per side (the BasketGraph semi-eager precedent; measured
-        // 20.8 → 11.3 s at sf0.1)
-        .localCheckpoint()
-      val tri = e.as("e1")
-        .join(e.select(col("s").as("mu"), col("t").as("mw")).as("e2"),
-          col("e1.t") === col("e2.mu"))
-        .join(e.select(col("s").as("cu"), col("t").as("cw")).as("e3"),
-          col("e1.s") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
-        .select(explode(array(col("e1.s"), col("e1.t"), col("e2.mw")))
-          .as("x"))
-        .groupBy(col("x")).agg(count(lit(1)).as("tx"))
+      // round 15: degrees, oriented edges, and out-adjacency are shared
+      // GraphArtifacts; triangles come from per-edge sorted-array
+      // intersection (the q_triangles rewrite — the wedge frame never
+      // materializes). Corner credits in ONE generator pass: for edge
+      // (s,t) with common out-neighbors W, s and t each earn |W| and
+      // every w ∈ W earns 1 — the same triple-credit as exploding the
+      // triangle stream, without a second pass or a checkpoint.
+      val deg = GraphArtifacts.coPurchaseDegrees(s, dir)
+      val adj = GraphArtifacts.orientedAdjacency(s, dir)
+      val ws = array_intersect(col("ns"), col("nt"))
+      val tri = GraphArtifacts.orientedCoPurchaseEdges(s, dir)
+        .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
+        .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))
+        .select(col("s"), col("t"), ws.as("ws"))
+        .filter(size(col("ws")) > 0)
+        .select(explode(concat(
+          array(
+            struct(col("s").as("x"),
+              size(col("ws")).cast("long").as("c")),
+            struct(col("t").as("x"),
+              size(col("ws")).cast("long").as("c"))),
+          transform(col("ws"),
+            w => struct(w.as("x"), lit(1L).as("c"))))).as("sc"))
+        .select(col("sc.x").as("x"), col("sc.c").as("c"))
+        .groupBy(col("x")).agg(sum(col("c")).as("tx"))
       deg.filter(col("d") >= 2)
         .join(tri, Seq("x"), "left")
         .select(col("d"), coalesce(col("tx"), lit(0L)).as("tx"))

@@ -362,6 +362,65 @@ object MlOps extends QueryPack {
         Tables.load(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), k = KmK, iters = KmIters)),
 
+    // Semantic dedup, SemDeDup-shaped (Abbas et al. 2023, round 15):
+    // cluster the embedding space with the SAME deterministic k-means the
+    // q_kmeans_lloyd gate pins, then search for near-duplicates ONLY
+    // within a cluster — the corpus-quadratic all-pairs never exists; each
+    // vector shuffles ONCE keyed by cid and the per-cluster pair frame is
+    // |cluster|²-bounded (at 100 TB, k scales with the corpus — SemDeDup
+    // uses n/⟨cluster⟩ clusters — so the quadratic term stays constant
+    // per cluster; the q_embed_neardup_lsh occupancy-cap pattern applies
+    // if a cluster degenerates). The keep policy is deterministic:
+    // cosine ≥ 0.85 pairs keep the SMALLEST vec_id (the stand-in for
+    // SemDeDup's keep-closest-to-centroid). The cosine test is an exact
+    // integer cross-multiplication over the 2⁻²⁰-quantized vectors —
+    // cos ≥ 0.85 ⟺ dot > 0 ∧ 400·dot² ≥ 289·|a|²·|b|² — staged
+    // DECIMAL(38,0)/HUGEINT (dot ≤ 64·2⁴⁰ < 2⁴⁶, dot² < 2⁹² < 10³⁸),
+    // so the threshold boundary cannot flip between engines. The corpus
+    // plants a near-duplicate of every vector (+0.001 per component —
+    // cos ≈ 1, distance shift too small to change its cluster — at
+    // id + VariantOffset) so the detection path is exercised: roughly
+    // half the corpus must drop, and the exact split is oracle-pinned.
+    // Float→double is exact and the +0.001 is the same IEEE double op
+    // in both engines, so the planted components quantize identically.
+    "q_semdedup" -> ((s, dir) => {
+      def emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("embedding"))
+        .unionByName(emb.select(
+          (Parity.guardedVariantId(col("vec_id"))
+            + Parity.VariantOffset).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") + 0.001)
+            .as("embedding")))
+      val (assign, _) = graft.operators.KMeansLloyd.fit(
+        corpus, col("vec_id"), col("embedding"), k = KmK, iters = KmIters)
+      val m = assign.select(col("id"), col("cid"), col("vq"),
+        aggregate(col("vq"), lit(0L), (a, x) => a + x * x).as("n2"))
+      val dot = aggregate(
+        zip_with(col("va"), col("vb"), (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      val pairs = m
+        .select(col("cid"), col("id").as("ia"), col("vq").as("va"),
+          col("n2").as("na2"))
+        .join(m.select(col("cid"), col("id").as("ib"),
+          col("vq").as("vb"), col("n2").as("nb2")), Seq("cid"))
+        .filter(col("ia") < col("ib"))
+        .select(col("cid"), col("ib"), dot.as("dot"),
+          col("na2"), col("nb2"))
+        .filter(col("dot") > 0 &&
+          col("dot").cast(DecimalType(38, 0)) * col("dot") * 400 >=
+            col("na2").cast(DecimalType(38, 0)) * col("nb2") * 289)
+      val dropped = pairs.select(col("cid"), col("ib")).distinct()
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_dropped"))
+      assign.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        .join(dropped, Seq("cid"), "left")
+        .select(col("cid"), col("n_members"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_members") -
+            coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+        .orderBy(col("cid"))
+    }),
+
     // Classifier calibration report: the q_quality_model linear score
     // binned into fixed 1000-milli bands vs the observed positive rate —
     // the reliability-diagram table an eval stage prints. Bin index uses
@@ -524,6 +583,43 @@ object MlOps extends QueryPack {
   /** k-means gate parameters (shared by the query and its oracle). */
   private val KmK = 8
   private val KmIters = 3
+
+  /** WITH-clause body replaying [[graft.operators.KMeansLloyd.fit]] in
+    * DuckDB — quantize (q), seed centroids (c0f), then KmIters
+    * assign+update rounds; `a$KmIters` is the final (id, vq, cid)
+    * assignment and `c${KmIters}f` the final centroids. Shared by the
+    * q_kmeans_lloyd and q_semdedup oracles; `source` is the (vec_id,
+    * embedding) relation to cluster. */
+  private def sqlKmeansAssign(source: String = "embeddings"): String = {
+    // squared integer distance between the vq list and a centroid list
+    def dist(v: String, c: String) =
+      s"list_sum(list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    // one assign+update round: a<i> assigns against c<i-1>f, c<i>f is
+    // the floor-mean update with empty clusters keeping their centroid
+    def round_(i: Int): String =
+      s"""a$i AS (SELECT id, vq, cid FROM (
+         |  SELECT q.id, q.vq, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY q.id
+         |      ORDER BY ${dist("q.vq", "c.cv")}, c.cid) AS rn
+         |  FROM q, c${i - 1}f c) WHERE rn = 1),
+         |u$i AS (SELECT cid, dim,
+         |    CAST(SUM(vq[dim]) // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS m
+         |  FROM a$i, (SELECT unnest(generate_series(1, $EmbedDim)) AS dim)
+         |  GROUP BY cid, dim),
+         |n$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid),
+         |c${i}f AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+         |  FROM c${i - 1}f p LEFT JOIN n$i n USING (cid))""".stripMargin
+    val rounds = (1 to KmIters).map(round_).mkString(",\n")
+    s"""q AS (SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
+       |      AS vq
+       |  FROM $source),
+       |c0f AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)
+       |      AS cid, vq AS cv
+       |  FROM (SELECT id, vq FROM q ORDER BY id LIMIT $KmK)),
+       |$rounds""".stripMargin
+  }
 
   /** Corpus-novelty scoring (curriculum/sampling signal): the fraction of
     * each document's distinct 3-grams whose FIRST corpus occurrence (by
@@ -896,42 +992,54 @@ object MlOps extends QueryPack {
          |   AS BIGINT) AS chi2_micro
          |FROM cells, tot ORDER BY cells.variant""".stripMargin,
 
-    "q_kmeans_lloyd" -> {
-      // squared integer distance between the vq list and a centroid list
-      def dist(v: String, c: String) =
-        s"list_sum(list_transform(list_zip($v, $c), s -> (s[1] - s[2]) * (s[1] - s[2])))"
-      // one assign+update round: a<i> assigns against c<i-1>f, c<i>f is
-      // the floor-mean update with empty clusters keeping their centroid
-      def round_(i: Int): String =
-        s"""a$i AS (SELECT id, vq, cid FROM (
-           |  SELECT q.id, q.vq, c.cid,
-           |    ROW_NUMBER() OVER (PARTITION BY q.id
-           |      ORDER BY ${dist("q.vq", "c.cv")}, c.cid) AS rn
-           |  FROM q, c${i - 1}f c) WHERE rn = 1),
-           |u$i AS (SELECT cid, dim,
-           |    CAST(SUM(vq[dim]) // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS m
-           |  FROM a$i, (SELECT unnest(generate_series(1, $EmbedDim)) AS dim)
-           |  GROUP BY cid, dim),
-           |n$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM u$i GROUP BY cid),
-           |c${i}f AS (SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
-           |  FROM c${i - 1}f p LEFT JOIN n$i n USING (cid))""".stripMargin
-      val rounds = (1 to KmIters).map(round_).mkString(",\n")
-      s"""WITH q AS (SELECT vec_id AS id,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1048576) AS BIGINT))
-         |      AS vq
-         |  FROM embeddings),
-         |c0f AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT)
-         |      AS cid, vq AS cv
-         |  FROM (SELECT id, vq FROM q ORDER BY id LIMIT $KmK)),
-         |$rounds,
+    "q_kmeans_lloyd" ->
+      s"""WITH ${sqlKmeansAssign()},
          |cnt AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
          |        FROM a$KmIters GROUP BY cid)
          |SELECT c.cid, COALESCE(cnt.n_members, 0) AS n_members,
          |  array_to_string(c.cv, ',') AS centroid
          |FROM c${KmIters}f c LEFT JOIN cnt USING (cid)
-         |ORDER BY c.cid""".stripMargin
-    },
+         |ORDER BY c.cid""".stripMargin,
+
+    // within-cluster pairs only (the SemDeDup bucketing); the cosine
+    // threshold runs as an exact integer cross-multiplication — cos ≥
+    // 0.85 ⟺ dot > 0 ∧ 400·dot² ≥ 289·|a|²·|b|² — in HUGEINT, so the
+    // boundary can never flip between engines. The corpus plants a
+    // near-duplicate of every vector (+0.001 on each component, id +
+    // VariantOffset) so the pair path is exercised: cos(v, v+ε1) ≈ 1
+    // and the tiny distance shift keeps the variant in its base's
+    // cluster, so roughly half the corpus must drop.
+    "q_semdedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE))
+         |      AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000000000 AS vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001)
+         |      AS embedding
+         |  FROM embeddings),
+         |${sqlKmeansAssign("corpus")},
+         |m AS (SELECT id, cid, vq,
+         |    list_sum(list_transform(vq, x -> x * x)) AS n2
+         |  FROM a$KmIters),
+         |p AS (SELECT a.cid, a.id AS ia, b.id AS ib,
+         |    list_sum(list_transform(list_zip(a.vq, b.vq),
+         |      s -> s[1] * s[2])) AS dot,
+         |    a.n2 AS na2, b.n2 AS nb2
+         |  FROM m a JOIN m b ON a.cid = b.cid AND a.id < b.id),
+         |hits AS (SELECT DISTINCT cid, ib FROM p
+         |  WHERE dot > 0 AND 400 * CAST(dot AS HUGEINT) * dot >=
+         |    289 * CAST(na2 AS HUGEINT) * nb2),
+         |mem AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM a$KmIters GROUP BY cid),
+         |drp AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dropped
+         |  FROM hits GROUP BY cid)
+         |SELECT mem.cid, n_members,
+         |  COALESCE(n_dropped, 0) AS n_dropped,
+         |  n_members - COALESCE(n_dropped, 0) AS n_kept
+         |FROM mem LEFT JOIN drp USING (cid) ORDER BY mem.cid""".stripMargin,
 
     "q_calibration_bins" -> {
       val toks = sqlTokens(

@@ -90,7 +90,8 @@ object PipelineOps extends QueryPack {
     // by the side tag. Every (original, its mutant) pair must surface.
     "q_dedup_cross" -> ((s, dir) => {
       val d = docs(s, dir)
-      val mutants = d.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
+      val mutants = d.select((Parity.guardedVariantId(col("doc_id"))
+          + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"))
       Dedup.minhashPairsAcross(
           d.select(col("doc_id"), col("text")), mutants,
@@ -103,12 +104,17 @@ object PipelineOps extends QueryPack {
     // the reference corpus — should scrub away) plus fresh docs
     // (char-reversed text, disjoint shingles — must survive), scrubbed
     // against the originals; survivors counted per language pin the
-    // whole candidates→anti-join composition.
+    // whole candidates→anti-join composition. Both crawl variants sit
+    // ABOVE Parity.VariantOffset (mutants at +1·VariantOffset, reversed
+    // at +2·VariantOffset) so the single guard bound keeps every synthetic
+    // id space disjoint from base ids AND from each other.
     "q_dedup_cross_scrub" -> ((s, dir) => {
       val d = docs(s, dir)
-      val crawl = d.select((col("doc_id") + Parity.VariantOffset).as("doc_id"),
+      val crawl = d.select((Parity.guardedVariantId(col("doc_id"))
+            + Parity.VariantOffset).as("doc_id"),
           concat(col("text"), lit(" zzmutant")).as("text"), col("lang"))
-        .unionByName(d.select((col("doc_id") + 2000000L).as("doc_id"),
+        .unionByName(d.select((Parity.guardedVariantId(col("doc_id"))
+            + 2L * Parity.VariantOffset).as("doc_id"),
           reverse(col("text")).as("text"), col("lang")))
       Dedup.scrubAgainst(d.select(col("doc_id"), col("text")), crawl,
           col("text"), col("doc_id"),
@@ -648,9 +654,11 @@ object PipelineOps extends QueryPack {
          |GROUP BY 1, 2 ORDER BY doc_id, eval_id""".stripMargin
     },
 
-    // survivors = crawl members (mutants at +1e6, reversed-fresh at +2e6)
-    // with no banded cross match vs the originals; language comes from
-    // the source doc
+    // survivors = crawl members (mutants at +VariantOffset = +1e12,
+    // reversed-fresh at +2·VariantOffset = +2e12) with no banded cross
+    // match vs the originals; language comes from the source doc. BOTH
+    // crawl id spaces sit >= VariantOffset, so the hit filter can scrub
+    // a reversed doc exactly like the engine's anti-join can.
     "q_dedup_cross_scrub" -> {
       val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
       s"""WITH corpus AS MATERIALIZED (
@@ -659,7 +667,7 @@ object PipelineOps extends QueryPack {
          |  SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
          |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000000 AS doc_id, reverse(text) AS text
+         |  SELECT doc_id + 2000000000000 AS doc_id, reverse(text) AS text
          |  FROM documents),
          |sigs AS MATERIALIZED (
          |  SELECT doc_id AS id, $sig AS sig FROM corpus),
@@ -674,7 +682,7 @@ object PipelineOps extends QueryPack {
          |crawl AS (
          |  SELECT doc_id + 1000000000000 AS cid, lang FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 2000000 AS cid, lang FROM documents)
+         |  SELECT doc_id + 2000000000000 AS cid, lang FROM documents)
          |SELECT lang, COUNT(*) AS n_survivors
          |FROM crawl
          |WHERE cid NOT IN (SELECT id_b FROM hit)
@@ -682,7 +690,8 @@ object PipelineOps extends QueryPack {
     },
 
     // same banding arithmetic as q_dedup_minhash; orientation falls out of
-    // the id ranges (originals < 1000000 ≤ mutants) and cand's id_a < id_b
+    // the id ranges (originals < VariantOffset = 1e12 ≤ mutants) and
+    // cand's id_a < id_b
     "q_dedup_cross" -> {
       val sig = sqlMinhashSignature(sqlWordNgrams("text", 3), 16)
       s"""WITH corpus AS MATERIALIZED (

@@ -98,33 +98,23 @@ object RankOps extends QueryPack {
     // broadcasts; every subsequent join is an equi-join on a vertex key
     // (shuffle, never cartesian).
     "q_triangles" -> ((s, dir) => {
-      // shared build-once artifact (GraphArtifacts): census-capped edges
-      // (oversized baskets drop whole), materialized once per (session,
-      // corpus) and read as a leaf by the whole structural family
+      // shared build-once artifacts (GraphArtifacts): census-capped
+      // edges, the degree-oriented frame, and its out-adjacency —
+      // round 15 replaced the two-hop wedge join with per-edge sorted-
+      // array intersection (|adjOut(s) ∩ adjOut(t)| counts the
+      // triangles through oriented edge (s,t) exactly once): the wedge
+      // frame — the term that explodes at 100 TB — never materializes;
+      // the plan is two edge-sized equi-joins against the vertex-sized
+      // adjacency leaf. Orientation bounds |nbrs| by O(√m), so the
+      // per-edge intersection cost is skew-safe at hubs.
       val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
-      val deg = e0.select(col("u").as("x"))
-        .unionAll(e0.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val fwd = col("du") < col("dv") ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val e = e0
-        .join(broadcast(deg.select(col("x").as("u"), col("d").as("du"))),
-          Seq("u"))
-        .join(broadcast(deg.select(col("x").as("v"), col("d").as("dv"))),
-          Seq("v"))
-        .select(when(fwd, col("u")).otherwise(col("v")).as("s"),
-          when(fwd, col("v")).otherwise(col("u")).as("t"))
-        // round-12: the oriented frame feeds all three join legs —
-        // checkpoint it so the degree-join subtree runs once, not
-        // thrice (measured on the q_clustering_coef twin: 20.8 → 11.3 s
-        // at sf0.1; hashes untouched, plan-only)
-        .localCheckpoint()
-      val tri = e.as("e1")
-        .join(e.select(col("s").as("mu"), col("t").as("mw")).as("e2"),
-          col("e1.t") === col("e2.mu"))
-        .join(e.select(col("s").as("cu"), col("t").as("cw")).as("e3"),
-          col("e1.s") === col("e3.cu") && col("e2.mw") === col("e3.cw"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val adj = GraphArtifacts.orientedAdjacency(s, dir)
+      val tri = GraphArtifacts.orientedCoPurchaseEdges(s, dir)
+        .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
+        .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))
+        .select(size(array_intersect(col("ns"), col("nt")))
+          .cast("long").as("tw"))
+        .agg(coalesce(sum(col("tw")), lit(0L)).as("n_triangles"))
       e0.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 

@@ -70,12 +70,17 @@ object TpchOps2 extends QueryPack {
     (c.cast(DecimalType(18, 2)) * 100).cast("long")
 
   override def defs: Map[String, Q] = Map(
-    // ---- Q2: min-cost supplier (correlated scalar subquery) --------
+    // ---- Q2: min-cost supplier (per-part min over a window) --------
     // For SMALL/size-15 parts, the EUROPE suppliers whose min sale
     // price for the part equals the min over ALL EUROPE suppliers of
-    // that part. The correlated scalar aggregate decorrelates into a
-    // per-part min join; the partcost census (one group-by over the
-    // fact) is the partsupp stand-in and the only corpus-sized frame.
+    // that part. TPC-H's correlated scalar subquery would re-reference
+    // the partcost CTE, and Catalyst INLINES multi-referenced CTEs —
+    // the executed plan scanned lineitem 3× (r14 verdict). Rewritten
+    // so the fact is touched ONCE: one group-by census, broadcast dim
+    // joins (part/supplier/nation/region all pre-filtered), then the
+    // per-part min as a window over the already-tiny qualifying frame.
+    // The part/region filters sit BELOW the window, which is sound
+    // because they drop whole partkey groups, never split one.
     "q_tpch_q2" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("tq2_lineitem")
       t(s, dir, "part").createOrReplaceTempView("tq2_part")
@@ -87,20 +92,20 @@ object TpchOps2 extends QueryPack {
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
         |    MIN(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
         |      AS BIGINT)) AS cost_cents
-        |  FROM tq2_lineitem GROUP BY 1, 2)
+        |  FROM tq2_lineitem GROUP BY 1, 2),
+        |eucost AS (
+        |  SELECT p_partkey, p_type, cost_cents, s_acctbal, s_name,
+        |    n_name
+        |  FROM partcost, tq2_part, tq2_supplier, tq2_nation, tq2_region
+        |  WHERE p_partkey = partkey AND p_size = 15
+        |    AND p_type = 'SMALL' AND s_suppkey = suppkey
+        |    AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost_cents
-        |FROM tq2_part, partcost, tq2_supplier, tq2_nation, tq2_region
-        |WHERE p_partkey = partkey AND s_suppkey = suppkey
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'EUROPE' AND p_size = 15 AND p_type = 'SMALL'
-        |  AND cost_cents = (
-        |    SELECT MIN(pc2.cost_cents)
-        |    FROM partcost pc2, tq2_supplier s2, tq2_nation n2,
-        |      tq2_region r2
-        |    WHERE pc2.partkey = p_partkey AND s2.s_suppkey = pc2.suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey
-        |      AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'EUROPE')
+        |FROM (SELECT *, MIN(cost_cents)
+        |        OVER (PARTITION BY p_partkey) AS min_cost
+        |      FROM eucost)
+        |WHERE cost_cents = min_cost
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
         |""".stripMargin)
     }),
@@ -331,6 +336,14 @@ object TpchOps2 extends QueryPack {
     // argmax via `rev = (SELECT MAX(rev))` keeps ties (the spec'd Q15
     // semantics) where a LIMIT 1 would drop them. Decimal equality is
     // exact, so the tie set is engine-identical.
+    // The scalar MAX re-references revenue0, and Catalyst inlines
+    // multi-referenced CTEs → 2 lineitem scans (r15 sweep). Rewritten
+    // as a LINEAR chain: per-bucket max window (1024-way parallel) →
+    // keep bucket maxima (≤1024 rows + ties) → global max window over
+    // that tiny frame. The global-max ties survive their own bucket
+    // filter, so no winner is lost; total_rev is exact DECIMAL so the
+    // equality is boundary-safe. One fact scan, no single-partition
+    // window over the supplier-sized frame.
     "q_tpch_q15" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("tq15_lineitem")
       t(s, dir, "supplier").createOrReplaceTempView("tq15_supplier")
@@ -342,12 +355,21 @@ object TpchOps2 extends QueryPack {
         |  FROM tq15_lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate < TIMESTAMP '1996-04-01'
-        |  GROUP BY 1)
+        |  GROUP BY 1),
+        |cand AS (
+        |  SELECT supplier_no, total_rev FROM (
+        |    SELECT supplier_no, total_rev,
+        |      MAX(total_rev) OVER (PARTITION BY
+        |        pmod(hash(supplier_no), 1024)) AS bmax
+        |    FROM revenue0)
+        |  WHERE total_rev = bmax)
         |SELECT s_suppkey, s_name,
         |  CAST(total_rev AS DOUBLE) AS total_revenue
-        |FROM tq15_supplier, revenue0
-        |WHERE s_suppkey = supplier_no
-        |  AND total_rev = (SELECT MAX(total_rev) FROM revenue0)
+        |FROM tq15_supplier JOIN (
+        |  SELECT supplier_no, total_rev FROM (
+        |    SELECT supplier_no, total_rev,
+        |      MAX(total_rev) OVER () AS gmax FROM cand)
+        |  WHERE total_rev = gmax) ON s_suppkey = supplier_no
         |ORDER BY s_suppkey
         |""".stripMargin)
     }),
@@ -381,6 +403,11 @@ object TpchOps2 extends QueryPack {
     // Quantities are integral doubles (exact sums < 2⁵³ in any order),
     // so avg → ×0.2 → compare is the same double arithmetic on both
     // engines; the revenue closes through an exact decimal sum.
+    // The correlated AVG would decorrelate into a SECOND lineitem pass
+    // (r15 sweep: 2 scans). Single pass instead: the brand filter drops
+    // whole partkey groups (a part has one brand), so the per-part avg
+    // over the broadcast-join-pruned fact equals the correlated avg —
+    // computed as a window over l_partkey, one shuffle, one scan.
     "q_tpch_q17" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("tq17_lineitem")
       t(s, dir, "part").createOrReplaceTempView("tq17_part")
@@ -388,10 +415,12 @@ object TpchOps2 extends QueryPack {
         |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
         |    AS DOUBLE) / 7.0 AS avg_yearly,
         |  COUNT(*) AS n_lines
-        |FROM tq17_lineitem, tq17_part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
-        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
-        |    FROM tq17_lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |FROM (
+        |  SELECT l_extendedprice, l_quantity,
+        |    AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM tq17_lineitem, tq17_part
+        |  WHERE p_partkey = l_partkey AND p_brand = 'Brand#5')
+        |WHERE l_quantity < 0.2 * avg_qty
         |""".stripMargin)
     }),
 
@@ -453,34 +482,42 @@ object TpchOps2 extends QueryPack {
         |""".stripMargin)
     }),
 
-    // ---- Q21: suppliers who kept orders waiting (EXISTS + NOT EXISTS) -----
+    // ---- Q21: suppliers who kept orders waiting (per-order census) --------
     // For finalized multi-supplier orders, the supplier who was the ONLY
-    // late one (late = shipped > 60 days after order date). Lateness is
-    // computed ONCE in the `late` CTE and reused by both the outer block
-    // and the NOT EXISTS (at 100 TB that is one fact pass, not three);
-    // the correlated <> predicates decorrelate to semi/anti joins on
-    // orderkey.
+    // late one (late = shipped > 60 days after order date). TPC-H's
+    // EXISTS + NOT EXISTS re-references lineitem/the late CTE, and
+    // Catalyst INLINES multi-referenced CTEs — the executed plan scanned
+    // lineitem 6× and orders 3× (r14 verdict). Rewritten as ONE pass:
+    // per order, count distinct suppliers overall and among late lines;
+    // an order contributes iff >1 suppliers total and exactly 1 late
+    // supplier, and then contributes its late-row count (the original
+    // counted late l1 ROWS, so multiplicity is preserved via
+    // SUM(n_late_rows), not COUNT(order)). One orderkey join + one
+    // orderkey group-by (exchange reused), then broadcast supplier/nation.
     "q_tpch_q21" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("tq21_lineitem")
       t(s, dir, "orders").createOrReplaceTempView("tq21_orders")
       t(s, dir, "supplier").createOrReplaceTempView("tq21_supplier")
       t(s, dir, "nation").createOrReplaceTempView("tq21_nation")
       s.sql("""
-        |WITH late AS (
-        |  SELECT l_orderkey, l_suppkey
+        |WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS nsupp_all,
+        |    COUNT(DISTINCT CASE
+        |      WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN l_suppkey END) AS nsupp_late,
+        |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN l_suppkey END) AS late_supp,
+        |    SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END) AS n_late_rows
         |  FROM tq21_lineitem JOIN tq21_orders
         |    ON o_orderkey = l_orderkey
         |  WHERE o_orderstatus = 'F'
-        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |SELECT s_name, COUNT(*) AS numwait
-        |FROM tq21_supplier, late l1, tq21_nation
-        |WHERE s_suppkey = l1.l_suppkey
-        |  AND EXISTS (SELECT 1 FROM tq21_lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM late l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |  GROUP BY l_orderkey)
+        |SELECT s_name, SUM(n_late_rows) AS numwait
+        |FROM per_order, tq21_supplier, tq21_nation
+        |WHERE s_suppkey = late_supp AND nsupp_all > 1
+        |  AND nsupp_late = 1
         |  AND s_nationkey = n_nationkey AND n_name = 'NATION_13'
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
         |""".stripMargin)

@@ -131,8 +131,12 @@ class PlanSpec extends SparkSpec {
     // q_sort_nulls: the window's input is bounded by the pushed literal
     // predicate o_orderkey < 300 — a fixed ~75 rows at ANY scale factor
     // (the keyspace below 300 does not grow with data volume), so its
-    // single partition is a deliberate few-dozen-row null-ordering probe
-    val waived = Set("q_sort_nulls")
+    // single partition is a deliberate few-dozen-row null-ordering probe.
+    // q_tpch_q15: the global-max window runs on the bucket-maxima
+    // survivor frame — ≤1024 rows + global-max ties by construction at
+    // ANY scale (the per-bucket max window upstream is 1024-way
+    // partitioned; that's the stage that sees the supplier-sized frame)
+    val waived = Set("q_sort_nulls", "q_tpch_q15")
     val cartesian = scala.collection.mutable.ArrayBuffer[String]()
     val guilty = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       scala.util.Try {
@@ -509,23 +513,41 @@ class PlanSpec extends SparkSpec {
       s"quarter window not pushed to the orders scan:\n$p")
   }
 
-  test("q_tpch_q2 / q_tpch_q17: correlated SCALAR subqueries decorrelate " +
-      "into aggregate joins (no per-row re-execution, no cartesian)") {
-    for (q <- Seq("q_tpch_q2", "q_tpch_q17")) {
-      val p = plan(q)
-      // the rewritten plan joins a per-key aggregate back to the outer
-      // block; a non-decorrelated plan would carry a scalar-subquery
-      // node re-run per outer row
-      assert(p.contains("HashAggregate"),
-        s"$q: no aggregate for the decorrelated scalar subquery:\n$p")
-      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
-    }
+  test("q_tpch_q17: correlated SCALAR subquery decorrelates into an " +
+      "aggregate join (no per-row re-execution, no cartesian)") {
+    val p = plan("q_tpch_q17")
+    // the rewritten plan joins a per-key aggregate back to the outer
+    // block; a non-decorrelated plan would carry a scalar-subquery
+    // node re-run per outer row
+    assert(p.contains("HashAggregate"),
+      s"q17: no aggregate for the decorrelated scalar subquery:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q17: cartesian:\n$p")
   }
 
-  test("q_tpch_q21: EXISTS + NOT EXISTS decorrelate to semi + anti joins") {
+  /** Number of parquet scans of `table` in a formatted plan — each scan
+    * node's Location line names the file once. Multi-referenced CTEs are
+    * INLINED by Catalyst (r14 verdict: q2 scanned lineitem 3×, q21 6×),
+    * so single-fact-pass is a property that must be asserted, not assumed. */
+  private def factScans(p: String, table: String): Int =
+    s"$table\\.parquet".r.findAllMatchIn(p).length
+
+  test("q_tpch_q2: single lineitem pass — the per-part min is a window " +
+      "over the broadcast-joined census, not a re-referenced CTE") {
+    val p = plan("q_tpch_q2")
+    assert(factScans(p, "lineitem") == 1,
+      s"q2 scans lineitem ${factScans(p, "lineitem")}×, want 1:\n$p")
+    assert(p.contains("Window"), s"q2: per-part min is not a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q2: cartesian:\n$p")
+  }
+
+  test("q_tpch_q21: single fact pass — EXISTS/NOT-EXISTS recast as one " +
+      "per-order conditional aggregation") {
     val p = plan("q_tpch_q21")
-    assert(p.contains("LeftSemi"), s"EXISTS should plan a semi join:\n$p")
-    assert(p.contains("LeftAnti"), s"NOT EXISTS should plan an anti join:\n$p")
+    assert(factScans(p, "lineitem") == 1,
+      s"q21 scans lineitem ${factScans(p, "lineitem")}×, want 1:\n$p")
+    assert(factScans(p, "orders") == 1,
+      s"q21 scans orders ${factScans(p, "orders")}×, want 1:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q21: cartesian:\n$p")
   }
 
   test("q_tpch_q16 / q_tpch_q22: NOT IN / NOT EXISTS plan anti joins; " +
