@@ -56,6 +56,22 @@ object SelectOps extends QueryPack {
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** Truncated two-sided geometric(½) noise via inverse-CDF of a 32-bit
+    * uniform `u` — the engine rendering of [[DpThresholds]]. */
+  private def dpNoise(u: Column): Column =
+    DpThresholds.foldRight(lit(DpClamp): Column) {
+      case ((k, t), rest) => when(u < t, lit(k)).otherwise(rest)
+    }
+
+  /** The oracle rendering of [[DpThresholds]]: a CASE chain over the SAME
+    * integer literals, applied to the SQL uniform `uExpr`. */
+  private def sqlDpNoise(uExpr: String): String = {
+    val cases = DpThresholds
+      .map { case (k, t) => s"WHEN $uExpr < $t THEN $k" }
+      .mkString("\n    ")
+    s"CAST(CASE\n    $cases\n    ELSE $DpClamp END AS BIGINT)"
+  }
+
   override def defs: Map[String, Q] = Map(
 
     // ---- DSIR importance weights ------------------------------------
@@ -104,15 +120,33 @@ object SelectOps extends QueryPack {
     // count.
     "q_dp_count" -> ((s, dir) => {
       val u = hash32(concat(lit("dp1:"), col("o_orderpriority")))
-      val noise = DpThresholds.foldRight(lit(DpClamp): Column) {
-        case ((k, t), rest) => when(u < t, lit(k)).otherwise(rest)
-      }
       Tables.load(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .select(col("o_orderpriority"),
-          (col("n") + noise.cast("long")).as("n_dp"))
+          (col("n") + dpNoise(u).cast("long")).as("n_dp"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- ε-DP top-k selection (report-noisy-max, peeled as one shot) --
+    // "Which 5 brands are most common?" released privately: every
+    // candidate's count gets INDEPENDENT geometric noise (a distinct
+    // salt from q_dp_count — independent draws per mechanism), then the
+    // top 5 by noised count. Report-noisy-max is the selection
+    // counterpart of the count release — the winner's identity is what's
+    // DP-protected, and the brand counts here sit within ±16 of each
+    // other, so the noise OBSERVABLY reorders the ranking (a fixture
+    // where noise never changes the answer would pin nothing).
+    // Deterministic tie-break by brand; same integer-only machinery.
+    "q_dp_topk" -> ((s, dir) => {
+      val u = hash32(concat(lit("dpk:"), col("p_brand")))
+      Tables.load(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("p_brand"),
+          (col("n") + dpNoise(u).cast("long")).as("n_dp"))
+        .orderBy(col("n_dp").desc, col("p_brand"))
+        .limit(5)
     }))
 
   override def oracle: Map[String, String] = Map(
@@ -138,18 +172,18 @@ object SelectOps extends QueryPack {
          |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
     },
 
-    "q_dp_count" -> {
-      val u = sqlHash32("'dp1:' || o_orderpriority")
-      val cases = DpThresholds
-        .map { case (k, t) => s"WHEN u < $t THEN $k" }
-        .mkString("\n    ")
+    "q_dp_count" ->
       s"""SELECT o_orderpriority,
-         |  n + CAST(CASE
-         |    $cases
-         |    ELSE $DpClamp END AS BIGINT) AS n_dp
+         |  n + ${sqlDpNoise("u")} AS n_dp
          |FROM (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-         |    $u AS u
+         |    ${sqlHash32("'dp1:' || o_orderpriority")} AS u
          |  FROM orders GROUP BY o_orderpriority)
-         |ORDER BY o_orderpriority""".stripMargin
-    })
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_dp_topk" ->
+      s"""SELECT p_brand, n + ${sqlDpNoise("u")} AS n_dp
+         |FROM (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         |    ${sqlHash32("'dpk:' || p_brand")} AS u
+         |  FROM part GROUP BY p_brand)
+         |ORDER BY n_dp DESC, p_brand LIMIT 5""".stripMargin)
 }

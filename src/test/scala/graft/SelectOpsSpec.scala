@@ -35,6 +35,24 @@ class SelectOpsSpec extends SparkSpec {
       "no group got nonzero noise — the when-chain is likely broken")
   }
 
+  test("q_dp_topk: 5 rows, each within the noise clamp of its true " +
+      "count, ranked by noised count with brand tie-break") {
+    val out = SparkEntry.queries("q_dp_topk")(spark, sf).collect()
+    assert(out.length == 5)
+    val real = graft.sources.Tables.load(spark, sf, "part")
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
+    for (r <- out) {
+      val b = r.getString(0); val nDp = r.getAs[Long]("n_dp")
+      assert(math.abs(nDp - real(b)) <= 8,
+        s"$b: noise ${nDp - real(b)} escaped the ±8 clamp")
+    }
+    // ranking is by the RELEASED (noised) counts, descending
+    val released = out.map(_.getAs[Long]("n_dp"))
+    assert(released.sameElements(released.sorted.reverse),
+      "top-k not ordered by noised count")
+  }
+
   test("q_dsir_weights: target-language docs dominate the top ranks and " +
       "per-gram weights stay in (0, 10^6]") {
     val rows = SparkEntry.queries("q_dsir_weights")(spark, sf).collect()
