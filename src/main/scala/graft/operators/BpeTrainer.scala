@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training, fixed merge rounds (SURVEY §2.19).
+  *
+  * The classical formulation (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units") trains on the WORD
+  * FREQUENCY DICTIONARY, not the corpus: the corpus is scanned exactly
+  * once to build the word census; every merge round then runs over the
+  * vocab-sized census (Heaps' law ≈ 10⁷ rows at 100 TB) with pair counts
+  * weighted by word frequency. Each round is one explode + one weighted
+  * aggregate + a 1-row argmax collect (a driver-side model artifact, the
+  * [[KMeansLloyd]] centroid pattern) + one literal string replace — no
+  * corpus pass, no growing driver state.
+  *
+  * Symbol encoding — the cross-engine contract with the unrolled DuckDB
+  * oracle: a word's symbol sequence is rendered `|s1||s2||…||sk|` (every
+  * symbol wrapped in `|`; words are whitespace-split so symbols can never
+  * contain `|` or spaces). Merging pair (l, r) is then the LITERAL
+  * replace of `|l||r|` with `|lr|`:
+  *
+  *  - boundary-safe: the pattern starts and ends at a symbol boundary,
+  *    so `|a||b|` can never match inside `|xa||bc|`;
+  *  - canonical greedy non-overlap: disjoint adjacent occurrences share
+  *    no characters (`|a||b||a||b|` → `|ab||ab|`), and a same-symbol run
+  *    merges leftmost-first (`|a||a||a|` → `|aa||a|`) — exactly BPE's
+  *    left-to-right scan, and exactly what both engines' replace() does
+  *    (scan, consume match, resume after it). A space-joined encoding
+  *    (` l r ` → ` lr `) would share its boundary space between adjacent
+  *    occurrences and silently skip every second merge.
+  *
+  * Ties on pair count break by pair string ascending (byte order — the
+  * shared collation contract). All counts are exact longs.
+  */
+object BpeTrainer {
+
+  /** The `rounds` learned merges as (round, pair "l r", n_pair), in learn
+    * order. `words` is the census: one row per distinct word with its
+    * corpus frequency. Rounds where no pair exists (every word fully
+    * merged) stop early. */
+  def merges(words: DataFrame, wordCol: Column, countCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    // checkpoint: the census is the ONE artifact every round re-reads;
+    // without it each argmax job would replay the corpus tokenization
+    var sym = words
+      .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
+        countCol.cast("long").as("n"))
+      .filter(length(col("s")) > 0)
+      .localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var done = false
+    for (r <- 1 to rounds if !done) {
+      val t = split(expr("substring(s, 2, length(s) - 2)"), "\\|\\|")
+      val best = sym
+        .select(col("n"), explode(filter(
+          zip_with(t, slice(t, lit(2), size(t)),
+            (a, b) => concat(a, lit(" "), b)),
+          p => p.isNotNull)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        learned += ((r, pair, cnt))
+        val Array(l, rr) = pair.split(" ", 2)
+        sym = sym.select(
+          replace(col("s"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"),
+          col("n"))
+      }
+    }
+    learned.toSeq.toDF("round", "pair", "n_pair")
+      .orderBy(col("round"))
+  }
+}

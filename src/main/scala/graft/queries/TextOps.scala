@@ -36,7 +36,29 @@ object TextOps extends QueryPack {
       | SELECT doc_id + 1000000000000 AS doc_id, text || ' zzmutant' AS text
       | FROM documents)""".stripMargin
 
+  /** BPE merge rounds for `q_bpe_merges` (shared with the unrolled
+    * oracle). */
+  private val BpeRounds = 5
+
   override def defs: Map[String, Q] = Map[String, Q](
+    // Distributed BPE tokenizer training (Sennrich et al. 2016, round
+    // 15): learn the first 5 merges from the WORD CENSUS — the corpus
+    // is scanned once for word counts; every round is an explode +
+    // weighted aggregate over the vocab-sized census plus a 1-row
+    // argmax collect (the KMeansLloyd model-artifact pattern). Symbols
+    // travel as |s1||s2||…| so the merge is a boundary-safe LITERAL
+    // replace with canonical left-to-right non-overlap — see
+    // [[graft.operators.BpeTrainer]] for why a space-joined encoding
+    // would silently skip adjacent merges. Oracle unrolls the identical
+    // 5 rounds.
+    "q_bpe_merges" -> ((s, dir) =>
+      graft.operators.BpeTrainer.merges(
+        docs(s, dir)
+          .select(explode(tokens(normalizeText(col("text")))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("n")),
+        col("w"), col("n"), rounds = BpeRounds)),
+
     // Per-language readability profile: mean sentence length (tokens per
     // terminator run, approximated by terminator CHARS — a pure length
     // difference, no split-semantics disagreement between engines) and a
@@ -526,7 +548,47 @@ object TextOps extends QueryPack {
   private def sqlToks(expr: String) = sqlTokens(expr)
   private def sqlNorm(expr: String) = sqlNormalizeText(expr)
 
+  /** The unrolled-round DuckDB replay of [[graft.operators.BpeTrainer]]:
+    * per round i, pair census over s(i-1) (weighted by word count),
+    * argmax with (cnt DESC, pair ASC) tie-break, then the SAME literal
+    * `|l||r|` → `|lr|` replace. */
+  private lazy val sqlBpeMerges: String = {
+    def round_(i: Int): String =
+      s"""p$i AS (SELECT pr AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(list_transform(
+         |      generate_series(1, len(t) - 1),
+         |      j -> t[j] || ' ' || t[j + 1])) AS pr
+         |    FROM (SELECT n,
+         |        string_split(substr(s, 2, length(s) - 2), '||') AS t
+         |      FROM s${i - 1}))
+         |  GROUP BY pr),
+         |m$i AS (SELECT pair, cnt FROM p$i
+         |  ORDER BY cnt DESC, pair LIMIT 1),
+         |s$i AS (SELECT replace(s,
+         |    '|' || replace((SELECT pair FROM m$i), ' ', '||') || '|',
+         |    '|' || replace((SELECT pair FROM m$i), ' ', '') || '|') AS s,
+         |    n
+         |  FROM s${i - 1})""".stripMargin
+    val rounds = (1 to BpeRounds).map(round_).mkString(",\n")
+    val selects = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS round, pair, cnt AS n_pair FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH census AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(${sqlTokens(sqlNormalizeText("text"))}) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, n
+       |  FROM census),
+       |$rounds
+       |$selects
+       |ORDER BY round""".stripMargin
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q_bpe_merges" -> sqlBpeMerges,
+
     "q_readability" ->
       s"""WITH d AS (SELECT lang,
          |    CAST(len(${sqlToks("text")}) AS BIGINT) AS n_tok,

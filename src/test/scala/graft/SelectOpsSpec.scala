@@ -71,6 +71,50 @@ class SelectOpsSpec extends SparkSpec {
     assert(enShare >= 15, s"only $enShare/20 top docs are target-lang")
   }
 
+  test("q_bpe_merges: matches an independent scalar BPE replay (list-" +
+      "based greedy merge, not the string-replace the operator uses), " +
+      "and merge counts never increase") {
+    val out = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("n_pair")))
+      .sortBy(_._1)
+    assert(out.length == 5)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._3,
+        s"round ${b._1} count ${b._3} exceeds round ${a._1}'s ${a._3} — " +
+          "a merged pair cannot out-count the pair it came from")
+    }
+    // independent replay over the SAME census, with the canonical
+    // left-to-right non-overlapping list merge (two derivations of the
+    // greedy semantics agreeing is the point)
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val census = graft.sources.Tables.load(spark, sf, "documents")
+      .select(explode(tokens(normalizeText(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n")))
+    var words = census.map { case (w, n) => (w.map(_.toString).toList, n) }
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
+      val b = List.newBuilder[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: c :: tail if a == l && c == r => b += (l + r); rest = tail
+        case a :: tail => b += a; rest = tail
+        case Nil => ()
+      }
+      b.result()
+    }
+    for ((round, pair, cnt) <- out) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; p <- syms.zip(syms.drop(1)))
+        counts(p) = counts.getOrElse(p, 0L) + n
+      val ((l, r), c) = counts.toSeq
+        .minBy { case ((a, b), n) => (-n, a + " " + b) }
+      assert(s"$l $r" == pair && c == cnt,
+        s"round $round: replay picked ($l $r, $c), gate says ($pair, $cnt)")
+      words = words.map { case (syms, n) => (mergeOnce(syms, l, r), n) }
+    }
+  }
+
   test("q_semdedup: planted near-duplicates drop, base vectors survive, " +
       "and a scalar cosine replay confirms each planted pair") {
     val out = SparkEntry.queries("q_semdedup")(spark, sf).collect()
