@@ -78,6 +78,10 @@ object GraftExtensions {
     "graft_cosine" -> { args =>
       arity(args, 2, "graft_cosine")
       CosineSimExpr(args.head, args(1))
+    },
+    "graft_dot_long" -> { args =>
+      arity(args, 2, "graft_dot_long")
+      DotLongExpr(args.head, args(1))
     })
 
   private[plans] val nativeDescriptors = nativeBuilders.toSeq.map {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType,
+  LongType}
 
 /** Native cosine-similarity kernel for the embedding surface (SURVEY §2.11).
   *
@@ -48,6 +49,26 @@ object VectorKernels {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Exact integer dot product of two ARRAY<BIGINT> values (boxed so null
+    * can signal the composed form's null cases: length mismatch or null
+    * element). ≡ `aggregate(zip_with(a, b, _*_), 0L, _+_)` — which is an
+    * interpreted per-element fold that dominated q_semdedup's pair stage
+    * (bench r15). Overflow contract matches the composed form (plain long
+    * arithmetic): callers bound the element magnitude — the 2⁻²⁰-quantized
+    * embeddings give |dot| ≤ dim·2⁴⁰ ≪ 2⁶³. */
+  def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
   }
 
   /** Spark-compatible round(x, 6): HALF_UP via BigDecimal, NaN/Inf pass
@@ -153,6 +174,45 @@ case class CosineSimExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact integer dot product of two ARRAY<BIGINT> columns (long result);
+  * the codegen'd kernel behind the SemDeDup within-cluster cosine test —
+  * see [[VectorKernels.dotLong]] for semantics and the overflow
+  * contract. */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+
+  private def vecType(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (vecType(left.dataType) && vecType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dot")
+      s"""
+         |java.lang.Long $tmp = graft.plans.VectorKernels.dotLong($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -394,11 +394,18 @@ object MlOps extends QueryPack {
             .as("embedding")))
       val (assign, _) = graft.operators.KMeansLloyd.fit(
         corpus, col("vec_id"), col("embedding"), k = KmK, iters = KmIters)
+      // native codegen'd integer dot (plans/DotLongExpr) — the composed
+      // zip_with/aggregate fold is interpreted per element and dominated
+      // the pair stage (bench r15: 8.2 s isolated, ~5.5 s of it here)
+      def dotL(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) = {
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(graft.plans.DotLongExpr(
+          ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      }
       val m = assign.select(col("id"), col("cid"), col("vq"),
-        aggregate(col("vq"), lit(0L), (a, x) => a + x * x).as("n2"))
-      val dot = aggregate(
-        zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0L), (a, x) => a + x)
+        dotL(col("vq"), col("vq")).as("n2"))
+      val dot = dotL(col("va"), col("vb"))
       val pairs = m
         .select(col("cid"), col("id").as("ia"), col("vq").as("va"),
           col("n2").as("na2"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{hash32, sqlHash32, sqlWordNgrams,
-  wordNgrams}
+  wordNgramsNative}
 import graft.sources.Tables
 
 /** Data-selection & private-release operators (round 15).
@@ -87,9 +87,13 @@ object SelectOps extends QueryPack {
     // pass 2 shuffles (doc_id, partial-sum). Score envelope: ≤ 10⁶ per
     // gram → 10¹² at a million-gram doc, long-safe by 6 orders.
     "q_dsir_weights" -> ((s, dir) => {
+      // wordNgramsNative: the codegen'd kernel (byte-identical to the
+      // composed form, TextKernelsSpec) — the composed HOF pipeline
+      // re-derived the token array per gram and ran this gate at 18.7 s
+      // isolated (bench r15); native it is one pass per doc
       def gramBuckets(s2: SparkSession, dir2: String) =
         docs(s2, dir2).select(col("doc_id"), col("lang"),
-            explode(wordNgrams(col("text"), 2)).as("gram"))
+            explode(wordNgramsNative(col("text"), 2)).as("gram"))
           .select(col("doc_id"), col("lang"),
             (hash32(col("gram")) % DsirBuckets).as("b"))
       val gb = gramBuckets(s, dir)

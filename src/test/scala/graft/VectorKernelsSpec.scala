@@ -85,4 +85,46 @@ class VectorKernelsSpec extends SparkSpec {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(cg.contains("VectorKernels.cosine"), "expected inlined static call")
   }
+
+  private def dotL(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.DotLongExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  test("DotLongExpr ≡ composed zip_with/aggregate fold on quantized " +
+      "embeddings, and matches its null semantics") {
+    val q = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1048576L).cast("long")).as("vq"))
+    val pairs = q.select(col("vec_id").as("ida"), col("vq").as("va"))
+      .join(q.select(col("vec_id").as("idb"), col("vq").as("vb")),
+        col("idb") === col("ida") + 1)
+    val composed = aggregate(
+      zip_with(col("va"), col("vb"), (x, y) => x * y),
+      lit(0L), (a, x) => a + x)
+    val diff = pairs
+      .select(dotL(col("va"), col("vb")).as("native"),
+        composed.as("composed"))
+      .filter(not(col("native") <=> col("composed")))
+      .count()
+    assert(diff == 0)
+    // length mismatch → null, matching zip_with's null-padding fold
+    val edge = Seq((Array(1L, 2L), Array(3L, 4L, 5L)))
+      .toDF("a", "b")
+      .select(dotL(col("a"), col("b")).as("d")).collect()
+    assert(edge(0).isNullAt(0), "length mismatch must yield null")
+  }
+
+  test("DotLongExpr participates in whole-stage codegen") {
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1048576L).cast("long")).as("vq"))
+    val cg = e.select(dotL(col("vq"), col("vq")).as("d"))
+      .queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(cg.contains("VectorKernels.dotLong"), "expected inlined static call")
+  }
 }
