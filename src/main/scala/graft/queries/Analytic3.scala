@@ -230,12 +230,10 @@ object Analytic3 extends QueryPack {
     // pass every metrics pipeline runs before averaging a heavy-tailed
     // column; thresholds are a 3-row broadcast.
     "q_winsorize" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val th = graft.operators.Percentiles.exactDisc(
-          li, col("g"), col("v"), Seq((1, 20), (19, 20)),
-          Seq("lo_t", "hi_t"))
-        .select(col("group").as("g"), col("lo_t"), col("hi_t"))
+      // round 15: the 5/95 cut points are a shared StatArtifacts leaf
+      // (one rank-frame build per session/corpus for the robust trio)
+      val li = graft.operators.StatArtifacts.prices(s, dir)
+      val th = graft.operators.StatArtifacts.priceWinsorCuts(s, dir)
       val counts = li.groupBy(col("g")).agg(count(lit(1)).as("n"))
       li.join(broadcast(th), Seq("g")).join(broadcast(counts), Seq("g"))
         .groupBy(col("g"), col("n"), col("lo_t"), col("hi_t"))
@@ -285,16 +283,11 @@ object Analytic3 extends QueryPack {
     // IEEE subtraction, identical in both engines. Two bounded passes,
     // thresholds broadcast between them.
     "q_mad" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val med = graft.operators.Percentiles.exactDisc(
-          li, col("g"), col("v"), Seq((1, 2)), Seq("m"))
-        .select(col("group").as("g"), col("m"))
-      val dev = li.join(broadcast(med), Seq("g"))
-        .select(col("g"), abs(col("v") - col("m")).as("dv"))
-      val mad = graft.operators.Percentiles.exactDisc(
-          dev, col("g"), col("dv"), Seq((1, 2)), Seq("mad"))
-        .select(col("group").as("g"), col("mad"))
+      // round 15: median and MAD are shared StatArtifacts leaves — this
+      // gate and q_robust_outliers previously built the identical pair
+      // of rank frames independently
+      val med = graft.operators.StatArtifacts.priceMedians(s, dir)
+      val mad = graft.operators.StatArtifacts.priceMads(s, dir)
       med.join(mad, Seq("g"))
         .select(col("g").as("l_returnflag"), col("m").as("median"),
           col("mad"))
@@ -314,17 +307,14 @@ object Analytic3 extends QueryPack {
     // 1.35 — the gate pins the screen's arithmetic, and a cut that
     // selects nothing pins nothing. Output: per-group count + extremes.
     "q_robust_outliers" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
-      val med = graft.operators.Percentiles.exactDisc(
-          li, col("g"), col("v"), Seq((1, 2)), Seq("m"))
-        .select(col("group").as("g"), col("m"))
-      val dev = li.join(broadcast(med), Seq("g"))
+      // round 15: thresholds from the shared StatArtifacts leaves; only
+      // the screening pass itself (dev + filter) touches the corpus here
+      val med = graft.operators.StatArtifacts.priceMedians(s, dir)
+      val mad = graft.operators.StatArtifacts.priceMads(s, dir)
+      val dev = graft.operators.StatArtifacts.prices(s, dir)
+        .join(broadcast(med), Seq("g"))
         .select(col("g"), col("v"), col("m"),
           abs(col("v") - col("m")).as("dv"))
-      val mad = graft.operators.Percentiles.exactDisc(
-          dev, col("g"), col("dv"), Seq((1, 2)), Seq("mad"))
-        .select(col("group").as("g"), col("mad"))
       dev.join(broadcast(mad), Seq("g"))
         .filter(col("dv") * 1000.0 > col("mad") * 1779.0)
         .groupBy(col("g"))
