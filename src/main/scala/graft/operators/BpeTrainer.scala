@@ -47,11 +47,12 @@ object BpeTrainer {
     import spark.implicits._
     // checkpoint: the census is the ONE artifact every round re-reads;
     // without it each argmax job would replay the corpus tokenization
-    var sym = words
+    val base = words
       .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
         countCol.cast("long").as("n"))
       .filter(length(col("s")) > 0)
       .localCheckpoint()
+    var sym: DataFrame = base
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -74,6 +75,15 @@ object BpeTrainer {
           replace(col("s"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"),
           col("n"))
       }
+    }
+    // the result is a driver-side artifact (every round already
+    // collected its 1-row argmax) — release the census checkpoint
+    // blocks eagerly instead of waiting for driver GC (the KMeansLloyd
+    // release discipline)
+    base.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
     learned.toSeq.toDF("round", "pair", "n_pair")
       .orderBy(col("round"))

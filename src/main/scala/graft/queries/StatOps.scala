@@ -414,9 +414,15 @@ object StatOps extends QueryPack {
     // BM25 ranking (k1 = 1.2, b = 0.75, Lucene idf) for the two-term
     // query {spark, dup} — the lexical-retrieval scorer the q_rrf_fusion
     // and q_retrieval_eval family assumes. Term filters push BEFORE the
-    // tf aggregate so only query-term postings shuffle; df and the
-    // global length stats broadcast (2 rows + 1 row). Scores are the one
-    // sanctioned IEEE surface: both engines run the bit-identical
+    // tf aggregate so only query-term postings shuffle; df derives FROM
+    // the tf result (df(term) = #tf rows — round 15: the first cut ran
+    // the tokenize+explode subtree twice, once per census) so the
+    // postings pass happens once; df and the global length stats
+    // broadcast (2 rows + 1 row). The separate per-doc length pass is
+    // deliberate: size() on the token array is a shuffle-free scan,
+    // where deriving lengths from the exploded frame would shuffle
+    // EVERY token by doc — the wrong trade at 100 TB. Scores are the
+    // one sanctioned IEEE surface: both engines run the bit-identical
     // closing formula and round to 6 dp (the q_tfidf ln precedent);
     // top-10 plans as TakeOrderedAndProject with doc_id tie-break.
     "q_bm25" -> ((s, dir) => {
@@ -428,11 +434,9 @@ object StatOps extends QueryPack {
         .cast("long").as("len"))
       val stats = lens.agg(count(lit(1)).as("n_docs"),
         sum(col("len")).as("sum_len"))
-      val dfq = toks.filter(col("term").isin(qterms: _*))
-        .select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val tf = toks.filter(col("term").isin(qterms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfq), Seq("term"))
         .join(lens, Seq("doc_id"))
         .crossJoin(broadcast(stats))
