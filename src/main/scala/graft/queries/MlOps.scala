@@ -79,21 +79,20 @@ object MlOps extends QueryPack {
     // Scale: the pairs→components machinery is the audited LSH +
     // large-star/small-star path; the fold map adds one narrow projection
     // and a 10-row aggregate.
-    "q_fold_assign" -> ((s, dir) => {
-      val d = withMutants(s, dir)
-      val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
-        shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
-      Components.connectedComponents(
-          pairs.select(col("id_a"), col("id_b")),
-          d.select(col("doc_id")))
-        .select(col("id").as("doc_id"), col("component"),
+    "q_fold_assign" -> ((s, dir) =>
+      // round 15: the labeling is the shared TextOps.mutantClusters
+      // artifact (same corpus construction — MutantOffset ≡
+      // Parity.VariantOffset, same mutation, same guard — so the
+      // LSH+CC chain builds once per session/corpus for this gate,
+      // q_dedup_cluster and q_dedup_canonical)
+      TextOps.mutantClusters(s, dir)
+        .select(col("doc_id"), col("component"),
           pmod(hash32(concat(lit("fold:"), col("component").cast("string"))),
             lit(5L)).as("fold"))
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("component")).as("n_components"))
-        .orderBy(col("fold"))
-    }),
+        .orderBy(col("fold"))),
 
     // Cohen's κ between two heuristic labelers (the q_eval_confusion
     // pair: truth = n_chars ≥ 400, pred = token count ≥ 80), per

@@ -51,7 +51,7 @@ object TextOps extends QueryPack {
     * Semantics identical to the per-gate builds this replaces. */
   private val clusterCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def mutantClusters(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def mutantClusters(s: SparkSession, dir: String): DataFrame = {
     def build: DataFrame = {
       val d = withMutants(docs(s, dir))
       val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
