@@ -36,23 +36,29 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
-  /** The `rounds` learned merges as (round, pair "l r", n_pair), in learn
-    * order. `words` is the census: one row per distinct word with its
-    * corpus frequency. Rounds where no pair exists (every word fully
-    * merged) stop early. */
-  def merges(words: DataFrame, wordCol: Column, countCol: Column,
-      rounds: Int): DataFrame = {
-    require(rounds >= 1, "need rounds >= 1")
-    val spark = words.sparkSession
-    import spark.implicits._
-    // checkpoint: the census is the ONE artifact every round re-reads;
-    // without it each argmax job would replay the corpus tokenization
-    val base = words
-      .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
-        countCol.cast("long").as("n"))
-      .filter(length(col("s")) > 0)
-      .localCheckpoint()
+  /** Re-checkpoint the chained symbol frame every this many rounds:
+    * round r's argmax job otherwise replays all r−1 literal replaces
+    * from the census checkpoint — O(rounds²) recomputation and plan
+    * growth if rounds is ever raised (r15 advisor). At the gate's
+    * rounds = 5 the threshold never fires; the code path exists so a
+    * larger-vocab training run stays O(rounds). */
+  private val CheckpointEvery = 8
+
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** The shared train loop over a checkpointed symbol census: returns
+    * the learned (round, pair, n_pair) list and the FINAL symbol state
+    * (chained on `base`, re-checkpointed every [[CheckpointEvery]]
+    * rounds with the superseded checkpoint released). */
+  private def trainLoop(base: DataFrame, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame) = {
     var sym: DataFrame = base
+    var lastCkpt: DataFrame = base
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -74,18 +80,71 @@ object BpeTrainer {
         sym = sym.select(
           replace(col("s"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"),
           col("n"))
+        if (r % CheckpointEvery == 0 && r < rounds) {
+          val ckpt = sym.localCheckpoint()
+          if (!(lastCkpt eq base)) release(lastCkpt)
+          lastCkpt = ckpt
+          sym = ckpt
+        }
       }
     }
+    (learned.toSeq, sym)
+  }
+
+  /** The `rounds` learned merges as (round, pair "l r", n_pair), in learn
+    * order. `words` is the census: one row per distinct word with its
+    * corpus frequency. Rounds where no pair exists (every word fully
+    * merged) stop early. */
+  def merges(words: DataFrame, wordCol: Column, countCol: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, "need rounds >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    // checkpoint: the census is the ONE artifact every round re-reads;
+    // without it each argmax job would replay the corpus tokenization
+    val base = words
+      .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
+        countCol.cast("long").as("n"))
+      .filter(length(col("s")) > 0)
+      .localCheckpoint()
+    val (learned, _) = trainLoop(base, rounds)
     // the result is a driver-side artifact (every round already
     // collected its 1-row argmax) — release the census checkpoint
     // blocks eagerly instead of waiting for driver GC (the KMeansLloyd
     // release discipline)
-    base.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-    learned.toSeq.toDF("round", "pair", "n_pair")
+    release(base)
+    learned.toDF("round", "pair", "n_pair")
       .orderBy(col("round"))
   }
+
+  /** Training's final symbol state (s, n) — one row per census word with
+    * its fully-merged `|s1||s2||…|` encoding. Spec surface (the
+    * encode-≡-train consistency pin); the returned frame chains on a
+    * LIVE census checkpoint the caller lets the driver GC reclaim. */
+  def finalState(words: DataFrame, wordCol: Column, countCol: Column,
+      rounds: Int): DataFrame = {
+    val base = words
+      .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
+        countCol.cast("long").as("n"))
+      .filter(length(col("s")) > 0)
+      .localCheckpoint()
+    trainLoop(base, rounds)._2
+  }
+
+  /** ENCODE with trained merges: the boundary-safe literal-replace fold
+    * applying `mergePairs` ("l r", in learn order) to a raw word column —
+    * the production tokenize step a pipeline runs over the corpus once
+    * training is done. Identical replace semantics to the train loop, so
+    * encode(merges(census)) reproduces training's final symbol state
+    * exactly (BpeSpec pins it). The merges ride into the plan as ≤rounds
+    * string literals — broadcast-by-construction, no join. */
+  def encodeSymbols(word: Column, mergePairs: Seq[String]): Column =
+    mergePairs.foldLeft(regexp_replace(word, "(.)", "|$1|")) { (c, pair) =>
+      val Array(l, r) = pair.split(" ", 2)
+      replace(c, lit(s"|$l||$r|"), lit(s"|$l$r|"))
+    }
+
+  /** Split a `|s1||s2||…|` encoding into its token array. */
+  def symbolTokens(enc: Column): Column =
+    split(enc.substr(lit(2), length(enc) - 2), "\\|\\|")
 }

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,30 +28,19 @@ import org.apache.spark.sql.functions._
   * functions below delegate to the same [[BasketGraph]] construction
   * (census cap, dropped-whole baskets, distinct edges) and the same
   * fact→nation-pair rollup; only the redundant recomputation is gone.
-  * Memoization is keyed by (applicationId, dir) so distinct corpora
-  * and distinct Spark applications never share state, and a cached
-  * entry from a stopped context is rebuilt, not reused.
+  * Memoization delegates to the unified [[Artifacts.memo]]: keyed by
+  * (applicationId, dir, kind) so distinct corpora and distinct Spark
+  * applications never share state; a cached entry from a stopped context
+  * is rebuilt, not reused; `SPARK_GRAFT_NO_GRAPH_MEMO` (or the global
+  * `SPARK_GRAFT_NO_ARTIFACT_MEMO`) bypasses for PERF.md A/Bs —
+  * reproducing the pre-r14 regime where every gate rebuilds its frame
+  * from the fact table. Never set by the driver or the suite.
   */
 object GraphArtifacts {
 
-  private val cache = new ConcurrentHashMap[(String, String, String), DataFrame]()
-
   private def memo(s: SparkSession, dir: String, kind: String)
-      (build: => DataFrame): DataFrame = {
-    // A/B switch for PERF.md: bypassing the memo reproduces the pre-r14
-    // regime (every gate rebuilds its frame from the fact table), so the
-    // artifact-reuse delta is measurable in one session. Never set by the
-    // driver or the suite.
-    if (sys.env.contains("SPARK_GRAFT_NO_GRAPH_MEMO")) return build
-    val key = (s.sparkContext.applicationId, dir, kind)
-    val cached = cache.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      val built = build // localCheckpointed by construction below
-      cache.put(key, built)
-      built
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    Artifacts.memo(s, dir, "graph:" + kind, "SPARK_GRAFT_NO_GRAPH_MEMO")(build)
 
   /** Distinct (ok, pk) co-purchase membership, census-capped
     * ([[BasketGraph.cappedItems]] — oversized baskets dropped whole)

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,25 +19,15 @@ import org.apache.spark.sql.functions._
   *
   * Semantics are IDENTICAL to the per-gate builds these replace — the
   * same [[Percentiles.exactDisc]] calls on the same projection; only the
-  * redundant recomputation is gone. Memoization keys on (applicationId,
-  * dir, kind); entries from a stopped context rebuild.
+  * redundant recomputation is gone. Memoization delegates to the unified
+  * [[Artifacts.memo]] (keyed (applicationId, dir, kind), dead-app sweep,
+  * `SPARK_GRAFT_NO_STAT_MEMO` / `SPARK_GRAFT_NO_ARTIFACT_MEMO` bypass).
   */
 object StatArtifacts {
 
-  private val cache = new ConcurrentHashMap[(String, String, String), DataFrame]()
-
   private def memo(s: SparkSession, dir: String, kind: String)
-      (build: => DataFrame): DataFrame = {
-    if (sys.env.contains("SPARK_GRAFT_NO_STAT_MEMO")) return build
-    val key = (s.sparkContext.applicationId, dir, kind)
-    val cached = cache.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else {
-      val built = build
-      cache.put(key, built)
-      built
-    }
-  }
+      (build: => DataFrame): DataFrame =
+    Artifacts.memo(s, dir, "stat:" + kind, "SPARK_GRAFT_NO_STAT_MEMO")(build)
 
   /** The shared (g, v) projection: returnflag, extendedprice. */
   def prices(s: SparkSession, dir: String): DataFrame =

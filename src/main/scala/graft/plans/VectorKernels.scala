@@ -55,9 +55,12 @@ object VectorKernels {
     * can signal the composed form's null cases: length mismatch or null
     * element). ≡ `aggregate(zip_with(a, b, _*_), 0L, _+_)` — which is an
     * interpreted per-element fold that dominated q_semdedup's pair stage
-    * (bench r15). Overflow contract matches the composed form (plain long
-    * arithmetic): callers bound the element magnitude — the 2⁻²⁰-quantized
-    * embeddings give |dot| ≤ dim·2⁴⁰ ≪ 2⁶³. */
+    * (bench r15). Overflow is FAIL-LOUD (multiplyExact/addExact): the
+    * DuckDB oracle's BIGINT multiply raises on overflow, so a silent
+    * Java wrap would diverge the engines instead of erroring — the
+    * guardedVariantId discipline. Within the documented envelope
+    * (2⁻²⁰-quantized embeddings, |dot| ≤ dim·2⁴⁰ ≪ 2⁶³) the exact ops
+    * never throw and JIT-intrinsify to the plain multiply. */
   def dotLong(a: ArrayData, b: ArrayData): java.lang.Long = {
     val n = a.numElements()
     if (n != b.numElements()) return null
@@ -65,7 +68,7 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getLong(i) * b.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     acc

@@ -118,6 +118,29 @@ object RankOps extends QueryPack {
       e0.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
+    // Wedge census over the PERSISTENT vertex-bucketed edge tables
+    // (round 16): the on-disk 100 TB graph layout exercised through a
+    // gate — operators/BucketedGraph writes the oriented edge frame
+    // once per corpus as two bucketed-and-sorted copies (by s, by t),
+    // and this query joins them on t = s and aggregates per center
+    // vertex with ZERO Exchange below the aggregate (both scan legs
+    // arrive pre-partitioned on the join/group key —
+    // BucketedWedgeSpec asserts it with broadcast disabled). Top-20
+    // wedge centers by count — the hub readout a structural-risk
+    // analysis reads. Oracle recomputes the oriented wedge census
+    // from lineitem directly.
+    "q_bucketed_wedges" -> ((s, dir) => {
+      val eT = graft.operators.BucketedGraph.edgesByT(s, dir)
+      val eS = graft.operators.BucketedGraph.edgesByS(s, dir)
+      eT.as("e1")
+        .join(eS.select(col("s").as("m"), col("t").as("w")).as("e2"),
+          col("e1.t") === col("e2.m"))
+        .groupBy(col("e1.t").as("center"))
+        .agg(count(lit(1)).as("n_wedges"))
+        .orderBy(col("n_wedges").desc, col("center"))
+        .limit(20)
+    }),
+
     // k-core decomposition (round 9) over the co-purchase graph: peel
     // vertices of degree < 60 for up to 8 synchronous rounds (the core
     // transition is steep on this graph — k=60 keeps a nonempty core at
@@ -429,6 +452,25 @@ object RankOps extends QueryPack {
         |   JOIN e e2 ON e2.s = e1.t
         |   JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t) AS n_triangles"""
         .stripMargin,
+
+    "q_bucketed_wedges" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d FROM (
+        |    SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        |  GROUP BY 1),
+        |e AS (
+        |  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.u ELSE e0.v END AS s,
+        |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+        |           THEN e0.v ELSE e0.u END AS t
+        |  FROM e0 JOIN deg du ON du.x = e0.u JOIN deg dv ON dv.x = e0.v)
+        |SELECT e1.t AS center, COUNT(*) AS n_wedges
+        |FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |GROUP BY 1 ORDER BY n_wedges DESC, center LIMIT 20""".stripMargin,
 
     "q_basket_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

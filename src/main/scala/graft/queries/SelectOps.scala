@@ -115,9 +115,14 @@ object SelectOps extends QueryPack {
     // Per-priority order counts released under ε = ln 2 differential
     // privacy: integer noise drawn from the truncated two-sided
     // geometric(1/2) via inverse-CDF over a DETERMINISTIC per-group
-    // 32-bit uniform (hash32 of a salted group key — re-runs release the
-    // SAME noised value, which is also the right DP practice: fresh
-    // noise per query repeat composes the budget away). The when-chain
+    // 32-bit uniform (hash32 of a salted group key). Determinism here is
+    // a cross-engine replay requirement (both engines must draw the SAME
+    // noise for hash parity), NOT a privacy feature: noise computable
+    // from the released group key gives no actual DP guarantee (anyone
+    // can recompute and subtract it) — a real release swaps the salt for
+    // a secret seed, keeping the mechanism and thresholds identical.
+    // (Caching one noised value per query IS sound practice — fresh
+    // noise per repeat composes the budget away.) The when-chain
     // compares against precomputed integer CDF thresholds; zero float
     // arithmetic anywhere. Scale: one grouped count (map-side partial)
     // plus per-GROUP constant work — the release costs the same as the

@@ -421,7 +421,13 @@ object StatOps extends QueryPack {
     // broadcast (2 rows + 1 row). The separate per-doc length pass is
     // deliberate: size() on the token array is a shuffle-free scan,
     // where deriving lengths from the exploded frame would shuffle
-    // EVERY token by doc — the wrong trade at 100 TB. Scores are the
+    // EVERY token by doc — the wrong trade at 100 TB. Both tf and the
+    // (doc_id, len) frame are localCheckpointed (round 16): column
+    // pruning gives each consumer a DIFFERENT scan subtree, so without
+    // the checkpoint Catalyst re-tokenizes documents per consumer —
+    // 4 corpus scans where 2 suffice (ScanBudgetSpec pins ≤2). The len
+    // frame is exactly Lucene's norms file: the narrow per-doc artifact
+    // a BM25 system materializes beside the index. Scores are the
     // one sanctioned IEEE surface: both engines run the bit-identical
     // closing formula and round to 6 dp (the q_tfidf ln precedent);
     // top-10 plans as TakeOrderedAndProject with doc_id tie-break.
@@ -432,10 +438,12 @@ object StatOps extends QueryPack {
         .as("term"))
       val lens = d.select(col("doc_id"), tokenCount(col("text"))
         .cast("long").as("len"))
+        .localCheckpoint()
       val stats = lens.agg(count(lit(1)).as("n_docs"),
         sum(col("len")).as("sum_len"))
       val tf = toks.filter(col("term").isin(qterms: _*))
         .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       tf.join(broadcast(dfq), Seq("term"))
         .join(lens, Seq("doc_id"))

@@ -47,12 +47,14 @@ object TextOps extends QueryPack {
     * sweep, and at 100 TB two redundant LSH+CC passes per cleaning
     * session. The labeling is the write-once cluster-assignment table a
     * pipeline materializes between its detect and apply stages; here it
-    * memoizes per (application, corpus) as a checkpointed leaf.
+    * memoizes per (application, corpus) as a checkpointed leaf via the
+    * unified [[graft.operators.Artifacts.memo]] (bypass:
+    * `SPARK_GRAFT_NO_TEXT_MEMO` — its own var since round 16; it used to
+    * piggyback on the stat family's switch).
     * Semantics identical to the per-gate builds this replaces. */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private[queries] def mutantClusters(s: SparkSession, dir: String): DataFrame = {
-    def build: DataFrame = {
+  private[queries] def mutantClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Artifacts.memo(s, dir, "text:mutant-clusters",
+        "SPARK_GRAFT_NO_TEXT_MEMO") {
       val d = withMutants(docs(s, dir))
       val pairs = Dedup.minhashPairs(d, col("text"), col("doc_id"),
         shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
@@ -62,12 +64,15 @@ object TextOps extends QueryPack {
         .select(col("id").as("doc_id"), col("component"))
         .localCheckpoint()
     }
-    if (sys.env.contains("SPARK_GRAFT_NO_STAT_MEMO")) return build
-    val key = (s.sparkContext.applicationId, dir)
-    val cached = clusterCache.get(key)
-    if (cached != null && !cached.sparkSession.sparkContext.isStopped) cached
-    else { val built = build; clusterCache.put(key, built); built }
-  }
+
+  /** The BPE word census (one corpus scan): distinct normalized word →
+    * corpus frequency. Shared by q_bpe_merges (train) and q_bpe_encode
+    * (train + apply). */
+  private def bpeCensus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(normalizeText(col("text")))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
 
   override def defs: Map[String, Q] = Map[String, Q](
     // Distributed BPE tokenizer training (Sennrich et al. 2016, round
@@ -81,12 +86,51 @@ object TextOps extends QueryPack {
     // would silently skip adjacent merges. Oracle unrolls the identical
     // 5 rounds.
     "q_bpe_merges" -> ((s, dir) =>
-      graft.operators.BpeTrainer.merges(
-        docs(s, dir)
-          .select(explode(tokens(normalizeText(col("text")))).as("w"))
-          .filter(length(col("w")) > 0)
-          .groupBy(col("w")).agg(count(lit(1)).as("n")),
+      graft.operators.BpeTrainer.merges(bpeCensus(s, dir),
         col("w"), col("n"), rounds = BpeRounds)),
+
+    // Apply the trained BPE (round 16, r15 verdict #5): the production
+    // tokenize step — train the merges (pass 1: census + vocab-sized
+    // rounds), then ENCODE the census with the learned merges as a
+    // literal-replace fold (pass 2) and release the token census with
+    // ids: merged symbols get 1000 + first-learn-round (the vocab id
+    // convention: base alphabet then merges in learn order), single
+    // chars their codepoint. The ≤5 merges travel as plan literals —
+    // broadcast by construction, no join for the encode itself; the id
+    // vocab is a ≤5-row broadcast. Two documents passes total
+    // (train + apply — ScanBudgetSpec class 2); at 100 TB the encode
+    // pass is the corpus-sized job and costs one scan + one vocab-sized
+    // aggregate, exactly what a tokenizer run costs. Oracle re-derives
+    // the same merges via the unrolled rounds and replays the identical
+    // fold. n_words counts distinct census words containing the token
+    // (the encoded string is injective in the word — replaces preserve
+    // the underlying character sequence).
+    "q_bpe_encode" -> ((s, dir) => {
+      val census = bpeCensus(s, dir)
+      val learned = graft.operators.BpeTrainer
+        .merges(census, col("w"), col("n"), rounds = BpeRounds)
+        .collect().sortBy(_.getInt(0))
+      val pairs = learned.map(_.getString(1)).toSeq
+      val vocab = learned
+        .map(r => (r.getString(1).replace(" ", ""), r.getInt(0)))
+        .groupBy(_._1).toSeq
+        .map { case (tok, rs) => (tok, 1000L + rs.map(_._2).min) }
+      import s.implicits._
+      val vdf = vocab.toDF("token", "merge_id")
+      val enc = graft.operators.BpeTrainer.encodeSymbols(col("w"), pairs)
+      census.select(col("n"), enc.as("s"))
+        .select(col("n"), col("s"),
+          explode(graft.operators.BpeTrainer.symbolTokens(col("s")))
+            .as("token"))
+        .join(broadcast(vdf), Seq("token"), "left")
+        .groupBy(col("token"),
+          coalesce(col("merge_id"), ascii(col("token")).cast("long"))
+            .as("token_id"))
+        .agg(sum(col("n")).as("n_occ"),
+          count_distinct(col("s")).as("n_words"))
+        .orderBy(col("n_occ").desc, col("token"))
+        .limit(30)
+    }),
 
     // Per-language readability profile: mean sentence length (tokens per
     // terminator run, approximated by terminator CHARS — a pure length
@@ -571,7 +615,10 @@ object TextOps extends QueryPack {
     * per round i, pair census over s(i-1) (weighted by word count),
     * argmax with (cnt DESC, pair ASC) tie-break, then the SAME literal
     * `|l||r|` → `|lr|` replace. */
-  private lazy val sqlBpeMerges: String = {
+  /** The shared WITH-block body (census, s0, p/m/s per round) both BPE
+    * oracles build on — q_bpe_merges selects the m_i rows, q_bpe_encode
+    * tokenizes from the final s_N state with the m_i-derived vocab. */
+  private lazy val sqlBpeRoundsCtes: String = {
     def round_(i: Int): String =
       s"""p$i AS (SELECT pr AS pair, CAST(SUM(n) AS BIGINT) AS cnt
          |  FROM (SELECT n, unnest(list_transform(
@@ -589,10 +636,7 @@ object TextOps extends QueryPack {
          |    n
          |  FROM s${i - 1})""".stripMargin
     val rounds = (1 to BpeRounds).map(round_).mkString(",\n")
-    val selects = (1 to BpeRounds)
-      .map(i => s"SELECT $i AS round, pair, cnt AS n_pair FROM m$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH census AS MATERIALIZED (
+    s"""census AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(${sqlTokens(sqlNormalizeText("text"))}) AS w
        |        FROM documents)
@@ -600,13 +644,46 @@ object TextOps extends QueryPack {
        |s0 AS MATERIALIZED (
        |  SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s, n
        |  FROM census),
-       |$rounds
-       |$selects
-       |ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private lazy val sqlBpeMerges: String = {
+    val selects = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS round, pair, cnt AS n_pair FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $sqlBpeRoundsCtes,
+       |merged AS ($selects)
+       |SELECT round, pair, n_pair FROM merged ORDER BY round""".stripMargin
+  }
+
+  /** Encode oracle: re-derive the merges via the unrolled rounds, read
+    * the final symbol state s_N, and census the tokens with the same
+    * vocab-id convention (1000 + first learn round for merged symbols,
+    * codepoint for single chars). */
+  private lazy val sqlBpeEncode: String = {
+    val vocabRows = (1 to BpeRounds)
+      .map(i => s"SELECT $i AS r, replace(pair, ' ', '') AS token FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $sqlBpeRoundsCtes,
+       |vocab AS (
+       |  SELECT token, CAST(1000 + MIN(r) AS BIGINT) AS merge_id
+       |  FROM ($vocabRows) GROUP BY token),
+       |toks AS (
+       |  SELECT n, s, unnest(string_split(substr(s, 2, length(s) - 2),
+       |    '||')) AS token
+       |  FROM s$BpeRounds)
+       |SELECT t.token,
+       |  COALESCE(v.merge_id, CAST(ascii(t.token) AS BIGINT)) AS token_id,
+       |  CAST(SUM(t.n) AS BIGINT) AS n_occ,
+       |  CAST(COUNT(DISTINCT t.s) AS BIGINT) AS n_words
+       |FROM toks t LEFT JOIN vocab v ON v.token = t.token
+       |GROUP BY 1, 2
+       |ORDER BY n_occ DESC, t.token LIMIT 30""".stripMargin
   }
 
   override def oracle: Map[String, String] = Map(
     "q_bpe_merges" -> sqlBpeMerges,
+    "q_bpe_encode" -> sqlBpeEncode,
 
     "q_readability" ->
       s"""WITH d AS (SELECT lang,
