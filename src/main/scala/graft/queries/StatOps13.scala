@@ -50,7 +50,7 @@ object StatOps13 extends QueryPack {
     * one more decade of unit puts sf1 at 0.0012·2⁵³ (crossing ~sf30),
     * with the t-statistic unchanged to 4 significant digits at every
     * measured scale (sf0.001 −50.22 vs −50.17; sf1 identical to 6 dp). */
-  private val DfSpineDiv = 1000000L
+  private[graft] val DfSpineDiv = 1000000L
 
   /** DF t-statistic closed in shared-text doubles over the exact
     * N-scaled moment cells — each cell < 2⁵³ (the DfSpineDiv staging)

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeansLloyd
+
+/** SemDeDup's 100 TB defense measured, not asserted (r15 verdict #7): the
+  * gate runs k = 8 over a ≤2k-row fixture, and the SURVEY row's claim
+  * that the per-cluster quadratic stays bounded rests entirely on the
+  * k ∝ n scaling rule (Abbas et al. 2023 use n/⟨cluster⟩ clusters). This
+  * spec runs the cluster stage at two corpus sizes — 500 vectors
+  * (sf0.001) and 2000 (sf0.1), a 4× step — once with k scaled 4× in
+  * proportion and once with k held fixed, and compares the pair work the
+  * within-cluster search would do (Σ |c|·(|c|−1)/2 over clusters):
+  *
+  *  - k ∝ n: per-cluster pair work stays ~constant (measured ×1.00 on
+  *    the 4× step: 1938 → 1947 pairs/cluster — pinned at ≤ 2.5);
+  *  - k fixed: per-cluster pair work grows ~n² (measured ×16.09 on the
+  *    same step — asserted ≥ 8× so the CONTRAST, not just the good
+  *    case, is what the build checks).
+  *
+  * The LSH occupancy-cap measurement pattern: pin both sides of the
+  * design rule so a regression in either direction goes red. */
+class SemDedupScalingSpec extends SparkSpec {
+
+  private def pairWork(dir: String, k: Int): Long = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("embedding"))
+    val (assign, _) = KMeansLloyd.fit(emb, col("vec_id"),
+      col("embedding"), k = k, iters = 3)
+    assign.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map { r => val n = r.getLong(1); n * (n - 1) / 2 }.sum
+  }
+
+  test("k scaled with n keeps per-cluster pair work ~constant; fixed k " +
+      "does not") {
+    val small = "/root/testdata/sf0.001" // 500 vectors
+    val large = "/root/testdata/sf0.1"   // 2000 vectors (4x)
+
+    val pSmall = pairWork(small, 8)
+    val pScaled = pairWork(large, 32) // k grows with n
+    val pFixed = pairWork(large, 8)   // k held at the gate's value
+    assert(pSmall > 0 && pScaled > 0 && pFixed > 0)
+
+    val perSmall = pSmall.toDouble / 8
+    val perScaled = pScaled.toDouble / 32
+    val perFixed = pFixed.toDouble / 8
+
+    // the design rule: k ∝ n bounds per-cluster pair work
+    assert(perScaled / perSmall <= 2.5,
+      f"k ∝ n per-cluster pair work grew ${perScaled / perSmall}%.2fx " +
+        "on a 4x corpus — the SemDeDup scaling rule is broken")
+    // the contrast: holding k fixed lets the quadratic through
+    assert(perFixed / perSmall >= 8.0,
+      f"fixed-k per-cluster pair work grew only ${perFixed / perSmall}%.2fx" +
+        " on a 4x corpus — the fixture no longer demonstrates the rule")
+    info(f"per-cluster pair work: small=$perSmall%.0f " +
+      f"scaled-k=$perScaled%.0f (x${perScaled / perSmall}%.2f) " +
+      f"fixed-k=$perFixed%.0f (x${perFixed / perSmall}%.2f)")
+  }
+}

@@ -73,7 +73,7 @@ class StatOps13Spec extends SparkSpec {
 
   test("q_dickey_fuller equals the direct moment replay; the revenue " +
       "series is mean-reverting (negative slope and t)") {
-    val ys = spine().map(_ / 100000L)
+    val ys = spine().map(_ / graft.queries.StatOps13.DfSpineDiv)
     val pairs = ys.sliding(2).filter(_.length == 2)
       .map(p => (p(0), p(1) - p(0))).toArray
     val n = pairs.length.toLong
