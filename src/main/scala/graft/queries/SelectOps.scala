@@ -6,22 +6,26 @@ import graft.functions.TextFunctions.{hash32, sqlHash32, sqlWordNgrams,
   wordNgramsNative}
 import graft.sources.Tables
 
-/** Data-selection & private-release operators (round 15).
+/** Data-selection & private-release operators (rounds 15–16).
   *
-  * Two published-method gates a 100 TB training-data pipeline runs between
+  * Published-method gates a 100 TB training-data pipeline runs between
   * curation and release:
   *
-  *  - DSIR importance weights (Xie et al. 2023, "Data Selection for
-  *    Language Models via Importance Resampling"): hashed-n-gram
-  *    likelihood-ratio scores of every raw document against a target
-  *    distribution — the signal importance resampling draws against.
+  *  - DSIR importance weights AND the resampling step (Xie et al. 2023,
+  *    "Data Selection for Language Models via Importance Resampling"):
+  *    hashed-n-gram likelihood-ratio scores of every raw document
+  *    against a target distribution, then the Bernoulli draw that
+  *    actually selects the mixed corpus (`q_dsir_weights`,
+  *    `q_dsir_sample`).
   *  - the geometric mechanism (Ghosh/Roughgarden/Sundararajan 2009), the
   *    discrete analog of Laplace noise and the standard ε-DP release for
-  *    COUNT statistics — completing the privacy set next to
-  *    q_k_anonymity / q_l_diversity / q_t_closeness (those audit; this
-  *    releases).
+  *    COUNT statistics (`q_dp_count`, `q_dp_topk`) — plus the USER-level
+  *    variant with bounded contribution (Wilson et al. 2020,
+  *    `q_dp_user_count`) — completing the privacy set next to
+  *    q_k_anonymity / q_l_diversity / q_t_closeness (those audit; these
+  *    release).
   *
-  * Both are integer-exact end to end (the [[graft.operators.Bootstrap]]
+  * All are integer-exact end to end (the [[graft.operators.Bootstrap]]
   * fixed-threshold discipline), so the DuckDB oracle replays them
   * bit-for-bit.
   */
@@ -56,6 +60,67 @@ object SelectOps extends QueryPack {
   private def docs(s: SparkSession, dir: String) =
     Tables.load(s, dir, "documents")
 
+  /** q_dp_user_count contribution bounds (Wilson et al. 2020,
+    * "Differentially Private SQL with Bounded User Contribution"): a
+    * user contributes at most [[DpUserCap]] events to any one type and
+    * at most [[DpUserTypes]] types (selected by salted per-(user, type)
+    * hash rank — the deterministic rendering of the paper's random
+    * partition choice), so the whole histogram's user-level L1
+    * sensitivity is Cap·Types = 6 and the geometric(½) release is
+    * (6·ln 2)-user-DP. Shared Scala constants rendered into both
+    * engines. */
+  private val DpUserCap = 3L
+  private val DpUserTypes = 2
+
+  /** Per-doc DSIR score frame (doc_id, lang, n_grams, score, w_avg_ppm)
+    * — the shared two-pass pipeline behind q_dsir_weights (top-20
+    * readout) and q_dsir_sample (the resampling step). See the
+    * q_dsir_weights gate comment for the plan shape. */
+  private def dsirScores(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    // wordNgramsNative: the codegen'd kernel (byte-identical to the
+    // composed form, TextKernelsSpec) — the composed HOF pipeline
+    // re-derived the token array per gram and ran the weights gate at
+    // 18.7 s isolated (bench r15); native it is one pass per doc
+    def gramBuckets(s2: SparkSession, dir2: String) =
+      docs(s2, dir2).select(col("doc_id"), col("lang"),
+          explode(wordNgramsNative(col("text"), 2)).as("gram"))
+        .select(col("doc_id"), col("lang"),
+          (hash32(col("gram")) % DsirBuckets).as("b"))
+    val gb = gramBuckets(s, dir)
+    val weights = gb.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .select(col("b"),
+        expr("(1000000 * (ct + 1)) div (cr + 1)").as("w"))
+    gramBuckets(s, dir).join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score"))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("score"),
+        expr("score div n_grams").as("w_avg_ppm"))
+  }
+
+  /** The shared gb/w/sc CTE body both DSIR oracles build on. */
+  private def sqlDsirScores: String = {
+    val grams = sqlWordNgrams("text", 2)
+    s"""gb AS (
+       |  SELECT doc_id, lang,
+       |    (${sqlHash32("gram")} % $DsirBuckets) AS b
+       |  FROM (SELECT doc_id, lang, unnest($grams) AS gram
+       |        FROM documents)),
+       |w AS (
+       |  SELECT b, CAST((1000000 * (ct + 1)) // (cr + 1) AS BIGINT) AS w
+       |  FROM (SELECT b, COUNT(*) AS cr,
+       |      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+       |    FROM gb GROUP BY b)),
+       |sc AS (
+       |  SELECT doc_id, lang, n_grams, score,
+       |    score // n_grams AS w_avg_ppm
+       |  FROM (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |      CAST(SUM(w) AS BIGINT) AS score
+       |    FROM gb JOIN w USING (b) GROUP BY 1, 2))""".stripMargin
+  }
+
   /** Truncated two-sided geometric(½) noise via inverse-CDF of a 32-bit
     * uniform `u` — the engine rendering of [[DpThresholds]]. */
   private def dpNoise(u: Column): Column =
@@ -86,29 +151,71 @@ object SelectOps extends QueryPack {
     // census); neither pass shuffles text — pass 1 shuffles 4096 keys,
     // pass 2 shuffles (doc_id, partial-sum). Score envelope: ≤ 10⁶ per
     // gram → 10¹² at a million-gram doc, long-safe by 6 orders.
-    "q_dsir_weights" -> ((s, dir) => {
-      // wordNgramsNative: the codegen'd kernel (byte-identical to the
-      // composed form, TextKernelsSpec) — the composed HOF pipeline
-      // re-derived the token array per gram and ran this gate at 18.7 s
-      // isolated (bench r15); native it is one pass per doc
-      def gramBuckets(s2: SparkSession, dir2: String) =
-        docs(s2, dir2).select(col("doc_id"), col("lang"),
-            explode(wordNgramsNative(col("text"), 2)).as("gram"))
-          .select(col("doc_id"), col("lang"),
-            (hash32(col("gram")) % DsirBuckets).as("b"))
-      val gb = gramBuckets(s, dir)
-      val weights = gb.groupBy(col("b"))
-        .agg(count(lit(1)).as("cr"),
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
-        .select(col("b"),
-          expr("(1000000 * (ct + 1)) div (cr + 1)").as("w"))
-      gramBuckets(s, dir).join(broadcast(weights), Seq("b"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score"))
-        .select(col("doc_id"), col("lang"), col("n_grams"), col("score"),
-          expr("score div n_grams").as("w_avg_ppm"))
+    "q_dsir_weights" -> ((s, dir) =>
+      dsirScores(s, dir)
         .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
+        .limit(20)),
+
+    // ---- DSIR importance RESAMPLING (the selection step) ------------
+    // The weights gate scores; this gate actually DRAWS the selected
+    // corpus (Xie et al. 2023's resampling step, as Bernoulli thinning):
+    // keep doc ⟺ u/2³² < w_avg_ppm/10⁶, decided by the exact integer
+    // cross-multiply u·10⁶ < w_avg_ppm·2³² (u = hash32 of the salted
+    // doc id — replay-deterministic; both sides ≤ 4.3·10¹⁵, long-safe).
+    // Keep probability IS the doc's mean importance ratio capped at 1,
+    // so the sampled mix shifts toward the target slice — the per-lang
+    // census (docs in, docs kept, grams kept) is the readout a mixing
+    // stage reports. Same two gram passes as the weights gate (the
+    // census-then-apply class-2 shape); the thinning adds one map-side
+    // comparison and a ≤|langs|-row aggregate.
+    "q_dsir_sample" -> ((s, dir) => {
+      val u = hash32(concat(lit("dsirs:"), col("doc_id").cast("string")))
+      dsirScores(s, dir)
+        .select(col("lang"), col("n_grams"),
+          (u * lit(1000000L) <
+            col("w_avg_ppm") * lit(4294967296L)).as("keep"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), col("n_grams")).otherwise(0L))
+            .as("kept_grams"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- user-level ε-DP histogram (contribution bounding) ----------
+    // q_dp_count is EVENT-level DP; this is the user-level release
+    // (Wilson et al. 2020): bound each user to ≤ DpUserCap events per
+    // type (LEAST on the (user, type) census) and to ≤ DpUserTypes
+    // types, THEN count and add the same geometric(½) noise — the
+    // whole histogram is (Cap·Types·ln 2)-user-DP because one user can
+    // move it by at most Cap·Types = 6. Type selection follows the
+    // paper's RANDOM partition choice, rendered deterministic as a
+    // salted per-(user, type) hash rank: a fixed type-order tie-break
+    // would keep the SAME types for every dense user (this fixture:
+    // every user has ≥ Cap events of every type) and silently drop the
+    // rest of the histogram. Plan: one (user, type) aggregate
+    // (map-side partial), one window over the user-keyed CENSUS
+    // (never the raw events), one type aggregate + per-group constant
+    // noise.
+    "q_dp_user_count" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUT = Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(least(count(lit(1)), lit(DpUserCap)).as("nc"))
+      val pick = hash32(concat(lit("dput:"),
+        col("user_id").cast("string"), lit(":"), col("event_type")))
+      val bounded = perUT
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("nc").desc, pick, col("event_type"))))
+        .filter(col("rk") <= DpUserTypes)
+      val u = hash32(concat(lit("dpu:"), col("event_type")))
+      bounded.groupBy(col("event_type"))
+        .agg(sum(col("nc")).as("n"))
+        .select(col("event_type"),
+          (col("n") + dpNoise(u).cast("long")).as("n_dp"))
+        .orderBy(col("event_type"))
     }),
 
     // ---- ε-DP count release (geometric mechanism) -------------------
@@ -160,26 +267,44 @@ object SelectOps extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
 
-    "q_dsir_weights" -> {
-      val grams = sqlWordNgrams("text", 2)
-      s"""WITH gb AS (
-         |  SELECT doc_id, lang,
-         |    (${sqlHash32("gram")} % $DsirBuckets) AS b
-         |  FROM (SELECT doc_id, lang, unnest($grams) AS gram
-         |        FROM documents)),
-         |w AS (
-         |  SELECT b, CAST((1000000 * (ct + 1)) // (cr + 1) AS BIGINT) AS w
-         |  FROM (SELECT b, COUNT(*) AS cr,
-         |      SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-         |    FROM gb GROUP BY b)),
-         |sc AS (
-         |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
-         |    CAST(SUM(w) AS BIGINT) AS score
-         |  FROM gb JOIN w USING (b) GROUP BY 1, 2)
-         |SELECT doc_id, lang, n_grams, score,
-         |  score // n_grams AS w_avg_ppm
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
-    },
+    "q_dsir_weights" ->
+      s"""WITH $sqlDsirScores
+         |SELECT doc_id, lang, n_grams, score, w_avg_ppm
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_dsir_sample" ->
+      s"""WITH $sqlDsirScores,
+         |kept AS (
+         |  SELECT lang, n_grams,
+         |    ${sqlHash32("'dsirs:' || CAST(doc_id AS VARCHAR)")}
+         |      * 1000000 < w_avg_ppm * 4294967296 AS keep
+         |  FROM sc)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN keep THEN n_grams ELSE 0 END) AS BIGINT)
+         |    AS kept_grams
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_dp_user_count" ->
+      s"""WITH per_ut AS (
+         |  SELECT user_id, event_type,
+         |    LEAST(COUNT(*), $DpUserCap) AS nc
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT user_id, event_type, nc,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY nc DESC,
+         |        ${sqlHash32(
+                    "'dput:' || CAST(user_id AS VARCHAR) || ':' || event_type")},
+         |        event_type) AS rk
+         |  FROM per_ut),
+         |hist AS (
+         |  SELECT event_type, CAST(SUM(nc) AS BIGINT) AS n,
+         |    ${sqlHash32("'dpu:' || event_type")} AS u
+         |  FROM ranked WHERE rk <= $DpUserTypes GROUP BY event_type)
+         |SELECT event_type, n + ${sqlDpNoise("u")} AS n_dp
+         |FROM hist ORDER BY event_type""".stripMargin,
 
     "q_dp_count" ->
       s"""SELECT o_orderpriority,

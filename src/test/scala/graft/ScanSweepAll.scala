@@ -74,6 +74,7 @@ object ScanBudget {
     "q_dickey_fuller" -> Seq(("lineitem", 2, 2)),
     "q_drift_ks" -> Seq(("events", 2, 1)),
     "q_dsir_weights" -> Seq(("documents", 2, 2)),
+    "q_dsir_sample" -> Seq(("documents", 2, 2)),
     "q_embed_drift" -> Seq(("documents", 2, 1), ("embeddings", 2, 1)),
     "q_ewma_chart" -> Seq(("lineitem", 2, 2)),
     "q_exists_subquery" -> Seq(("orders", 2, 1)),
@@ -184,12 +185,28 @@ class ScanBudgetSpec extends SparkSpec {
 
   test("every gate stays within its classified fact-scan budget " +
       "(reuse-aware, AQE-final)") {
+    // Own cloned session: suites run in parallel in one JVM and several
+    // (PlanSpec, the bucketing specs) toggle autoBroadcastJoinThreshold
+    // on the shared session mid-flight — a gate collected during such a
+    // window plans without broadcast and can execute extra scans (seen
+    // once as a full-suite-only flake). newSession() shares the context
+    // and catalog but owns its SQLConf, so the counts here are immune.
+    // Gates built on memoized artifact frames keep the ORIGINAL
+    // session, so the clone can't shield them — a violation is
+    // therefore re-collected once before it counts: a real class-4
+    // recompute reproduces deterministically, a transient conf window
+    // does not.
+    val s2 = spark.newSession()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     for (g <- SparkEntry.queries.keys.toSeq.sorted
         if !g.startsWith("q_stream")) {
-      val df = SparkEntry.queries(g)(spark, sf)
+      val df = SparkEntry.queries(g)(s2, sf)
       df.collect()
-      failures ++= violations(g, df)
+      if (violations(g, df).nonEmpty) {
+        val retry = SparkEntry.queries(g)(s2, sf)
+        retry.collect()
+        failures ++= violations(g, retry)
+      }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }

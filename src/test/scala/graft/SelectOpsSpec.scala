@@ -71,6 +71,59 @@ class SelectOpsSpec extends SparkSpec {
     assert(enShare >= 15, s"only $enShare/20 top docs are target-lang")
   }
 
+  test("q_dsir_sample: deterministic, kept ⊆ docs, and the target " +
+      "language is kept at a higher rate than the rest pooled") {
+    val rows = SparkEntry.queries("q_dsir_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("kept_grams")))
+    assert(rows.nonEmpty)
+    for ((lang, nd, nk, kg) <- rows) {
+      assert(nk >= 0 && nk <= nd, s"$lang: kept $nk of $nd")
+      assert(kg >= nk, s"$lang: kept docs must carry ≥ 1 gram each")
+    }
+    val (enD, enK) = rows.filter(_._1 == "en")
+      .map(r => (r._2, r._3)).head
+    val (otD, otK) = rows.filter(_._1 != "en")
+      .foldLeft((0L, 0L)) { case ((d, k), r) => (d + r._2, k + r._3) }
+    assert(enK * otD > otK * enD,
+      s"en keep rate $enK/$enD must exceed the pooled rest $otK/$otD — " +
+        "importance resampling must shift the mix toward the target")
+    val again = SparkEntry.queries("q_dsir_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_kept")))
+    assert(again.toMap ==
+      rows.map(r => (r._1, r._3)).toMap, "sample must be replay-stable")
+  }
+
+  test("q_dp_user_count: every type survives the hash-ranked selection, " +
+      "contribution bounding bites, and the release is replay-stable") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"))
+    val nUsers = ev.select(col("user_id")).distinct().count()
+    val raw = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n"))).toMap
+    val out = SparkEntry.queries("q_dp_user_count")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_dp"))).toMap
+    // the salted-hash partition selection must spread kept types across
+    // users — a fixed tie-break collapses the histogram to T types
+    assert(out.keySet == raw.keySet,
+      s"released types ${out.keySet} != corpus types ${raw.keySet}")
+    for ((t, nDp) <- out) {
+      // per-type ceiling: every user contributes ≤ Cap to a type
+      assert(nDp <= nUsers * 3 + 8,
+        s"$t: $nDp exceeds the n_users·Cap bound (+clamp)")
+      assert(nDp <= raw(t) + 8, s"$t: released above raw + clamp")
+    }
+    // histogram ceiling: each user moves the whole release by ≤ Cap·T
+    assert(out.values.sum <= nUsers * 6 + out.size * 8,
+      "total release exceeds the Cap·Types user-level sensitivity bound")
+    // bounding must BITE on this fixture (users are dense in types)
+    assert(out.values.sum < raw.values.sum,
+      "bounded release should sit well under the raw counts")
+    val again = SparkEntry.queries("q_dp_user_count")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_dp"))).toMap
+    assert(again == out, "DP release must be replay-stable")
+  }
+
   test("q_bpe_merges: matches an independent scalar BPE replay (list-" +
       "based greedy merge, not the string-replace the operator uses), " +
       "and merge counts never increase") {
