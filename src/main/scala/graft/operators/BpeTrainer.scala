@@ -52,11 +52,15 @@ object BpeTrainer {
     }
 
   /** The shared train loop over a checkpointed symbol census: returns
-    * the learned (round, pair, n_pair) list and the FINAL symbol state
+    * the learned (round, pair, n_pair) list, the FINAL symbol state
     * (chained on `base`, re-checkpointed every [[CheckpointEvery]]
-    * rounds with the superseded checkpoint released). */
+    * rounds with the superseded checkpoint released), and the LAST
+    * periodic checkpoint if one was taken — the final state chains on
+    * it, so a caller that discards the state must release it alongside
+    * `base` (r16 advisor: merges() leaked it whenever
+    * rounds ≥ CheckpointEvery). */
   private def trainLoop(base: DataFrame, rounds: Int)
-      : (Seq[(Int, String, Long)], DataFrame) = {
+      : (Seq[(Int, String, Long)], DataFrame, Option[DataFrame]) = {
     var sym: DataFrame = base
     var lastCkpt: DataFrame = base
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
@@ -88,7 +92,8 @@ object BpeTrainer {
         }
       }
     }
-    (learned.toSeq, sym)
+    (learned.toSeq, sym,
+      if (lastCkpt eq base) None else Some(lastCkpt))
   }
 
   /** The `rounds` learned merges as (round, pair "l r", n_pair), in learn
@@ -107,12 +112,15 @@ object BpeTrainer {
         countCol.cast("long").as("n"))
       .filter(length(col("s")) > 0)
       .localCheckpoint()
-    val (learned, _) = trainLoop(base, rounds)
+    val (learned, _, lastCkpt) = trainLoop(base, rounds)
     // the result is a driver-side artifact (every round already
     // collected its 1-row argmax) — release the census checkpoint
     // blocks eagerly instead of waiting for driver GC (the KMeansLloyd
-    // release discipline)
+    // release discipline), and the last periodic re-checkpoint with it
+    // (taken once rounds ≥ CheckpointEvery; the discarded final state
+    // was the only thing chained on it)
     release(base)
+    lastCkpt.foreach(release)
     learned.toDF("round", "pair", "n_pair")
       .orderBy(col("round"))
   }

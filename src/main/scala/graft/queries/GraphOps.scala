@@ -78,17 +78,20 @@ object GraphOps extends QueryPack {
     // possible wedge and are excluded on both engines). The mean is the
     // trunc div of the exact ppm sum — the q_silhouette readout shape.
     "q_clustering_coef" -> ((s, dir) => {
-      // round 15: degrees, oriented edges, and out-adjacency are shared
-      // GraphArtifacts; triangles come from per-edge sorted-array
+      // round 17 (r16 verdict #3): edges and out-adjacency read the
+      // PERSISTENT bucketed base (operators/BucketedGraph) — the
+      // s-keyed join leg arrives pre-partitioned and the adjacency is
+      // the shared zero-Exchange build; degrees stay the vertex-sized
+      // GraphArtifacts memo. Triangles come from per-edge sorted-array
       // intersection (the q_triangles rewrite — the wedge frame never
       // materializes). Corner credits in ONE generator pass: for edge
       // (s,t) with common out-neighbors W, s and t each earn |W| and
       // every w ∈ W earns 1 — the same triple-credit as exploding the
       // triangle stream, without a second pass or a checkpoint.
       val deg = GraphArtifacts.coPurchaseDegrees(s, dir)
-      val adj = GraphArtifacts.orientedAdjacency(s, dir)
+      val adj = graft.operators.BucketedGraph.outAdjacency(s, dir)
       val ws = array_intersect(col("ns"), col("nt"))
-      val tri = GraphArtifacts.orientedCoPurchaseEdges(s, dir)
+      val tri = graft.operators.BucketedGraph.edgesByS(s, dir)
         .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
         .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))
         .select(col("s"), col("t"), ws.as("ws"))

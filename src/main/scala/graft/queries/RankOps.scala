@@ -98,24 +98,28 @@ object RankOps extends QueryPack {
     // broadcasts; every subsequent join is an equi-join on a vertex key
     // (shuffle, never cartesian).
     "q_triangles" -> ((s, dir) => {
-      // shared build-once artifacts (GraphArtifacts): census-capped
-      // edges, the degree-oriented frame, and its out-adjacency —
-      // round 15 replaced the two-hop wedge join with per-edge sorted-
-      // array intersection (|adjOut(s) ∩ adjOut(t)| counts the
-      // triangles through oriented edge (s,t) exactly once): the wedge
-      // frame — the term that explodes at 100 TB — never materializes;
-      // the plan is two edge-sized equi-joins against the vertex-sized
-      // adjacency leaf. Orientation bounds |nbrs| by O(√m), so the
+      // round 17 (r16 verdict #3): the edge legs and the out-adjacency
+      // now read the PERSISTENT vertex-bucketed base
+      // (operators/BucketedGraph) instead of the session-memo frames —
+      // the s-keyed join leg and the adjacency build arrive
+      // pre-partitioned on the bucket key (zero Exchange below the
+      // adjacency aggregate, BucketedWedgeSpec). Round 15's per-edge
+      // sorted-array intersection stands: |adjOut(s) ∩ adjOut(t)|
+      // counts the triangles through oriented edge (s,t) exactly once,
+      // the wedge frame — the term that explodes at 100 TB — never
+      // materializes, and orientation bounds |nbrs| by O(√m) so the
       // per-edge intersection cost is skew-safe at hubs.
-      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
-      val adj = GraphArtifacts.orientedAdjacency(s, dir)
-      val tri = GraphArtifacts.orientedCoPurchaseEdges(s, dir)
+      val eS = graft.operators.BucketedGraph.edgesByS(s, dir)
+      val adj = graft.operators.BucketedGraph.outAdjacency(s, dir)
+      val tri = eS
         .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
         .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))
         .select(size(array_intersect(col("ns"), col("nt")))
           .cast("long").as("tw"))
         .agg(coalesce(sum(col("tw")), lit(0L)).as("n_triangles"))
-      e0.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+      // |oriented edges| = |undirected edges| (the orientation is a
+      // 1:1 relabeling), so the census reads the persistent table too
+      eS.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
     }),
 
     // Wedge census over the PERSISTENT vertex-bucketed edge tables
@@ -148,7 +152,13 @@ object RankOps extends QueryPack {
     // declared semantics, so the 8-round unrolled oracle matches whether
     // or not the peel converged). Output: core vertices + degree.
     "q_kcore" -> ((s, dir) => {
-      val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
+      // round 17: the peel starts from the persistent bucketed base —
+      // the round-1 degree count reads the s-copy pre-partitioned
+      // (KCore treats edges as undirected, so the oriented relabeling
+      // of the same edge set peels identically); later rounds iterate
+      // over the shrinking checkpointed survivor frames as before.
+      val e0 = graft.operators.BucketedGraph.edgesByS(s, dir)
+        .select(col("s").as("u"), col("t").as("v"))
       graft.operators.KCore.kCore(e0, k = 60, maxRounds = 8)
         .select(col("x"), col("d").cast("long").as("d"))
         .orderBy(col("x"))

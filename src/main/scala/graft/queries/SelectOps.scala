@@ -72,6 +72,49 @@ object SelectOps extends QueryPack {
   private val DpUserCap = 3L
   private val DpUserTypes = 2
 
+  /** floor(10⁶·ln 2) — the micro-nat rendering of one geometric(½)
+    * mechanism's ε (ε = Δ·ln 2 for L1-sensitivity Δ at α = ½). A fixed
+    * integer literal rendered into BOTH engines (q_dp_ledger); the
+    * ledger's exact cells are the ln2-unit sensitivities themselves —
+    * this constant only scales them into the unit auditors read. */
+  private val Ln2Micro = 693147L
+
+  /** The q_dp_user_count contribution-bounded (user_id, event_type, nc)
+    * frame — shared by the release gate and the ledger's released-cell
+    * census (q_dp_ledger must count cells of the SAME bounded histogram
+    * it accounts for). */
+  private def dpUserBounded(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUT = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(least(count(lit(1)), lit(DpUserCap)).as("nc"))
+    val pick = hash32(concat(lit("dput:"),
+      col("user_id").cast("string"), lit(":"), col("event_type")))
+    perUT
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("nc").desc, pick, col("event_type"))))
+      .filter(col("rk") <= DpUserTypes)
+  }
+
+  /** The shared per_ut/ranked CTE body of the user-bounding pipeline —
+    * both the q_dp_user_count and q_dp_ledger oracles build on it. */
+  private def sqlDpUserBounded: String =
+    s"""per_ut AS (
+       |  SELECT user_id, event_type,
+       |    LEAST(COUNT(*), $DpUserCap) AS nc
+       |  FROM events GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT user_id, event_type, nc,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY nc DESC,
+       |        ${sqlHash32(
+                  "'dput:' || CAST(user_id AS VARCHAR) || ':' || event_type")},
+       |        event_type) AS rk
+       |  FROM per_ut)""".stripMargin
+
   /** Per-doc DSIR score frame (doc_id, lang, n_grams, score, w_avg_ppm)
     * — the shared two-pass pipeline behind q_dsir_weights (top-20
     * readout) and q_dsir_sample (the resampling step). See the
@@ -198,24 +241,64 @@ object SelectOps extends QueryPack {
     // (never the raw events), one type aggregate + per-group constant
     // noise.
     "q_dp_user_count" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val perUT = Tables.load(s, dir, "events")
-        .select(col("user_id"), col("event_type"))
-        .groupBy(col("user_id"), col("event_type"))
-        .agg(least(count(lit(1)), lit(DpUserCap)).as("nc"))
-      val pick = hash32(concat(lit("dput:"),
-        col("user_id").cast("string"), lit(":"), col("event_type")))
-      val bounded = perUT
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("nc").desc, pick, col("event_type"))))
-        .filter(col("rk") <= DpUserTypes)
+      val bounded = dpUserBounded(s, dir)
       val u = hash32(concat(lit("dpu:"), col("event_type")))
       bounded.groupBy(col("event_type"))
         .agg(sum(col("nc")).as("n"))
         .select(col("event_type"),
           (col("n") + dpNoise(u).cast("long")).as("n_dp"))
         .orderBy(col("event_type"))
+    }),
+
+    // ---- privacy-budget composition ledger --------------------------
+    // The accounting readout a governed release actually publishes
+    // (round 17, r16 verdict #6): the pipeline now runs THREE release
+    // mechanisms — the event-level count (q_dp_count), the noisy-max
+    // top-k (q_dp_topk), and the user-level bounded histogram
+    // (q_dp_user_count) — and under basic sequential composition the
+    // total spent budget is their sum. Every mechanism here is
+    // geometric(α = ½), whose ε at L1-sensitivity Δ is exactly Δ·ln 2,
+    // so the ledger's cells are pure integers: sensitivity per
+    // mechanism (1, 1, Cap·Types = 6 — the SAME shared constants the
+    // release gates use) plus the fixed micro-nat rendering
+    // sensitivity·[[Ln2Micro]]. n_cells records what each mechanism
+    // actually released/noised — distinct priorities, noised brand
+    // candidates, and the types SURVIVING contribution bounding (the
+    // ledger must census the same bounded histogram it accounts for,
+    // hence the shared [[dpUserBounded]] frame). Cost: three tiny
+    // aggregates (two distinct-counts on narrow columns + the existing
+    // census window) and a 4-row union — ledger upkeep is free next to
+    // the releases themselves.
+    "q_dp_ledger" -> ((s, dir) => {
+      val ledgerCols = Seq("seq", "mechanism", "scope", "n_cells",
+        "sensitivity").map(col)
+      val cCount = Tables.load(s, dir, "orders")
+        .agg(countDistinct(col("o_orderpriority")).as("n_cells"))
+        .select(lit(1L).as("seq"),
+          lit("count_orders_priority").as("mechanism"),
+          lit("event").as("scope"), col("n_cells"),
+          lit(1L).as("sensitivity"))
+      val cTopk = Tables.load(s, dir, "part")
+        .agg(countDistinct(col("p_brand")).as("n_cells"))
+        .select(lit(2L).as("seq"), lit("topk_part_brand").as("mechanism"),
+          lit("event").as("scope"), col("n_cells"),
+          lit(1L).as("sensitivity"))
+      val cUser = dpUserBounded(s, dir)
+        .agg(countDistinct(col("event_type")).as("n_cells"))
+        .select(lit(3L).as("seq"),
+          lit("user_hist_event_type").as("mechanism"),
+          lit("user").as("scope"), col("n_cells"),
+          lit(DpUserCap * DpUserTypes).as("sensitivity"))
+      val rows = cCount.unionByName(cTopk).unionByName(cUser)
+      val total = rows
+        .agg(sum(col("n_cells")).as("n_cells"),
+          sum(col("sensitivity")).as("sensitivity"))
+        .select(lit(4L).as("seq"), lit("total").as("mechanism"),
+          lit("all").as("scope"), col("n_cells"), col("sensitivity"))
+      rows.unionByName(total)
+        .select(ledgerCols :+
+          (col("sensitivity") * lit(Ln2Micro)).as("eps_micronats"): _*)
+        .orderBy(col("seq"))
     }),
 
     // ---- ε-DP count release (geometric mechanism) -------------------
@@ -287,24 +370,42 @@ object SelectOps extends QueryPack {
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dp_user_count" ->
-      s"""WITH per_ut AS (
-         |  SELECT user_id, event_type,
-         |    LEAST(COUNT(*), $DpUserCap) AS nc
-         |  FROM events GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT user_id, event_type, nc,
-         |    ROW_NUMBER() OVER (PARTITION BY user_id
-         |      ORDER BY nc DESC,
-         |        ${sqlHash32(
-                    "'dput:' || CAST(user_id AS VARCHAR) || ':' || event_type")},
-         |        event_type) AS rk
-         |  FROM per_ut),
+      s"""WITH $sqlDpUserBounded,
          |hist AS (
          |  SELECT event_type, CAST(SUM(nc) AS BIGINT) AS n,
          |    ${sqlHash32("'dpu:' || event_type")} AS u
          |  FROM ranked WHERE rk <= $DpUserTypes GROUP BY event_type)
          |SELECT event_type, n + ${sqlDpNoise("u")} AS n_dp
          |FROM hist ORDER BY event_type""".stripMargin,
+
+    "q_dp_ledger" ->
+      s"""WITH $sqlDpUserBounded,
+         |cells AS (
+         |  SELECT 1 AS seq, 'count_orders_priority' AS mechanism,
+         |    'event' AS scope,
+         |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_cells,
+         |    CAST(1 AS BIGINT) AS sensitivity
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 2, 'topk_part_brand', 'event',
+         |    CAST(COUNT(DISTINCT p_brand) AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM part
+         |  UNION ALL
+         |  SELECT 3, 'user_hist_event_type', 'user',
+         |    CAST(COUNT(DISTINCT event_type) AS BIGINT),
+         |    CAST(${DpUserCap * DpUserTypes} AS BIGINT)
+         |  FROM ranked WHERE rk <= $DpUserTypes),
+         |ledger AS (
+         |  SELECT * FROM cells
+         |  UNION ALL
+         |  SELECT 4, 'total', 'all',
+         |    CAST(SUM(n_cells) AS BIGINT),
+         |    CAST(SUM(sensitivity) AS BIGINT)
+         |  FROM cells)
+         |SELECT CAST(seq AS BIGINT) AS seq, mechanism, scope, n_cells,
+         |  sensitivity,
+         |  CAST(sensitivity * $Ln2Micro AS BIGINT) AS eps_micronats
+         |FROM ledger ORDER BY seq""".stripMargin,
 
     "q_dp_count" ->
       s"""SELECT o_orderpriority,

@@ -40,6 +40,14 @@ object TextOps extends QueryPack {
     * oracle). */
   private val BpeRounds = 5
 
+  /** Production-depth merge rounds for `q_bpe_merges32` (round 17, r16
+    * verdict #4): 32 crosses the trainer's CheckpointEvery = 8 threshold,
+    * so the gate itself exercises the periodic re-checkpoint path (at
+    * rounds 8/16/24) that keeps training O(rounds) — if the O(rounds²)
+    * replay regression ever returns it is bench-visible here, and the
+    * unrolled oracle grows only linearly. */
+  private val BpeRounds32 = 32
+
   /** Shared build-once (doc_id, component) labeling of the mutant corpus
     * (round 15, the GraphArtifacts memo economics): q_dedup_cluster and
     * q_dedup_canonical each ran the SAME minhashPairs → connected-
@@ -88,6 +96,20 @@ object TextOps extends QueryPack {
     "q_bpe_merges" -> ((s, dir) =>
       graft.operators.BpeTrainer.merges(bpeCensus(s, dir),
         col("w"), col("n"), rounds = BpeRounds)),
+
+    // Production-depth BPE training (round 17): the same trainer at 32
+    // merge rounds — a realistic (if small) vocab build that drives the
+    // CheckpointEvery = 8 re-checkpoint path inside the GATE (rounds
+    // 8/16/24 re-anchor the chained symbol frame, superseded checkpoint
+    // released), so the O(rounds) cost contract is what the bench
+    // measures, not a code path only a spec touches. Per-round cost is
+    // one explode + one weighted aggregate over the vocab-sized census
+    // + a 1-row argmax — training depth never multiplies corpus scans
+    // (still the single census pass). Oracle = the identical 32 rounds
+    // unrolled, m_i/s_i MATERIALIZED against exponential inlining.
+    "q_bpe_merges32" -> ((s, dir) =>
+      graft.operators.BpeTrainer.merges(bpeCensus(s, dir),
+        col("w"), col("n"), rounds = BpeRounds32)),
 
     // Apply the trained BPE (round 16, r15 verdict #5): the production
     // tokenize step — train the merges (pass 1: census + vocab-sized
@@ -615,10 +637,14 @@ object TextOps extends QueryPack {
     * per round i, pair census over s(i-1) (weighted by word count),
     * argmax with (cnt DESC, pair ASC) tie-break, then the SAME literal
     * `|l||r|` → `|lr|` replace. */
-  /** The shared WITH-block body (census, s0, p/m/s per round) both BPE
-    * oracles build on — q_bpe_merges selects the m_i rows, q_bpe_encode
-    * tokenizes from the final s_N state with the m_i-derived vocab. */
-  private lazy val sqlBpeRoundsCtes: String = {
+  /** The shared WITH-block body (census, s0, p/m/s per round) the BPE
+    * oracles build on — the merges gates select the m_i rows,
+    * q_bpe_encode tokenizes from the final s_N state with the
+    * m_i-derived vocab. Parameterized by round count (round 17 —
+    * q_bpe_merges32 unrolls 32); m_i and s_i are MATERIALIZED: each is
+    * referenced 2–3×, and at 32 rounds unmaterialized inlining grows
+    * the plan exponentially (the q_kcore oracle lesson). */
+  private def sqlBpeRoundsCtes(nRounds: Int): String = {
     def round_(i: Int): String =
       s"""p$i AS (SELECT pr AS pair, CAST(SUM(n) AS BIGINT) AS cnt
          |  FROM (SELECT n, unnest(list_transform(
@@ -628,14 +654,14 @@ object TextOps extends QueryPack {
          |        string_split(substr(s, 2, length(s) - 2), '||') AS t
          |      FROM s${i - 1}))
          |  GROUP BY pr),
-         |m$i AS (SELECT pair, cnt FROM p$i
+         |m$i AS MATERIALIZED (SELECT pair, cnt FROM p$i
          |  ORDER BY cnt DESC, pair LIMIT 1),
-         |s$i AS (SELECT replace(s,
+         |s$i AS MATERIALIZED (SELECT replace(s,
          |    '|' || replace((SELECT pair FROM m$i), ' ', '||') || '|',
          |    '|' || replace((SELECT pair FROM m$i), ' ', '') || '|') AS s,
          |    n
          |  FROM s${i - 1})""".stripMargin
-    val rounds = (1 to BpeRounds).map(round_).mkString(",\n")
+    val rounds = (1 to nRounds).map(round_).mkString(",\n")
     s"""census AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(${sqlTokens(sqlNormalizeText("text"))}) AS w
@@ -647,11 +673,11 @@ object TextOps extends QueryPack {
        |$rounds""".stripMargin
   }
 
-  private lazy val sqlBpeMerges: String = {
-    val selects = (1 to BpeRounds)
+  private def sqlBpeMerges(nRounds: Int): String = {
+    val selects = (1 to nRounds)
       .map(i => s"SELECT $i AS round, pair, cnt AS n_pair FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH $sqlBpeRoundsCtes,
+    s"""WITH ${sqlBpeRoundsCtes(nRounds)},
        |merged AS ($selects)
        |SELECT round, pair, n_pair FROM merged ORDER BY round""".stripMargin
   }
@@ -664,7 +690,7 @@ object TextOps extends QueryPack {
     val vocabRows = (1 to BpeRounds)
       .map(i => s"SELECT $i AS r, replace(pair, ' ', '') AS token FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH $sqlBpeRoundsCtes,
+    s"""WITH ${sqlBpeRoundsCtes(BpeRounds)},
        |vocab AS (
        |  SELECT token, CAST(1000 + MIN(r) AS BIGINT) AS merge_id
        |  FROM ($vocabRows) GROUP BY token),
@@ -682,7 +708,8 @@ object TextOps extends QueryPack {
   }
 
   override def oracle: Map[String, String] = Map(
-    "q_bpe_merges" -> sqlBpeMerges,
+    "q_bpe_merges" -> sqlBpeMerges(BpeRounds),
+    "q_bpe_merges32" -> sqlBpeMerges(BpeRounds32),
     "q_bpe_encode" -> sqlBpeEncode,
 
     "q_readability" ->

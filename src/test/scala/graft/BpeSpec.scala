@@ -53,6 +53,20 @@ class BpeSpec extends SparkSpec {
       "the learned merge list")
   }
 
+  test("q_bpe_merges32 (production depth): all 32 rounds complete, the " +
+      "5-round gate is its prefix, and pair counts never increase") {
+    val m32 = SparkEntry.queries("q_bpe_merges32")(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(m32.length == 32, "the census must support 32 merges")
+    val m5 = SparkEntry.queries("q_bpe_merges")(spark, sf).collect()
+      .sortBy(_.getInt(0)).map(_.getString(1)).toSeq
+    assert(m32.take(5).map(_.getString(1)).toSeq == m5,
+      "deeper training must extend, not rewrite, the gate's merge list")
+    val counts = m32.map(_.getAs[Long]("n_pair"))
+    assert(counts.sliding(2).forall(p => p(1) <= p(0)),
+      "a merged pair cannot out-count the pair it came from")
+  }
+
   test("symbolTokens round-trips the encoding") {
     val c = census().limit(50)
     val back = c.select(col("w"),

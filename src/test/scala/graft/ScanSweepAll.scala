@@ -32,6 +32,9 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   * a gate that develops one either exceeds its budget or shows up
   * unclassified, and this spec goes red. ScanSweepSpec separately pins
   * the stricter ≤1-fact-scan budget for the TPC-H 22.
+  *
+  * Streaming gates are swept too (round 17): what this spec sees for
+  * them is the drained batch-side frame — see the sweep-test comment.
   */
 object ScanBudget {
 
@@ -196,10 +199,20 @@ class ScanBudgetSpec extends SparkSpec {
     // therefore re-collected once before it counts: a real class-4
     // recompute reproduces deterministically, a transient conf window
     // does not.
+    // Round 17 (r16 verdict #5): the sweep covers ALL gates, streaming
+    // included — the former `!g.startsWith("q_stream")` code filter was
+    // a blanket hole in an otherwise data-driven discipline. For a
+    // streaming gate the frame returned (and swept) here is its DRAINED
+    // batch side — the memory-sink readout plus any batch frames the
+    // gate joins against it (e.g. q_stream_drift's baseline scan), which
+    // is exactly where a silent batch-side class-4 recompute would land;
+    // the per-micro-batch source plans are owned by StreamExecution and
+    // are pinned separately (StreamingSpec), not reachable from the
+    // returned frame. A streaming gate whose batch side develops a
+    // redundant fact scan now shows up UNCLASSIFIED like any other gate.
     val s2 = spark.newSession()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (g <- SparkEntry.queries.keys.toSeq.sorted
-        if !g.startsWith("q_stream")) {
+    for (g <- SparkEntry.queries.keys.toSeq.sorted) {
       val df = SparkEntry.queries(g)(s2, sf)
       df.collect()
       if (violations(g, df).nonEmpty) {

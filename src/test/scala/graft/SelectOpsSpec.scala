@@ -124,6 +124,38 @@ class SelectOpsSpec extends SparkSpec {
     assert(again == out, "DP release must be replay-stable")
   }
 
+  test("q_dp_ledger: the composition total equals the sum of the three " +
+      "mechanisms' declared budgets, and each ε = sensitivity·ln 2") {
+    val out = SparkEntry.queries("q_dp_ledger")(spark, sf).collect()
+    assert(out.length == 4)
+    val bySeq = out.map(r => r.getAs[Long]("seq") -> r).toMap
+    val mechs = Seq(1L, 2L, 3L).map(bySeq)
+    val total = bySeq(4L)
+    assert(total.getAs[String]("mechanism") == "total")
+    // declared budgets: event-level count 1·ln2, noisy-max top-k 1·ln2,
+    // user-level histogram Cap·Types = 6·ln2 — the SAME constants the
+    // release gates derive their guarantees from
+    assert(mechs.map(_.getAs[Long]("sensitivity")) == Seq(1L, 1L, 6L))
+    assert(mechs.map(_.getAs[String]("scope")) ==
+      Seq("event", "event", "user"))
+    // basic sequential composition: the total row IS the sum
+    assert(total.getAs[Long]("sensitivity") ==
+      mechs.map(_.getAs[Long]("sensitivity")).sum)
+    assert(total.getAs[Long]("eps_micronats") ==
+      mechs.map(_.getAs[Long]("eps_micronats")).sum)
+    assert(total.getAs[Long]("n_cells") ==
+      mechs.map(_.getAs[Long]("n_cells")).sum)
+    // the micro-nat rendering is sensitivity · floor(10⁶·ln 2) per row
+    for (r <- out)
+      assert(r.getAs[Long]("eps_micronats") ==
+        r.getAs[Long]("sensitivity") * 693147L)
+    // the ledger censuses the RELEASED histograms: its user-level cell
+    // count must equal the rows q_dp_user_count actually publishes
+    val released = SparkEntry.queries("q_dp_user_count")(spark, sf).count()
+    assert(bySeq(3L).getAs[Long]("n_cells") == released,
+      "ledger must census the same bounded histogram it accounts for")
+  }
+
   test("q_bpe_merges: matches an independent scalar BPE replay (list-" +
       "based greedy merge, not the string-replace the operator uses), " +
       "and merge counts never increase") {
