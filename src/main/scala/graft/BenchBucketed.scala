@@ -58,11 +58,23 @@ object BenchBucketed {
       graft.operators.BucketedGraph.edgesByS(spark, sfDir).count()
     }
 
+    // round 17: the out-adjacency build is the structural family's new
+    // shared consumer of the s-copy (q_triangles/q_clustering_coef) —
+    // A/B the BUILD itself: over the bucketed scan it plans with zero
+    // Exchange, over the memo checkpoint it must shuffle by s first
+    def adjacency(e: org.apache.spark.sql.DataFrame): Long =
+      e.groupBy(col("s").as("x"))
+        .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+        .agg(count(lit(1))).head().getLong(0)
+
     val legs = Seq(
       "bucketed" -> (() => wedges(
         graft.operators.BucketedGraph.edgesByT(spark, sfDir),
         graft.operators.BucketedGraph.edgesByS(spark, sfDir))),
-      "memo-shuffle" -> (() => wedges(memo, memo)))
+      "memo-shuffle" -> (() => wedges(memo, memo)),
+      "adj-bucketed" -> (() => adjacency(
+        graft.operators.BucketedGraph.edgesByS(spark, sfDir))),
+      "adj-memo" -> (() => adjacency(memo)))
 
     println(f"[bucketed-ab] dir=$sfDir write-once=$tWrite%.2fs reps=$reps")
     for ((name, run) <- legs) {

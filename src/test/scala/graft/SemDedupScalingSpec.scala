@@ -59,4 +59,27 @@ class SemDedupScalingSpec extends SparkSpec {
       f"scaled-k=$perScaled%.0f (x${perScaled / perSmall}%.2f) " +
       f"fixed-k=$perFixed%.0f (x${perFixed / perSmall}%.2f)")
   }
+
+  test("the rule holds a full decade up (20k-vector sf1 corpus, k 8→80)" +
+      " — runs when the bench corpus is present") {
+    // /tmp/sf1 is the bench-only 10x corpus (tools/gen_sf1_embed.py);
+    // round 17 grew embeddings to 20k so the embedding family has a
+    // measured 10x point at all (r16 verdict #2). Cancels (not fails)
+    // when the corpus isn't generated — specs must stay green on a
+    // fresh checkout.
+    val sf1 = "/tmp/sf1"
+    assume(new java.io.File(s"$sf1/embeddings.parquet").exists(),
+      "sf1 bench corpus not generated")
+    assume(spark.read.parquet(s"$sf1/embeddings.parquet").count() == 20000L,
+      "sf1 embeddings not at the 20k round-17 size")
+    val pSmall = pairWork("/root/testdata/sf0.1", 8) // 2k vectors
+    val pScaled = pairWork(sf1, 80)                  // 20k, k ∝ n
+    val perSmall = pSmall.toDouble / 8
+    val perScaled = pScaled.toDouble / 80
+    assert(perScaled / perSmall <= 2.5,
+      f"k ∝ n per-cluster pair work grew ${perScaled / perSmall}%.2fx " +
+        "on the 10x step — the SemDeDup scaling rule is broken at scale")
+    info(f"10x step per-cluster pair work: sf0.1=$perSmall%.0f " +
+      f"sf1-scaled-k=$perScaled%.0f (x${perScaled / perSmall}%.2f)")
+  }
 }
