@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed two-sample Kolmogorov–Smirnov test — the distribution-drift
@@ -14,18 +15,23 @@ import org.apache.spark.sql.functions._
   * and only the closing division to D itself is IEEE — so the statistic
   * carries a bit-exact cross-engine oracle.
   *
-  * The prefix counts come from [[Percentiles.globalRanksTieBroken]] — the
-  * value-bucketed distributed rank frame — NOT from a partition-less
-  * window, so no single task ever sorts the whole sample:
-  *
-  *  - each element's rank within its own side gives one of (i, j)
-  *    directly; the merged rank k gives the other as k − rank;
-  *  - merged-order ties break side-B-first, so the LAST element of every
-  *    value block (max k per distinct value) sees exactly the classical
-  *    tie-aware prefix (i(v), j(v)). Evaluating only at those block ends
-  *    is what keeps ties correct: a mid-block prefix (some of a value's
-  *    A-elements counted, all of its B-elements) is NOT a KS evaluation
-  *    point and can inflate D.
+  * Round 17 (optimization; guide §2.3 "aggregate before you shuffle"):
+  * the prefix counts now come from a per-distinct-VALUE census instead of
+  * two per-ROW rank frames. The classical KS evaluation points are the
+  * ends of tied-value blocks, and at a block end the prefix pair
+  * (i(v), j(v)) is exactly the inclusive cumulative of the per-value side
+  * counts — so ONE map-side-combined `groupBy(value)` census plus the
+  * repo's bucketed-cumsum discipline (range-derived buckets, partitioned
+  * windows, O(buckets²) offset merge — the q_conformal/RangeBuckets
+  * shape, never a single-partition global sort) replaces: two
+  * value-bucketed rank frames over every row, their two eager
+  * localCheckpoints and boundary sketches, and a corpus-sized 4-key
+  * sort-merge join to glue them together. Everything after the census is
+  * value-cardinality-sized. The statistic and output schema are
+  * bit-identical (same max |i·m − j·n| over the same evaluation points;
+  * the old per-row tie-break id only ordered ranks WITHIN a value block
+  * and never influenced the block-end prefix, which is why it could be
+  * dropped from the API).
   *
   * The reject decision uses the large-sample critical value
   * c(α)·sqrt((n+m)/(n·m)) with c(0.05) = 1.358 (Smirnov's asymptotic
@@ -36,52 +42,27 @@ object KsTest {
 
   /** One-row result: (n_a, n_b, d_num, d, crit, drift) for the two-sample
     * KS test between rows where `sideCol` is true (sample A) and false
-    * (sample B). `idCol` must be a per-row unique id — it only breaks
-    * rank ties deterministically and never influences the statistic.
-    */
-  def twoSample(df: DataFrame, sideCol: Column, valueCol: Column,
-      idCol: Column): DataFrame = {
+    * (sample B). */
+  def twoSample(df: DataFrame, sideCol: Column, valueCol: Column)
+      : DataFrame = {
     val base = df
-      .select(sideCol.cast("int").as("__side"), valueCol.as("__v"),
-        idCol.as("__id"))
+      .select(lit(0L).as("__k"), sideCol.cast("int").as("__side"),
+        valueCol.as("__v"))
       .filter(col("__v").isNotNull)
 
-    val counts = base.agg(
-      sum(col("__side")).cast("long").as("n_a"),
-      (count(lit(1)) - sum(col("__side"))).cast("long").as("n_b"))
-
-    // rank within own side: side A's rank r is i(v) at that element's
-    // prefix; side B's is j(v)
-    val sideRk = Percentiles
-      .globalRanksTieBroken(base, col("__side"), col("__v"), col("__id"))
-      .select(col("group").as("__side"), col("value").as("__v"),
-        col("tie").as("__id"), col("rank").as("r"))
-
-    // merged rank k over both sides; equal values order side-B (0) before
-    // side-A (1) so value-block ends see all of BOTH sides' ≤-v elements
-    val mergedRk = Percentiles
-      .globalRanksTieBroken(base, lit(0), col("__v"),
-        struct(col("__side"), col("__id")))
-      .select(col("value").as("__v"), col("tie.__side").as("__side"),
-        col("tie.__id").as("__id"), col("rank").as("k"))
-
-    val el = mergedRk.join(sideRk, Seq("__v", "__side", "__id"))
-      .crossJoin(broadcast(counts))
-      .select(col("__v"), col("k"),
-        when(col("__side") === 1, col("r")).otherwise(col("k") - col("r"))
-          .as("i"),
-        when(col("__side") === 1, col("k") - col("r")).otherwise(col("r"))
-          .as("j"),
-        col("n_a"), col("n_b"))
-
-    // classical evaluation points only: the max-k element per distinct
-    // value carries the tie-aware (i(v), j(v))
-    val perValue = el.groupBy(col("__v"))
-      .agg(max_by(abs(col("i") * col("n_b") - col("j") * col("n_a")),
-        col("k")).as("dv"))
+    val (cum, census) = cumPrefix(base)
+    // 1-row global counts off the census leaf — a global aggregate still
+    // yields the single null-celled row on empty input that the old
+    // rank-frame form produced, and the source is never scanned twice.
+    val counts = census.agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"))
 
     val nm = (col("n_a") * col("n_b")).cast("double")
-    perValue.agg(max(col("dv")).cast("long").as("d_num"))
+    cum
+      .crossJoin(broadcast(counts))
+      .select(abs(col("i") * col("n_b") - col("j") * col("n_a")).as("dv"))
+      .agg(max(col("dv")).cast("long").as("d_num"))
       .crossJoin(broadcast(counts))
       .select(col("n_a"), col("n_b"), col("d_num"),
         (col("d_num").cast("double") / nm).as("d"),
@@ -92,55 +73,32 @@ object KsTest {
 
   /** Keyed two-sample KS — one test per `keyCol` group, the per-feature /
     * per-slice DRIFT MONITOR form ("which event types shifted between
-    * weeks?"). Same integer-exact statistic and the same value-bucketed
-    * rank machinery as [[twoSample]], with the key folded into the rank
-    * frame's group (so no per-key single-partition window exists even
-    * when one key holds most of the corpus — the scale posture that
-    * motivated the machinery in the first place).
+    * weeks?"). Same integer-exact statistic and the same census-cumsum
+    * machinery as [[twoSample]], with the key folded into the census and
+    * the window partitioning (so no per-key single-partition window
+    * exists even when one key holds most of the corpus).
     *
     * Output: one row per key — (key, n_a, n_b, d_num, d, crit, drift).
     * Keys where either side is empty produce d = NULL via the 0-product
     * guard rather than a division error. */
   def twoSampleByKey(df: DataFrame, keyCol: Column, sideCol: Column,
-      valueCol: Column, idCol: Column): DataFrame = {
+      valueCol: Column): DataFrame = {
     val base = df
       .select(keyCol.as("__k"), sideCol.cast("int").as("__side"),
-        valueCol.as("__v"), idCol.as("__id"))
+        valueCol.as("__v"))
       .filter(col("__v").isNotNull)
 
-    val counts = base.groupBy(col("__k")).agg(
-      sum(col("__side")).cast("long").as("n_a"),
-      (count(lit(1)) - sum(col("__side"))).cast("long").as("n_b"))
-
-    val sideRk = Percentiles
-      .globalRanksTieBroken(base, struct(col("__k"), col("__side")),
-        col("__v"), col("__id"))
-      .select(col("group.__k").as("__k"), col("group.__side").as("__side"),
-        col("value").as("__v"), col("tie").as("__id"), col("rank").as("r"))
-
-    val mergedRk = Percentiles
-      .globalRanksTieBroken(base, struct(col("__k")), col("__v"),
-        struct(col("__side"), col("__id")))
-      .select(col("group.__k").as("__k"), col("value").as("__v"),
-        col("tie.__side").as("__side"), col("tie.__id").as("__id"),
-        col("rank").as("k"))
-
-    val el = mergedRk.join(sideRk, Seq("__k", "__v", "__side", "__id"))
-      .join(counts, Seq("__k"))
-      .select(col("__k"), col("__v"), col("k"),
-        when(col("__side") === 1, col("r")).otherwise(col("k") - col("r"))
-          .as("i"),
-        when(col("__side") === 1, col("k") - col("r")).otherwise(col("r"))
-          .as("j"),
-        col("n_a"), col("n_b"))
-
-    val perValue = el.groupBy(col("__k"), col("__v"))
-      .agg(max_by(abs(col("i") * col("n_b") - col("j") * col("n_a")),
-        col("k")).as("dv"))
+    val (cum, census) = cumPrefix(base)
+    val counts = census.groupBy(col("__k")).agg(
+      sum(col("__ca")).cast("long").as("n_a"),
+      sum(col("__cb")).cast("long").as("n_b"))
 
     val nm = (col("n_a") * col("n_b")).cast("double")
-    perValue.groupBy(col("__k"))
-      .agg(max(col("dv")).cast("long").as("d_num"))
+    cum
+      .join(counts, Seq("__k"))
+      .groupBy(col("__k"))
+      .agg(max(abs(col("i") * col("n_b") - col("j") * col("n_a")))
+        .cast("long").as("d_num"))
       .join(counts, Seq("__k"))
       .select(col("__k").as("key"), col("n_a"), col("n_b"), col("d_num"),
         when(col("n_a") > 0 && col("n_b") > 0,
@@ -148,5 +106,61 @@ object KsTest {
         when(col("n_a") > 0 && col("n_b") > 0, lit(1.358) *
           sqrt((col("n_a") + col("n_b")).cast("double") / nm)).as("crit"))
       .withColumn("drift", col("d") > col("crit"))
+  }
+
+  /** The shared census-cumsum core: from (__k, __side, __v) rows to
+    * (prefix frame, census) — the prefix frame holds one row per
+    * DISTINCT (key, value) with the inclusive tie-aware prefixes
+    * i = #{side A ≤ v}, j = #{side B ≤ v} within the key — the classical
+    * KS evaluation points. Shape: one map-side-combined census shuffle,
+    * per-(key, bucket) partitioned windows over range-derived buckets
+    * (≤ [[RangeBuckets.DefaultTarget]] + 1 per key at ANY value range),
+    * one O(|keys|·buckets²) offset-merge theta join — census-sized
+    * everywhere after the first aggregate. The bucket key only needs to
+    * be MONOTONE in the value (it never reaches output), so the
+    * double-arithmetic bucketing below is safe: x ↦ (x−mn)/width is
+    * non-decreasing under IEEE for width > 0, and floor preserves that;
+    * NaN values (which Spark groups as equal and sorts last) are pinned
+    * to the top bucket explicitly. */
+  private def cumPrefix(base: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val target = RangeBuckets.DefaultTarget
+    // the census is the fan-out point — bounds, window, bucket totals,
+    // offset merge and the side counts all read it. A LAZY localCheckpoint
+    // materializes it once on first read (no standalone job), so the
+    // SOURCE is scanned exactly once per test; everything downstream is
+    // value-cardinality-sized block reads.
+    val census = base.groupBy(col("__k"), col("__v"))
+      .agg(sum(col("__side")).cast("long").as("__ca"),
+        (count(lit(1)) - sum(col("__side"))).cast("long").as("__cb"))
+      .localCheckpoint(eager = false)
+    val vd = col("__v").cast("double")
+    val bounds = census.agg(min(vd).as("__mn"), max(vd).as("__mx"))
+    val bucketed = census.crossJoin(broadcast(bounds))
+      .withColumn("__b",
+        when(vd.isNaN || col("__mn").isNaN, lit(target))
+          .when(col("__mx") <= col("__mn"), lit(0))
+          .otherwise(least(
+            floor((vd - col("__mn")) /
+              ((col("__mx") - col("__mn")) / target)),
+            lit(target.toLong)).cast("int")))
+      .drop("__mn", "__mx")
+    val w = Window.partitionBy(col("__k"), col("__b")).orderBy(col("__v"))
+    val loc = bucketed
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val bt = bucketed.groupBy(col("__k"), col("__b"))
+      .agg(sum(col("__ca")).as("__ba"), sum(col("__cb")).as("__bb"))
+    val off = bt.as("a")
+      .join(bt.as("o"),
+        col("a.__k") <=> col("o.__k") && col("o.__b") < col("a.__b"),
+        "left")
+      .groupBy(col("a.__k").as("__k"), col("a.__b").as("__b"))
+      .agg(coalesce(sum(col("o.__ba")), lit(0L)).as("__offa"),
+        coalesce(sum(col("o.__bb")), lit(0L)).as("__offb"))
+    (loc.join(broadcast(off), Seq("__k", "__b"))
+      .select(col("__k"), col("__v"),
+        (col("__offa") + col("__cuma")).as("i"),
+        (col("__offb") + col("__cumb")).as("j")), census)
   }
 }

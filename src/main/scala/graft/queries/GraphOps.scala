@@ -138,31 +138,47 @@ object GraphOps extends QueryPack {
       val e = GraphArtifacts.nationTradeEdges(s, dir)
       val nodes = t(s, dir, "nation")
         .select(col("n_nationkey").cast("long").as("id"))
+      // round 17 (optimization): the original loop paid one EAGER
+      // localCheckpoint job per half-step (10 scheduler barriers on
+      // ≤25-row frames — ~2.4 s of the gate's 2.8 s), forced by the
+      // max-rescale SCALAR SUBQUERY consuming each pre-rescale frame a
+      // second time (without a materialization the subquery duplication
+      // compounds exponentially across rounds — measured ×1.7 WORSE with
+      // a 2-round checkpoint cadence). The rescale max now comes from a
+      // WINDOW over the same frame instead: one inline single-partition
+      // pass over ≤25 rows (bounded by the nation dim at ANY corpus
+      // scale — the PlanSpec bounded-frame waiver class, see
+      // q_tpch_q15), so there is no second consumer, no subquery, no
+      // broadcast build, and no checkpoint: the whole 5-round recurrence
+      // is ONE linear lazy plan executed by the readout action. The lazy
+      // checkpoint on `a` only truncates lineage for the final a⋈h
+      // readout (a's subtree would otherwise evaluate twice). Arithmetic
+      // is untouched (bit-identical trajectory).
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
       var h = nodes.select(col("id"), lit(1000000L).as("hv"))
       var a = nodes.select(col("id"), lit(0L).as("av"))
       for (_ <- 1 to 5) {
-        val araw = nodes.join(
+        a = nodes.join(
           e.join(h.select(col("id").as("src"), col("hv")), Seq("src"))
             .groupBy(col("dst").as("id"))
             .agg(sum(col("w").cast(DecimalType(38, 0)) * col("hv"))
               .as("raw")), Seq("id"), "left")
           .select(col("id"), coalesce(col("raw"),
             lit(0L).cast(DecimalType(38, 0))).as("raw"))
-        val mxa = araw.agg(max(col("raw")).as("mx"))
-        a = araw.crossJoin(broadcast(mxa))
+          .withColumn("mx", max(col("raw")).over(wAll))
           .select(col("id"), expr("CAST((1000000 * raw) div mx AS BIGINT)")
-            .as("av")).localCheckpoint()
-        val hraw = nodes.join(
+            .as("av"))
+          .localCheckpoint(eager = false)
+        h = nodes.join(
           e.join(a.select(col("id").as("dst"), col("av")), Seq("dst"))
             .groupBy(col("src").as("id"))
             .agg(sum(col("w").cast(DecimalType(38, 0)) * col("av"))
               .as("raw")), Seq("id"), "left")
           .select(col("id"), coalesce(col("raw"),
             lit(0L).cast(DecimalType(38, 0))).as("raw"))
-        val mxh = hraw.agg(max(col("raw")).as("mx"))
-        h = hraw.crossJoin(broadcast(mxh))
+          .withColumn("mx", max(col("raw")).over(wAll))
           .select(col("id"), expr("CAST((1000000 * raw) div mx AS BIGINT)")
-            .as("hv")).localCheckpoint()
+            .as("hv"))
       }
       a.join(h, Seq("id"))
         .select(col("id"), col("av").as("auth_ppm"),

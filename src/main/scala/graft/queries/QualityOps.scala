@@ -138,8 +138,7 @@ object QualityOps extends QueryPack {
       val o = t(s, dir, "orders")
         .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
       graft.operators.KsTest.twoSample(o,
-        col("o_orderpriority") === "1-URGENT", col("o_totalprice"),
-        col("o_orderkey"))
+        col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
     }),
 
     // Welch's unequal-variance t-test on the same two cohorts as
@@ -182,16 +181,16 @@ object QualityOps extends QueryPack {
     // test PER EVENT TYPE between the first and second half of the
     // corpus time range — "which event types' value distributions
     // shifted?". The keyed KS machinery folds the key into the
-    // value-bucketed rank frame, so a dominant key never becomes a
-    // single-partition window.
+    // value-census cumulative (round 17 — see operators/KsTest), so a
+    // dominant key never becomes a single-partition window.
     "q_drift_ks" -> ((s, dir) => {
       val ev = t(s, dir, "events").select(col("event_type"),
-        col("event_id"), col("value"), unix_micros(col("ts")).as("us"))
+        col("value"), unix_micros(col("ts")).as("us"))
       val mid = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
         .select(expr("(mn + mx) div 2").as("mid"))
       graft.operators.KsTest.twoSampleByKey(
           ev.crossJoin(broadcast(mid)), col("event_type"),
-          col("us") >= col("mid"), col("value"), col("event_id"))
+          col("us") >= col("mid"), col("value"))
         .select(col("key").as("event_type"), col("n_a"), col("n_b"),
           col("d_num"), col("d"), col("crit"), col("drift"))
         .orderBy(col("event_type"))

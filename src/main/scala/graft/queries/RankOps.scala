@@ -254,19 +254,27 @@ object RankOps extends QueryPack {
     // oracle replays exactly 3 rounds).
     "q_bfs_hops" -> ((s, dir) => {
       val e0 = GraphArtifacts.coPurchaseEdges(s, dir)
+      // round 17 (optimization): the symmetrized view is a NARROW union
+      // over the checkpointed edge memo — re-deriving it per read is two
+      // block-manager scans, so its own eager checkpoint was one full
+      // edge-list copy (job + resident blocks) per invocation for
+      // nothing. The frontier checkpoints switch to LAZY (eager=false):
+      // lineage still truncates at each hop (the plan-explosion guard
+      // this always was), each frontier still materializes exactly once
+      // (persisted on first read), but the three standalone checkpoint
+      // jobs collapse into the single readout action — 5 jobs → 1.
       val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-        .localCheckpoint()
       val seeds = e.select(col("u").as("id")).distinct()
         .filter(col("id") < 10)
       def expand(frontier: DataFrame, seen: DataFrame): DataFrame =
         e.join(frontier.select(col("id").as("u")), Seq("u"), "left_semi")
           .select(col("v").as("id")).distinct()
           .join(seen, Seq("id"), "left_anti")
-      val h1 = expand(seeds, seeds).localCheckpoint()
+      val h1 = expand(seeds, seeds).localCheckpoint(eager = false)
       val s1 = seeds.unionAll(h1)
-      val h2 = expand(h1, s1).localCheckpoint()
+      val h2 = expand(h1, s1).localCheckpoint(eager = false)
       val s2 = s1.unionAll(h2)
-      val h3 = expand(h2, s2).localCheckpoint()
+      val h3 = expand(h2, s2).localCheckpoint(eager = false)
       def lvl(df: DataFrame, hop: Int) = df
         .agg(count(lit(1)).as("n"),
           coalesce(sum(col("id")), lit(0L)).as("id_sum"))

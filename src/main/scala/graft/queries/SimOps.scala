@@ -475,17 +475,29 @@ object SimOps extends QueryPack {
     * q_embed_gram oracle replays); shared by the Gram readout and the
     * power-iteration PCA. */
   private def gramMicro(s: SparkSession, dir: String): DataFrame =
+    // round 17 (optimization, guide §1.2 "per-task work"): the original
+    // single-generator form built ONE 2080-element array of (i, j, p)
+    // STRUCTS per row — 2080 InternalRow allocations per vector dominated
+    // the kernel (measured 2.59 s / 2.49 s at sf0.1 for the gram and PCA
+    // gates). Two chained posexplodes generate the same n·d(d+1)/2
+    // (i, j, pm) stream through PRIMITIVE long arrays instead: outer
+    // posexplode yields (i, v_i) with the row's embedding carried along;
+    // the inner transform computes the row-tail products v_i·v_j (j ≥ i,
+    // via 1-based slice(e, i+1, d−i)) as a flat array<long> of the SAME
+    // per-product micro-floor — floor((v_i·v_j)·10⁶) with identical
+    // double staging and operand order, so every cell is bit-identical
+    // and the oracle is untouched. The aggregate (map-side partial sum
+    // to d(d+1)/2 cells) is unchanged.
     emb(s, dir)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1), i ->
-          |  transform(sequence(i, size(embedding) - 1), j ->
-          |    struct(i AS i, j AS j,
-          |      CAST(element_at(embedding, i + 1) AS DOUBLE) *
-          |      CAST(element_at(embedding, j + 1) AS DOUBLE) AS p))))
-          |""".stripMargin)).as("c"))
-      .select(col("c.i").cast("long").as("i"),
-        col("c.j").cast("long").as("j"),
-        floor(col("c.p") * 1000000).as("pm"))
+      .select(col("embedding").as("e"),
+        posexplode(col("embedding")).as(Seq("i", "vi")))
+      .select(col("i"), posexplode(expr(
+        """transform(slice(e, i + 1, size(e) - i), v ->
+          |  CAST(floor((CAST(vi AS DOUBLE) * CAST(v AS DOUBLE))
+          |    * 1000000) AS BIGINT))""".stripMargin))
+        .as(Seq("joff", "pm")))
+      .select(col("i").cast("long").as("i"),
+        (col("i") + col("joff")).cast("long").as("j"), col("pm"))
       .groupBy(col("i"), col("j"))
       .agg(sum(col("pm")).cast("long").as("gram_micro"))
 

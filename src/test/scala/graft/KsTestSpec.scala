@@ -15,7 +15,7 @@ class KsTestSpec extends SparkSpec {
       vs.zipWithIndex.map { case (v, i) => (0, v, 10000L + i) })
       .toDF("side", "v", "id")
     val (na, nb, dnum) = row(
-      KsTest.twoSample(df, col("side") === 1, col("v"), col("id")))
+      KsTest.twoSample(df, col("side") === 1, col("v")))
     assert(na == 500 && nb == 500 && dnum == 0L)
   }
 
@@ -24,7 +24,7 @@ class KsTestSpec extends SparkSpec {
       (1 to 60).map(i => (0, 1000.0 + i, 100L + i)))
       .toDF("side", "v", "id")
     val (na, nb, dnum) = row(
-      KsTest.twoSample(df, col("side") === 1, col("v"), col("id")))
+      KsTest.twoSample(df, col("side") === 1, col("v")))
     assert(na == 40 && nb == 60 && dnum == 40L * 60L)
   }
 
@@ -37,7 +37,7 @@ class KsTestSpec extends SparkSpec {
       b.zipWithIndex.map { case (v, i) => (0, v, 1000L + i) })
       .toDF("side", "v", "id")
     val (na, nb, dnum) = row(
-      KsTest.twoSample(df, col("side") === 1, col("v"), col("id")))
+      KsTest.twoSample(df, col("side") === 1, col("v")))
 
     val n = a.size.toLong
     val m = b.size.toLong
@@ -58,13 +58,13 @@ class KsTestSpec extends SparkSpec {
       (key.hashCode.toLong << 20) + i)
     val df = rows.toDF("key", "side", "v", "id")
     val keyed = KsTest.twoSampleByKey(df, col("key"), col("side") === 1,
-        col("v"), col("id"))
+        col("v"))
       .select(col("key"), col("n_a"), col("n_b"), col("d_num"))
       .as[(String, Long, Long, Long)].collect()
       .map { case (k, a, b, d) => k -> ((a, b, d)) }.toMap
     for (k <- Seq("a", "b", "c")) {
       val single = row(KsTest.twoSample(df.filter(col("key") === k),
-        col("side") === 1, col("v"), col("id")))
+        col("side") === 1, col("v")))
       assert(keyed(k) == single, s"key $k: keyed ${keyed(k)} != $single")
     }
   }

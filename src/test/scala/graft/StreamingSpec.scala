@@ -444,7 +444,7 @@ class StreamingSpec extends SparkSpec {
             lit(1).as("side"))
           .unionByName(reference)
         val r = graft.operators.KsTest.twoSample(tagged,
-          col("side") === 1, col("value"), col("event_id")).head()
+          col("side") === 1, col("value")).head()
         // a batch drawn FROM the reference cannot drift from it
         assert(!r.getAs[Boolean]("drift"),
           s"false drift alarm on an in-distribution batch: $r")
