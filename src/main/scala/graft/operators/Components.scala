@@ -79,20 +79,39 @@ object Components {
     // its v-occurrences and total occurrences — a violation is a node
     // seen as member (vc ≥ 1) that is either a member twice (vc > 1) or
     // also a center (tot > vc).
+    // Round 17 (optimization): the star check used to run as its OWN
+    // aggregation job over the just-checkpointed round (2 scheduler
+    // barriers per round; on the LSH/ε-graph gates the contracted set is
+    // tiny after round 1, so the barriers WERE the cost). It now rides
+    // the checkpoint's materialization job: the round output is lazily
+    // materialized once, the violating nodes (member twice, or member ∧
+    // center) are joined back as a per-edge flag — keyed on the member
+    // endpoint, ≤1 match per edge, no fan-out — and an Observation
+    // counts edges and flagged edges during the ONE eager checkpoint.
+    // Same fixpoint test on the same round output, half the barriers;
+    // at scale the annotation join reads the same bytes the separate
+    // check pass read. The checkpoint itself stores only (u, v) — the
+    // flag is projected away below it.
     def checkpointWithStarCheck(e: DataFrame): (DataFrame, Boolean) = {
+      val r = e.localCheckpoint(eager = false)
+      val viol = r.select(col("v").as("id"), lit(1L).as("m"))
+        .unionAll(r.select(col("u").as("id"), lit(0L).as("m")))
+        .groupBy(col("id"))
+        .agg(sum(col("m")).as("vc"), count(lit(1)).as("tot"))
+        .filter(col("vc") >= 1 &&
+          (col("vc") > 1 || col("tot") > col("vc")))
+        .select(col("id").as("__vv"), lit(1L).as("__viol"))
       val obs = org.apache.spark.sql.Observation()
-      val ck = e.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      val ck = r.join(viol, col("v") === col("__vv"), "left")
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("__viol")).as("nv"))
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      releaseBlocks(r)
       val nEdges = obs.get("n").asInstanceOf[Long]
-      val isStar = nEdges == 0L || {
-        ck.select(col("v").as("id"), lit(1L).as("m"))
-          .unionAll(ck.select(col("u").as("id"), lit(0L).as("m")))
-          .groupBy(col("id"))
-          .agg(sum(col("m")).as("vc"), count(lit(1)).as("tot"))
-          .filter(col("vc") >= 1 &&
-            (col("vc") > 1 || col("tot") > col("vc")))
-          .isEmpty
-      }
-      (ck, isStar)
+      val nViol = Option(obs.get("nv")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+      (ck, nEdges == 0L || nViol == 0L)
     }
 
     // Release each superseded round's checkpoint blocks as soon as the

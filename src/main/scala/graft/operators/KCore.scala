@@ -52,17 +52,23 @@ object KCore {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var e = edges.select(col("u"), col("v")).localCheckpoint()
-    var prev = e.count()
+    // Round 17 (optimization): the survivor count rides each checkpoint's
+    // own materialization job via an Observation instead of a separate
+    // count() action — one scheduler barrier per round instead of two
+    // (the Components star-check discipline), identical peel.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, prev) = checkpointCounted(edges.select(col("u"), col("v")))
     var round = 0
     var converged = prev == 0L
     while (!converged && round < maxRounds) {
       val keep = degrees(e).filter(col("d") >= k).select(col("x"))
-      val e2 = e
+      val (e2, n) = checkpointCounted(e
         .join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
-      val n = e2.count()
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi"))
       releaseBlocks(e)
       converged = n == prev
       prev = n

@@ -59,54 +59,81 @@ object QualityOps extends QueryPack {
 
     // One-pass column profile of the orders table: null count, exact
     // distinct cardinality, and min/max per column, pivoted to a row per
-    // column. Everything computes in ONE aggregation over ONE scan (the
-    // multi-distinct expands map-side, the standard plan); min/max
-    // render through type-pinned formats — DECIMAL(15,2) for the double,
-    // an explicit timestamp pattern — because raw double→string differs
-    // between engines ("1.0E-5" vs "1e-05").
+    // column. min/max render through type-pinned formats — DECIMAL(15,2)
+    // for the double, an explicit timestamp pattern — because raw
+    // double→string differs between engines ("1.0E-5" vs "1e-05").
+    //
+    // Round 17 (optimization): the original single multi-distinct
+    // aggregate planned THREE SortAggregate phases with TWO full sorts of
+    // the 7×-expanded frame — string min/max has no fixed-width buffer,
+    // so Spark cannot hash-aggregate it, and the fallback sort swallowed
+    // the whole expanded corpus (4.5 s at sf0.1). The same statistics now
+    // come off an explicit per-column VALUE CENSUS: one typed-slot
+    // `stack` expand (6 narrow rows per input row, one live slot each —
+    // exactly the shape Spark's own distinct-Expand builds internally)
+    // into a hash aggregate keyed by (cid, slots), then one cheap
+    // SortAggregate over the value-cardinality census closes every cell:
+    // n = Σ t, n_null = t of the null-slot row, n_distinct = census rows
+    // with a live slot, min/max = min/max over census values (equal to
+    // row-level min/max by monotonicity). Same ONE corpus scan, same
+    // cells, same renders — the sort now sees |distinct values| rows
+    // instead of 7×|corpus|.
     "q_profile" -> ((s, dir) => {
       val o = t(s, dir, "orders")
-      val agg = o.agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("o_orderkey"))).as("nn_ok"),
-        countDistinct(col("o_orderkey")).as("nd_ok"),
-        min(col("o_orderkey")).cast("string").as("mn_ok"),
-        max(col("o_orderkey")).cast("string").as("mx_ok"),
-        (count(lit(1)) - count(col("o_custkey"))).as("nn_ck"),
-        countDistinct(col("o_custkey")).as("nd_ck"),
-        min(col("o_custkey")).cast("string").as("mn_ck"),
-        max(col("o_custkey")).cast("string").as("mx_ck"),
-        (count(lit(1)) - count(col("o_orderstatus"))).as("nn_st"),
-        countDistinct(col("o_orderstatus")).as("nd_st"),
-        min(col("o_orderstatus")).as("mn_st"),
-        max(col("o_orderstatus")).as("mx_st"),
-        (count(lit(1)) - count(col("o_totalprice"))).as("nn_tp"),
-        countDistinct(col("o_totalprice")).as("nd_tp"),
-        min(col("o_totalprice")).cast("decimal(15,2)").cast("string")
-          .as("mn_tp"),
-        max(col("o_totalprice")).cast("decimal(15,2)").cast("string")
-          .as("mx_tp"),
-        (count(lit(1)) - count(col("o_orderdate"))).as("nn_od"),
-        countDistinct(col("o_orderdate")).as("nd_od"),
-        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
-          .as("mn_od"),
-        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
-          .as("mx_od"),
-        (count(lit(1)) - count(col("o_orderpriority"))).as("nn_op"),
-        countDistinct(col("o_orderpriority")).as("nd_op"),
-        min(col("o_orderpriority")).as("mn_op"),
-        max(col("o_orderpriority")).as("mx_op"))
-      agg.select(col("n"), expr(
+      val census = o.select(expr(
         """stack(6,
-           'o_custkey',       nn_ck, nd_ck, mn_ck, mx_ck,
-           'o_orderdate',     nn_od, nd_od, mn_od, mx_od,
-           'o_orderkey',      nn_ok, nd_ok, mn_ok, mx_ok,
-           'o_orderpriority', nn_op, nd_op, mn_op, mx_op,
-           'o_orderstatus',   nn_st, nd_st, mn_st, mx_st,
-           'o_totalprice',    nn_tp, nd_tp, mn_tp, mx_tp)
-           AS (col, n_null, n_distinct, min_s, max_s)"""))
-        .select(col("col"), col("n"), col("n_null"), col("n_distinct"),
-          col("min_s"), col("max_s"))
+           0, o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+              CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ),
+              CAST(NULL AS STRING),
+           1, CAST(NULL AS BIGINT), o_custkey, CAST(NULL AS STRING),
+              CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ),
+              CAST(NULL AS STRING),
+           2, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), o_orderstatus,
+              CAST(NULL AS DOUBLE), CAST(NULL AS TIMESTAMP_NTZ),
+              CAST(NULL AS STRING),
+           3, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              CAST(NULL AS STRING), o_totalprice, CAST(NULL AS TIMESTAMP_NTZ),
+              CAST(NULL AS STRING),
+           4, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              CAST(NULL AS STRING), CAST(NULL AS DOUBLE), o_orderdate,
+              CAST(NULL AS STRING),
+           5, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              CAST(NULL AS STRING), CAST(NULL AS DOUBLE),
+              CAST(NULL AS TIMESTAMP_NTZ), o_orderpriority)
+           AS (cid, ok, ck, st, tp, od, op)"""))
+        .groupBy(col("cid"), col("ok"), col("ck"), col("st"), col("tp"),
+          col("od"), col("op"))
+        .agg(count(lit(1)).as("t"))
+      val live = col("ok").isNotNull || col("ck").isNotNull ||
+        col("st").isNotNull || col("tp").isNotNull ||
+        col("od").isNotNull || col("op").isNotNull
+      census.groupBy(col("cid"))
+        .agg(
+          sum(col("t")).as("n"),
+          sum(when(!live, col("t")).otherwise(0L)).as("n_null"),
+          count(when(live, lit(1))).as("n_distinct"),
+          min(col("ok")).cast("string").as("mn_ok"),
+          max(col("ok")).cast("string").as("mx_ok"),
+          min(col("ck")).cast("string").as("mn_ck"),
+          max(col("ck")).cast("string").as("mx_ck"),
+          min(col("st")).as("mn_st"), max(col("st")).as("mx_st"),
+          min(col("tp")).cast("decimal(15,2)").cast("string").as("mn_tp"),
+          max(col("tp")).cast("decimal(15,2)").cast("string").as("mx_tp"),
+          date_format(min(col("od")), "yyyy-MM-dd HH:mm:ss").as("mn_od"),
+          date_format(max(col("od")), "yyyy-MM-dd HH:mm:ss").as("mx_od"),
+          min(col("op")).as("mn_op"), max(col("op")).as("mx_op"))
+        .select(
+          expr("""CASE cid WHEN 0 THEN 'o_orderkey'
+                 WHEN 1 THEN 'o_custkey' WHEN 2 THEN 'o_orderstatus'
+                 WHEN 3 THEN 'o_totalprice' WHEN 4 THEN 'o_orderdate'
+                 ELSE 'o_orderpriority' END""").as("col"),
+          col("n"), col("n_null"), col("n_distinct"),
+          expr("""CASE cid WHEN 0 THEN mn_ok WHEN 1 THEN mn_ck
+                 WHEN 2 THEN mn_st WHEN 3 THEN mn_tp WHEN 4 THEN mn_od
+                 ELSE mn_op END""").as("min_s"),
+          expr("""CASE cid WHEN 0 THEN mx_ok WHEN 1 THEN mx_ck
+                 WHEN 2 THEN mx_st WHEN 3 THEN mx_tp WHEN 4 THEN mx_od
+                 ELSE mx_op END""").as("max_s"))
         .orderBy(col("col"))
     }),
 
@@ -226,15 +253,35 @@ object QualityOps extends QueryPack {
         """abs((1000000 * (s1 * n0 - s0 * n1))
           | div (CAST(n1 AS DECIMAL(38,0)) * n0))"""
           .stripMargin.replaceAll("\\s+", " "))
-      val obs = o.groupBy()
+      // Round 17 (optimization): the ×200 relabeling fan-out fed four
+      // per-row DECIMAL(38,0) aggregation buffers — ~120M BigDecimal adds
+      // at sf0.1, the gate's whole cost. Two changes, same cells:
+      //  (1) only (s1, n1) are aggregated; s0 = S − s1 and n0 = N − n1
+      //      derive from the 1-row corpus totals (the labels partition
+      //      the corpus, so the complements are exact) — half the
+      //      aggregate columns;
+      //  (2) the fan-out sums in LONG per (b, physical input partition)
+      //      first — a partition holds at most maxPartitionBytes of
+      //      rows, so its cent-sum is config-bounded (~10⁶ rows · 10⁸
+      //      cents ≪ 2⁶³) at ANY corpus size, and spark_partition_id is
+      //      stable under task recompute — then the ≤ 200·|partitions|
+      //      partials merge through DECIMAL(38,0), which preserves the
+      //      exact full-corpus envelope the original staged per row.
+      //      (Guide §2.3 "narrower types" applied to the aggregation
+      //      buffer; ANSI sum keeps the long leg fail-loud.)
+      val cells = o.groupBy()
         .agg(sum(when(col("g") === 1, col("x")).otherwise(0L)
             .cast(DecimalType(38, 0))).as("s1"),
           sum(when(col("g") === 0, col("x")).otherwise(0L)
             .cast(DecimalType(38, 0))).as("s0"),
           sum(col("g")).as("n1"),
           sum(lit(1L) - col("g")).as("n0"))
+        .localCheckpoint(eager = false)
+      val obs = cells
         .select((col("n1") + col("n0")).as("n_orders"),
           diffMicro.as("obs_diff_micro"))
+      val tot = cells.select((col("s1") + col("s0")).as("s_all"),
+        (col("n1") + col("n0")).as("n_all"))
       val parts = o.sparkSession.sessionState.conf.numShufflePartitions
       val reps = o.repartition(parts)
         .withColumn("u0", graft.functions.TextFunctions.hash32(col("k")))
@@ -242,13 +289,15 @@ object QualityOps extends QueryPack {
           explode(sequence(lit(0), lit(199))).as("b"))
         .withColumn("gb",
           graft.operators.Bootstrap.mix32(col("u0"), col("b")) % 2)
+        .groupBy(col("b"), spark_partition_id().as("__p"))
+        .agg(sum(when(col("gb") === 1, col("x")).otherwise(0L)).as("ps1"),
+          sum(col("gb")).as("pn1"))
         .groupBy(col("b"))
-        .agg(sum(when(col("gb") === 1, col("x")).otherwise(0L)
-            .cast(DecimalType(38, 0))).as("s1"),
-          sum(when(col("gb") === 0, col("x")).otherwise(0L)
-            .cast(DecimalType(38, 0))).as("s0"),
-          sum(col("gb")).as("n1"),
-          sum(lit(1L) - col("gb")).as("n0"))
+        .agg(sum(col("ps1").cast(DecimalType(38, 0))).as("s1"),
+          sum(col("pn1")).as("n1"))
+        .crossJoin(broadcast(tot))
+        .select(col("s1"), (col("s_all") - col("s1")).as("s0"),
+          col("n1"), (col("n_all") - col("n1")).as("n0"))
         .select(diffMicro.as("stat_micro"))
       reps.crossJoin(broadcast(obs))
         .agg(first(col("n_orders")).as("n_orders"),
