@@ -54,6 +54,30 @@ object TextKernels {
     c
   }
 
+  /** The merge-scan sibling of [[sortedIntersectCount]] that returns the
+    * COMMON ELEMENTS (sorted, distinct, primitive longs, zero boxing) —
+    * `array_intersect(a, b)` on sorted distinct inputs without the
+    * per-row hash-set build. Round 17: the clustering-coefficient gate's
+    * per-edge neighborhood intersection was the built-in's last heavy
+    * call site. */
+  def sortedIntersect(a: ArrayData, b: ArrayData): ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val buf = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { buf(c) = x; c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
+  }
+
   private val TrimP = Pattern.compile("^\\s+|\\s+$")
   private val WsP = Pattern.compile("\\s+")
 
@@ -351,5 +375,40 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Common elements of two SORTED, DISTINCT long arrays — the array-
+  * returning sibling of [[SortedIntersectCountExpr]]: one merge scan,
+  * primitive output (UnsafeArrayData), no per-row hash set.
+  * ≡ `array_intersect(a, b)` on sorted distinct inputs up to element
+  * ORDER (output is sorted; the built-in preserves left order — equal
+  * as sets, which is all the triangle-credit consumers read).
+  * Precondition (caller-enforced): both arrays sorted ascending, no
+  * null elements. */
+case class SortedIntersectExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<BIGINT> arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersect(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.TextKernels.sortedIntersect($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectExpr =
     copy(left = newLeft, right = newRight)
 }

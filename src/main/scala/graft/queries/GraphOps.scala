@@ -90,7 +90,16 @@ object GraphOps extends QueryPack {
       // triangle stream, without a second pass or a checkpoint.
       val deg = GraphArtifacts.coPurchaseDegrees(s, dir)
       val adj = graft.operators.BucketedGraph.outAdjacency(s, dir)
-      val ws = array_intersect(col("ns"), col("nt"))
+      // round 17 (optimization): the common-neighbor set comes from the
+      // native sorted merge-scan kernel (plans/SortedIntersectExpr) —
+      // the adjacency arrays are sorted+distinct by construction, so the
+      // result is the same SET as array_intersect without the per-row
+      // hash-set build; downstream only aggregates per corner, so
+      // element order is immaterial.
+      val ws = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.SortedIntersectExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("ns")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("nt"))))
       val tri = graft.operators.BucketedGraph.edgesByS(s, dir)
         .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
         .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))

@@ -111,11 +111,19 @@ object RankOps extends QueryPack {
       // per-edge intersection cost is skew-safe at hubs.
       val eS = graft.operators.BucketedGraph.edgesByS(s, dir)
       val adj = graft.operators.BucketedGraph.outAdjacency(s, dir)
+      // round 17 (optimization): the per-edge neighborhood intersection
+      // count runs through the native merge-scan kernel
+      // (plans/SortedIntersectCountExpr — the adjacency arrays are sorted
+      // and distinct by construction) instead of array_intersect's
+      // per-row hash-set build; identical counts.
+      val icount = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.SortedIntersectCountExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("ns")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("nt"))))
       val tri = eS
         .join(adj.select(col("x").as("s"), col("nbrs").as("ns")), Seq("s"))
         .join(adj.select(col("x").as("t"), col("nbrs").as("nt")), Seq("t"))
-        .select(size(array_intersect(col("ns"), col("nt")))
-          .cast("long").as("tw"))
+        .select(icount.as("tw"))
         .agg(coalesce(sum(col("tw")), lit(0L)).as("n_triangles"))
       // |oriented edges| = |undirected edges| (the orientation is a
       // 1:1 relabeling), so the census reads the persistent table too

@@ -133,6 +133,41 @@ class TextKernelsSpec extends SparkSpec {
       s"unrelated docs share $cross of fingerprints (copies min=${overlap.min})")
   }
 
+  test("sortedIntersect (array kernel) equals array_intersect as a SET " +
+    "on sorted distinct inputs (round-17 triangle-twin rewrite)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = rnd.shuffle((0L to 200L).toVector).take(rnd.nextInt(40))
+        .distinct.sorted
+      val b = rnd.shuffle((0L to 200L).toVector).take(rnd.nextInt(40))
+        .distinct.sorted
+      (i, a, b)
+    } :+ ((201, Vector.empty[Long], Vector(1L, 2L))) :+
+      ((202, Vector(5L), Vector(5L)))
+    val df = rows.toDF("id", "a", "b")
+    def kernel(l: org.apache.spark.sql.Column,
+        r: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.SortedIntersectExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(l),
+          org.apache.spark.sql.graft.ColumnBridge.expression(r)))
+    val bad = df.select(col("id"),
+        kernel(col("a"), col("b")).as("k"),
+        array_sort(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(not(col("k") <=> col("ref")))
+    assert(bad.isEmpty, s"kernel != array_intersect: ${bad.head(3).toSeq}")
+    // and the count kernel agrees with the array kernel's size
+    val badC = df.select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.SortedIntersectCountExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("a")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("b"))))
+          .as("c"),
+        size(kernel(col("a"), col("b"))).cast("long").as("sz"))
+      .filter(col("c") =!= col("sz"))
+    assert(badC.isEmpty, s"count kernel != array kernel size")
+  }
+
   test("native kernels participate in whole-stage codegen") {
     val cg = corpusPlus
       .select(minhashSigNative(col("text"), 3, 8),
