@@ -31,9 +31,16 @@ object Skyline {
 
   /** Frontier rows as (x, y), ascending x / strictly increasing y. */
   def pareto2d(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    // Round 17 (optimization): the grid aggregate used to be built TWICE
+    // — once under the boundary sketch and once under the eager
+    // checkpoint of the bucketed copy. A lazy checkpoint on the grid
+    // itself materializes it during the sketch action (one build); the
+    // bucket projection over the blocks is then cheap enough for its
+    // two consumers without a second materialization job.
     val g = df.select(xCol.as("__x"), yCol.as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
       .groupBy(col("__x")).agg(max(col("__y")).as("__gy"))
+      .localCheckpoint(eager = false)
 
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val probs = (1 until parts).map(_.toDouble / parts).toArray
@@ -45,7 +52,7 @@ object Skyline {
       case ((b, i), rest) => when(col("__x").cast("double") <= b, i)
         .otherwise(rest)
     }
-    val bucketed = g.withColumn("__b", bucketExpr).localCheckpoint()
+    val bucketed = g.withColumn("__b", bucketExpr)
 
     // carry-in per bucket: the max gy of every EARLIER bucket — a
     // ≤|buckets|²-pair theta join on a |buckets|-row aggregate, broadcast
