@@ -593,9 +593,14 @@ object TextOps extends QueryPack {
     // logs. Shape: one bigram explode, one global count agg, one shuffle
     // join back on the bigram key, one per-doc agg — all key-partitioned.
     "q_lm_score" -> ((s, dir) => {
+      // round 17 (optimization): the bigram explode feeds both the corpus
+      // census and the join side — without a materialization the text is
+      // tokenized twice. Lazy checkpoint: one tokenization pass, block
+      // reads after (no standalone job).
       val bg = docs(s, dir).select(col("doc_id"),
           explode(tokenBigrams(col("text"))).as("b"))
         .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        .localCheckpoint(eager = false)
       val counts = bg.groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("c"))
       bg.join(counts, Seq("t1", "t2"))
@@ -615,9 +620,13 @@ object TextOps extends QueryPack {
     // count, ties lexicographic) so the gate needs no corpus knowledge;
     // its top-1 plans as TakeOrderedAndProject and broadcasts.
     "q_phrase_search" -> ((s, dir) => {
+      // round 17 (optimization): same one-tokenization-pass lazy
+      // checkpoint as q_lm_score (the probe derivation and the probe
+      // join both consume the bigram frame).
       val bg = docs(s, dir).select(col("doc_id"),
           explode(tokenBigrams(col("text"))).as("b"))
         .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+        .localCheckpoint(eager = false)
       val top = bg.groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("t1"), col("t2"))
