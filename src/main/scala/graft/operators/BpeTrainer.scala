@@ -58,11 +58,44 @@ object BpeTrainer {
     * periodic checkpoint if one was taken — the final state chains on
     * it, so a caller that discards the state must release it alongside
     * `base` (r16 advisor: merges() leaked it whenever
-    * rounds ≥ CheckpointEvery). */
+    * rounds ≥ CheckpointEvery).
+    *
+    * Round 18 (optimization): two structural changes, same learned
+    * merges bit-for-bit.
+    *  - The pending merges since the last checkpoint ride ONE
+    *    higher-order `aggregate` fold over two literal arrays
+    *    (pattern/replacement, applied in learn order — identical
+    *    replace semantics to the old one-replace()-per-round literal
+    *    chain) instead of a chain whose length grew each round. The
+    *    per-round plan now has a CONSTANT shape — same analyzed tree
+    *    size, same generated-code source (array literals travel as
+    *    codegen references, not source text) — so the driver-side
+    *    plan/compile cost per round stops growing with the round index.
+    *  - The periodic re-checkpoint is LAZY: the next round's argmax job
+    *    materializes it instead of a standalone job per checkpoint
+    *    (guide §2.4, the Components/Skyline discipline); the superseded
+    *    checkpoint is released only after its successor has
+    *    materialized (a lazily-checkpointed RDD cannot be recomputed
+    *    once its parent's blocks are dropped). */
   private def trainLoop(base: DataFrame, rounds: Int)
       : (Seq[(Int, String, Long)], DataFrame, Option[DataFrame]) = {
-    var sym: DataFrame = base
+    var anchor: DataFrame = base
     var lastCkpt: DataFrame = base
+    // merges applied since `anchor`, newest first: (pattern, replacement)
+    var pending: List[(String, String)] = Nil
+    var toRelease: Option[DataFrame] = None
+    def sym: DataFrame =
+      if (pending.isEmpty) anchor
+      else {
+        val ms = pending.reverse
+        val pats = typedlit(ms.map(_._1))
+        val reps = typedlit(ms.map(_._2))
+        anchor.select(
+          aggregate(sequence(lit(1), lit(ms.length)), col("s"),
+            (acc, i) => replace(acc, element_at(pats, i),
+              element_at(reps, i))).as("s"),
+          col("n"))
+      }
     val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var done = false
     for (r <- 1 to rounds if !done) {
@@ -75,23 +108,28 @@ object BpeTrainer {
         .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(1).collect()
+      // the argmax action above is the first read of any lazy checkpoint
+      // taken last round — its blocks exist now, so the superseded
+      // checkpoint can finally go
+      toRelease.foreach(release)
+      toRelease = None
       if (best.isEmpty) done = true
       else {
         val pair = best(0).getString(0)
         val cnt = best(0).getLong(1)
         learned += ((r, pair, cnt))
         val Array(l, rr) = pair.split(" ", 2)
-        sym = sym.select(
-          replace(col("s"), lit(s"|$l||$rr|"), lit(s"|$l$rr|")).as("s"),
-          col("n"))
+        pending = (s"|$l||$rr|", s"|$l$rr|") :: pending
         if (r % CheckpointEvery == 0 && r < rounds) {
-          val ckpt = sym.localCheckpoint()
-          if (!(lastCkpt eq base)) release(lastCkpt)
+          val ckpt = sym.localCheckpoint(eager = false)
+          if (!(lastCkpt eq base)) toRelease = Some(lastCkpt)
           lastCkpt = ckpt
-          sym = ckpt
+          anchor = ckpt
+          pending = Nil
         }
       }
     }
+    toRelease.foreach(release)
     (learned.toSeq, sym,
       if (lastCkpt eq base) None else Some(lastCkpt))
   }
@@ -106,12 +144,14 @@ object BpeTrainer {
     val spark = words.sparkSession
     import spark.implicits._
     // checkpoint: the census is the ONE artifact every round re-reads;
-    // without it each argmax job would replay the corpus tokenization
+    // without it each argmax job would replay the corpus tokenization.
+    // LAZY (round 18): round 1's argmax materializes it — same single
+    // corpus pass, one fewer standalone job.
     val base = words
       .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
         countCol.cast("long").as("n"))
       .filter(length(col("s")) > 0)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val (learned, _, lastCkpt) = trainLoop(base, rounds)
     // the result is a driver-side artifact (every round already
     // collected its 1-row argmax) — release the census checkpoint
@@ -137,6 +177,30 @@ object BpeTrainer {
       .filter(length(col("s")) > 0)
       .localCheckpoint()
     trainLoop(base, rounds)._2
+  }
+
+  /** Train AND keep the final symbol state: the learned (round, pair,
+    * n_pair) merges as a driver-side list (every round already collected
+    * its 1-row argmax — the adjudicated bounded-model-artifact pattern)
+    * plus the final (s, n) state frame. trainLoop's final state IS
+    * encode(merges(census)) applied to every census word (identical
+    * literal replaces in identical order — BpeSpec pins the
+    * equivalence), so a train-then-apply gate can read the state instead
+    * of re-running the encode fold over a SECOND corpus scan (round 18,
+    * guide §1.2 "don't compute things you throw away": q_bpe_encode's
+    * documents budget drops 2 scans → 1). The returned frame chains on
+    * live census-checkpoint blocks that the caller lets the driver GC
+    * reclaim after its one action (the [[finalState]] precedent). */
+  def trainState(words: DataFrame, wordCol: Column, countCol: Column,
+      rounds: Int): (Seq[(Int, String, Long)], DataFrame) = {
+    require(rounds >= 1, "need rounds >= 1")
+    val base = words
+      .select(regexp_replace(wordCol, "(.)", "|$1|").as("s"),
+        countCol.cast("long").as("n"))
+      .filter(length(col("s")) > 0)
+      .localCheckpoint(eager = false)
+    val (learned, state, _) = trainLoop(base, rounds)
+    (learned, state)
   }
 
   /** ENCODE with trained merges: the boundary-safe literal-replace fold

@@ -112,35 +112,29 @@ object TextOps extends QueryPack {
         col("w"), col("n"), rounds = BpeRounds32)),
 
     // Apply the trained BPE (round 16, r15 verdict #5): the production
-    // tokenize step — train the merges (pass 1: census + vocab-sized
-    // rounds), then ENCODE the census with the learned merges as a
-    // literal-replace fold (pass 2) and release the token census with
-    // ids: merged symbols get 1000 + first-learn-round (the vocab id
-    // convention: base alphabet then merges in learn order), single
-    // chars their codepoint. The ≤5 merges travel as plan literals —
-    // broadcast by construction, no join for the encode itself; the id
-    // vocab is a ≤5-row broadcast. Two documents passes total
-    // (train + apply — ScanBudgetSpec class 2); at 100 TB the encode
-    // pass is the corpus-sized job and costs one scan + one vocab-sized
-    // aggregate, exactly what a tokenizer run costs. Oracle re-derives
-    // the same merges via the unrolled rounds and replays the identical
-    // fold. n_words counts distinct census words containing the token
-    // (the encoded string is injective in the word — replaces preserve
-    // the underlying character sequence).
+    // tokenize step — train the merges, then read the encoded census off
+    // training's FINAL SYMBOL STATE (round 18: trainLoop's final state
+    // IS encode(merges(census)) — the identical literal replaces in the
+    // identical order, BpeSpec pins the equivalence — so the old second
+    // corpus scan + re-encode fold is gone; documents budget 2 scans
+    // → 1). Token ids: merged symbols get 1000 + first-learn-round (the
+    // vocab id convention: base alphabet then merges in learn order),
+    // single chars their codepoint; the id vocab is a ≤5-row broadcast.
+    // Oracle re-derives the same merges via the unrolled rounds and
+    // replays the identical fold. n_words counts distinct census words
+    // containing the token (the encoded string is injective in the
+    // word — replaces preserve the underlying character sequence).
     "q_bpe_encode" -> ((s, dir) => {
-      val census = bpeCensus(s, dir)
-      val learned = graft.operators.BpeTrainer
-        .merges(census, col("w"), col("n"), rounds = BpeRounds)
-        .collect().sortBy(_.getInt(0))
-      val pairs = learned.map(_.getString(1)).toSeq
+      val (learned, state) = graft.operators.BpeTrainer
+        .trainState(bpeCensus(s, dir), col("w"), col("n"),
+          rounds = BpeRounds)
       val vocab = learned
-        .map(r => (r.getString(1).replace(" ", ""), r.getInt(0)))
+        .map { case (round, pair, _) => (pair.replace(" ", ""), round) }
         .groupBy(_._1).toSeq
         .map { case (tok, rs) => (tok, 1000L + rs.map(_._2).min) }
       import s.implicits._
       val vdf = vocab.toDF("token", "merge_id")
-      val enc = graft.operators.BpeTrainer.encodeSymbols(col("w"), pairs)
-      census.select(col("n"), enc.as("s"))
+      state
         .select(col("n"), col("s"),
           explode(graft.operators.BpeTrainer.symbolTokens(col("s")))
             .as("token"))

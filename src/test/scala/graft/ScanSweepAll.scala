@@ -50,7 +50,6 @@ object ScanBudget {
     "q_bm25" -> Seq(("documents", 2, 2)),
     "q_boilerplate" -> Seq(("documents", 2, 2)),
     "q_bootstrap_ci" -> Seq(("orders", 2, 2)),
-    "q_bpe_encode" -> Seq(("documents", 2, 2)),
     "q_cem_att" -> Seq(("orders", 2, 2)),
     "q_changepoint" -> Seq(("lineitem", 2, 2)),
     "q_chi2" -> Seq(("events", 4, 2)),
