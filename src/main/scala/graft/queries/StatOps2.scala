@@ -149,25 +149,41 @@ object StatOps2 extends QueryPack {
       // the model is a vocab-sized artifact reused by three consumers —
       // localCheckpoint it (the Percentiles/Boilerplate semi-eager
       // precedent) so the split<2 scan runs ONCE, and derive n_train
-      // from its per-key counts instead of a fourth corpus scan
+      // from its per-key counts instead of a fourth corpus scan.
+      // Round 18 (optimization, guide §2.4): n_train rides the
+      // checkpoint's materialization as an Observation instead of a
+      // separate broadcast-subquery job on the readout's critical path
+      // (the Components/q_theil_sen discipline); NULL on an empty train
+      // split exactly as the old sum-over-empty subquery produced.
+      val obsT = org.apache.spark.sql.Observation()
       val model = base.filter(col("split") < 2)
         .groupBy(col("qty"))
         .agg(expr("sum(cents) div count(1)").as("pred"),
           count(lit(1)).as("n_q"))
+        .observe(obsT, sum(col("n_q")).as("nt"))
         .localCheckpoint()
-      val nT = model.agg(sum(col("n_q")).as("n_train"))
+      val nTv: Option[Long] = Option(obsT.get("nt")).map(_.asInstanceOf[Long])
       // ONE scan for BOTH holdout splits: per-(split, residual-value)
       // counts — value-cardinality-sized (≤ n_calib + n_test, orders
       // below the corpus) — checkpointed so the census, bucket offsets,
       // rank probe and coverage readout all read it instead of
       // re-running holdout scans (naively the calib subtree evaluated
       // 4× and test scanned separately; 4.3s → 2.4s at sf0.1)
+      // n_calib (and with it the conformal rank k) rides THIS
+      // checkpoint's materialization too — the old nC aggregate was one
+      // more sequential broadcast job over the same census
+      val obsC = org.apache.spark.sql.Observation()
       val resid = base.filter(col("split") >= 2)
         .join(broadcast(model.select(col("qty"), col("pred"))), Seq("qty"))
         .select(col("split"),
           abs(col("cents") - col("pred")).as("r"))
         .groupBy(col("split"), col("r")).agg(count(lit(1)).as("cnt"))
+        .observe(obsC, sum(when(col("split") === 2, col("cnt"))
+          .otherwise(0L)).as("nc"))
         .localCheckpoint()
+      val nCv: Long = Option(obsC.get("nc")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+      val kV: Long = math.min((9L * (nCv + 1L) + 9L) / 10L, nCv)
       // adaptive bucket width (round 12): the residual range is data-
       // dependent (one outlier prediction error would have minted
       // thousands of div-4096 buckets); range-derived widths cap the
@@ -185,10 +201,10 @@ object StatOps2 extends QueryPack {
       // and the gate hash is unchanged. n_calib = 0 stays degenerate by
       // declaration (no calibration set ⇒ no conformal quantile): Spark
       // yields one all-null row, the oracle zero rows — an empty-corpus
-      // shape no release pipeline runs.
-      val nC = byVal.agg(sum(col("cnt")).as("n_calib"),
-        least(expr("(9 * (sum(cnt) + 1) + 9) div 10"), sum(col("cnt")))
-          .as("k"))
+      // shape no release pipeline runs. n_calib/k now travel as plan
+      // literals THROUGH qhat (same null propagation: an empty qhat
+      // still nulls the first()s below), so the old nC broadcast job is
+      // gone from the critical path.
       val w = Window.partitionBy(col("bucket")).orderBy(col("r"))
       val loc = byVal.withColumn("cum", sum(col("cnt")).over(w))
       val bt = byVal.groupBy(col("bucket"))
@@ -198,10 +214,10 @@ object StatOps2 extends QueryPack {
         .groupBy(col("a.bucket").as("bucket"))
         .agg(coalesce(sum(col("o.bn")), lit(0L)).as("offn"))
       val qhat = loc.join(broadcast(off), Seq("bucket"))
-        .crossJoin(broadcast(nC))
-        .filter(col("offn") + col("cum") >= col("k") &&
-          col("offn") + col("cum") - col("cnt") < col("k"))
-        .select(col("r").as("qhat_cents"), col("n_calib"), col("k"))
+        .filter(col("offn") + col("cum") >= lit(kV) &&
+          col("offn") + col("cum") - col("cnt") < lit(kV))
+        .select(col("r").as("qhat_cents"), lit(nCv).as("n_calib"),
+          lit(kV).as("k"))
       val test = resid.filter(col("split") === 3)
         .select(col("r"), col("cnt"))
       test.crossJoin(broadcast(qhat))
@@ -210,8 +226,9 @@ object StatOps2 extends QueryPack {
           sum(col("cnt")).as("n_test"),
           sum(when(col("r") <= col("qhat_cents"), col("cnt"))
             .otherwise(0L)).as("n_cover"))
-        .crossJoin(broadcast(nT))
-        .select(col("n_train"), col("n_calib"), col("n_test"), col("k"),
+        .select(nTv.map(lit).getOrElse(lit(null)).cast("long")
+            .as("n_train"),
+          col("n_calib"), col("n_test"), col("k"),
           col("qhat_cents"), col("n_cover"),
           expr("(1000000 * n_cover) div n_test").as("cover_ppm"))
     }),

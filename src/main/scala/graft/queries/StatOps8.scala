@@ -91,10 +91,22 @@ object StatOps8 extends QueryPack {
       // ≤365-row window frame is consumed FOUR ways (both pair-join
       // sides, the intercept census, the bounds) — without it each
       // branch re-runs the corpus day-keyed aggregate, and the measured
-      // cost was ~5s of repeated lineitem scans at sf0.1
+      // cost was ~5s of repeated lineitem scans at sf0.1.
+      // Round 18 (optimization, guide §2.4): n_days = |d| and n_pairs =
+      // C(|d|, 2) EXACTLY (d holds one row per distinct day; the pair
+      // join takes every ordered day pair), so both medians' rank
+      // thresholds ride the checkpoint's materialization as ONE
+      // Observation count instead of two sequential broadcast-subquery
+      // jobs (np, nd) on the action's critical path — the published
+      // cells keep the old empty-input NULL shape via the guards below.
+      val obsD = org.apache.spark.sql.Observation()
       val d = d0.crossJoin(broadcast(mx))
         .filter(col("day") > col("mxd") - 365)
-        .select(col("day"), col("cents")).localCheckpoint()
+        .select(col("day"), col("cents"))
+        .observe(obsD, count(lit(1)).as("nd"))
+        .localCheckpoint()
+      val ndv = obsD.get("nd").asInstanceOf[Long]
+      val npv = ndv * (ndv - 1) / 2
       val pairs = d.as("i").join(broadcast(d.as("j")),
           col("j.day") > col("i.day"))
         .select(expr("""CAST((1000000 * (CAST(j.cents AS DECIMAL(38,0))
@@ -104,27 +116,31 @@ object StatOps8 extends QueryPack {
       // A/B showed exchange reuse already dedups its belowFrame fan-out
       // once the window frame above is a leaf — 2.54 vs 2.74 s mins)
       val census = pairs.groupBy(col("v")).agg(count(lit(1)).as("t"))
-      val np = census.agg(sum(col("t")).as("n_pairs"))
-      val slope = RangeBuckets.belowFrame(census).crossJoin(broadcast(np))
-        .filter(col("below") + col("t") >= expr("(n_pairs + 1) div 2"))
+      val slope = RangeBuckets.belowFrame(census)
+        .filter(col("below") + col("t") >= lit((npv + 1) / 2))
         .agg(min(col("v")).as("slope_micro"))
       val icensus = d.crossJoin(broadcast(slope))
         .select((col("cents").cast(DecimalType(38, 0)) * 1000000
           - col("slope_micro").cast(DecimalType(38, 0)) * col("day"))
           .cast("long").as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("t"))
-      val nd = icensus.agg(sum(col("t")).as("n_days"))
-      val icept = RangeBuckets.belowFrame(icensus).crossJoin(broadcast(nd))
-        .filter(col("below") + col("t") >= expr("(n_days + 1) div 2"))
+      val icept = RangeBuckets.belowFrame(icensus)
+        .filter(col("below") + col("t") >= lit((ndv + 1) / 2))
         .agg(min(col("v")).as("intercept_micro"))
       // Published cells in MILLI-cents (div 10³, trunc-toward-zero on
       // both engines — the signed-div discipline the truncation spec
       // pins): intercept_micro ≈ 10⁶·daily-revenue grows ∝ corpus and
       // sat at 0.94·2⁵³ at the sf1 probe. The medians above keep full
       // micro resolution; only the emitted unit changes (round 14).
-      broadcast(nd).crossJoin(broadcast(np)).crossJoin(broadcast(slope))
-        .crossJoin(broadcast(icept))
-        .select(col("n_days"), col("n_pairs"),
+      // The n_days/n_pairs cells stay NULL exactly where the old
+      // sum-over-empty-census subqueries produced NULL (|d| = 0 resp.
+      // |d| ≤ 1) — same values on every input.
+      broadcast(slope).crossJoin(broadcast(icept))
+        .select(
+          (if (ndv == 0L) lit(null).cast("long") else lit(ndv))
+            .as("n_days"),
+          (if (ndv <= 1L) lit(null).cast("long") else lit(npv))
+            .as("n_pairs"),
           expr("slope_micro div 1000").as("slope_milli"),
           expr("intercept_micro div 1000").as("intercept_milli"))
     }),
