@@ -54,9 +54,25 @@ object Bootstrap {
   /** One-row result (n, b, mean_full, ci_lo, ci_hi): the full-data mean
     * of `valueCol` plus the [loIdx, hiIdx] order-statistic bootstrap CI
     * from `b` Poisson replicates keyed by `keyCol` (defaults: the 2.5%
-    * and 97.5% ranks of B = 200). */
+    * and 97.5% ranks of B = 200).
+    *
+    * `exactCents = true` (round 18, guide §2.3 "narrower types" on the
+    * aggregation buffer — callers whose value is EXACTLY a 2-dp decimal,
+    * e.g. a price): the ×B weighted sums first stage w·cents in LONG per
+    * (replicate, shuffle partition) — ~B·n BigDecimal buffer adds become
+    * long adds, same shuffle volume (each partition holds only its own
+    * partition id, so the map-side group count per task stays B) — then
+    * the ≤ B·|partitions| partials merge through DECIMAL(38,0) and
+    * divide by 100 exactly, reproducing the identical decimal value the
+    * old per-row DECIMAL(18,4) sum carried into the string→double
+    * render. The long leg's envelope is rows-per-shuffle-partition ×
+    * max(w·cents) = 7·10⁸-ish per row — NOT bounded by file-split size
+    * (the group is post-repartition), but shuffle-partition counts
+    * scale with the cluster (≈2–3× cores), and ANSI sum keeps the leg
+    * fail-loud: overflow is an error, never a wrong result. */
   def poissonMeanCi(df: DataFrame, keyCol: Column, valueCol: Column,
-      b: Int = 200, loIdx: Int = 5, hiIdx: Int = 196): DataFrame = {
+      b: Int = 200, loIdx: Int = 5, hiIdx: Int = 196,
+      exactCents: Boolean = false): DataFrame = {
     require(b > 0 && loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
       s"need 1 <= loIdx <= hiIdx <= b, got b=$b lo=$loIdx hi=$hiIdx")
     val base = df
@@ -71,7 +87,7 @@ object Bootstrap {
     // not from the scan's split count (a few-MB input is one split — the
     // whole 12M-row expansion would run in a single task).
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val means = base
+    val fanout = base
       .repartition(parts)
       .withColumn("__u0", TextFunctions.hash32(col("__k"))) // BEFORE fan-out
       .select(col("__u0"), col("__v"),
@@ -79,10 +95,25 @@ object Bootstrap {
       .withColumn("__u", mix32(col("__u0"), col("__b")))
       .withColumn("__w", weight)
       .filter(col("__w") > 0)
-      .groupBy(col("__b"))
-      .agg((sum((col("__w") * col("__v")).cast(DecimalType(18, 4)))
-        .cast("string").cast("double") /
-        sum(col("__w")).cast("double")).as("mean_b"))
+    val means =
+      if (!exactCents)
+        fanout
+          .groupBy(col("__b"))
+          .agg((sum((col("__w") * col("__v")).cast(DecimalType(18, 4)))
+            .cast("string").cast("double") /
+            sum(col("__w")).cast("double")).as("mean_b"))
+      else
+        fanout
+          .withColumn("__c",
+            (col("__v").cast(DecimalType(18, 2)) * 100).cast("long"))
+          .groupBy(col("__b"), spark_partition_id().as("__p"))
+          .agg(sum(col("__w") * col("__c")).as("__ps"),
+            sum(col("__w")).as("__pw"))
+          .groupBy(col("__b"))
+          .agg(((sum(col("__ps").cast(DecimalType(38, 0)))
+              .cast(DecimalType(38, 2)) / 100)
+            .cast("string").cast("double") /
+            sum(col("__pw")).cast("double")).as("mean_b"))
 
     // A replicate whose rows all draw weight 0 vanishes at the groupBy
     // (possible at tiny n; P ≈ 0.37^n per replicate), so the collected

@@ -225,10 +225,13 @@ object QualityOps extends QueryPack {
 
     // Poisson-bootstrap 95% CI for the mean order total — B = 200
     // deterministic weighted replicates in one grouped pass; see
-    // [[graft.operators.Bootstrap]].
+    // [[graft.operators.Bootstrap]]. exactCents (round 18): o_totalprice
+    // is an exact 2-dp decimal, so the ×200 fan-out stages its weighted
+    // sums in LONG per (replicate, partition) — the q_perm_test
+    // aggregation-buffer discipline — before the exact decimal merge.
     "q_bootstrap_ci" -> ((s, dir) =>
       graft.operators.Bootstrap.poissonMeanCi(t(s, dir, "orders"),
-        col("o_orderkey"), col("o_totalprice")))
+        col("o_orderkey"), col("o_totalprice"), exactCents = true))
 ,
     // Approximate randomization (permutation) test for the urgent-vs-rest
     // mean order value — the bootstrap's sibling: under the null the
@@ -260,15 +263,22 @@ object QualityOps extends QueryPack {
       //      derive from the 1-row corpus totals (the labels partition
       //      the corpus, so the complements are exact) — half the
       //      aggregate columns;
-      //  (2) the fan-out sums in LONG per (b, physical input partition)
-      //      first — a partition holds at most maxPartitionBytes of
-      //      rows, so its cent-sum is config-bounded (~10⁶ rows · 10⁸
-      //      cents ≪ 2⁶³) at ANY corpus size, and spark_partition_id is
-      //      stable under task recompute — then the ≤ 200·|partitions|
-      //      partials merge through DECIMAL(38,0), which preserves the
-      //      exact full-corpus envelope the original staged per row.
+      //  (2) the fan-out sums in LONG per (b, shuffle partition) first
+      //      — spark_partition_id() here is evaluated AFTER the
+      //      repartition(parts) below, so a group holds
+      //      |corpus|/numShufflePartitions rows (r17 ADVICE: NOT a
+      //      maxPartitionBytes-bounded file split). The envelope is
+      //      therefore rows-per-shuffle-partition × max cents ≈
+      //      (n/parts)·10⁸ — with parts ≈ 2–3× cluster cores it keeps
+      //      ~3 orders of magnitude of headroom at 100 TB, and ANSI sum
+      //      keeps the long leg FAIL-LOUD: an under-partitioned run
+      //      errors, it never returns a wrong cell. spark_partition_id
+      //      is stable under task recompute (sort-before-repartition),
+      //      so the two-level sum is retry-safe; the ≤ 200·|partitions|
+      //      partials then merge through DECIMAL(38,0), which preserves
+      //      the exact full-corpus envelope the original staged per row.
       //      (Guide §2.3 "narrower types" applied to the aggregation
-      //      buffer; ANSI sum keeps the long leg fail-loud.)
+      //      buffer.)
       val cells = o.groupBy()
         .agg(sum(when(col("g") === 1, col("x")).otherwise(0L)
             .cast(DecimalType(38, 0))).as("s1"),
