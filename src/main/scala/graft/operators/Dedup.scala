@@ -354,14 +354,27 @@ object Dedup {
     * (id_a, id_b) joined back to the texts. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String,
       idCol: String, n: Int = 3): DataFrame = {
+    // Round 18 (guide §4, the q_clustering_coef kernel discipline): the
+    // gram sets are sorted once per DOC, then each pair's overlap is one
+    // native string merge scan (plans/SortedIntersectCountStrExpr) and
+    // |A∪B| = |A| + |B| − |A∩B| — same integers, so the jaccard double
+    // is bit-identical; the per-pair array_intersect AND array_union
+    // hash-set builds (the union also materialized its array) are gone.
     val grams = docs.select(col(idCol).as("__id"),
-      array_distinct(wordNgramsNative(col(textCol), n)).as("__grams"))
+      array_sort(array_distinct(wordNgramsNative(col(textCol), n)))
+        .as("__grams"))
+    val ic = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.SortedIntersectCountStrExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("grams_a")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("grams_b"))))
     pairs
       .join(grams.select(col("__id").as("id_a"), col("__grams").as("grams_a")), "id_a")
       .join(grams.select(col("__id").as("id_b"), col("__grams").as("grams_b")), "id_b")
+      .withColumn("__ic", ic)
       .withColumn("jaccard",
-        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
-          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+        col("__ic").cast("double") /
+          (size(col("grams_a")).cast("long") + size(col("grams_b"))
+            - col("__ic")).cast("double"))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 

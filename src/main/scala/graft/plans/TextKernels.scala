@@ -78,6 +78,28 @@ object TextKernels {
       .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
   }
 
+  /** Merge-scan common-element count of two sorted, distinct, null-free
+    * STRING arrays ([[SortedIntersectCountStrExpr]]'s kernel) — the
+    * UTF8String sibling of [[sortedIntersectCount]]. Compares with
+    * UTF8String.compareTo (binary order — exactly the order `array_sort`
+    * produces for default-collation strings), no per-row hash set, no
+    * string materialization beyond the UTF8String views ArrayData
+    * already holds. */
+  def sortedIntersectCountStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
   private val TrimP = Pattern.compile("^\\s+|\\s+$")
   private val WsP = Pattern.compile("\\s+")
 
@@ -375,6 +397,41 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of common elements of two SORTED, DISTINCT string arrays — the
+  * string sibling of [[SortedIntersectCountExpr]] (round 18): one
+  * UTF8String merge scan. ≡ `size(array_intersect(a, b))` on sorted
+  * distinct inputs, without the per-row hash-set build that made the
+  * built-in the cost of the exact-Jaccard verify projections
+  * (q_ngram_jaccard, q_minhash_calibration). Precondition
+  * (caller-enforced): both arrays sorted ascending in binary UTF8 order
+  * (`array_sort` on default-collation strings), no null elements. */
+case class SortedIntersectCountStrExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count_str"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<STRING> arguments, got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedIntersectCountStr(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.TextKernels.sortedIntersectCountStr($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountStrExpr =
     copy(left = newLeft, right = newRight)
 }
 

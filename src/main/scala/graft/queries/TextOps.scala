@@ -288,16 +288,26 @@ object TextOps extends QueryPack {
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"),
           (col("est_jaccard") * 16).cast("long").as("m"))
+      // round 18: gram sets sorted once per doc; the exact overlap is the
+      // native string merge-scan kernel and |∪| = |A|+|B|−|∩| — the same
+      // integers as the old array_intersect/array_union pair, without
+      // two per-pair hash-set builds (guide §4)
       val grams = d.select(col("doc_id").as("gid"),
-        array_distinct(wordNgramsNative(col("text"), 3)).as("grams"))
+        array_sort(array_distinct(wordNgramsNative(col("text"), 3)))
+          .as("grams"))
+      val ic = org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.SortedIntersectCountStrExpr(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("ga")),
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("gb"))))
       pairs
         .join(grams.select(col("gid").as("id_a"), col("grams").as("ga")),
           Seq("id_a"))
         .join(grams.select(col("gid").as("id_b"), col("grams").as("gb")),
           Seq("id_b"))
+        .withColumn("__ic", ic)
         .select(col("m"), expr(
-          """CAST((1000000 * CAST(size(array_intersect(ga, gb)) AS BIGINT))
-            | div size(array_union(ga, gb)) AS BIGINT)"""
+          """CAST((1000000 * __ic)
+            | div (size(ga) + CAST(size(gb) AS BIGINT) - __ic) AS BIGINT)"""
             .stripMargin.replaceAll("\\s+", " ")).as("exact_ppm"))
         .groupBy(col("m"))
         .agg(count(lit(1)).as("n_pairs"),

@@ -168,6 +168,41 @@ class TextKernelsSpec extends SparkSpec {
     assert(badC.isEmpty, s"count kernel != array kernel size")
   }
 
+  test("sortedIntersectCountStr equals size(array_intersect) on sorted " +
+    "distinct string arrays (round-18 exact-Jaccard rewrite)") {
+    val rnd = new scala.util.Random(11)
+    val pool = (0 to 300).map(i => s"tok${i}x").toVector
+    val rows = (1 to 200).map { i =>
+      val a = rnd.shuffle(pool).take(rnd.nextInt(40)).distinct.sorted
+      val b = rnd.shuffle(pool).take(rnd.nextInt(40)).distinct.sorted
+      (i, a, b)
+    } :+ ((201, Vector.empty[String], Vector("x", "y"))) :+
+      ((202, Vector("q"), Vector("q"))) :+
+      ((203, Vector("", "a"), Vector("", "b"))) // empty string element
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(col("id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.SortedIntersectCountStrExpr(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("a")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("b"))))
+          .as("c"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("c") =!= col("ref"))
+    assert(bad.isEmpty,
+      s"string count kernel != array_intersect size: ${bad.head(3).toSeq}")
+    // and |A∪B| = |A| + |B| − |A∩B| matches the built-in union size
+    val badU = df.select(col("id"),
+        (size(col("a")) + size(col("b")).cast("long") -
+          org.apache.spark.sql.graft.ColumnBridge.column(
+            graft.plans.SortedIntersectCountStrExpr(
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("a")),
+              org.apache.spark.sql.graft.ColumnBridge.expression(col("b")))))
+          .as("u"),
+        size(array_union(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("u") =!= col("ref"))
+    assert(badU.isEmpty, s"union-size identity broke: ${badU.head(3).toSeq}")
+  }
+
   test("native kernels participate in whole-stage codegen") {
     val cg = corpusPlus
       .select(minhashSigNative(col("text"), 3, 8),
