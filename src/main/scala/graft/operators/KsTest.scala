@@ -40,17 +40,33 @@ import org.apache.spark.sql.functions._
   */
 object KsTest {
 
+  /** The census-cumsum core buckets by a NUMERIC image of the value
+    * (floor over its range) whose order must agree with the column's own
+    * sort order — true for numerics and date/time types, FALSE for
+    * strings ('9' > '10' lexically but 9 < 10 cast) — so a string value
+    * column would silently misplace bucket offsets and corrupt the
+    * statistic (r17 ADVICE, medium). Rejected loudly here instead. */
+  private def requireBucketable(df: DataFrame, valueCol: Column): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(valueCol).schema.head.dataType
+    require(dt.isInstanceOf[NumericType] || dt == DateType ||
+      dt == TimestampType || dt == TimestampNTZType || dt == BooleanType,
+      s"KsTest needs a numeric/date/timestamp value column (bucket order " +
+        s"must match sort order); got ${dt.catalogString}")
+  }
+
   /** One-row result: (n_a, n_b, d_num, d, crit, drift) for the two-sample
     * KS test between rows where `sideCol` is true (sample A) and false
     * (sample B). */
   def twoSample(df: DataFrame, sideCol: Column, valueCol: Column)
       : DataFrame = {
+    requireBucketable(df, valueCol)
     val base = df
       .select(lit(0L).as("__k"), sideCol.cast("int").as("__side"),
         valueCol.as("__v"))
       .filter(col("__v").isNotNull)
 
-    val (cum, census) = cumPrefix(base)
+    val (cum, census) = cumPrefix(base, keyed = false)
     // 1-row global counts off the census leaf — a global aggregate still
     // yields the single null-celled row on empty input that the old
     // rank-frame form produced, and the source is never scanned twice.
@@ -83,12 +99,13 @@ object KsTest {
     * guard rather than a division error. */
   def twoSampleByKey(df: DataFrame, keyCol: Column, sideCol: Column,
       valueCol: Column): DataFrame = {
+    requireBucketable(df, valueCol)
     val base = df
       .select(keyCol.as("__k"), sideCol.cast("int").as("__side"),
         valueCol.as("__v"))
       .filter(col("__v").isNotNull)
 
-    val (cum, census) = cumPrefix(base)
+    val (cum, census) = cumPrefix(base, keyed = true)
     val counts = census.groupBy(col("__k")).agg(
       sum(col("__ca")).cast("long").as("n_a"),
       sum(col("__cb")).cast("long").as("n_b"))
@@ -122,7 +139,7 @@ object KsTest {
     * non-decreasing under IEEE for width > 0, and floor preserves that;
     * NaN values (which Spark groups as equal and sorts last) are pinned
     * to the top bucket explicitly. */
-  private def cumPrefix(base: DataFrame)
+  private def cumPrefix(base: DataFrame, keyed: Boolean)
       : (DataFrame, DataFrame) = {
     val target = RangeBuckets.DefaultTarget
     // the census is the fan-out point — bounds, window, bucket totals,
@@ -134,11 +151,37 @@ object KsTest {
       .agg(sum(col("__side")).cast("long").as("__ca"),
         (count(lit(1)) - sum(col("__side"))).cast("long").as("__cb"))
       .localCheckpoint(eager = false)
-    val vd = col("__v").cast("double")
-    val bounds = census.agg(min(vd).as("__mn"), max(vd).as("__mx"))
-    val bucketed = census.crossJoin(broadcast(bounds))
+    // DateType has no double cast — bucket it by its day number instead
+    // (monotone in the date); every other accepted type casts directly.
+    val vd =
+      if (base.schema("__v").dataType ==
+          org.apache.spark.sql.types.DateType)
+        col("__v").cast("int").cast("double")
+      else col("__v").cast("double")
+    // Per-KEY bounds, NaN excluded (r17 ADVICE, low): global bounds let
+    // one key's census collapse into a single (key, bucket) window
+    // partition whenever another key dominates the value range, and a
+    // single NaN turned max() into NaN, sending every real value to
+    // bucket 0. Bounds now come off a per-key aggregate of the census
+    // (map-side combined, census-sized) joined back broadcast — the
+    // keyed form is the per-feature/per-slice drift monitor, so the key
+    // census is slice-cardinality — and NaN rows pin to the TOP bucket
+    // explicitly (Spark sorts NaN last, so the bucket key stays monotone
+    // per key). Bucket ids never reach output; only the partitioning
+    // improves.
+    val withBounds =
+      if (keyed)
+        census.join(broadcast(census.groupBy(col("__k")).agg(
+            min(when(!isnan(vd), vd)).as("__mn"),
+            max(when(!isnan(vd), vd)).as("__mx"))), Seq("__k"))
+      else // constant key: per-key ≡ global — keep the cheaper 1-row
+        // bounds crossJoin (a keyed join here measured ×1.2 on q_ks_test)
+        census.crossJoin(broadcast(census.agg(
+          min(when(!isnan(vd), vd)).as("__mn"),
+          max(when(!isnan(vd), vd)).as("__mx"))))
+    val bucketed = withBounds
       .withColumn("__b",
-        when(vd.isNaN || col("__mn").isNaN, lit(target))
+        when(vd.isNaN || col("__mn").isNull, lit(target))
           .when(col("__mx") <= col("__mn"), lit(0))
           .otherwise(least(
             floor((vd - col("__mn")) /
