@@ -269,13 +269,19 @@ object BehaviorOps extends QueryPack {
     // per-cell integer quotients summed exactly. Marginals are
     // |types|- and 7-row broadcasts; one scan, one cell-level shuffle.
     "q_chi2" -> ((s, dir) => {
+      // round 18: lazy-checkpoint the cell census (both marginals and
+      // the main join read it — ScanCount measured the events scan
+      // executing 4× at sf0.01) and derive the grand total from the
+      // cells (Σ o ≡ COUNT(*): the census partitions every event row)
+      // instead of a second corpus scan. 4 scans → 1.
       val cells = events(s, dir)
         .select(col("event_type").as("e"),
           expr(s"(unix_micros(ts) div $DayUs) % 7").as("d"))
         .groupBy(col("e"), col("d")).agg(count(lit(1)).as("o"))
+        .localCheckpoint(eager = false)
       val rowm = cells.groupBy(col("e")).agg(sum(col("o")).as("ro"))
       val colm = cells.groupBy(col("d")).agg(sum(col("o")).as("co"))
-      val tot = events(s, dir).agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum(col("o")).as("n"))
       cells.join(broadcast(rowm), Seq("e"))
         .join(broadcast(colm), Seq("d"))
         .crossJoin(broadcast(tot))
@@ -490,6 +496,9 @@ object BehaviorOps extends QueryPack {
       val c = events(s, dir)
         .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val b = c.groupBy(col("event_type"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       val d = b.select(col("event_type"), col("mn"),
@@ -523,6 +532,9 @@ object BehaviorOps extends QueryPack {
       val c = events(s, dir)
         .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val b = c.groupBy(col("event_type"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       val d = b.select(col("event_type"), col("mn"),
@@ -620,6 +632,9 @@ object BehaviorOps extends QueryPack {
       val c = events(s, dir)
         .select(col("event_type"), expr(s"unix_micros(ts) div $DayUs").as("day"))
         .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val b = c.groupBy(col("event_type"))
         .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       val d = b.select(col("event_type"), col("mn"),

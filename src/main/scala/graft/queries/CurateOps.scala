@@ -192,8 +192,15 @@ object CurateOps extends QueryPack {
       val d = docs(s, dir)
       val tok = d.select(explode(tokens(normalizeText(col("text"))))
         .as("token"))
+      // round 18: tokenize for unigrams ONCE — the census feeds both
+      // PMI join sides and the total (ScanCount measured the documents
+      // scan executing 4× at sf0.01: AQE re-planning defeats exchange
+      // reuse across the consumers); the total is Σ c over the census
+      // (≡ the token count — the census partitions every token).
+      // 4 scans → 2 (the bigram pass is the other, a different explode).
       val uni = tok.groupBy(col("token")).agg(count(lit(1)).as("c"))
-      val tot = tok.agg(count(lit(1)).as("n"))
+        .localCheckpoint(eager = false)
+      val tot = uni.agg(sum(col("c")).as("n"))
       val bg = d.select(explode(tokenBigrams(col("text"))).as("pq"))
         .select(col("pq.t1").as("t1"), col("pq.t2").as("t2"))
         .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))

@@ -95,7 +95,11 @@ object DesignOps extends QueryPack {
           .otherwise(0L).as("e"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
+      // round 18: census leaf (ScanCount: the median's belowFrame
+      // fan-out re-ran the orders scan 8x at sf0.01; see
+      // OPTIMIZATION_r18.md)
       val census = o.groupBy(col("cents")).agg(count(lit(1)).as("tv"))
+        .localCheckpoint(eager = false)
       val nn = census.agg(sum(col("tv")).as("n"))
       val med = graft.operators.RangeBuckets.belowFrame(
           census.select(col("cents").as("v"), col("tv").as("t")))

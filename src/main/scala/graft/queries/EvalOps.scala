@@ -126,6 +126,9 @@ object EvalOps extends QueryPack {
           .as("pos"))
       val census = c.groupBy(col("v"))
         .agg(sum(col("pos")).as("n1v"), count(lit(1)).as("tv"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val tot = census.agg(sum(col("tv")).as("n"),
         sum(col("n1v")).as("n_pos"))
       withBelow2(census).crossJoin(broadcast(tot))

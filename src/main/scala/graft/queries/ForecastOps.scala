@@ -49,6 +49,13 @@ object ForecastOps extends QueryPack {
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
       .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      // round 18: lazy-checkpoint the day census — the spine bounds, the
+      // fill join, and every caller's own fan-out re-executed the
+      // LINEITEM SCAN per consumer at bench scale (ScanCount: q_hurst
+      // 12×, q_dickey_fuller/q_ewma_chart 4×; AQE re-planning defeats
+      // exchange reuse). One scan materializes the ≤span-row census;
+      // everything downstream reads blocks.
+      .localCheckpoint(eager = false)
     val b = d.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
       .select(col("mn"),
         Parity.guardedSpanValue(col("mx"),

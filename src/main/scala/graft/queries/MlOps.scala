@@ -293,6 +293,9 @@ object MlOps extends QueryPack {
             .otherwise(0.0).cast(DecimalType(18, 4)))).as("y"))
         .withColumn("variant", pmod(hash32(
           concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val g = per.agg(
         count(lit(1)).as("n"),
         sRoute(sum(col("x").cast(DecimalType(18, 4)))).as("sx"),

@@ -414,6 +414,14 @@ object PipelineOps extends QueryPack {
               least(col("__stop") * 2.0, lit(0.3)) +
               when(col("__punct") < 0.05, lit(0.2)).otherwise(lit(0.0)),
             6).as("score"))
+        // round 18: tokenize-and-score ONCE — the frame feeds both the
+        // median machinery and the keep-filter join, and without a leaf
+        // here each side re-ran the tokenizer over the corpus (2 scans,
+        // the r17 q_lm_score shape). LAZY: Percentiles.rankedFrame's own
+        // eager checkpoint is the first read and materializes it; the
+        // join side then reads narrow (doc_id, lang, n_chars, score)
+        // blocks — the text column never persists.
+        .localCheckpoint(eager = false)
       val med = graft.operators.Percentiles.exactInterpolated(
           scored, col("lang"), col("score"), Seq(0.5), Seq("med"))
         .select(col("group").as("lang"), col("med"))
@@ -437,12 +445,18 @@ object PipelineOps extends QueryPack {
       val corpus = d0.unionByName(d0.select(
         (col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
+      // round 18: stage leaves — each downstream stage (scrub, LSH
+      // pairs, anti-join) re-ran the whole upstream composition per
+      // consumer (ScanCount: documents 24x at sf0.01); one lazy
+      // checkpoint per stage output caps the pipeline at one
+      // materialization per stage
       val sampled = Sampling.stratifiedHashSample(
         corpus, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
-        defaultRate = 0.25)
+        defaultRate = 0.25).localCheckpoint(eager = false)
       val evalDocs = docs(s, dir).filter(evalPred)
       val decon = Contamination.scrub(sampled, evalDocs,
         col("text"), col("doc_id"), n = 5, minOverlap = 1L)
+        .localCheckpoint(eager = false)
       val dupIds = Dedup.minhashPairs(decon, col("text"), col("doc_id"),
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
@@ -559,8 +573,12 @@ object PipelineOps extends QueryPack {
         .groupBy(col("doc_id"))
         .agg(sum(col("tf")).as("n_tokens"),
           sum(col("tf") * col("w")).as("score"))
+      // round 18: survivor leaf — the span census's input join and the
+      // two downstream joins each re-ran the tokenize-and-score subtree
+      // (ScanCount: documents 6x at sf0.01)
       val kept = scored.filter(col("score") >= 0)
         .select(col("doc_id"), col("n_tokens"))
+        .localCheckpoint(eager = false)
       val census = Dedup.duplicatedSpans(d.join(kept, Seq("doc_id")),
         col("text"), col("doc_id"), n = 8, minCount = 2L)
       val clean = kept.join(

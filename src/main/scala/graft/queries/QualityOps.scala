@@ -345,6 +345,9 @@ object QualityOps extends QueryPack {
         .agg(sum(coalesce(col("cents"), lit(0L))
             .cast(DecimalType(38, 0))).as("si"),
           count_distinct(col("c_custkey")).as("ni"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val tot = perNation.agg(sum(col("si")).as("s"), sum(col("ni")).as("n"),
         count(lit(1)).as("g"))
       val reps = perNation.crossJoin(broadcast(tot))
@@ -412,19 +415,28 @@ object QualityOps extends QueryPack {
     // group-count per column (each a map-side-combinable aggregate);
     // the per-column summaries are 1-row unions.
     "q_skew_report" -> ((s, dir) => {
-      def one(name: String): DataFrame =
-        t(s, dir, "lineitem")
-          .groupBy(col(name).cast("string").as("v"))
-          .agg(count(lit(1)).as("c"))
-          .agg(count(lit(1)).as("n_distinct"),
-            max(col("c")).as("top_count"),
-            sum(col("c")).as("total"))
-          .select(lit(name).as("column_name"), col("n_distinct"),
-            col("top_count").cast("long").as("top_count"),
-            expr("(top_count * 1000000) div total").cast("long")
-              .as("top_share_ppm"))
-      one("l_orderkey").unionByName(one("l_partkey"))
-        .unionByName(one("l_suppkey")).unionByName(one("l_returnflag"))
+      // round 18: the four per-column censuses used to be four separate
+      // corpus scans (ScanCount: lineitem 4× at sf0.01); a typed-slot
+      // stack expand (the q_profile round-17 discipline) builds all four
+      // off ONE scan — identical per-column cells, identical output.
+      t(s, dir, "lineitem")
+        .select(expr(
+          """stack(4,
+             'l_orderkey',   CAST(l_orderkey AS STRING),
+             'l_partkey',    CAST(l_partkey AS STRING),
+             'l_suppkey',    CAST(l_suppkey AS STRING),
+             'l_returnflag', CAST(l_returnflag AS STRING))
+             AS (column_name, v)"""))
+        .groupBy(col("column_name"), col("v"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("column_name"))
+        .agg(count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"),
+          sum(col("c")).as("total"))
+        .select(col("column_name"), col("n_distinct"),
+          col("top_count").cast("long").as("top_count"),
+          expr("(top_count * 1000000) div total").cast("long")
+            .as("top_share_ppm"))
         .orderBy(col("column_name"))
     })
   )

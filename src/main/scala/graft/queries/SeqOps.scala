@@ -77,7 +77,11 @@ object SeqOps extends QueryPack {
     // as a shared-text double. Cells are the bounded transition frame
     // (≤ 36 rows after one corpus pass).
     "q_seq_entropy" -> ((s, dir) => {
+      // round 18: transitions leaf — the per-prev totals and the term
+      // join each re-ran the whole journey-truncation window otherwise
+      // (ScanCount: 4 events scans at sf0.01)
       val trans = AttribOps.transitionsDf(s, dir)
+        .localCheckpoint(eager = false)
       val n = trans.groupBy(col("prev")).agg(sum(col("c")).as("np"))
       val cells = trans.join(broadcast(n), Seq("prev"))
         .select(col("c"),

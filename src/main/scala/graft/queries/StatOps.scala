@@ -108,6 +108,10 @@ object StatOps extends QueryPack {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast("long").as("cents"))
         .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+        // round 18: lazy-checkpoint the day census — the grid's
+        // bounds/window/bucket-total/grand-total fan-out re-executed the
+        // lineitem scan 7× at sf0.01 (the dailySpine finding)
+        .localCheckpoint(eager = false)
       // span guard (round 12, shared with q_holt_linear): the daily grid
       // and its div-512 buckets are calendar-bounded — make a corrupt
       // far-future date fail loudly instead of ballooning the grid

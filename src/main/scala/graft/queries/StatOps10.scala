@@ -113,6 +113,9 @@ object StatOps10 extends QueryPack {
             .cast("long").as("vm"))
       val cell = e.groupBy(col("user_id"), col("event_type"))
         .agg(sum(col("vm")).as("x"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val tcells = cell.groupBy(col("user_id"))
         .agg(sum(col("x")).as("tot"))
         .agg(count(lit(1)).as("n_users"),
@@ -151,7 +154,10 @@ object StatOps10 extends QueryPack {
     // NATION. Envelope: R2 ≤ m·(2n+1) ≈ 1275, S4 ≤ n·(m·n)⁴ — exact to
     // dims of thousands.
     "q_kendall_w" -> ((s, dir) => {
-      val full = nbDesign(s, dir)
+      // round 18: the 625-cell design leaf — census and rank-sum join
+      // each re-ran the 4-table revenue join otherwise (ScanCount: part
+      // 8x at sf0.01)
+      val full = nbDesign(s, dir).localCheckpoint(eager = false)
       val nat = t(s, dir, "nation").select(col("n_nationkey").as("nk"))
       val br = t(s, dir, "part").select(col("p_brand").as("brand"))
         .distinct()

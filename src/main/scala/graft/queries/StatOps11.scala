@@ -68,6 +68,9 @@ object StatOps11 extends QueryPack {
                | + 100000) div 200000""".stripMargin).as("band"))
       val cells = c.groupBy(col("nk"), col("seg"), col("band"))
         .agg(count(lit(1)).as("cnt"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val classes = cells.groupBy(col("nk"), col("seg"))
         .agg(sum(col("cnt")).as("n_c"))
       val bands = cells.groupBy(col("band")).agg(sum(col("cnt")).as("nb"))

@@ -194,10 +194,14 @@ object StatOps12 extends QueryPack {
     // negative; the clamp pins them to the declared support's edges,
     // where they correctly register as extreme tail mass).
     "q_ad_uniform" -> ((s, dir) => {
+      // round 18: lazy-checkpoint the value census — its belowFrame
+      // fan-out re-executed the events scan 7× at sf0.01 (ScanCount;
+      // AQE re-planning defeats exchange reuse across the consumers)
       val census = t(s, dir, "events").filter(col("value").isNotNull)
         .select(least(greatest((col("value").cast(DecimalType(18, 6))
           * 1000).cast("long"), lit(1L)), lit(599999L)).as("v"))
         .groupBy(col("v")).agg(count(lit(1)).as("t"))
+        .localCheckpoint(eager = false)
       val nn = census.agg(sum(col("t")).as("n_events"))
       RangeBuckets.belowFrame(census).crossJoin(broadcast(nn))
         .select(col("n_events"),

@@ -45,6 +45,9 @@ object StatOps14 extends QueryPack {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("r_name").as("reg"))
         .agg(count(lit(1)).as("o"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val rowm = cells.groupBy(col("seg")).agg(sum(col("o")).as("rs"))
       val colm = cells.groupBy(col("reg")).agg(sum(col("o")).as("cr"))
       val tot = cells.agg(sum(col("o")).as("n"))

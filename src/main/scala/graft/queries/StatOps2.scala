@@ -334,6 +334,9 @@ object StatOps2 extends QueryPack {
           .as("a"),
           sum(when(col("day") >= col("mid"), 1L).otherwise(0L))
             .as("b"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val grid = e.sparkSession.range(10).select(col("id").as("bin"))
       val tot = cells.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"))
       grid.join(cells, Seq("bin"), "left")

@@ -40,11 +40,16 @@ object StatOps3 extends QueryPack {
       // adaptive bucket width (round 12): range-derived, so the offset
       // merge stays O(256²) even when revenue totals span more orders of
       // magnitude than the old fixed div-2²² width anticipated
+      // round 18: lazy-checkpoint the per-part revenue census — the
+      // window/bucket-total/grand-total fan-out re-executed the LINEITEM
+      // scan 10× at sf0.01 (ScanCount; AQE re-planning defeats exchange
+      // reuse). One scan materializes the |parts|-row census.
       val rev = graft.operators.RangeBuckets.withRangeBucket(
         t(s, dir, "lineitem")
           .groupBy(col("l_partkey").as("pk"))
           .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
-            .cast("long")).as("cents")),
+            .cast("long")).as("cents"))
+          .localCheckpoint(eager = false),
         "cents")
       val w = Window.partitionBy(col("bucket"))
         .orderBy(col("cents").desc, col("pk"))
@@ -91,10 +96,13 @@ object StatOps3 extends QueryPack {
           .cast("long").as("v"),
         when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
           .as("g1"))
-      // adaptive bucket width (round 12, the q_abc_class note)
+      // adaptive bucket width (round 12, the q_abc_class note); census
+      // lazy-checkpointed (round 18 — its fan-out re-executed the orders
+      // scan 6× at sf0.01, the q_abc_class finding)
       val census = graft.operators.RangeBuckets.withRangeBucket(
         v.groupBy(col("v"))
-          .agg(sum(col("g1")).as("n1v"), count(lit(1)).as("tv")),
+          .agg(sum(col("g1")).as("n1v"), count(lit(1)).as("tv"))
+          .localCheckpoint(eager = false),
         "v")
       val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
       val loc = census.withColumn("cumt", sum(col("tv")).over(w))

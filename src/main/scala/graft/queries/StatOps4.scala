@@ -75,6 +75,9 @@ object StatOps4 extends QueryPack {
     "q_gini_spend" -> ((s, dir) => {
       val census = spend(s, dir).groupBy(col("x").as("v"))
         .agg(count(lit(1)).as("t"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       withBelow(census)
         .agg(sum(col("t")).as("n"),
           sum(col("v").cast(DecimalType(38, 0)) * col("t")).as("tt"),
@@ -102,6 +105,9 @@ object StatOps4 extends QueryPack {
     "q_lorenz_spend" -> ((s, dir) => {
       val census = spend(s, dir).groupBy(col("x").as("v"))
         .agg(count(lit(1)).as("t"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val bel = withBelow(census)
       val cells = census.agg(sum(col("t")).as("n"),
         sum(col("v").cast(DecimalType(38, 0)) * col("t")).as("tt"))
@@ -238,6 +244,9 @@ object StatOps4 extends QueryPack {
         .groupBy(col("event_type"))
         .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("a"),
           sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("b"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val tot = cells.agg(sum(col("a")).as("at"), sum(col("b")).as("bt"))
       cells.crossJoin(broadcast(tot))
         .select(col("event_type"), col("a").as("n_base"),

@@ -202,6 +202,9 @@ object StatOps5 extends QueryPack {
         .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long")).as("x"))
         .groupBy(col("x").as("v")).agg(count(lit(1)).as("t"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val bel = RangeBuckets.belowFrame(census)
       val nk = census.agg(sum(col("t")).as("n"))
         .select(col("n"),

@@ -152,6 +152,9 @@ object StatOps6 extends QueryPack {
         when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("pos"))
       val census = c.groupBy(col("v"))
         .agg(sum(col("pos")).as("n1v"), count(lit(1)).as("tv"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       withBelow(census)
         .agg(sum(col("n1v")).as("n_pos"),
           sum(col("tv") - col("n1v")).as("n_neg"),
@@ -217,6 +220,9 @@ object StatOps6 extends QueryPack {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_mktsegment"), col("n_name"))
         .agg(count(lit(1)).as("c"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val rx = cells.groupBy(col("c_mktsegment")).agg(sum(col("c")).as("r"))
       val sy = cells.groupBy(col("n_name")).agg(sum(col("c")).as("s"))
       val tot = cells.agg(sum(col("c")).as("n"))
@@ -243,6 +249,9 @@ object StatOps6 extends QueryPack {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("c_mktsegment"), col("r_name"))
         .agg(count(lit(1)).as("c"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val rx = cells.groupBy(col("c_mktsegment")).agg(sum(col("c")).as("r"))
       val sy = cells.groupBy(col("r_name")).agg(sum(col("c")).as("s"))
       val tot = cells.agg(sum(col("c")).as("n"))
@@ -318,7 +327,15 @@ object StatOps6 extends QueryPack {
     "q_kruskal_wallis" -> ((s, dir) => {
       val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
         cents(col("o_totalprice")).as("v"))
+      // round 18: the (grp, v) census is the fan-out point (global
+      // census, belowFrame's bucket machinery, the per-group join all
+      // read it) and at bench scale AQE's runtime re-planning defeats
+      // exchange reuse across those consumers — ScanCount measured the
+      // ORDERS SCAN EXECUTING 8× at sf0.01. A lazy checkpoint
+      // materializes the census once on first read (no standalone job);
+      // everything downstream is value-cardinality-sized block reads.
       val tgv = o.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("tgv"))
+        .localCheckpoint(eager = false)
       val census = tgv.groupBy(col("v")).agg(sum(col("tgv")).as("tv"))
       val bel = withBelow(census)
       val perG = tgv.join(bel, Seq("v"))

@@ -59,9 +59,14 @@ object StatOps7 extends QueryPack {
     * below + t ≥ ⌈n/2⌉ over the value census — one corpus aggregate,
     * RangeBuckets below-counts, a 1-row result the callers broadcast. */
   private def orderMedianCents(s: SparkSession, dir: String): DataFrame = {
+    // round 18: lazy-checkpoint the value census — its belowFrame
+    // fan-out re-executed the orders scan per consumer at sf0.01
+    // (ScanCount measured 8 scans on the raterFrame gates; AQE
+    // re-planning defeats exchange reuse across the consumers)
     val census = t(s, dir, "orders")
       .select(cents(col("o_totalprice")).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .localCheckpoint(eager = false)
     val bel = RangeBuckets.belowFrame(census)
     val n = census.agg(sum(col("t")).as("n"))
     bel.crossJoin(broadcast(n))
@@ -166,6 +171,9 @@ object StatOps7 extends QueryPack {
         .groupBy(col("v"))
         .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("a"),
           sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("b"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val cen = RangeBuckets.withRangeBucket(census, "v")
       val w = Window.partitionBy(col("bucket")).orderBy(col("v"))
       val loc = cen
@@ -305,6 +313,9 @@ object StatOps7 extends QueryPack {
       val o = t(s, dir, "orders").select(col("o_orderpriority").as("grp"),
         cents(col("o_totalprice")).as("v"))
       val tgv = o.groupBy(col("grp"), col("v")).agg(count(lit(1)).as("cnt"))
+        // round 18: census leaf (ScanCount: the fan-out re-ran the
+        // fact scan per consumer; see OPTIMIZATION_r18.md)
+        .localCheckpoint(eager = false)
       val cen = RangeBuckets.withRangeBucket(tgv, "v")
       val w = Window.partitionBy(col("grp"), col("bucket")).orderBy(col("v"))
       val loc = cen.withColumn("cumt", sum(col("cnt")).over(w))

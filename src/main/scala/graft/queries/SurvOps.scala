@@ -249,7 +249,13 @@ object SurvOps extends QueryPack {
         substring(col("o_orderpriority"), 1, 1).cast("long").as("w"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast("long").as("cents"))
+      // round 18: lazy-checkpoint the value census — its belowFrame
+      // fan-out re-executed the orders scan 8× at sf0.01 (ScanCount;
+      // AQE re-planning defeats exchange reuse across the consumers).
+      // The cells pass below still scans orders once: the declared
+      // class-2 threshold-then-apply shape. 8 scans → 2.
       val census = o.groupBy(col("cents")).agg(count(lit(1)).as("tv"))
+        .localCheckpoint(eager = false)
       val nn = census.agg(sum(col("tv")).as("n"))
       val med = graft.operators.RangeBuckets.belowFrame(
           census.select(col("cents").as("v"), col("tv").as("t")))

@@ -295,6 +295,9 @@ object TextOps extends QueryPack {
       val grams = d.select(col("doc_id").as("gid"),
         array_sort(array_distinct(wordNgramsNative(col("text"), 3)))
           .as("grams"))
+        // round 18: gram leaf — both verify-join sides re-tokenized the
+        // mutant corpus otherwise (ScanCount: documents 6x at sf0.01)
+        .localCheckpoint(eager = false)
       val ic = org.apache.spark.sql.graft.ColumnBridge.column(
         graft.plans.SortedIntersectCountStrExpr(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("ga")),
@@ -361,7 +364,10 @@ object TextOps extends QueryPack {
     // oracle over the WHOLE pipeline: dedup, anti-join application, and
     // token accounting agree end to end.
     "q_pipeline_dedup" -> ((s, dir) => {
-      val d = withMutants(docs(s, dir))
+      // round 18: mutant-corpus leaf — the LSH pair subtree and the
+      // anti-join side each re-ran the union + text concat (ScanCount:
+      // documents 6x at sf0.01)
+      val d = withMutants(docs(s, dir)).localCheckpoint(eager = false)
       val dupIds = Dedup.minhashPairs(d, col("text"), col("doc_id"),
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
@@ -465,9 +471,12 @@ object TextOps extends QueryPack {
       val d = d0.unionByName(d0.select(
         (col("doc_id") + Parity.VariantOffset).as("doc_id"),
         concat(col("text"), lit(" zzmutant")).as("text"), col("lang")))
+      // round 18: sampled-stage leaf — the LSH pair subtree and the
+      // anti-join side each re-ran the mutant-union + hash gate
+      // (ScanCount: documents 6x at sf0.01)
       val sampled = graft.operators.Sampling.stratifiedHashSample(
         d, col("doc_id"), col("lang"), Map("en" -> 0.5, "zh" -> 0.9),
-        defaultRate = 0.25)
+        defaultRate = 0.25).localCheckpoint(eager = false)
       val dupIds = Dedup.minhashPairs(sampled, col("text"), col("doc_id"),
           shingleSize = 3, k = 16, bands = 4, threshold = 0.5)
         .select(col("id_b").as("doc_id")).distinct()
